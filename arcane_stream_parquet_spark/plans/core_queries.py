@@ -1,0 +1,156 @@
+"""Core reference-semantics queries (SURVEY.md §7 M1): the transforms the
+reference pipeline applies to every row, each as an oracle-checked query
+over the driver testdata.
+
+The ``events`` table plays the role of the reference's blob fixture
+(FIXTURES.md F4): ``user_id`` ≈ primaryKeys, ``ts`` ≈ blob createdOn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.functions.keys import merge_key_column
+from arcane_stream_parquet_spark.functions.names import normalize_column_names
+from arcane_stream_parquet_spark.functions.selection import FieldSelectionRule, select_fields
+from arcane_stream_parquet_spark.operators.dedup import latest_by_key
+from arcane_stream_parquet_spark.operators.watermark import compute_watermark
+from arcane_stream_parquet_spark.plans.registry import register_query
+from arcane_stream_parquet_spark.sources.tables import load_table
+
+
+@register_query(
+    "latest_by_key",
+    oracle="""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="Flagship: latest-wins per key (reference J2, UpsertBlobStagedBatchFactory; "
+    "IntegrationTests.scala:176 — 5000 rows/100 keys → 100 rows).",
+    tags=("reference", "window", "dedup"),
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], version_col="ts", tiebreakers=["event_id"])
+    return latest.select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+@register_query(
+    "merge_key_hash",
+    oracle="""
+        SELECT event_id,
+               sha256(concat_ws('||', CAST(user_id AS VARCHAR), event_type))
+                   AS arcane_merge_key
+        FROM events
+    """,
+    doc="Deterministic merge key over primaryKeys (reference P4; VARCHAR in "
+    "target per Common.scala:132).",
+    tags=("reference", "scalar"),
+)
+def q_merge_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        merge_key_column(["user_id", "event_type"]).alias("arcane_merge_key"),
+    )
+
+
+@register_query(
+    "field_selection_exclude",
+    oracle="""
+        SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value
+        FROM events
+    """,
+    doc="Field-selection rule, exclude mode (reference P1): drop `props`, "
+    "keep source order; realized as parquet column pruning.",
+    tags=("reference", "projection"),
+)
+def q_field_selection_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    rule = FieldSelectionRule(mode="exclude", fields=frozenset({"props"}))
+    return select_fields(events, rule).withColumn("ts", F.expr("ts DIV 1000"))
+
+
+@register_query(
+    "field_selection_include",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    doc="Field-selection rule, include mode (reference P1, isServerSide "
+    "column pruning — crd-parquet-stream.yaml:403-406).",
+    tags=("reference", "projection"),
+)
+def q_field_selection_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rule = FieldSelectionRule(
+        mode="include", fields=frozenset({"l_orderkey", "l_linenumber", "l_quantity"})
+    )
+    return select_fields(lineitem, rule)
+
+
+@register_query(
+    "normalize_names",
+    oracle="""
+        SELECT event_id AS eventid, user_id, event_type AS eventtype
+        FROM events
+    """,
+    doc="Column-name normalization (reference P2, docs/crd.md:186-188): "
+    "special chars stripped before any field rule.",
+    tags=("reference", "projection"),
+)
+def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    messy = events.select(
+        F.col("event_id").alias("event$id"),
+        F.col("user_id").alias("user_id/"),
+        F.col("event_type").alias("event type"),
+    )
+    # "event$id" -> "eventid", "user_id/" -> "user_id", "event type" -> "eventtype"
+    return normalize_column_names(messy)
+
+
+@register_query(
+    "watermark_max_version",
+    oracle="SELECT max(epoch_us(ts)) AS watermark FROM events",
+    doc="Stream watermark = MAX(version) (reference A1, WatermarkProcessor; "
+    "IntegrationTests.scala:177-181).",
+    tags=("reference", "aggregate"),
+)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", F.expr("ts DIV 1000"))
+    return compute_watermark(events, version_col="ts_us")
+
+
+@register_query(
+    "upsert_golden_counts",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS total_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_keys
+        FROM (
+            SELECT user_id, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="The reference's golden upsert invariant: post-merge row count == "
+    "distinct key count (IntegrationTests.scala:176,181).",
+    tags=("reference", "aggregate", "dedup"),
+)
+def q_upsert_golden_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], version_col="ts", tiebreakers=["event_id"])
+    return latest.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("user_id").alias("distinct_keys"),
+    )
