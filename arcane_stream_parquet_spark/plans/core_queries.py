@@ -15,6 +15,7 @@ from arcane_stream_parquet_spark.functions.keys import merge_key_column
 from arcane_stream_parquet_spark.functions.names import normalize_column_names
 from arcane_stream_parquet_spark.functions.selection import FieldSelectionRule, select_fields
 from arcane_stream_parquet_spark.operators.dedup import latest_by_key
+from arcane_stream_parquet_spark.operators.merge import merge_latest_wins
 from arcane_stream_parquet_spark.operators.watermark import compute_watermark
 from arcane_stream_parquet_spark.plans.registry import register_query
 from arcane_stream_parquet_spark.sources.tables import load_table
@@ -129,6 +130,46 @@ def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     events = events.withColumn("ts_us", F.expr("ts DIV 1000"))
     return compute_watermark(events, version_col="ts_us")
+
+
+# Fixed split point between the sf dirs' median event times; both engines
+# use the same constant, so any value works. Versions (ts) are unique per
+# key in the testdata, so merge(latest(base), delta) == latest(all) exactly.
+_MERGE_SPLIT_US = 1_705_300_000_000_000
+
+
+@register_query(
+    "merge_upsert",
+    oracle="""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="MERGE INTO semantics (reference J1, MergeBatchProcessor): target = "
+    "pre-merged older half of events, batch = newer half; latest version "
+    "per key wins, batch wins ties (s.createdon >= t.createdon, ST3). "
+    "Identity checked: merge(latest(base), delta) == latest(base ∪ delta).",
+    tags=("reference", "merge", "join"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    base = events.filter(F.col("ts_us") <= _MERGE_SPLIT_US)
+    delta = events.filter(F.col("ts_us") > _MERGE_SPLIT_US)
+    # target state = latest-per-key of the base half (as if previously merged)
+    target = latest_by_key(base, ["user_id"], version_col="ts_us", tiebreakers=["event_id"])
+    # the window inside merge also dedups a multi-version delta (J2)
+    merged = merge_latest_wins(target, delta, key_col="user_id", version_col="ts_us")
+    return merged.select("user_id", "ts_us", "event_type", "value")
 
 
 @register_query(

@@ -1,0 +1,143 @@
+"""MERGE semantics unit tests (reference J1/ST3 golden behaviors)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def make_target(spark, tmp_path, **kw) -> ParquetMergeTarget:
+    kw.setdefault("num_buckets", 8)
+    return ParquetMergeTarget(spark=spark, path=str(tmp_path / "target"), **kw)
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        rows, "arcane_merge_key string, createdon long, payload string"
+    )
+
+
+def test_merge_inserts_then_upserts(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    assert {(r["arcane_merge_key"], r["payload"]) for r in t.read().collect()} == {
+        ("k1", "a"),
+        ("k2", "b"),
+    }
+    # newer version updates, new key inserts
+    t.merge(df_of(spark, [("k1", 2, "a2"), ("k3", 1, "c")]))
+    got = {(r["arcane_merge_key"], r["createdon"], r["payload"]) for r in t.read().collect()}
+    assert got == {("k1", 2, "a2"), ("k2", 1, "b"), ("k3", 1, "c")}
+
+
+def test_merge_discards_late_old_versions(spark, tmp_path):
+    """ST3: an old version arriving after a newer one is discarded."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 10, "new")]))
+    t.merge(df_of(spark, [("k1", 5, "stale")]))
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "new"
+
+
+def test_merge_equal_version_batch_wins(spark, tmp_path):
+    """MERGE condition is s.createdon >= t.createdon (SURVEY.md ST3)."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 7, "old")]))
+    t.merge(df_of(spark, [("k1", 7, "rewrite")]))
+    assert t.read().collect()[0]["payload"] == "rewrite"
+
+
+def test_merge_dedups_within_batch(spark, tmp_path):
+    """J2: several versions of one key in a single batch → latest wins
+    (IntegrationTests.scala:176 — 5000 rows/100 keys → 100 rows)."""
+    t = make_target(spark, tmp_path)
+    rows = [(f"k{i % 10}", v, f"p{i % 10}-{v}") for i, v in ((i, i // 10) for i in range(500))]
+    t.merge(df_of(spark, rows))
+    got = t.read().collect()
+    assert len(got) == 10
+    assert {r["createdon"] for r in got} == {49}
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    """ST2 replay safety: re-merging the same batch changes nothing."""
+    t = make_target(spark, tmp_path)
+    batch = df_of(spark, [("k1", 1, "a"), ("k2", 2, "b")])
+    t.merge(batch)
+    before = sorted(map(tuple, t.read().collect()))
+    t.merge(batch)
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
+    """Scale property: a one-key batch must not rewrite untouched bucket
+    partitions (partition-pruned read + dynamic overwrite)."""
+    import glob
+    import os
+
+    t = make_target(spark, tmp_path, num_buckets=8)
+    big = df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(200)])
+    t.merge(big)
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "target" / "data" / "*/*.parquet"))
+    }
+    t.merge(df_of(spark, [("k1", 2, "p1-new")]))
+    files_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "target" / "data" / "*/*.parquet"))
+    }
+    untouched = [p for p in files_before if p in files_after]
+    assert untouched, "expected surviving files in unaffected buckets"
+    changed_buckets = {
+        p.split("__bucket=")[1].split("/")[0]
+        for p in set(files_after) - set(files_before)
+    }
+    assert len(changed_buckets) == 1  # single-key batch → single bucket rewritten
+    # total content still correct
+    assert t.read().filter(F.col("arcane_merge_key") == "k1").collect()[0]["payload"] == "p1-new"
+    assert t.read().count() == 200
+
+
+def test_merge_schema_drift_adds_column(spark, tmp_path):
+    """M5 schema migration: batch with a new column → target grows it,
+    old rows NULL-filled."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    drifted = spark.createDataFrame(
+        [("k2", 1, "b", 42)],
+        "arcane_merge_key string, createdon long, payload string, extra long",
+    )
+    t.merge(drifted)
+    got = {r["arcane_merge_key"]: r["extra"] for r in t.read().collect()}
+    assert got == {"k1": None, "k2": 42}
+
+
+def test_merge_schema_drift_rejected_when_unified(spark, tmp_path):
+    t = make_target(spark, tmp_path, unified_schema=True)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    drifted = spark.createDataFrame(
+        [("k2", 1, "b", 42)],
+        "arcane_merge_key string, createdon long, payload string, extra long",
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        t.merge(drifted)
+
+
+def test_overwrite_replaces_target(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    t.overwrite(df_of(spark, [("k9", 9, "z"), ("k9", 8, "older")]))
+    got = t.read().collect()
+    assert len(got) == 1 and got[0]["arcane_merge_key"] == "k9" and got[0]["payload"] == "z"
+
+
+def test_watermark_monotonic(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    assert t.watermark() is None
+    t.commit_watermark(100)
+    t.commit_watermark(50)  # must not regress
+    assert t.watermark() == 100
+    t.commit_watermark(200)
+    assert t.watermark() == 200

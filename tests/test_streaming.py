@@ -1,0 +1,157 @@
+"""End-to-end streaming tests reproducing the reference's integration
+golden outcomes (IntegrationTests.scala:164-203, see SURVEY.md §5):
+
+1. backfill/first drain: N files × M rows with K distinct keys → target
+   holds exactly K rows; watermark == max blob createdOn.
+2. idempotent steady state: re-running with no new files changes nothing.
+3. incremental: a new file with a newer version upserts its keys only.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.functions.selection import FieldSelectionRule
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+from arcane_stream_parquet_spark.sources.blob import BlobParquetSource
+from arcane_stream_parquet_spark.streaming.runner import StreamRunner, run_backfill
+
+N_FILES = 10
+ROWS_PER_FILE = 100
+N_KEYS = 25  # keys drawn from a small pool → upsert collapses the stream
+
+
+def write_fixture_file(dirpath: str, index: int, rng: random.Random, mtime_s: int) -> None:
+    """One blob in the reference fixture's shape (wide10, FIXTURES.md F1):
+    alternating int/string columns, col0 = primary key from a small pool."""
+    table = pa.table(
+        {
+            "col0": pa.array([rng.randrange(N_KEYS) for _ in range(ROWS_PER_FILE)], pa.int64()),
+            "col1": pa.array([f"s{rng.randrange(1000)}" for _ in range(ROWS_PER_FILE)]),
+            "col2": pa.array([rng.randrange(100) for _ in range(ROWS_PER_FILE)], pa.int64()),
+        }
+    )
+    path = os.path.join(dirpath, f"part-{index:04d}.parquet")
+    pq.write_table(table, path)
+    os.utime(path, (mtime_s, mtime_s))  # distinct createdOn per blob
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    rng = random.Random(42)
+    base = 1_700_000_000
+    for i in range(N_FILES):
+        write_fixture_file(str(src), i, rng, base + i * 60)
+    return src
+
+
+def make_runner(spark, tmp_path, src_dir) -> StreamRunner:
+    source = BlobParquetSource(path=str(src_dir), primary_keys=["col0"])
+    target = ParquetMergeTarget(spark=spark, path=str(tmp_path / "tgt"), num_buckets=8)
+    return StreamRunner(
+        source=source,
+        target=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,  # several micro-batches, not one big one
+    )
+
+
+def test_stream_golden_upsert_and_watermark(spark, tmp_path, fixture_dir):
+    runner = make_runner(spark, tmp_path, fixture_dir)
+    runner.run_available_now(spark)
+
+    out = runner.target.read()
+    assert out.count() == N_KEYS  # 1000 rows / 25 keys → 25 rows
+    assert out.select(F.countDistinct("arcane_merge_key")).collect()[0][0] == N_KEYS
+    # every surviving row carries the latest version of its key
+    expected_wm = (1_700_000_000 + (N_FILES - 1) * 60) * 1_000_000  # µs
+    assert runner.target.watermark() == expected_wm
+    # target schema = source cols + system cols
+    assert set(out.columns) == {"col0", "col1", "col2", "createdon", "arcane_merge_key"}
+
+
+def test_stream_idempotent_rerun(spark, tmp_path, fixture_dir):
+    runner = make_runner(spark, tmp_path, fixture_dir)
+    runner.run_available_now(spark)
+    before = sorted(map(tuple, runner.target.read().collect()))
+    wm_before = runner.target.watermark()
+
+    runner.run_available_now(spark)  # no new files ⇒ no change
+    assert sorted(map(tuple, runner.target.read().collect())) == before
+    assert runner.target.watermark() == wm_before
+
+
+def test_stream_incremental_new_file(spark, tmp_path, fixture_dir):
+    runner = make_runner(spark, tmp_path, fixture_dir)
+    runner.run_available_now(spark)
+
+    # a new blob with a newer version updates exactly its keys
+    rng = random.Random(7)
+    newer = 1_700_000_000 + N_FILES * 60 + 60
+    table = pa.table(
+        {
+            "col0": pa.array([0, 1], pa.int64()),
+            "col1": pa.array(["NEW0", "NEW1"]),
+            "col2": pa.array([777, 778], pa.int64()),
+        }
+    )
+    path = os.path.join(str(fixture_dir), "part-new.parquet")
+    pq.write_table(table, path)
+    os.utime(path, (newer, newer))
+
+    runner.run_available_now(spark)
+    out = runner.target.read()
+    assert out.count() == N_KEYS
+    updated = {r["col0"]: r["col1"] for r in out.filter(F.col("col0").isin([0, 1])).collect()}
+    assert updated == {0: "NEW0", 1: "NEW1"}
+    assert runner.target.watermark() == newer * 1_000_000
+
+
+def test_backfill_overwrite_and_merge(spark, tmp_path, fixture_dir):
+    source = BlobParquetSource(path=str(fixture_dir), primary_keys=["col0"])
+    target = ParquetMergeTarget(spark=spark, path=str(tmp_path / "tgt2"), num_buckets=8)
+
+    run_backfill(spark, source, target, behavior="Overwrite")
+    assert target.read().count() == N_KEYS
+
+    run_backfill(spark, source, target, behavior="Merge")  # idempotent
+    assert target.read().count() == N_KEYS
+    expected_wm = (1_700_000_000 + (N_FILES - 1) * 60) * 1_000_000
+    assert target.watermark() == expected_wm
+
+
+def test_backfill_modified_after_cutoff(spark, tmp_path, fixture_dir):
+    """backfillStartDate semantics (P3): only blobs ≥ cutoff are read."""
+    cutoff_epoch = 1_700_000_000 + 5 * 60 - 1
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(cutoff_epoch, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    source = BlobParquetSource(
+        path=str(fixture_dir), primary_keys=["col0"], modified_after=iso
+    )
+    df = source.read_batch(spark)
+    # 5 of 10 files survive the cutoff
+    assert df.select("createdon").distinct().count() == 5
+
+
+def test_stream_field_selection_applied(spark, tmp_path, fixture_dir):
+    source = BlobParquetSource(
+        path=str(fixture_dir),
+        primary_keys=["col0"],
+        field_selection=FieldSelectionRule(mode="include", fields=frozenset({"col0"})),
+    )
+    target = ParquetMergeTarget(spark=spark, path=str(tmp_path / "tgt3"), num_buckets=4)
+    runner = StreamRunner(source=source, target=target, checkpoint_dir=str(tmp_path / "c3"))
+    runner.run_available_now(spark)
+    # projection keeps essentials (createdon, arcane_merge_key) + col0
+    assert set(target.read().columns) == {"col0", "createdon", "arcane_merge_key"}
