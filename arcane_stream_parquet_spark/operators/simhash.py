@@ -1,0 +1,134 @@
+"""SimHash near-duplicate fingerprinting — the bit-signature
+counterpart to MinHash (operators/minhash.py): one B-bit signature per
+document; near-duplicates differ in few bits (small Hamming distance).
+
+Plan shape (scale-first):
+1. signature: explode tokens → groupBy(doc) summing per-bit votes —
+   ONE hash shuffle on doc_id with map-side partial aggregation (the
+   token stream never leaves its scan partition un-aggregated).
+2. banding: split the B-bit signature into C chunks; docs sharing any
+   exact chunk are candidates (Hamming ≤ d pigeonholes into C = d+1
+   chunks) — equi-join on (chunk_id, chunk_value), never all-pairs.
+3. verify: exact Hamming distance on the candidate pairs only.
+
+Cross-engine determinism: a token's bit b is bit (b mod 4) of hex digit
+floor(b/4) of sha256(token) — derived from the hex string so Spark and
+DuckDB (oracle) agree bit-for-bit; votes are +1/-1 integer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.text import tokens_column
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # pigeonhole: catches all pairs with Hamming <= 3
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_value(hex_col: Column, pos: int) -> Column:
+    """Value 0..15 of 1-based hex digit ``pos`` (conv is Spark-side;
+    the oracle uses strpos('0123..f', d)-1 — same result)."""
+    return F.conv(F.substring(hex_col, pos, 1), 16, 10).cast("int")
+
+
+def token_bit_vote(token_hash: Column, bit: int) -> Column:
+    """+1 / -1 vote of a token for signature bit ``bit`` (0-based)."""
+    digit = _hex_digit_value(token_hash, bit // 4 + 1)
+    bit_val = F.shiftright(digit, bit % 4).bitwiseAND(F.lit(1))
+    return (bit_val * 2 - 1).cast("bigint")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash) where simhash is the bit string (e.g. '0110…',
+    length ``bits``); frequency-weighted (duplicate tokens vote again).
+
+    Documents with zero tokens are dropped (no signature definable).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_column(text_col)).alias("__tok"))
+    h = F.sha2(F.col("__tok"), 256)
+    votes = toks.select(
+        id_col, *[token_bit_vote(h, b).alias(f"__v{b}") for b in range(bits)]
+    )
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"__v{b}").alias(f"__s{b}") for b in range(bits)]
+    )
+    bit_chars = [
+        F.when(F.col(f"__s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return sums.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_chunks(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Explode (id, simhash) → (id, simhash, chunk_id, chunk_value)."""
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    w = bits // chunks
+    parts = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.substring("simhash", c * w + 1, w).alias("chunk_value"),
+        )
+        for c in range(chunks)
+    ]
+    return sig.select(
+        id_col, "simhash", F.explode(F.array(*parts)).alias("p")
+    ).select(id_col, "simhash", "p.chunk_id", "p.chunk_value")
+
+
+def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    diffs = [
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(bits)
+    ]
+    total = diffs[0]
+    for d in diffs[1:]:
+        total = total + d
+    return total.cast("bigint")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    max_hamming: int = SIMHASH_CHUNKS - 1,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for candidate pairs sharing a chunk, with
+    exact Hamming ≤ max_hamming. Complete for max_hamming ≤ chunks-1
+    (pigeonhole); candidates come from an equi-join, never all-pairs."""
+    sig = simhash(df, text_col, id_col, bits)
+    ch = simhash_chunks(sig, id_col, bits, chunks)
+    a, b = ch.alias("a"), ch.alias("b")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_value"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = hamming_expr(F.col("sh_a"), F.col("sh_b"), bits)
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+beyond-reference operators (the reference's only text processing is
+column-name normalization, docs/crd.md:186-188; these extend the engine
+to the LLM-data-curation workload the task brief demands).
+
+Every operator is a narrow, per-row DataFrame transform built from
+JVM-side built-ins (``pyspark.sql.functions`` — no Python UDFs, no
+shuffle): at 100 TB these run inside whole-stage codegen at scan speed,
+partition-parallel, with column pruning intact.
+
+Cross-engine determinism (the DuckDB oracle gate): tokenization is
+defined once (lower → trim → split on whitespace runs → drop empties)
+and ratios are ``round(x, 6)`` so both engines emit identical doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Canonical token model shared by every text operator AND the DuckDB
+# oracles (plans/llm_queries.py builds the oracle SQL from these same
+# constants — single source of truth).
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish lexer: letter runs | digit runs | any single non-space symbol.
+# Mirrors the pre-tokenizers most BPE vocabularies assume.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Small closed-class marker lists for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny: the operator demonstrates the pattern
+# (score per language = distinct marker hits, argmax with fixed
+# precedence); a production deployment swaps in real frequency tables.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+# Deterministic precedence for score ties (argmax order).
+LANG_PRECEDENCE: tuple[str, ...] = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokens_column(text_col: str | Column) -> Column:
+    """array<string> of whitespace tokens, lowercased, empties dropped."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    split = F.split(F.lower(F.trim(col)), TOKEN_SPLIT_RE)
+    return F.filter(split, lambda t: t != F.lit(""))
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """num/den with 0-denominator → NULL (ANSI-safe). Kept as the raw
+    IEEE quotient — correctly rounded, bit-identical across engines;
+    output boundaries floor to micro-units (plans/llm_queries.py)
+    instead of round() whose tie-breaking differs between engines."""
+    return num / F.nullif(den.cast("double"), F.lit(0.0))
+
+
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = STOPWORDS,
+) -> DataFrame:
+    """Per-document profile: char/token counts, BPE-ish token count,
+    alpha/digit ratios, stopword ratio, mean token length.
+
+    Narrow projection — no shuffle; Parquet scan reads only ``text_col``
+    plus whatever the caller selects (column pruning verified in
+    tests/test_llm_ops.py).
+    """
+    toks = tokens_column(text_col)
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace(lower, "[^0-9]", "")).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    sw_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("bigint")
+    token_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("stat_n_chars"),
+        n_tokens.alias("stat_n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("stat_n_distinct_tokens"),
+        F.regexp_count(lower, F.lit(BPE_TOKEN_RE)).cast("bigint").alias("stat_n_bpe_tokens"),
+        _ratio(token_chars.cast("double"), n_tokens).alias("stat_avg_token_len"),
+        _ratio(n_alpha.cast("double"), n_chars).alias("stat_alpha_ratio"),
+        _ratio(n_digit.cast("double"), n_chars).alias("stat_digit_ratio"),
+        _ratio(n_stop.cast("double"), n_tokens).alias("stat_stopword_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """Heuristic document quality in [0,1] + keep/drop flag — the
+    C4/Gopher-style rule family (length, word shape, stopword presence)
+    as one deterministic arithmetic expression.
+
+    score = 0.4·min(n_tokens/50, 1)        (enough content)
+          + 0.3·alpha_ratio                 (mostly letters)
+          + 0.2·min(stopword_ratio·5, 1)    (natural-language glue)
+          + 0.1·(distinct_tokens/n_tokens)  (not boilerplate repeats)
+    """
+    staged = text_stats(df, text_col)
+    score = (
+        F.lit(0.4) * F.least(F.col("stat_n_tokens") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.col("stat_alpha_ratio")
+        + F.lit(0.2) * F.least(F.col("stat_stopword_ratio") * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.1) * (F.col("stat_n_distinct_tokens") / F.col("stat_n_tokens"))
+    )
+    return staged.select(
+        "*",
+        score.alias("quality_score"),
+        (score >= F.lit(min_score)).alias("quality_keep"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score(lang) = distinct marker hits in
+    the token set; argmax with fixed precedence (ties → earlier in
+    LANG_PRECEDENCE; zero hits everywhere → 'und').
+
+    Pure per-row expression — at scale this is a free rider on any scan.
+    """
+    toks = F.array_distinct(tokens_column(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]))
+        )
+        for lang in LANG_PRECEDENCE
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # later-precedence langs only win with a strictly greater score:
+    # fold in reverse so earlier langs overwrite on ties.
+    for lang in reversed(LANG_PRECEDENCE):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select("*", *[scores[lang].cast("bigint").alias(f"langscore_{lang}") for lang in LANG_PRECEDENCE])
+    return out.withColumn("lang_pred", pred)

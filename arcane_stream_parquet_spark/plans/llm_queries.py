@@ -1,0 +1,682 @@
+"""LLM-data-pipeline queries (SURVEY.md §7 M7 / the task brief's
+north star): dedup ladder (exact → MinHash-LSH → SimHash →
+embedding-cosine), similarity search, text analysis, multimodal
+plumbing — each over the driver's ``documents`` / ``embeddings``
+testdata with a DuckDB oracle GENERATED from the same constants the
+Spark operators use (single source of truth; see each ``_sql_*``
+helper).
+
+Cross-engine float policy: every double crossing the oracle boundary is
+either an exact IEEE quotient of small integers (bit-identical in both
+engines) surfaced as ``floor(x * 1e6)`` micro-units, or an integer.
+``round()`` is never used at the boundary (its tie-breaking mode is
+engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.fingerprint import duplicate_groups
+from arcane_stream_parquet_spark.operators.minhash import (
+    NUM_BANDS,
+    NUM_HASHES,
+    SHINGLE_K,
+    candidate_pairs,
+    lsh_bands,
+    minhash_signature,
+    near_duplicates,
+)
+from arcane_stream_parquet_spark.operators.multimodal import (
+    decode_image_features,
+    payload_metadata,
+    sample_frames,
+    with_binary_payload,
+)
+from arcane_stream_parquet_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+    random_planes,
+)
+from arcane_stream_parquet_spark.operators.simhash import (
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    simhash,
+    simhash_near_duplicates,
+)
+from arcane_stream_parquet_spark.operators.text import (
+    LANG_MARKERS,
+    LANG_PRECEDENCE,
+    STOPWORDS,
+    BPE_TOKEN_RE,
+    language_id,
+    quality_score,
+    text_stats,
+)
+from arcane_stream_parquet_spark.plans.registry import register_query
+from arcane_stream_parquet_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect), mirroring the Spark
+# operator definitions constant-for-constant.
+
+# tokens: lower → trim → split on whitespace runs → drop empties
+_TOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"
+
+
+def _micro(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 1000000) AS BIGINT)"
+
+
+def micro_col(col: F.Column) -> F.Column:
+    """Spark twin of _micro: floor(x·1e6) as bigint (NULL-safe)."""
+    return F.floor(col * F.lit(1000000.0)).cast("bigint")
+
+
+def _sql_shingles(k: int = SHINGLE_K) -> str:
+    parts = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {k - 1}, 1) + 1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def _sql_minhash(seed: int) -> str:
+    # slice seed*8+1..+8 of the per-shingle sha256 (see minhash.py)
+    return f"list_min(list_transform(hs, h -> substr(h, {seed * 8 + 1}, 8)))"
+
+
+def _sql_sig_cte(table: str = "documents") -> str:
+    """CTE chain: base tokens → shingle sets → one sha256 per shingle →
+    minhash signature (digest slices)."""
+    mh = ",\n               ".join(
+        f"{_sql_minhash(seed)} AS mh_{seed}" for seed in range(NUM_HASHES)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM {table}
+        ),
+        shingled AS (
+            SELECT doc_id, {_sql_shingles()} AS sh FROM base
+        ),
+        hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> sha256(s)) AS hs
+            FROM shingled
+        ),
+        sig AS (
+            SELECT doc_id, sh,
+               {mh}
+            FROM hashed
+        )
+    """
+
+
+def _sql_bands() -> str:
+    """UNION ALL of one SELECT per band over sig."""
+    rows = NUM_HASHES // NUM_BANDS
+    selects = []
+    for b in range(NUM_BANDS):
+        cols = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, sha256({cols}) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _hex4_to_int(expr: str) -> str:
+    """DuckDB: value of a 4-hex-digit string (big-endian)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_simhash_bit(bit: int) -> str:
+    """Per-token vote for one simhash bit, from sha256(token) hex."""
+    digit = f"(strpos('0123456789abcdef', substr(h, {bit // 4 + 1}, 1)) - 1)"
+    return f"((({digit} >> {bit % 4}) & 1) * 2 - 1)"
+
+
+def _sql_simhash_cte(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n               ".join(
+        f"sum({_sql_simhash_bit(b)}) AS s{b}" for b in range(bits)
+    )
+    bitchars = " || ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM {table}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(toks) AS tok FROM base
+        ),
+        hashed AS (
+            SELECT doc_id, sha256(tok) AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, {bitchars} AS simhash FROM votes
+        )
+    """
+
+
+def _sql_vec(alias: str = "embedding") -> str:
+    return f"CAST({alias} AS DOUBLE[])"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+
+
+def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vec}, {_sql_plane_literal(p)}) >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return " || ".join(bits)
+
+
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+ANN_K = 10
+NEARDUP_PLANES = 4  # coarser buckets for the pair-mining variant
+NEARDUP_MIN_COSINE = 0.35  # data-appropriate: testdata clusters are loose
+MINHASH_MIN_JACCARD = 0.2
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+@register_query(
+    "text_stats",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS n_digit
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS stat_n_chars,
+               CAST(len(toks) AS BIGINT) AS stat_n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS stat_n_distinct_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS BIGINT)
+                   AS stat_n_bpe_tokens,
+               {_micro("CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)"
+                       " / nullif(CAST(len(toks) AS DOUBLE), 0.0)")}
+                   AS avg_token_len_micro,
+               {_micro("CAST(n_alpha AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0)")}
+                   AS alpha_ratio_micro,
+               {_micro("CAST(n_digit AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0)")}
+                   AS digit_ratio_micro,
+               {_micro("CAST(len(list_filter(toks, t -> list_contains("
+                       + str(list(STOPWORDS)).replace('"', "'")
+                       + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)")}
+                   AS stopword_ratio_micro
+        FROM base
+    """,
+    doc="Per-document text profile: char/token/BPE-token counts, "
+    "alpha/digit/stopword ratios (micro-units). Narrow projection, "
+    "codegen-only — free rider on any 100 TB scan.",
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = text_stats(docs)
+    return st.select(
+        "doc_id",
+        "stat_n_chars",
+        "stat_n_tokens",
+        "stat_n_distinct_tokens",
+        "stat_n_bpe_tokens",
+        micro_col(F.col("stat_avg_token_len")).alias("avg_token_len_micro"),
+        micro_col(F.col("stat_alpha_ratio")).alias("alpha_ratio_micro"),
+        micro_col(F.col("stat_digit_ratio")).alias("digit_ratio_micro"),
+        micro_col(F.col("stat_stopword_ratio")).alias("stopword_ratio_micro"),
+    )
+
+
+_QUALITY_SCORE_SQL = (
+    "0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) "
+    "+ 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+    "         / nullif(CAST(length(text) AS DOUBLE), 0.0)) "
+    "+ 0.2 * least((CAST(len(list_filter(toks, t -> list_contains("
+    + str(list(STOPWORDS)).replace('"', "'")
+    + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)) * 5.0, 1.0) "
+    "+ 0.1 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+)
+
+
+@register_query(
+    "text_quality",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               {_micro(_QUALITY_SCORE_SQL)} AS quality_score_micro,
+               ({_QUALITY_SCORE_SQL}) >= 0.5 AS quality_keep
+        FROM base
+    """,
+    doc="C4/Gopher-style heuristic quality score + keep flag "
+    "(length, letter share, stopword glue, repetition).",
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_score(docs)
+    return qs.select(
+        "doc_id",
+        micro_col(F.col("quality_score")).alias("quality_score_micro"),
+        "quality_keep",
+    )
+
+
+def _sql_lang_scores() -> str:
+    return ",\n               ".join(
+        f"len(list_intersect(dtoks, {str(list(LANG_MARKERS[lang])).replace(chr(34), chr(39))}))"
+        f" AS s_{lang}"
+        for lang in LANG_PRECEDENCE
+    )
+
+
+@register_query(
+    "language_id",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS dtoks FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+               {_sql_lang_scores()}
+            FROM base
+        )
+        SELECT doc_id,
+               {", ".join(f"CAST(s_{lang} AS BIGINT) AS langscore_{lang}" for lang in LANG_PRECEDENCE)},
+               CASE WHEN greatest({", ".join(f"s_{lang}" for lang in LANG_PRECEDENCE)}) = 0
+                    THEN 'und'
+                    {" ".join(
+                        f"WHEN s_{lang} = greatest({', '.join(f's_{x}' for x in LANG_PRECEDENCE)}) THEN '{lang}'"
+                        for lang in LANG_PRECEDENCE
+                    )}
+                    ELSE 'und' END AS lang_pred
+        FROM scored
+    """,
+    doc="Marker-token language ID: distinct marker hits per language, "
+    "argmax with fixed precedence; per-row expression only.",
+    tags=("llm", "text"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_id(docs)
+    return out.select(
+        "doc_id",
+        *[f"langscore_{lang}" for lang in LANG_PRECEDENCE],
+        "lang_pred",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (fingerprint)
+
+
+@register_query(
+    "fingerprint_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, upper('  ' || text) FROM documents
+        ),
+        fp AS (
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM corpus
+        )
+        SELECT fingerprint,
+               min(doc_id) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    doc="Exact content dedup via normalized-text sha256 fingerprint; "
+    "the corpus is documents ∪ a case/whitespace-mutated copy, so every "
+    "fingerprint collapses exactly 2 rows. One hash shuffle — the "
+    "content twin of the reference's merge-key dedup (J2).",
+    tags=("llm", "dedup"),
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"))).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return duplicate_groups(corpus, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup dedup
+
+
+@register_query(
+    "minhash_signature",
+    oracle=_sql_sig_cte()
+    + f"""
+        SELECT doc_id, {", ".join(f"mh_{s}" for s in range(NUM_HASHES))}
+        FROM sig
+    """,
+    doc=f"MinHash signature ({NUM_HASHES} hashes over {SHINGLE_K}-word "
+    "shingles; hex-string min — order-isomorphic to integer minhash). "
+    "Narrow per-row projection.",
+    tags=("llm", "dedup", "minhash"),
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs.select("doc_id", "text"))
+    return sig.select("doc_id", *[f"mh_{s}" for s in range(NUM_HASHES)])
+
+
+@register_query(
+    "minhash_lsh_candidates",
+    oracle=_sql_sig_cte()
+    + f""", bands AS ({_sql_bands()})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id
+    """,
+    doc=f"LSH banding ({NUM_BANDS} bands × {NUM_HASHES // NUM_BANDS} "
+    "rows): candidate pairs sharing ≥1 band bucket. Equi-join on the "
+    "band key — candidates only, NEVER an all-pairs cross join.",
+    tags=("llm", "dedup", "minhash"),
+)
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs.select("doc_id", "text"))
+    return candidate_pairs(lsh_bands(sig))
+
+
+@register_query(
+    "minhash_near_duplicates",
+    oracle=_sql_sig_cte()
+    + f""", bands AS ({_sql_bands()}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                       AS jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, {_micro("jaccard")} AS jaccard_micro
+        FROM verified WHERE jaccard >= {MINHASH_MIN_JACCARD}
+    """,
+    doc="Full near-dup pipeline: LSH candidates verified by exact "
+    "shingle-set Jaccard ≥ threshold. Shingle arrays travel only for "
+    "candidate rows.",
+    tags=("llm", "dedup", "minhash"),
+)
+def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = near_duplicates(
+        docs.select("doc_id", "text"), min_jaccard=MINHASH_MIN_JACCARD
+    )
+    return nd.select(
+        "id_a", "id_b", micro_col(F.col("jaccard")).alias("jaccard_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+@register_query(
+    "simhash_signature",
+    oracle=_sql_simhash_cte() + "SELECT doc_id, simhash FROM sig",
+    doc=f"{SIMHASH_BITS}-bit frequency-weighted SimHash per document. "
+    "explode tokens → ONE doc_id shuffle with map-side partial sums.",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs.select("doc_id", "text"))
+
+
+def _sql_hamming(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    terms = [
+        f"CASE WHEN substr({a}, {i + 1}, 1) <> substr({b}, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register_query(
+    "simhash_near_duplicates",
+    oracle=_sql_simhash_cte()
+    + f""", chunks AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, simhash, {c} AS chunk_id, "
+                f"substr(simhash, {c * (SIMHASH_BITS // SIMHASH_CHUNKS) + 1}, "
+                f"{SIMHASH_BITS // SIMHASH_CHUNKS}) AS chunk_value FROM sig"
+                for c in range(SIMHASH_CHUNKS)
+            )}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM chunks a JOIN chunks b USING (chunk_id, chunk_value)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST({_sql_hamming("sh_a", "sh_b")} AS BIGINT) AS hamming
+        FROM pairs
+        WHERE {_sql_hamming("sh_a", "sh_b")} <= {SIMHASH_CHUNKS - 1}
+    """,
+    doc=f"SimHash near-dups: {SIMHASH_CHUNKS}-chunk pigeonhole "
+    f"candidates (complete for Hamming ≤ {SIMHASH_CHUNKS - 1}) + exact "
+    "Hamming verify. Equi-join on chunk value only.",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+
+
+def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(list(ANN_QUERY_IDS)))
+
+
+@register_query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, {_sql_vec()} AS qv FROM embeddings
+            WHERE vec_id IN {ANN_QUERY_IDS}
+        ),
+        c AS (SELECT vec_id AS neighbor_id, {_sql_vec()} AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS sim
+            FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
+        FROM ranked WHERE rn <= {ANN_K}
+    """,
+    doc=f"Exact cosine top-{ANN_K} per query ({len(ANN_QUERY_IDS)} "
+    "queries, broadcast) — the ANN ground-truth baseline. Corpus never "
+    "shuffles; one window for top-k.",
+    tags=("llm", "similarity"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _queries_subset(spark, sf_dir), k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+@register_query(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, {_sql_vec()} AS qv,
+                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS bucket
+            FROM embeddings WHERE vec_id IN {ANN_QUERY_IDS}
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, {_sql_vec()} AS cv,
+                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS sim
+            FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
+        FROM ranked WHERE rn <= {ANN_K}
+    """,
+    doc="Approximate top-k via random-hyperplane LSH (8 fixed planes → "
+    "256 buckets): candidates share the query's bucket; cosine only "
+    "within candidates. The 100 TB path — bucket equi-join, no "
+    "all-pairs.",
+    tags=("llm", "similarity"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(emb, _queries_subset(spark, sf_dir), k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+@register_query(
+    "embedding_near_duplicates",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, {_sql_vec()} AS v,
+                   {_sql_lsh_bucket(_sql_vec(), random_planes(NEARDUP_PLANES))} AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   {_sql_cosine("a.v", "b2.v")} AS sim
+            FROM b a JOIN b b2 USING (bucket)
+            WHERE a.vec_id < b2.vec_id
+        )
+        SELECT id_a, id_b, {_micro("sim")} AS cosine_micro
+        FROM pairs WHERE sim >= {NEARDUP_MIN_COSINE}
+    """,
+    doc=f"Embedding near-dup pairs: {NEARDUP_PLANES}-plane LSH buckets "
+    f"→ within-bucket cosine ≥ {NEARDUP_MIN_COSINE} (threshold is "
+    "data-appropriate: the synthetic clusters are loose). Bucket "
+    "equi-join only.",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(
+        emb,
+        planes=random_planes(NEARDUP_PLANES),
+        min_cosine=NEARDUP_MIN_COSINE,
+    )
+    return out.select(
+        "id_a", "id_b", micro_col(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+
+
+@register_query(
+    "multimodal_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
+               sha256(text) AS content_hash,
+               'application/octet-stream' AS media_type
+        FROM documents
+    """,
+    doc="Typed metadata over an opaque binary payload column: byte "
+    "length, magic-number header, content hash. All JVM built-ins.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_metadata(with_binary_payload(docs))
+
+
+@register_query(
+    "multimodal_decode_fake",
+    oracle=f"""
+        WITH h AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+                          sha256(text) AS ch FROM documents)
+        SELECT doc_id,
+               CAST(blen AS BIGINT) AS byte_len,
+               CAST(64 + {_hex4_to_int("ch")} % 1024 AS BIGINT) AS width,
+               CAST(64 + {_hex4_to_int("substr(ch, 5, 4)")} % 1024 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_channels,
+               ch AS feature_hash
+        FROM h
+    """,
+    doc="mapInPandas (Arrow-batched) image-decode path with the "
+    "DETERMINISTIC FAKE codec (real codecs absent in this env — "
+    "clearly-marked stub). The oracle checks the full Python-worker "
+    "round trip byte-for-byte.",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(with_binary_payload(docs), fake=True)
+
+
+@register_query(
+    "multimodal_frame_counts",
+    oracle="""
+        SELECT doc_id,
+               CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
+        FROM documents
+    """,
+    doc="Video-frame-sampling shape (1 payload row → N frame rows via "
+    "mapInPandas, fake codec) verified by frame counts per doc.",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs), every_n_bytes=64, fake=True)
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))

