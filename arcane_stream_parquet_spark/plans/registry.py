@@ -63,6 +63,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import arcane_stream_parquet_spark.plans.core_queries  # noqa: F401
     import arcane_stream_parquet_spark.plans.llm_queries  # noqa: F401
+    import arcane_stream_parquet_spark.plans.sql_queries  # noqa: F401
 
 
 def spark_queries() -> dict[str, SparkBuilder]:

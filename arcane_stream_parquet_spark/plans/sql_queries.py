@@ -1,0 +1,430 @@
+"""General SQL operator surface (SURVEY.md §2.3-2.8 [abs] rows): the
+reference needs none of these, but Spark gives them for free and the
+engine exposes each as a first-class, oracle-checked query — joins
+(equi / broadcast / semi / anti / multi-way), group-by aggregates,
+order-by/limit top-k, set operations, ranking/lag/lead windows, rollup
+grouping sets, and a scalar-function pack.
+
+Authoring rules (registry.py): DOUBLE aggregates go through
+DECIMAL(18,4) (exact, order-insensitive), timestamps surface as epoch
+days/micros BIGINT, DuckDB's HUGEINT sums cast back to BIGINT.
+
+Scale notes are per-query; the common posture: dimension joins
+broadcast (nation/region/part are small by design), fact-fact joins
+hash-shuffle on the join key, aggregates do map-side partial
+aggregation, AQE handles skew (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.plans.registry import register_query
+from arcane_stream_parquet_spark.sources.tables import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def _dsum(col: str):
+    """Exact, summation-order-insensitive DOUBLE aggregate."""
+    return F.sum(F.col(col).cast(_DEC))
+
+
+def _to_double(col, digits: int = 4):
+    return F.round(col, digits).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+
+
+@register_query(
+    "groupby_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS sum_disc_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: filtered scan → hash "
+    "aggregate with map-side partial agg; the filter and the 5-column "
+    "projection push into the parquet scan.",
+    tags=("sql", "aggregate"),
+)
+def q_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            _to_double(_dsum("l_quantity")).alias("sum_qty"),
+            _to_double(_dsum("l_extendedprice")).alias("sum_base_price"),
+            _to_double(F.sum(disc_price)).alias("sum_disc_price"),
+        )
+    )
+
+
+@register_query(
+    "distinct_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact distinct aggregation (expand + two-phase hash agg in "
+    "Spark; approx_count_distinct is the scale alternative, see "
+    "approx_distinct).",
+    tags=("sql", "aggregate"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+@register_query(
+    "approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific by construction
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "cardinality — no exact-distinct expand/shuffle blowup. Sketch "
+    "values are engine-specific, hence rows-only check (non-sql); the "
+    "exact twin distinct_agg is the hash-checked counterpart.",
+    tags=("sql", "aggregate", "non-sql"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers")
+    )
+
+
+@register_query(
+    "rollup_agg",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping sets: ROLLUP over (returnflag, linestatus) — Spark "
+    "expands to a single aggregate over the grouping-set union; NULL "
+    "subtotal markers coalesced to a sentinel on both engines.",
+    tags=("sql", "aggregate"),
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _to_double(_dsum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+
+@register_query(
+    "join_broadcast_agg",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    doc="Fact ⨝ small-dim with explicit broadcast hint: no shuffle of "
+    "the fact side at any scale — the canonical star-schema join. "
+    "Plan asserted broadcast in tests/test_sql_surface.py.",
+    tags=("sql", "join"),
+)
+def q_join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _to_double(_dsum("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register_query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        )
+    """,
+    doc="Left-semi join (EXISTS): customers having a >400k order — "
+    "probe side never duplicates, payload columns never shuffle.",
+    tags=("sql", "join"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register_query(
+    "join_anti",
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders, "
+    "counted per segment.",
+    tags=("sql", "join"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register_query(
+    "multi_join_revenue_by_nation",
+    oracle="""
+        SELECT n.n_name,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    doc="4-way star join (orders⨝customer⨝nation⨝region): Catalyst "
+    "broadcasts the dims and reorders; the region filter prunes before "
+    "the fact join.",
+    tags=("sql", "join"),
+)
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _to_double(_dsum("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+
+
+@register_query(
+    "topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS order_epoch_day
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    doc="Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — "
+    "per-partition heap + driver merge of k rows, never a full sort "
+    "shuffle. Tiebreak on orderkey for a total order.",
+    tags=("sql", "sort"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.unix_date(F.to_date("o_orderdate")).cast("bigint").alias("order_epoch_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+
+
+@register_query(
+    "set_ops_custkeys",
+    oracle="""
+        WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+        UNION ALL
+        SELECT 'f_only', o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        UNION ALL
+        SELECT 'o_only', o_custkey FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+    """,
+    doc="Set operations in one query: INTERSECT / EXCEPT cohorts of "
+    "customer keys by order status, tagged and UNION ALL'd.",
+    tags=("sql", "setop"),
+)
+def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).select(F.lit("both").alias("cohort"), "o_custkey")
+    f_only = f.exceptAll(o).select(F.lit("f_only").alias("cohort"), "o_custkey")
+    o_only = o.exceptAll(f).select(F.lit("o_only").alias("cohort"), "o_custkey")
+    return both.unionByName(f_only).unionByName(o_only)
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+
+
+@register_query(
+    "window_rank_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               CAST(rank() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
+                   AS price_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Ranking + offset windows (row_number/lag/lead/rank) over the "
+    "customer partition: ONE shuffle on o_custkey shared by both "
+    "window specs' sorts.",
+    tags=("sql", "window"),
+)
+def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(wr).cast("bigint").alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function pack
+
+
+@register_query(
+    "scalar_pack",
+    oracle="""
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri_upper,
+               substr(o_orderpriority, 1, 1) AS pri_code,
+               CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+               replace(o_orderpriority, '-', '_') AS pri_snake,
+               lpad(o_orderstatus, 3, '*') AS status_padded,
+               concat_ws('/', o_orderstatus, o_orderpriority) AS status_pri,
+               reverse(o_orderstatus) AS status_rev,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS days_since_epoch_start,
+               CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+               CAST(abs(o_orderkey - 5000) AS BIGINT) AS key_absdiff,
+               CAST(greatest(o_orderkey, o_custkey) AS BIGINT) AS key_max,
+               CAST(least(o_orderkey, o_custkey) AS BIGINT) AS key_min
+        FROM orders
+    """,
+    doc="Scalar-function pack (SURVEY §2.8): string "
+    "(upper/substr/length/replace/lpad/concat_ws/reverse), date "
+    "(year/month/datediff), math (mod/abs/greatest/least) — all "
+    "JVM-side codegen, no UDFs.",
+    tags=("sql", "scalar"),
+)
+def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("bigint").alias("pri_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.lpad("o_orderstatus", 3, "*").alias("status_padded"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        (F.unix_date(F.to_date("o_orderdate")) - F.unix_date(F.lit("1995-01-01").cast("date")))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.pmod("o_orderkey", F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.abs(F.col("o_orderkey") - F.lit(5000)).cast("bigint").alias("key_absdiff"),
+        F.greatest("o_orderkey", "o_custkey").cast("bigint").alias("key_max"),
+        F.least("o_orderkey", "o_custkey").cast("bigint").alias("key_min"),
+    )
+
+
+@register_query(
+    "json_scalar",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """,
+    doc="JSON path extraction from a string column "
+    "(get_json_object — SURVEY §2.8 json category).",
+    tags=("sql", "scalar"),
+)
+def q_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )

@@ -1,0 +1,56 @@
+"""Plan-shape assertions for the general SQL surface — the oracle gate
+proves values; these prove the PHYSICAL plan is the one we'd want at
+100 TB (broadcasts chosen, filters pushed to the scan, top-k not a full
+sort, single shuffle where one suffices).
+"""
+
+from __future__ import annotations
+
+from arcane_stream_parquet_spark.plans import spark_queries
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = spark_queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(spark, "join_broadcast_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_join_broadcasts_dims(spark):
+    plan = _plan(spark, "multi_join_revenue_by_nation")
+    # nation and region must never shuffle the fact side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    # per-partition heap + driver merge, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "groupby_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 5 needed columns
+    assert "l_comment" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_window_shares_one_shuffle(spark):
+    """Both window specs partition by o_custkey — expect exactly one
+    exchange on that key (the second spec re-sorts, not re-shuffles)."""
+    plan = _plan(spark, "window_rank_lag")
+    n_exchanges = plan.count("Exchange hashpartitioning(o_custkey")
+    assert n_exchanges == 1, plan
