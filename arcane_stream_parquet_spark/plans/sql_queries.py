@@ -428,3 +428,97 @@ def q_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py)
+
+
+@register_query(
+    "asof_join_backward",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'click'
+        ),
+        r AS (
+            SELECT event_id AS r_event_id, user_id,
+                   epoch_us(ts) AS r_ts_us, value AS r_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               r.r_value AS value_right, r.r_event_id AS event_id_right
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us
+    """,
+    doc="As-of join, backward: each click joined to the user's latest "
+    "purchase at-or-before it. Union + one key shuffle + partition "
+    "sort + struct-atomic last() carry — linear, no range explosion "
+    "(operators/asof.py; DuckDB native ASOF JOIN is the oracle).",
+    tags=("sql", "join", "asof"),
+)
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_value_cols=["value", "event_id"],
+        direction="backward",
+    )
+
+
+@register_query(
+    "asof_join_forward",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'signup'
+        ),
+        r AS (
+            SELECT event_id AS r_event_id, user_id,
+                   epoch_us(ts) AS r_ts_us, value AS r_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               r.r_value AS value_right, r.r_event_id AS event_id_right
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us <= r.r_ts_us
+    """,
+    doc="As-of join, forward: each signup joined to the user's first "
+    "purchase at-or-after it (time-to-conversion shape).",
+    tags=("sql", "join", "asof"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_value_cols=["value", "event_id"],
+        direction="forward",
+    )
