@@ -9,32 +9,55 @@ late old versions "discarded by the merge condition", SURVEY.md ST3).
 Spark-first realization without an external table format (SURVEY.md §7
 risk (a): no Iceberg runtime JAR in this environment — the MERGE
 semantics are format-independent and oracle-checked; swapping the
-storage layer for Iceberg's ``MERGE INTO`` is a config change, see
-docstring of :class:`ParquetMergeTarget`):
+storage layer for Iceberg's ``MERGE INTO`` is a config change):
 
-**Bucketed merge-by-rewrite.** The target directory is hash-partitioned
-by ``__bucket = pmod(xxhash64(arcane_merge_key), num_buckets)``. A merge
+**Bucketed merge-by-rewrite with a versioned manifest (mini-Iceberg).**
 
-1. dedups the batch to one row per key (J2 window),
-2. computes the batch's affected bucket set (small driver-side list),
-3. scans ONLY those buckets of the target (partition pruning — the scan
-   cost is proportional to the batch's key spread, not target size),
-4. resolves latest-wins per key with a single ranking window
-   (batch beats target on equal version — MERGE's
-   ``s.createdon >= t.createdon`` condition),
-5. dynamically overwrites ONLY the affected bucket partitions.
+Layout::
 
-At 100 TB with e.g. 4096 buckets, a batch touching k buckets reads and
-rewrites k/4096 of the table; the merge-key hash is uniform (sha256) so
-buckets cannot skew. No driver-side data movement; one shuffle on the
-key (reused by the dedup window and the bucket write layout).
+    <path>/data/v00001/__bucket=N/*.parquet   immutable version dirs
+    <path>/_asp_meta/manifest.json            {bucket -> version} + head
+    <path>/_asp_meta/schema.json              authoritative table schema
+    <path>/_asp_meta/watermark.json           stream watermark (ST2)
+
+A merge (1) dedups the batch per key (J2 window), (2) reads ONLY the
+affected buckets of the live table (partition pruning on ``__bucket``),
+(3) resolves latest-wins with one ranking window (batch beats target on
+equal version — MERGE's ``s.createdon >= t.createdon``), (4) writes the
+merged buckets to a FRESH version directory, and (5) atomically flips
+the manifest (tmp + ``os.replace``) to point those buckets at the new
+version.
+
+Durability (the round-1 ADVICE findings, all closed by this design):
+- No session-global ``partitionOverwriteMode`` mutation — every write
+  lands in a brand-new directory; nothing is ever overwritten in place.
+- The unified schema is persisted BEFORE the manifest flip: a crash in
+  between leaves a schema with null-filled extra columns over old data
+  (forward-compatible reads), never silently-dropped columns.
+- A crash anywhere before the manifest flip leaves the old manifest —
+  and therefore the old table — fully intact; the half-written version
+  dir is an orphan that ``vacuum()`` removes. The commit point is one
+  atomic rename.
+
+Honest cost model (100 TB posture): the merge key is a uniform sha256,
+so a batch with k distinct keys touches ~min(k, B) of B buckets; the
+rewrite cost is touched_buckets × avg_bucket_size ≈
+min(k × table_size / B, table_size) per merge. Streaming micro-batches
+therefore want B large enough that k ≪ B (default 512 here; thousands
+on a real cluster — bucket count is the rewrite-granularity knob, and
+``compact()`` repacks small files it produces). An Iceberg/Delta
+MERGE-on-read target replaces this rewrite cost with delete-file
+merge-on-read cost and is the preferred production sink; this class is
+the dependency-free stand-in with the same observable semantics.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+import shutil
+from collections.abc import Sequence
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,12 +82,17 @@ def _dedup_latest_df(
     key_col: str,
     version_col: str,
     batch_beats_target: bool = False,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     from pyspark.sql import Window
 
     order = [F.col(version_col).desc()]
     if batch_beats_target:
         order.append(F.col(_PRECEDENCE_COL).desc())
+    # explicit tiebreakers → deterministic survivor for exact
+    # (key, version) duplicates within one batch (ADVICE round 1;
+    # same total-order rule as operators/dedup.py)
+    order.extend(F.col(t).desc() for t in tiebreakers)
     w = Window.partitionBy(key_col).orderBy(*order)
     return (
         df.withColumn(_ROW_NUMBER_COL, F.row_number().over(w))
@@ -78,6 +106,7 @@ def merge_latest_wins(
     batch: DataFrame,
     key_col: str = MERGE_KEY_COLUMN,
     version_col: str = VERSION_COLUMN,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Pure-DataFrame MERGE: the relational core of J1+J2+ST3, shared by
     :class:`ParquetMergeTarget` and the oracle-checked ``merge_upsert``
@@ -93,13 +122,18 @@ def merge_latest_wins(
         batch.withColumn(_PRECEDENCE_COL, F.lit(1))
     )
     return _dedup_latest_df(
-        unioned, key_col, version_col, batch_beats_target=True
+        unioned,
+        key_col,
+        version_col,
+        batch_beats_target=True,
+        tiebreakers=tiebreakers,
     ).drop(_PRECEDENCE_COL)
 
 
 @dataclass
 class ParquetMergeTarget:
-    """An upsert-able table stored as bucket-partitioned parquet.
+    """An upsert-able table stored as bucket-partitioned parquet under a
+    versioned manifest (module docstring has layout + cost model).
 
     Equivalent Iceberg deployment: a table partitioned by
     ``bucket(num_buckets, arcane_merge_key)`` receiving
@@ -108,38 +142,62 @@ class ParquetMergeTarget:
     (reference docs/crd.md:211 uses exactly this bucket layout).
 
     ``max_records_per_file`` mirrors the reference's staging
-    ``maxRowsPerFile`` (docs/crd.md:137-141).
+    ``maxRowsPerFile`` (docs/crd.md:137-141). ``sorted_by`` mirrors the
+    reference's ``tableProperties.sortedBy`` write-time sort order
+    (docs/crd.md:229-232): rows inside each written file are sorted by
+    these columns.
     """
 
     spark: SparkSession
     path: str
     key_col: str = MERGE_KEY_COLUMN
     version_col: str = VERSION_COLUMN
-    num_buckets: int = 64
+    num_buckets: int = 512
     max_records_per_file: int | None = None
     unified_schema: bool = False  # reference isUnifiedSchema: no drift allowed
+    tiebreakers: tuple[str, ...] = ()
+    sorted_by: tuple[str, ...] = ()
 
-    # -- storage helpers ---------------------------------------------------
+    # -- storage layout ----------------------------------------------------
 
     @property
-    def _data_path(self) -> str:
-        return os.path.join(self.path, "data")
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, _META_DIR)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self._meta_path, "manifest.json")
 
     @property
     def _schema_path(self) -> str:
-        return os.path.join(self.path, _META_DIR, "schema.json")
+        return os.path.join(self._meta_path, "schema.json")
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.path, "data", f"v{version:05d}")
 
     def exists(self) -> bool:
-        return os.path.isdir(self._data_path)
+        return os.path.isfile(self._manifest_path)
+
+    def _manifest(self) -> dict:
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def _flip_manifest(self, manifest: dict) -> None:
+        """THE commit point: atomic rename (same pattern as the
+        watermark, reference ST2)."""
+        os.makedirs(self._meta_path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path)
+
+    # -- schema ------------------------------------------------------------
 
     def _saved_schema(self):
-        """The table's authoritative schema, persisted at write time.
-
-        After a schema-drift merge, untouched bucket files still carry
-        the pre-drift footer; reading with the persisted unified schema
-        null-fills their missing columns by name — without the
-        every-footer scan of ``mergeSchema=true`` (prohibitive at scale).
-        """
+        """The table's authoritative schema, persisted BEFORE each
+        commit. Untouched old files are read with this unified schema —
+        missing columns null-fill by name, without the every-footer
+        scan of ``mergeSchema=true`` (prohibitive at scale)."""
         from pyspark.sql.types import StructType
 
         try:
@@ -149,29 +207,63 @@ class ParquetMergeTarget:
             return None
 
     def _save_schema(self, df: DataFrame) -> None:
-        os.makedirs(os.path.dirname(self._schema_path), exist_ok=True)
+        os.makedirs(self._meta_path, exist_ok=True)
         tmp = self._schema_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(df.schema.jsonValue(), fh)
         os.replace(tmp, self._schema_path)
 
+    # -- read path ---------------------------------------------------------
+
     def _read_raw(self) -> DataFrame:
-        """Full table including the bucket partition column."""
+        """Live table contents including the bucket partition column:
+        per-version scans filtered to the buckets the manifest assigns
+        to that version (partition pruning), unioned."""
+        manifest = self._manifest()
+        by_version: dict[int, list[int]] = {}
+        for bucket, version in manifest["buckets"].items():
+            by_version.setdefault(int(version), []).append(int(bucket))
         schema = self._saved_schema()
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(self._data_path)
+        parts = []
+        for version, buckets in sorted(by_version.items()):
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            part = reader.parquet(self._version_dir(version)).filter(
+                F.col(BUCKET_COLUMN).isin(buckets)
+            )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self) -> DataFrame:
         """Current table contents (bucket column dropped)."""
         return self._read_raw().drop(BUCKET_COLUMN)
 
-    def _writer(self, df: DataFrame):
+    # -- write path --------------------------------------------------------
+
+    def _write_version(
+        self, df: DataFrame, version: int, honor_file_cap: bool = True
+    ) -> None:
+        """Write rows (with bucket column) into a FRESH version dir —
+        never overwrites live data; no overwrite-mode configuration of
+        any scope is involved. ``honor_file_cap=False`` is the
+        compaction path: it packs per-bucket regardless of the
+        streaming ``max_records_per_file`` policy (mirroring Iceberg's
+        rewrite_data_files having its own target size)."""
+        if self.sorted_by:
+            # bucket column leads the sort so the partitioned writer's
+            # required ordering is already satisfied and it does not
+            # re-sort (which would destroy the inner sorted_by order)
+            df = df.repartition(F.col(BUCKET_COLUMN)).sortWithinPartitions(
+                BUCKET_COLUMN, *self.sorted_by
+            )
         writer = df.write.partitionBy(BUCKET_COLUMN)
-        if self.max_records_per_file:
+        if self.max_records_per_file and honor_file_cap:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
-        return writer
+        writer.mode("errorifexists").parquet(self._version_dir(version))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
@@ -180,10 +272,16 @@ class ParquetMergeTarget:
 
     def _dedup_latest(self, df: DataFrame, batch_beats_target: bool = False) -> DataFrame:
         return _dedup_latest_df(
-            df, self.key_col, self.version_col, batch_beats_target=batch_beats_target
+            df,
+            self.key_col,
+            self.version_col,
+            batch_beats_target=batch_beats_target,
+            tiebreakers=self.tiebreakers,
         )
 
-    def _reconcile_schema(self, existing: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _reconcile_schema(
+        self, existing: DataFrame, batch: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
         """Schema-drift handling (reference SchemaMigrationProcessor,
         main.scala:50,114): new batch columns become NULL-filled target
         columns; ``unified_schema=True`` forbids drift instead."""
@@ -197,9 +295,13 @@ class ParquetMergeTarget:
                 f"batch-only={sorted(batch_cols - existing_cols)}"
             )
         union_schema = existing.unionByName(batch, allowMissingColumns=True).schema
+
         def pad(df: DataFrame) -> DataFrame:
             missing = [f for f in union_schema.fields if f.name not in df.columns]
-            return df.select("*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing])
+            return df.select(
+                "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing]
+            )
+
         return pad(existing), pad(batch)
 
     def merge(self, batch: DataFrame) -> None:
@@ -210,47 +312,144 @@ class ParquetMergeTarget:
         if self.version_col not in batch.columns:
             raise ValueError(f"batch lacks version column {self.version_col}")
 
-        batch_latest = self._dedup_latest(batch)
+        batch_latest = self._with_bucket(self._dedup_latest(batch))
 
         if not self.exists():
-            initial = self._with_bucket(batch_latest)
-            self._writer(initial).mode("overwrite").save(self._data_path)
-            self._save_schema(initial)
+            self._commit_initial(batch_latest)
             return
 
-        batch_latest = self._with_bucket(batch_latest)
         # Affected buckets: tiny driver-side list (≤ num_buckets ints).
         buckets = [
             r[BUCKET_COLUMN]
             for r in batch_latest.select(BUCKET_COLUMN).distinct().collect()
         ]
-        existing = self._read_raw().filter(
-            F.col(BUCKET_COLUMN).isin(buckets)  # partition pruning
-        )
+        existing = self._read_raw().filter(F.col(BUCKET_COLUMN).isin(buckets))
         existing, batch_latest = self._reconcile_schema(existing, batch_latest)
 
         merged = merge_latest_wins(
-            existing, batch_latest, self.key_col, self.version_col
+            existing,
+            batch_latest,
+            self.key_col,
+            self.version_col,
+            tiebreakers=self.tiebreakers,
         )
 
-        # Rewrite only the affected bucket partitions.
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._writer(merged).mode("overwrite").save(self._data_path)
+        manifest = self._manifest()
+        new_version = manifest["version"] + 1
+        self._write_version(merged, new_version)
+        # schema BEFORE the manifest flip: a crash here is
+        # forward-compatible (null-filled extra columns over old data)
         self._save_schema(merged)
+        for b in buckets:
+            manifest["buckets"][str(b)] = new_version
+        manifest["version"] = new_version
+        self._flip_manifest(manifest)
+
+    def _commit_initial(self, bucketed: DataFrame) -> None:
+        self._write_version(bucketed, 1)
+        self._save_schema(bucketed)
+        buckets = [
+            r[BUCKET_COLUMN]
+            for r in bucketed.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        self._flip_manifest(
+            {"version": 1, "buckets": {str(b): 1 for b in buckets}}
+        )
 
     def overwrite(self, df: DataFrame) -> None:
         """Backfill ``Overwrite`` behavior (reference ST10): target :=
-        latest-per-key snapshot of the source."""
+        latest-per-key snapshot of the source. Atomic: the snapshot
+        lands in a fresh version dir and ONE manifest flip redirects
+        every bucket."""
         snapshot = self._with_bucket(self._dedup_latest(df))
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        self._writer(snapshot).mode("overwrite").save(self._data_path)
+        new_version = (self._manifest()["version"] + 1) if self.exists() else 1
+        self._write_version(snapshot, new_version)
         self._save_schema(snapshot)
+        buckets = [
+            r[BUCKET_COLUMN]
+            for r in snapshot.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        self._flip_manifest(
+            {"version": new_version, "buckets": {str(b): new_version for b in buckets}}
+        )
+
+    # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
+    #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --
+
+    def _live_files(self) -> dict[int, list[str]]:
+        """bucket -> live data files (driver-side listing of manifest-
+        referenced dirs only — metadata op, like Iceberg's manifests)."""
+        manifest = self._manifest()
+        out: dict[int, list[str]] = {}
+        for bucket, version in manifest["buckets"].items():
+            d = os.path.join(
+                self._version_dir(int(version)), f"{BUCKET_COLUMN}={bucket}"
+            )
+            if os.path.isdir(d):
+                out[int(bucket)] = [
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ]
+        return out
+
+    def compact(self, min_files_per_bucket: int = 2) -> int:
+        """OPTIMIZE equivalent: rewrite buckets fragmented into ≥
+        ``min_files_per_bucket`` files to a single new version, one
+        atomic manifest flip. Returns number of buckets compacted.
+        Contents are unchanged (pure repack; proven in tests)."""
+        fragmented = [
+            b
+            for b, files in self._live_files().items()
+            if len(files) >= max(min_files_per_bucket, 2)
+        ]
+        if not fragmented:
+            return 0
+        rows = self._read_raw().filter(F.col(BUCKET_COLUMN).isin(fragmented))
+        manifest = self._manifest()
+        new_version = manifest["version"] + 1
+        # coalesce within bucket: one output file per bucket partition
+        self._write_version(
+            rows.repartition(F.col(BUCKET_COLUMN)), new_version, honor_file_cap=False
+        )
+        for b in fragmented:
+            manifest["buckets"][str(b)] = new_version
+        manifest["version"] = new_version
+        self._flip_manifest(manifest)
+        return len(fragmented)
+
+    def vacuum(self) -> list[str]:
+        """remove_orphan_files equivalent: delete version dirs no
+        manifest entry references (crash leftovers, superseded
+        versions). Returns removed dirs."""
+        manifest = self._manifest()
+        live = {int(v) for v in manifest["buckets"].values()}
+        data_root = os.path.join(self.path, "data")
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            version = int(name.lstrip("v"))
+            if version not in live:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(name)
+        return removed
+
+    def stats(self) -> dict:
+        """ANALYZE equivalent: row count (distributed), live file count
+        and bytes (manifest listing)."""
+        files = self._live_files()
+        all_files = [f for fs in files.values() for f in fs]
+        return {
+            "row_count": self.read().count(),
+            "bucket_count": len(files),
+            "file_count": len(all_files),
+            "total_bytes": sum(os.path.getsize(f) for f in all_files),
+        }
 
     # -- watermark (reference ST2) ----------------------------------------
 
     @property
     def _watermark_path(self) -> str:
-        return os.path.join(self.path, _META_DIR, "watermark.json")
+        return os.path.join(self._meta_path, "watermark.json")
 
     def watermark(self) -> int | None:
         """Last committed MAX(version) (reference BlobSourceWatermark)."""
@@ -266,7 +465,7 @@ class ParquetMergeTarget:
         current = self.watermark()
         if current is not None and version <= current:
             return  # monotonic
-        os.makedirs(os.path.dirname(self._watermark_path), exist_ok=True)
+        os.makedirs(self._meta_path, exist_ok=True)
         tmp = self._watermark_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": int(version)}, fh)

@@ -50,6 +50,12 @@ class StreamRunner:
     max_files_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     on_batch: list = field(default_factory=list)  # hooks: fn(batch_id, df)
+    # ST8 maintenance cadence (reference TargetMaintenanceProcessor,
+    # main.scala:46,117: OPTIMIZE/expire/remove_orphans/ANALYZE every
+    # batchThreshold batches, defaults 60/60/60/180,
+    # crd-parquet-stream.yaml:235-296). 0 disables.
+    maintenance_every_n_batches: int = 60
+    _batches_since_maintenance: int = field(default=0, repr=False)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -58,6 +64,14 @@ class StreamRunner:
         self.target.commit_watermark(
             watermark_value(batch, self.target.version_col)
         )
+        self._batches_since_maintenance += 1
+        if (
+            self.maintenance_every_n_batches
+            and self._batches_since_maintenance >= self.maintenance_every_n_batches
+        ):
+            self._batches_since_maintenance = 0
+            self.target.compact()
+            self.target.vacuum()
         for hook in self.on_batch:
             hook(batch_id, batch)
 

@@ -72,7 +72,8 @@ def test_merge_is_idempotent(spark, tmp_path):
 
 def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
     """Scale property: a one-key batch must not rewrite untouched bucket
-    partitions (partition-pruned read + dynamic overwrite)."""
+    partitions (partition-pruned read + fresh-version write; old
+    version files survive untouched under the manifest)."""
     import glob
     import os
 
@@ -81,12 +82,12 @@ def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
     t.merge(big)
     files_before = {
         p: os.path.getmtime(p)
-        for p in glob.glob(str(tmp_path / "target" / "data" / "*/*.parquet"))
+        for p in glob.glob(str(tmp_path / "target" / "data" / "*" / "*" / "*.parquet"))
     }
     t.merge(df_of(spark, [("k1", 2, "p1-new")]))
     files_after = {
         p: os.path.getmtime(p)
-        for p in glob.glob(str(tmp_path / "target" / "data" / "*/*.parquet"))
+        for p in glob.glob(str(tmp_path / "target" / "data" / "*" / "*" / "*.parquet"))
     }
     untouched = [p for p in files_before if p in files_after]
     assert untouched, "expected surviving files in unaffected buckets"

@@ -1,0 +1,153 @@
+"""Durability + maintenance tests for the versioned-manifest merge
+target (round-1 VERDICT/ADVICE findings: crash windows, global conf
+mutation, nondeterministic ties; reference ST8 maintenance).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        [Row(arcane_merge_key=k, createdon=v, payload=p) for k, v, p in rows]
+    )
+
+
+def make_target(spark, tmp_path, **kw) -> ParquetMergeTarget:
+    kw.setdefault("num_buckets", 8)
+    return ParquetMergeTarget(spark=spark, path=str(tmp_path / "tgt"), **kw)
+
+
+def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
+    """THE crash-window regression (ADVICE round 1): a crash after the
+    data write but before the manifest flip must leave the table
+    exactly as before — no lost rows for keys outside the batch, no
+    partial state visible."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(50)]))
+    before = sorted(map(tuple, t.read().collect()))
+
+    boom = RuntimeError("simulated crash at commit point")
+    monkeypatch.setattr(
+        ParquetMergeTarget, "_flip_manifest", lambda self, m: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.merge(df_of(spark, [("k1", 2, "new")]))
+    monkeypatch.undo()
+
+    # table untouched: old manifest still live
+    assert sorted(map(tuple, t.read().collect())) == before
+    # the orphaned half-commit is invisible and vacuum removes it
+    removed = t.vacuum()
+    assert removed, "expected the orphaned version dir to be vacuumed"
+    # retry converges to the intended state
+    t.merge(df_of(spark, [("k1", 2, "new")]))
+    assert t.read().filter(F.col("arcane_merge_key") == "k1").collect()[0][
+        "payload"
+    ] == "new"
+    assert t.read().count() == 50
+
+
+def test_schema_saved_before_commit_is_forward_compatible(spark, tmp_path, monkeypatch):
+    """Crash between schema save and manifest flip: reads must still see
+    every pre-crash row, with the drifted column null-filled (never a
+    silently dropped column — the round-1 bug had the reverse order)."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+
+    drifted = spark.createDataFrame(
+        [Row(arcane_merge_key="k3", createdon=2, payload="c", extra="X")]
+    )
+    monkeypatch.setattr(
+        ParquetMergeTarget,
+        "_flip_manifest",
+        lambda self, m: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError):
+        t.merge(drifted)
+    monkeypatch.undo()
+
+    rows = {r["arcane_merge_key"]: r for r in t.read().collect()}
+    assert set(rows) == {"k1", "k2"}  # old data intact
+    assert rows["k1"]["extra"] is None  # new column null-filled, not dropped
+
+
+def test_exact_tie_deterministic_with_tiebreakers(spark, tmp_path):
+    """Exact (key, version) duplicates inside one batch: with
+    tiebreakers the survivor is the max-tiebreaker row, every run."""
+    t = make_target(spark, tmp_path, tiebreakers=("payload",))
+    t.merge(df_of(spark, [("k1", 5, "aaa"), ("k1", 5, "zzz")]))
+    assert t.read().collect()[0]["payload"] == "zzz"
+
+
+def test_compact_reduces_files_preserves_contents(spark, tmp_path):
+    """ST8 OPTIMIZE: a small max_records_per_file (standing in for
+    many parallel writer tasks) fragments buckets; compact() repacks to
+    one file per bucket, contents unchanged."""
+    t = make_target(spark, tmp_path, num_buckets=2, max_records_per_file=2)
+    for i in range(4):
+        t.merge(df_of(spark, [(f"k{j}", i + 1, f"p{j}v{i}") for j in range(6)]))
+    before = sorted(map(tuple, t.read().collect()))
+    files_before = sum(len(f) for f in t._live_files().values())
+
+    n = t.compact(min_files_per_bucket=2)
+    assert n > 0
+    files_after = sum(len(f) for f in t._live_files().values())
+    assert files_after < files_before
+    assert files_after <= t.stats()["bucket_count"]  # one file per bucket
+    assert sorted(map(tuple, t.read().collect())) == before
+
+    # superseded versions now orphaned → vacuum reclaims space
+    t.vacuum()
+    live_dirs = {
+        os.path.basename(os.path.dirname(os.path.dirname(p)))
+        for p in glob.glob(str(tmp_path / "tgt" / "data" / "*" / "*" / "*.parquet"))
+    }
+    manifest_live = {
+        f"v{v:05d}" for v in set(t._manifest()["buckets"].values())
+    }
+    assert live_dirs == manifest_live
+
+
+def test_stats_counts(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [(f"k{i}", 1, "x") for i in range(20)]))
+    s = t.stats()
+    assert s["row_count"] == 20
+    assert s["file_count"] >= s["bucket_count"] >= 1
+    assert s["total_bytes"] > 0
+
+
+def test_sorted_by_orders_rows_within_files(spark, tmp_path):
+    """S5 write-layout: sorted_by must leave each data file internally
+    sorted (reference tableProperties.sortedBy, docs/crd.md:229-232)."""
+    import pyarrow.parquet as pq
+
+    t = make_target(spark, tmp_path, num_buckets=1, sorted_by=("createdon",))
+    rows = [(f"k{i}", (i * 37) % 100, "x") for i in range(100)]
+    t.merge(df_of(spark, rows))
+    files = [f for fs in t._live_files().values() for f in fs]
+    assert files
+    for f in files:
+        created = pq.read_table(f, columns=["createdon"])["createdon"].to_pylist()
+        assert created == sorted(created)
+
+
+def test_no_global_conf_mutation(spark, tmp_path):
+    """The write path must not touch session-global SQL confs
+    (round-1 ADVICE: partitionOverwriteMode leakage)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    sentinel = spark.conf.get(key, None)
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    t.merge(df_of(spark, [("k1", 2, "b")]))
+    t.overwrite(df_of(spark, [("k2", 1, "c")]))
+    assert spark.conf.get(key, None) == sentinel

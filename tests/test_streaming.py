@@ -155,3 +155,35 @@ def test_stream_field_selection_applied(spark, tmp_path, fixture_dir):
     runner.run_available_now(spark)
     # projection keeps essentials (createdon, arcane_merge_key) + col0
     assert set(target.read().columns) == {"col0", "createdon", "arcane_merge_key"}
+
+
+def test_maintenance_gated_every_n_batches(spark, tmp_path, fixture_dir):
+    """ST8: with maintenance_every_n_batches=2 and maxFilesPerTrigger=3
+    (→ 4 micro-batches over 10 files), compaction+vacuum must run and
+    leave contents identical to a maintenance-free run."""
+    source = BlobParquetSource(path=str(fixture_dir), primary_keys=["col0"])
+    target = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "tgt_m"),
+        num_buckets=4,
+        max_records_per_file=10,  # force fragmented buckets
+    )
+    runner = StreamRunner(
+        source=source,
+        target=target,
+        checkpoint_dir=str(tmp_path / "ckpt_m"),
+        max_files_per_trigger=3,
+        maintenance_every_n_batches=2,
+    )
+    runner.run_available_now(spark)
+
+    # maintenance ran: no orphaned version dirs remain
+    import os
+
+    data_root = tmp_path / "tgt_m" / "data"
+    live = {int(v) for v in target._manifest()["buckets"].values()}
+    on_disk = {int(d.lstrip("v")) for d in os.listdir(data_root)}
+    assert on_disk == live, "vacuum should have removed superseded versions"
+
+    # golden outcome unchanged (same as the no-maintenance runner)
+    assert target.read().count() == N_KEYS
