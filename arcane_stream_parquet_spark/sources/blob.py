@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,6 +88,16 @@ class BlobParquetSource:
             reader = reader.option("modifiedAfter", self.modified_after)
         return self._enrich(reader.parquet(self.path))
 
+    def read_files(self, spark: SparkSession, files: Sequence[str]) -> DataFrame:
+        """Read an explicit blob subset with the same enrichment as the
+        full scans — the shard read path (reference ST10
+        ShardStagingProcessor stages one shard's blobs at a time)."""
+        configure_session(spark)
+        reader = spark.read.options(**self.extra_read_options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return self._enrich(reader.parquet(*files))
+
     def sniff_schema(self, spark: SparkSession) -> StructType:
         """Infer the source schema from existing files (reference default:
         'from a random file in the source path')."""
@@ -105,10 +116,22 @@ class BlobParquetSource:
         configure_session(spark)
         schema = self.schema if self.schema is not None else self.sniff_schema(spark)
         reader = spark.readStream.schema(schema).options(**self.extra_read_options)
-        if self.modified_after:
-            reader = reader.option("modifiedAfter", self.modified_after)
+        # NOTE: `modifiedAfter` is a batch-only reader option (file
+        # stream sources reject it); the streaming cutoff is applied as
+        # a row filter on the version column in _enrich_stream below —
+        # the file-source checkpoint already prevents re-reads, so the
+        # filter only gates first-contact old files (reference P3).
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         if max_bytes_per_trigger is not None:
             reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
-        return self._enrich(reader.parquet(self.path))
+        out = self._enrich(reader.parquet(self.path))
+        if self.modified_after:
+            cutoff_us = int(
+                datetime.fromisoformat(
+                    self.modified_after.replace("Z", "+00:00")
+                ).timestamp()
+                * 1_000_000
+            )
+            out = out.filter(F.col(VERSION_COLUMN) >= F.lit(cutoff_us))
+        return out
