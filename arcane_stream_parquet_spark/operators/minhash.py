@@ -77,6 +77,9 @@ def minhash_signature(
     shingle is sha256'd ONCE; the H minhashes slice that digest."""
     if num_hashes > 8:
         raise ValueError("num_hashes > 8 would overrun the 64-hex sha256 digest")
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)  # hashing is CPU-bound: never serialize on 1 scan split
     sh = shingles_column(text_col, k)
     staged = df.withColumn("__shingles", sh).withColumn(
         "__sh_hashes", F.transform(F.col("__shingles"), lambda s: F.sha2(s, 256))

@@ -119,7 +119,8 @@ def test_simhash_identical_and_near(spark):
     )
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
     assert sigs[1] == sigs[2]
-    assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+    from arcane_stream_parquet_spark.operators.simhash import SIMHASH_BITS
+    assert len(sigs[1]) == SIMHASH_BITS and set(sigs[1]) <= {"0", "1"}
     nd = simhash_near_duplicates(df)
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in nd.collect()}
     assert found.get((1, 2)) == 0
