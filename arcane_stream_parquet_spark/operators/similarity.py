@@ -207,3 +207,85 @@ def embedding_near_duplicates(
         pairs.filter(F.col("__sim") >= F.lit(min_cosine))
         .select("id_a", "id_b", F.col("__sim").alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to the
+# random-hyperplane LSH above: corpus vectors are assigned to their
+# nearest centroid's cell; a query probes only its nprobe nearest
+# cells. Centroids here are K designated corpus vectors (training-free
+# seeding — a production deployment would k-means them offline and pass
+# the result in; the operator is agnostic to where centroids come from).
+
+
+def probe_cells_expr(
+    vec: Column, centroids: Sequence[tuple[int, Sequence[float]]], nprobe: int
+) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid ids (by cosine,
+    ties → lower centroid id). Pure projection over literal centroids —
+    no shuffle, no join; the K cosine computations run inside codegen.
+    """
+    norm_v = F.sqrt(dot_expr(vec, vec))
+    entries = []
+    for cid, cvec in centroids:
+        cnorm = sum(x * x for x in cvec) ** 0.5
+        sim = plane_dot_expr(vec, cvec) / (norm_v * F.lit(cnorm))
+        # sort key (-sim, cid): ascending struct sort = best sim first,
+        # lower cid on exact ties
+        entries.append(F.struct((-sim).alias("d"), F.lit(cid).alias("cid")))
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, vector, cell) with cell = nearest centroid id."""
+    v = as_double_array(vec_col)
+    return corpus.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.element_at(probe_cells_expr(v, centroids, 1), 1).alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: per query, exact cosine top-k over the vectors in its
+    ``nprobe`` nearest cells only — candidates via a cell equi-join
+    (broadcast query side), never all-pairs. Recall/latency dial:
+    nprobe·K_cells⁻¹ of the corpus is scanned per query."""
+    from pyspark.sql import Window
+
+    c = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qv = as_double_array(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(probe_cells_expr(qv, centroids, nprobe)).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = cosine_expr(F.col("__qv"), F.col("__v"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("__sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.col("__sim").alias("cosine"))
+    )

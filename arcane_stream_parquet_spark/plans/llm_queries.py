@@ -680,3 +680,70 @@ def q_multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(with_binary_payload(docs), every_n_bytes=64, fake=True)
     return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+
+
+IVF_NUM_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+@register_query(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, {_sql_vec()} AS cv FROM embeddings
+            WHERE vec_id < {IVF_NUM_CENTROIDS}
+        ),
+        corpus AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+        assigned AS (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM (
+                SELECT c.vec_id, ct.cid, {_sql_cosine("c.v", "ct.cv")} AS sim
+                FROM corpus c CROSS JOIN cent ct
+            )
+        ),
+        cells AS (SELECT vec_id AS neighbor_id, cid FROM assigned WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid FROM assigned
+            WHERE rn <= {IVF_NPROBE} AND vec_id IN {ANN_QUERY_IDS}
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   {_sql_cosine("qv.v", "cv.v")} AS sim
+            FROM qprobe q
+            JOIN cells c USING (cid)
+            JOIN corpus qv ON qv.vec_id = q.query_id
+            JOIN corpus cv ON cv.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
+        FROM ranked WHERE rn <= {ANN_K}
+    """,
+    doc=f"IVF ANN: corpus assigned to nearest of {IVF_NUM_CENTROIDS} "
+    f"centroid cells (pure projection over literal centroids — no "
+    f"shuffle), queries probe their {IVF_NPROBE} nearest cells; exact "
+    "cosine top-k within probed cells only. The coarse-quantizer "
+    "scale path alongside ann_lsh_topk.",
+    tags=("llm", "similarity", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_NUM_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # K×dim floats — metadata-scale driver collect, like a broadcast dim
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    out = ivf_topk(
+        emb, _queries_subset(spark, sf_dir), centroids, k=ANN_K, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
+    )

@@ -64,6 +64,7 @@ def _load_all() -> None:
     import arcane_stream_parquet_spark.plans.core_queries  # noqa: F401
     import arcane_stream_parquet_spark.plans.llm_queries  # noqa: F401
     import arcane_stream_parquet_spark.plans.sql_queries  # noqa: F401
+    import arcane_stream_parquet_spark.plans.streaming_queries  # noqa: F401
 
 
 def spark_queries() -> dict[str, SparkBuilder]:
