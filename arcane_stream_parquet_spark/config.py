@@ -152,6 +152,16 @@ class StreamSpec:
         return tuple(e.split()[0] for e in entries if e.strip())
 
     @property
+    def bloom_filter_cols(self) -> tuple[str, ...]:
+        """tableProperties.parquetBloomFilterColumns → per-column
+        parquet bloom filters (crd-parquet-stream.yaml:220-224)."""
+        return tuple(
+            self.raw.get("sink", {})
+            .get("targetTableProperties", {})
+            .get("parquetBloomFilterColumns", [])
+        )
+
+    @property
     def maintenance_batch_threshold(self) -> int:
         """Smallest of the four reference maintenance cadences — the
         stand-in target runs compact+vacuum+stats together."""
@@ -239,6 +249,7 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
         max_records_per_file=spec.max_rows_per_file,
         unified_schema=spec.is_unified_schema,
         sorted_by=spec.sorted_by,
+        bloom_filter_cols=spec.bloom_filter_cols,
     )
     runner = StreamRunner(
         source=source,

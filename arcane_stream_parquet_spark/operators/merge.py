@@ -157,6 +157,10 @@ class ParquetMergeTarget:
     unified_schema: bool = False  # reference isUnifiedSchema: no drift allowed
     tiebreakers: tuple[str, ...] = ()
     sorted_by: tuple[str, ...] = ()
+    # reference tableProperties.parquetBloomFilterColumns
+    # (crd-parquet-stream.yaml:220-224): per-column parquet bloom
+    # filters for point-lookup file skipping on non-sort columns.
+    bloom_filter_cols: tuple[str, ...] = ()
 
     # -- storage layout ----------------------------------------------------
 
@@ -263,6 +267,8 @@ class ParquetMergeTarget:
         writer = df.write.partitionBy(BUCKET_COLUMN)
         if self.max_records_per_file and honor_file_cap:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        for col in self.bloom_filter_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
         writer.mode("errorifexists").parquet(self._version_dir(version))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:

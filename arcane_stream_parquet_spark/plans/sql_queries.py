@@ -522,3 +522,83 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["value", "event_id"],
         direction="forward",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join (operators/rangejoin.py)
+
+
+@register_query(
+    "range_join_binned",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderkey AS iv_id,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS start_day
+            FROM orders WHERE o_orderkey % 199 = 0
+        ),
+        pts AS (
+            SELECT l_orderkey, l_linenumber,
+                   datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       AS ship_day
+            FROM lineitem
+        )
+        SELECT p.l_orderkey, p.l_linenumber, p.ship_day, iv.iv_id
+        FROM pts p JOIN iv
+          ON p.ship_day BETWEEN iv.start_day AND iv.start_day + 10
+    """,
+    doc="Interval join without an equi-key: shipments falling inside "
+    "10-day windows around sampled order dates. Binned equi-join on "
+    "the quantized axis + exact range filter — never a nested-loop "
+    "cross product (plan asserted in tests).",
+    tags=("sql", "join", "range"),
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.rangejoin import interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = orders.filter(F.col("o_orderkey") % 199 == 0).select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("start_day"),
+    ).withColumn("end_day", F.col("start_day") + 10)
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_date(F.to_date("l_shipdate")).cast("long").alias("ship_day"),
+    )
+    out = interval_join(pts, iv, "ship_day", "start_day", "end_day", bin_width=11)
+    return out.select("l_orderkey", "l_linenumber", "ship_day", "iv_id")
+
+
+# ---------------------------------------------------------------------------
+# pandas_udf extension surface (SURVEY.md §2.10 — the engine's UDF API)
+
+
+@register_query(
+    "pandas_udf_scalar",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS py_bpe_tokens
+        FROM documents
+    """,
+    doc="The pandas_udf extension surface (§2.10): an Arrow-vectorized "
+    "scalar UDF (pandas str.count over record batches) — the sanctioned "
+    "slow path when built-ins can't express a transform. Hash-checked "
+    "against the SQL-native twin (text_stats.stat_n_bpe_tokens) to "
+    "prove the Python worker round trip is lossless.",
+    tags=("llm", "pandas-udf", "scalar"),
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve the local pandas alias
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def bpe_count(texts):
+        return texts.str.lower().str.count(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_count(F.col("text")).alias("py_bpe_tokens"))

@@ -151,3 +151,17 @@ def test_no_global_conf_mutation(spark, tmp_path):
     t.merge(df_of(spark, [("k1", 2, "b")]))
     t.overwrite(df_of(spark, [("k2", 1, "c")]))
     assert spark.conf.get(key, None) == sentinel
+
+
+def test_bloom_filter_cols_write_and_read(spark, tmp_path):
+    """parquetBloomFilterColumns parity: writes succeed with per-column
+    bloom options and contents round-trip (the filter itself is a
+    footer artifact the scan uses for point-lookup file skipping)."""
+    t = make_target(
+        spark, tmp_path, bloom_filter_cols=("arcane_merge_key",), num_buckets=4
+    )
+    t.merge(df_of(spark, [(f"k{i}", 1, "x") for i in range(50)]))
+    t.merge(df_of(spark, [("k1", 2, "y")]))
+    assert t.read().count() == 50
+    got = t.read().filter("arcane_merge_key = 'k1'").collect()[0]["payload"]
+    assert got == "y"

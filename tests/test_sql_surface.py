@@ -54,3 +54,11 @@ def test_window_shares_one_shuffle(spark):
     plan = _plan(spark, "window_rank_lag")
     n_exchanges = plan.count("Exchange hashpartitioning(o_custkey")
     assert n_exchanges == 1, plan
+
+
+def test_range_join_no_nested_loop(spark):
+    """The interval join must be a binned equi-join — a nested-loop /
+    cartesian plan is disqualifying at scale."""
+    plan = _plan(spark, "range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
