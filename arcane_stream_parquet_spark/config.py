@@ -306,3 +306,42 @@ def main_exit_code(run) -> int:
         return EXIT_RETRYABLE
     except Exception:
         return EXIT_FATAL
+
+
+# ---------------------------------------------------------------------------
+# S3 connector mapping (reference S1: DefaultS3Reader — the Spark
+# engine delegates to the Hadoop s3a connector; this maps the spec's
+# s3 block onto fs.s3a.* configuration)
+
+_S3_CONF_MAP = {
+    "endpoint": "fs.s3a.endpoint",
+    "region": "fs.s3a.endpoint.region",
+    "usePathStyle": "fs.s3a.path.style.access",
+    "retryMaxAttempts": "fs.s3a.retry.limit",
+    "retryBaseDelay": "fs.s3a.retry.interval",
+}
+
+
+def s3_hadoop_confs(s3: dict[str, Any]) -> dict[str, str]:
+    """spec.source.configuration.s3 → Hadoop fs.s3a.* key/values
+    (crd-parquet-stream.yaml:475-503). Durations pass through ('100
+    millisecond' is a valid Hadoop duration literal); booleans
+    lowercase. Unmapped keys (maxResultsPerPage — s3a pages
+    internally) are ignored by design."""
+    out: dict[str, str] = {}
+    for key, value in s3.items():
+        target = _S3_CONF_MAP.get(key)
+        if target is None:
+            continue
+        if isinstance(value, bool):
+            out[target] = str(value).lower()
+        else:
+            out[target] = str(value)
+    return out
+
+
+def apply_s3_options(spark, s3: dict[str, Any]) -> None:
+    """Apply the mapping to a live session's Hadoop configuration."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for key, value in s3_hadoop_confs(s3).items():
+        hconf.set(key, value)

@@ -5,8 +5,10 @@ query goes through; it applies the runtime confs (nano-timestamp
 handling) so the engine works on a driver-provided SparkSession too.
 
 events.ts is TIMESTAMP(NANOS) in the parquet footer. Spark (with the
-legacy conf) reads it as epoch-nano BIGINT; we keep it as BIGINT and the
-DuckDB oracles use ``epoch_ns(ts)`` for the identical representation.
+legacy conf) reads it as epoch-nano BIGINT; DuckDB truncates the same
+column to TIMESTAMP (µs), so every oracle comparison happens at epoch
+micros — Spark ``ts DIV 1000`` vs DuckDB ``epoch_us(ts)`` (see the
+registry authoring rules in plans/registry.py).
 """
 
 from __future__ import annotations

@@ -247,3 +247,35 @@ def run_backfill_sharded(
     full = source.read_batch(spark)
     target.commit_watermark(watermark_value(full, target.version_col))
     state.clear()
+
+
+def run_jittered(
+    spark: SparkSession,
+    runner: StreamRunner,
+    cycles: int,
+    jitter_variance: float = 0.1,
+    jitter_seed: int = 0,
+    sleep=None,
+) -> list[float]:
+    """Jittered change-capture loop (reference ST1:
+    changeCaptureJitterVariance/Seed, crd-parquet-stream.yaml:122-134 —
+    SURVEY.md lists jitter as the one accepted trigger deviation; this
+    closes it): each cycle drains the source (availableNow), then
+    sleeps interval·(1 + U(-v, +v)) drawn from a SEEDED generator —
+    deterministic schedule, replayable in tests. Returns the actual
+    sleep durations. De-synchronizes many streams sharing one store,
+    exactly why the reference jitters its polls."""
+    import random as _random
+    import time as _time
+
+    rng = _random.Random(jitter_seed)
+    sleep = sleep if sleep is not None else _time.sleep
+    slept: list[float] = []
+    for _ in range(cycles):
+        runner.run_available_now(spark)
+        delay = runner.change_capture_interval_seconds * (
+            1.0 + rng.uniform(-jitter_variance, jitter_variance)
+        )
+        slept.append(delay)
+        sleep(delay)
+    return slept
