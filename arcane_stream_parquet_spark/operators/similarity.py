@@ -66,6 +66,18 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
+def norm_expr(v: Column) -> Column:
+    return F.sqrt(dot_expr(v, v))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine given precomputed norms: each vector's sqrt(v·v) is
+    evaluated ONCE per row instead of once per pair — the VALUES
+    multiplied/divided are identical to cosine_expr, so results stay
+    bit-for-bit equal to the per-pair form (and to the oracle)."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
     """Dot of a vector column with a constant plane — unrolled to a
     plain arithmetic chain (no array literal), fully codegen'd."""
@@ -102,13 +114,15 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double_array(vec_col).alias("__qv"),
-        )
+        ).withColumn("__qn", norm_expr(F.col("__qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__cv"),
+    ).withColumn("__cn", norm_expr(F.col("__cv")))
+    sim = cosine_with_norms(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
     )
-    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -153,19 +167,21 @@ def ann_lsh_topk(
         ),
         "__qv",
         planes,
-    )
+    ).withColumn("__qn", norm_expr(F.col("__qv")))
     c = with_lsh_bucket(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv")
         ),
         "__cv",
         planes,
-    )
+    ).withColumn("__cn", norm_expr(F.col("__cv")))
     joined = (
         c.join(F.broadcast(q), "lsh_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    sim = cosine_with_norms(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
     )
@@ -192,7 +208,7 @@ def embedding_near_duplicates(
         corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")),
         "__v",
         planes,
-    )
+    ).withColumn("__n", norm_expr(F.col("__v")))
     lhs, rhs = b.alias("a"), b.alias("b")
     pairs = (
         lhs.join(rhs, "lsh_bucket")
@@ -200,7 +216,9 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("__sim"),
+            cosine_with_norms(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+            ).alias("__sim"),
         )
     )
     return (
@@ -218,23 +236,67 @@ def embedding_near_duplicates(
 # the result in; the operator is agnostic to where centroids come from).
 
 
-def probe_cells_expr(
-    vec: Column, centroids: Sequence[tuple[int, Sequence[float]]], nprobe: int
-) -> Column:
-    """array<int> of the ``nprobe`` nearest centroid ids (by cosine,
-    ties → lower centroid id). Pure projection over literal centroids —
-    no shuffle, no join; the K cosine computations run inside codegen.
-    """
-    norm_v = F.sqrt(dot_expr(vec, vec))
-    entries = []
-    for cid, cvec in centroids:
-        cnorm = sum(x * x for x in cvec) ** 0.5
-        sim = plane_dot_expr(vec, cvec) / (norm_v * F.lit(cnorm))
-        # sort key (-sim, cid): ascending struct sort = best sim first,
-        # lower cid on exact ties
-        entries.append(F.struct((-sim).alias("d"), F.lit(cid).alias("cid")))
-    ordered = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+def _centroids_df(spark, centroids: Sequence[tuple[int, Sequence[float]]]):
+    from pyspark.sql import Row
+
+    return F.broadcast(
+        spark.createDataFrame(
+            [Row(cid=int(cid), cv=[float(x) for x in cv]) for cid, cv in centroids],
+            schema="cid int, cv array<double>",
+        ).withColumn("__cn_c", norm_expr(F.col("cv")))
+    )
+
+
+def _probe_cells(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: Column,
+    nprobe: int,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, __v, __n, cell) — each row's ``nprobe`` nearest centroid
+    cells (cosine; ties → lower cid), via a broadcast join against the
+    K-row centroid table + window top-nprobe. The K-way expansion is
+    reduced map-side before any wide operation; expression trees stay
+    small (array ops), so plan analysis/codegen cost is flat in K —
+    unlike unrolling K·dim literal arithmetic into one projection."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cent = _centroids_df(spark, centroids)
+    base = df.select(
+        F.col(id_col).alias(out_id), vec_col.alias("__v")
+    ).withColumn("__n", norm_expr(F.col("__v")))
+    scored = base.join(cent).select(
+        out_id,
+        "__v",
+        "__n",
+        F.col("cid"),
+        cosine_with_norms(
+            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
+        ).alias("__csim"),
+    )
+    if nprobe == 1:
+        # argmax via max_by: partial aggregation collapses the K-way
+        # expansion map-side (all K rows of a key sit in one partition),
+        # so the shuffle carries n rows — the corpus-side fast path.
+        ordering = F.struct(
+            F.col("__csim").alias("s"), (-F.col("cid")).alias("nc")
+        )
+        return scored.groupBy(out_id).agg(
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+            F.max_by(F.col("cid"), ordering).alias("cell"),
+        )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("__csim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= nprobe)
+        .select(out_id, "__v", "__n", F.col("cid").alias("cell"))
+    )
 
 
 def ivf_assign(
@@ -243,12 +305,10 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Corpus → (id, vector, cell) with cell = nearest centroid id."""
-    v = as_double_array(vec_col)
-    return corpus.select(
-        F.col(id_col),
-        v.alias("__v"),
-        F.element_at(probe_cells_expr(v, centroids, 1), 1).alias("cell"),
+    """Corpus → (id, vector, norm, cell) with cell = nearest centroid
+    (cosine argmax, ties → lower centroid id)."""
+    return _probe_cells(
+        corpus, centroids, id_col, as_double_array(vec_col), nprobe=1, out_id=id_col
     )
 
 
@@ -269,17 +329,21 @@ def ivf_topk(
 
     c = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
-    )
-    qv = as_double_array(vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        qv.alias("__qv"),
-        F.explode(probe_cells_expr(qv, centroids, nprobe)).alias("cell"),
-    )
+    ).withColumnRenamed("__n", "__cn")
+    q = _probe_cells(
+        queries,
+        centroids,
+        id_col,
+        as_double_array(vec_col),
+        nprobe=nprobe,
+        out_id="query_id",
+    ).withColumnRenamed("__v", "__qv").withColumnRenamed("__n", "__qn")
     joined = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = cosine_expr(F.col("__qv"), F.col("__v"))
+    sim = cosine_with_norms(
+        F.col("__qv"), F.col("__v"), F.col("__qn"), F.col("__cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
     )
