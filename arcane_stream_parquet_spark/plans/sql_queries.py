@@ -602,3 +602,79 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", bpe_count(F.col("text")).alias("py_bpe_tokens"))
+
+
+@register_query(
+    "cube_agg",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) — completes the "
+    "grouping-set family next to rollup_agg.",
+    tags=("sql", "aggregate"),
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+        )
+    )
+
+
+@register_query(
+    "window_frames",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_total,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_key,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Explicit frame specs (§2.5): growing-frame running total "
+    "(DECIMAL-exact — float running sums are accumulation-order traps), "
+    "first/last/nth over the full partition. One shuffle, shared sort.",
+    tags=("sql", "window"),
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(grow), 4)
+        .cast("double")
+        .alias("running_total"),
+        F.first("o_orderkey").over(grow).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+    )
