@@ -36,6 +36,21 @@ NUM_BANDS = 4
 SHINGLE_K = 3
 
 
+def char_shingles_column(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized (lowercased,
+    trimmed) text — the character-n-gram flavor of the shingle set
+    (robust to word-boundary edits where word shingles are not).
+    Documents shorter than k chars yield themselves as one shingle."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.lower(F.trim(col))
+    n = F.length(norm)
+    upper = F.greatest(n - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), upper), lambda i: norm.substr(i, F.lit(k))
+    )
+    return F.array_distinct(grams)
+
+
 def shingles_column(text_col: str | Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-word shingles (space-joined) of the tokenized text.
     Documents shorter than k tokens yield their whole token sequence as
@@ -71,6 +86,7 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     k: int = SHINGLE_K,
+    unit: str = "word",
 ) -> DataFrame:
     """Adds ``mh_0 .. mh_{H-1}`` hex-string minhash columns (+ keeps a
     ``__shingles`` array for downstream exact verification). Each
@@ -79,8 +95,14 @@ def minhash_signature(
         raise ValueError("num_hashes > 8 would overrun the 64-hex sha256 digest")
     from arcane_stream_parquet_spark.functions.partitioning import fan_out
 
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     df = fan_out(df)  # hashing is CPU-bound: never serialize on 1 scan split
-    sh = shingles_column(text_col, k)
+    sh = (
+        shingles_column(text_col, k)
+        if unit == "word"
+        else char_shingles_column(text_col, k)
+    )
     staged = df.withColumn("__shingles", sh).withColumn(
         "__sh_hashes", F.transform(F.col("__shingles"), lambda s: F.sha2(s, 256))
     )
@@ -159,6 +181,7 @@ def near_duplicates(
     num_bands: int = NUM_BANDS,
     k: int = SHINGLE_K,
     min_jaccard: float = 0.5,
+    unit: str = "word",
 ) -> DataFrame:
     """Full pipeline: LSH candidates verified by exact Jaccard over the
     shingle sets. Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
@@ -170,7 +193,7 @@ def near_duplicates(
     1 id-join back to shingle sets. Shingle arrays travel only for
     candidate rows.
     """
-    sig = minhash_signature(df, text_col, num_hashes, k)
+    sig = minhash_signature(df, text_col, num_hashes, k, unit=unit)
     sets_df = sig.select(
         F.col(id_col), F.col("__shingles").alias("sh")
     )

@@ -114,11 +114,11 @@ def _sql_sig_cte(table: str = "documents") -> str:
     """
 
 
-def _sql_bands() -> str:
+def _sql_bands(num_bands: int = NUM_BANDS) -> str:
     """UNION ALL of one SELECT per band over sig."""
-    rows = NUM_HASHES // NUM_BANDS
+    rows = NUM_HASHES // num_bands
     selects = []
-    for b in range(NUM_BANDS):
+    for b in range(num_bands):
         cols = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         selects.append(
             f"SELECT doc_id, {b} AS band_id, sha256({cols}) AS band_key FROM sig"
@@ -746,4 +746,127 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+CHAR_NGRAM_K = 5
+CHAR_NGRAM_BANDS = 2  # 2 bands x 4 rows: collision threshold ~ 0.84
+CHAR_NGRAM_MIN_JACCARD = 0.6
+
+
+@register_query(
+    "char_ngram_near_duplicates",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(trim(text)) AS t FROM documents
+        ),
+        shingled AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(t) - {CHAR_NGRAM_K - 1}, 1) + 1),
+                i -> substr(t, i, {CHAR_NGRAM_K}))) AS sh
+            FROM base
+        ),
+        hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> sha256(s)) AS hs
+            FROM shingled
+        ),
+        sig AS (
+            SELECT doc_id, sh,
+               {", ".join(f"{_sql_minhash(s)} AS mh_{s}" for s in range(NUM_HASHES))}
+            FROM hashed
+        ),
+        bands AS ({_sql_bands(CHAR_NGRAM_BANDS)}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                       AS jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, {_micro("jaccard")} AS jaccard_micro
+        FROM verified WHERE jaccard >= {CHAR_NGRAM_MIN_JACCARD}
+    """,
+    doc=f"Character {CHAR_NGRAM_K}-gram Jaccard near-dup (the n-gram "
+    "flavor of the dedup ladder — robust to word-boundary edits): same "
+    "MinHash-LSH machinery over char shingles, with STRICTER banding "
+    f"({CHAR_NGRAM_BANDS} bands × {NUM_HASHES // CHAR_NGRAM_BANDS} rows "
+    "≈ 0.84 collision threshold) — char-gram similarity has a high "
+    "baseline on shared-vocabulary corpora, so loose bands would flood "
+    "the candidate stage.",
+    tags=("llm", "dedup", "minhash", "ngram"),
+)
+def q_char_ngram_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = near_duplicates(
+        docs.select("doc_id", "text"),
+        num_bands=CHAR_NGRAM_BANDS,
+        min_jaccard=CHAR_NGRAM_MIN_JACCARD,
+        k=CHAR_NGRAM_K,
+        unit="char",
+    )
+    return nd.select(
+        "id_a", "id_b", micro_col(F.col("jaccard")).alias("jaccard_micro")
+    )
+
+
+WINNOW_K = 8
+WINNOW_WINDOW = 4
+
+
+@register_query(
+    "winnowing_fingerprint",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, list_transform(
+                range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
+                i -> substr(sha256(substr(t, i, {WINNOW_K})), 1, 8)) AS hs
+            FROM base
+        ),
+        sel AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(hs) - {WINNOW_WINDOW - 1}, 1) + 1),
+                j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))) AS fps
+            FROM grams
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               list_min(fps) AS min_fp,
+               sha256(array_to_string(list_sort(fps), '')) AS fp_digest
+        FROM sel
+    """,
+    doc=f"Winnowing document fingerprints (MOSS): {WINNOW_K}-char gram "
+    f"hashes, window-of-{WINNOW_WINDOW} minima, distinct — guarantees "
+    "shared fingerprints for common substrings ≥ "
+    f"{WINNOW_K + WINNOW_WINDOW - 1} chars. Output: per-doc set digest "
+    "(the full set hashes into one comparable scalar).",
+    tags=("llm", "dedup", "fingerprint"),
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.fingerprint import (
+        with_winnowing_fingerprints,
+    )
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    staged = with_winnowing_fingerprints(
+        docs, "text", k=WINNOW_K, window=WINNOW_WINDOW
+    )
+    fps = F.col("fps")
+    return staged.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.sha2(F.concat_ws("", F.array_sort(fps)), 256).alias("fp_digest"),
     )
