@@ -678,3 +678,106 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
     )
+
+
+@register_query(
+    "pivot_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                   THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+                   AS qty_F,
+               CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                   THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+                   AS qty_O
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation): linestatus values become columns — "
+    "Spark plans it as conditional aggregates in ONE pass (explicit "
+    "value list avoids the extra distinct-discovery job).",
+    tags=("sql", "aggregate", "pivot"),
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_to_double(_dsum("l_quantity")))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@register_query(
+    "explode_tokens",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> '')) AS tok
+            FROM documents
+        )
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY tok
+    """,
+    doc="Generator/lateral view: explode the token array into rows → "
+    "corpus term + document frequencies (the inverted-index shape).",
+    tags=("sql", "generator", "llm"),
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_column("text")).alias("tok"))
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@register_query(
+    "array_map_pack",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(t)), ',') AS vocab_csv,
+               CAST(len(t) AS BIGINT) AS n,
+               t[1] AS first_tok,
+               t[len(t)] AS last_tok,
+               list_sort(list_distinct(t))[1] AS min_tok,
+               CAST(list_contains(t, 'the') AS BOOLEAN) AS has_the,
+               CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT)
+                   AS n_long_tokens,
+               array_to_string(list_transform(list_sort(list_distinct(t)),
+                                              x -> upper(x)), '|') AS vocab_upper
+        FROM toks
+    """,
+    doc="Array-function pack (§2.8 array/map category): sort/distinct/"
+    "contains/filter/transform/first-last access, all codegen "
+    "built-ins over the token array.",
+    tags=("sql", "scalar", "array"),
+)
+def q_array_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_column("text")
+    vocab = F.array_sort(F.array_distinct(t))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", vocab).alias("vocab_csv"),
+        F.size(t).cast("bigint").alias("n"),
+        F.get(t, 0).alias("first_tok"),
+        F.get(t, F.size(t) - 1).alias("last_tok"),
+        F.get(vocab, 0).alias("min_tok"),
+        F.array_contains(t, "the").alias("has_the"),
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).cast("bigint").alias("n_long_tokens"),
+        F.concat_ws("|", F.transform(vocab, lambda x: F.upper(x))).alias("vocab_upper"),
+    )

@@ -165,3 +165,25 @@ def test_bloom_filter_cols_write_and_read(spark, tmp_path):
     assert t.read().count() == 50
     got = t.read().filter("arcane_merge_key = 'k1'").collect()[0]["payload"]
     assert got == "y"
+
+
+def test_schema_drift_type_widening(spark, tmp_path):
+    """Type drift on an existing column (int payload → long payload):
+    unionByName's standard type coercion widens — the merged table
+    carries the wider type and both generations of rows survive."""
+    t = make_target(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [Row(arcane_merge_key="k1", createdon=1, metric=7)],
+            schema="arcane_merge_key string, createdon long, metric int",
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [Row(arcane_merge_key="k2", createdon=2, metric=2**40)],
+            schema="arcane_merge_key string, createdon long, metric long",
+        )
+    )
+    rows = {r["arcane_merge_key"]: r["metric"] for r in t.read().collect()}
+    assert rows == {"k1": 7, "k2": 2**40}
+    assert dict(t.read().dtypes)["metric"] == "bigint"

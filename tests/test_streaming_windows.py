@@ -151,3 +151,36 @@ def test_stateful_running_aggregate_across_batches_and_restarts(spark, tmp_path)
     rows = spark.read.parquet(str(sink)).filter("user_id = 1").collect()
     assert max(r["n_events"] for r in rows) == 4  # 3 + 1 after restart
     assert max(r["max_version"] for r in rows) == 9
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key among duplicates arriving within the watermark delay —
+    the streaming face of the exact-dedup rung (state bounded by the
+    watermark, unlike unbounded dropDuplicates)."""
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    _write_events(str(src), "a.parquet", [(1, 0, 1.0, 1), (1, 1, 1.0, 1), (2, 2, 1.0, 2)])
+    _write_events(str(src), "b.parquet", [(1, 3, 1.0, 1), (3, 4, 1.0, 3)])
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["version"]
+    )
+    sink = tmp_path / "dd_sink"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.read.parquet(str(sink)).collect()
+    # versions 1 (x3 across both batches), 2, 3 → exactly one row each
+    assert sorted(r["version"] for r in rows) == [1, 2, 3]
