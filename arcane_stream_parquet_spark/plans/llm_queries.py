@@ -870,3 +870,161 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.sha2(F.concat_ws("", F.array_sort(fps)), 256).alias("fp_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splitting / decontamination / tf-idf
+
+
+def _sql_hex8_to_int(expr: str) -> str:
+    """DuckDB: value of the first 8 hex digits of a sha256 hex string."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_hash_bucket(id_expr: str, salt: str) -> str:
+    h = f"sha256('{salt}' || CAST({id_expr} AS VARCHAR))"
+    return f"({_sql_hex8_to_int(h)} % 10000)"
+
+
+@register_query(
+    "train_test_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN {_sql_hash_bucket("doc_id", "split")} < 8000 THEN 'train'
+                    WHEN {_sql_hash_bucket("doc_id", "split")} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc="Deterministic hash-based train/val/test split (80/10/10): "
+    "same row → same split on every run, engine, and partitioning — "
+    "pure projection, no RNG state, no shuffle "
+    "(operators/sampling.py).",
+    tags=("llm", "sampling"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register_query(
+    "stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sql_hash_bucket("doc_id", "sample")} < 2000
+    """,
+    doc="Hash-deterministic ~20% sample: per-row uniform hash keeps "
+    "~the fraction within EVERY stratum (lang) without per-stratum "
+    "state — reproducible under any repartitioning.",
+    tags=("llm", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", fraction=0.2).select("doc_id", "lang")
+
+
+@register_query(
+    "contamination_flags",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM base
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+        ),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n
+            FROM sh s JOIN bench USING (shingle)
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: flag corpus docs sharing verbatim "
+    "3-word shingles with an eval set (docs 0-4 as the stand-in "
+    "benchmark). Benchmark shingles broadcast; corpus scanned once "
+    "(operators/contamination.py).",
+    tags=("llm", "dedup", "contamination"),
+)
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return contamination_flags(docs, bench)
+
+
+@register_query(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        toks AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        ),
+        docfreq AS (
+            SELECT tok, count(DISTINCT doc_id) AS df_ FROM toks GROUP BY tok
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   tf.tf * ((n.n_docs * 10000) // docfreq.df_) AS score
+            FROM tf JOIN docfreq USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+            FROM scored
+        )
+        SELECT doc_id, tok, CAST(score AS BIGINT) AS score
+        FROM ranked WHERE rn <= 5
+    """,
+    doc="TF-IDF top-5 terms per document, in INTEGER arithmetic "
+    "(score = tf · (N·10⁴ ÷ df) — same ranking as tf·log(N/df) for "
+    "fixed N, but bit-deterministic across engines where libm log is "
+    "not). Two shuffles: (doc,tok) tf and tok df; df side broadcasts.",
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arcane_stream_parquet_spark.operators.text import tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_column("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    docfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df_"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * ((F.col("n_docs") * 10000) / F.col("df_")).cast("bigint"))
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "tok", "score")
+    )

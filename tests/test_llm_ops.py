@@ -230,3 +230,56 @@ def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- sampling / contamination ------------------------------------------
+
+
+def test_split_disjoint_exhaustive_and_stable(spark, sf_dir):
+    from arcane_stream_parquet_spark.operators.sampling import train_test_split
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = train_test_split(docs, "doc_id").select("doc_id", "split")
+    counts = {r["split"]: r["cnt"] for r in a.groupBy("split").agg(
+        F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()  # exhaustive
+    assert 0.7 < counts["train"] / n < 0.9  # ~80%
+    # deterministic: re-evaluation identical
+    b = train_test_split(docs, "doc_id").select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_fraction_per_stratum(spark, sf_dir):
+    from arcane_stream_parquet_spark.operators.sampling import stratified_sample
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, "doc_id", fraction=0.5)
+    per_lang_total = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    per_lang_kept = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, total in per_lang_total.items():
+        if total >= 20:  # small strata are noisy
+            assert 0.25 < per_lang_kept.get(lang, 0) / total < 0.75
+
+
+def test_contamination_flags_hits_and_clean(spark):
+    from arcane_stream_parquet_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "entirely unrelated clean content here"),
+        ],
+    )
+    bench = _docs(spark, [(99, "a quick brown fox appears")])
+    out = {r["doc_id"]: r for r in contamination_flags(corpus, bench).collect()}
+    assert out[1]["contaminated"] is True  # shares 'quick brown fox'
+    assert out[2]["contaminated"] is False
+    assert out[2]["n_contaminated_shingles"] == 0
