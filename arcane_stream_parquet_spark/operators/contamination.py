@@ -28,6 +28,9 @@ def contamination_flags(
     """(id, n_contaminated_shingles, contaminated) per corpus doc:
     count of the doc's k-word shingles that appear anywhere in the
     benchmark's shingle set."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    corpus = fan_out(corpus)  # shingling is CPU-bound (see partitioning.py)
     bench_shingles = (
         benchmark.select(
             F.explode(shingles_column(text_col, k)).alias("shingle")

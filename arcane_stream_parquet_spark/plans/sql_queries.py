@@ -781,3 +781,33 @@ def q_array_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(t, lambda x: F.length(x) > 4)).cast("bigint").alias("n_long_tokens"),
         F.concat_ws("|", F.transform(vocab, lambda x: F.upper(x))).alias("vocab_upper"),
     )
+
+
+@register_query(
+    "percentile_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(floor(median(l_quantity) * 1000000) AS BIGINT)
+                   AS median_qty_micro,
+               CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT)
+                   AS p90_qty_micro,
+               CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS min_qty_micro,
+               CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS max_qty_micro
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact order statistics (median / continuous p90 / min / max) "
+    "per group — Spark's percentile is the exact sort-based algorithm "
+    "(approx_percentile is the sketch-based 100 TB alternative, "
+    "engine-specific like approx_distinct).",
+    tags=("sql", "aggregate", "percentile"),
+)
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.plans.llm_queries import micro_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        micro_col(F.median("l_quantity")).alias("median_qty_micro"),
+        micro_col(F.percentile("l_quantity", 0.9)).alias("p90_qty_micro"),
+        micro_col(F.min("l_quantity")).alias("min_qty_micro"),
+        micro_col(F.max("l_quantity")).alias("max_qty_micro"),
+    )
