@@ -188,12 +188,27 @@ class ParquetMergeTarget:
 
     def _flip_manifest(self, manifest: dict) -> None:
         """THE commit point: atomic rename (same pattern as the
-        watermark, reference ST2)."""
+        watermark, reference ST2). Each commit also archives its
+        manifest (``manifest-vNNNNN.json``) — snapshot history for
+        time-travel reads, valid until ``vacuum()`` reclaims the data
+        dirs (Iceberg snapshot/expire_snapshots semantics).
+
+        Concurrency contract: SINGLE WRITER per target — exactly the
+        reference's model (one stream job owns one target table). The
+        manifest flip makes crashes safe, not concurrent writers;
+        multi-writer coordination is the job of a real table format's
+        catalog (swap in Iceberg for that).
+        """
         os.makedirs(self._meta_path, exist_ok=True)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)
+        archive = os.path.join(
+            self._meta_path, f"manifest-v{manifest['version']:05d}.json"
+        )
+        with open(archive, "w") as fh:
+            json.dump(manifest, fh)
 
     # -- schema ------------------------------------------------------------
 
@@ -219,11 +234,38 @@ class ParquetMergeTarget:
 
     # -- read path ---------------------------------------------------------
 
-    def _read_raw(self) -> DataFrame:
+    def snapshot_versions(self) -> list[int]:
+        """Archived snapshot versions available for time travel (until
+        vacuum)."""
+        try:
+            names = os.listdir(self._meta_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[len("manifest-v") : -len(".json")])
+            for n in names
+            if n.startswith("manifest-v") and n.endswith(".json")
+        )
+
+    def _read_raw(self, at_version: int | None = None) -> DataFrame:
         """Live table contents including the bucket partition column:
         per-version scans filtered to the buckets the manifest assigns
-        to that version (partition pruning), unioned."""
-        manifest = self._manifest()
+        to that version (partition pruning), unioned. ``at_version``
+        reads the archived snapshot manifest instead (time travel)."""
+        if at_version is not None:
+            archive = os.path.join(
+                self._meta_path, f"manifest-v{at_version:05d}.json"
+            )
+            try:
+                with open(archive) as fh:
+                    manifest = json.load(fh)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no snapshot v{at_version}; available: "
+                    f"{self.snapshot_versions()}"
+                ) from None
+        else:
+            manifest = self._manifest()
         by_version: dict[int, list[int]] = {}
         for bucket, version in manifest["buckets"].items():
             by_version.setdefault(int(version), []).append(int(bucket))
@@ -242,9 +284,10 @@ class ParquetMergeTarget:
             out = out.unionByName(p)
         return out
 
-    def read(self) -> DataFrame:
-        """Current table contents (bucket column dropped)."""
-        return self._read_raw().drop(BUCKET_COLUMN)
+    def read(self, at_version: int | None = None) -> DataFrame:
+        """Current table contents (bucket column dropped); pass
+        ``at_version`` for a time-travel read of an archived snapshot."""
+        return self._read_raw(at_version).drop(BUCKET_COLUMN)
 
     # -- write path --------------------------------------------------------
 
@@ -269,7 +312,13 @@ class ParquetMergeTarget:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
         for col in self.bloom_filter_cols:
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
-        writer.mode("errorifexists").parquet(self._version_dir(version))
+        target = self._version_dir(version)
+        # a dir numbered above the committed manifest version can only
+        # be a crash orphan (the flip is the commit point) — clear it so
+        # a retry doesn't trip over its own previous attempt
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        writer.mode("errorifexists").parquet(target)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
@@ -425,9 +474,11 @@ class ParquetMergeTarget:
         return len(fragmented)
 
     def vacuum(self) -> list[str]:
-        """remove_orphan_files equivalent: delete version dirs no
-        manifest entry references (crash leftovers, superseded
-        versions). Returns removed dirs."""
+        """remove_orphan_files + expire_snapshots equivalent: delete
+        version dirs the CURRENT manifest doesn't reference (crash
+        leftovers, superseded versions) and the snapshot archives that
+        depended on them — history is reclaimed, the live table is
+        untouched. Returns removed dirs."""
         manifest = self._manifest()
         live = {int(v) for v in manifest["buckets"].values()}
         data_root = os.path.join(self.path, "data")
@@ -437,6 +488,12 @@ class ParquetMergeTarget:
             if version not in live:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(name)
+        current = manifest["version"]
+        for v in self.snapshot_versions():
+            if v != current:
+                os.remove(
+                    os.path.join(self._meta_path, f"manifest-v{v:05d}.json")
+                )
         return removed
 
     def stats(self) -> dict:

@@ -45,11 +45,12 @@ def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
 
     # table untouched: old manifest still live
     assert sorted(map(tuple, t.read().collect())) == before
-    # the orphaned half-commit is invisible and vacuum removes it
-    removed = t.vacuum()
-    assert removed, "expected the orphaned version dir to be vacuumed"
-    # retry converges to the intended state
+    # retry WITHOUT any cleanup converges (the orphaned version dir
+    # from the failed attempt is cleared by the writer itself)
     t.merge(df_of(spark, [("k1", 2, "new")]))
+    # the retry recycled the orphaned dir into the real commit — every
+    # version dir is referenced again, nothing to vacuum
+    assert t.vacuum() == []
     assert t.read().filter(F.col("arcane_merge_key") == "k1").collect()[0][
         "payload"
     ] == "new"
@@ -187,3 +188,30 @@ def test_schema_drift_type_widening(spark, tmp_path):
     rows = {r["arcane_merge_key"]: r["metric"] for r in t.read().collect()}
     assert rows == {"k1": 7, "k2": 2**40}
     assert dict(t.read().dtypes)["metric"] == "bigint"
+
+
+def test_time_travel_reads_and_expiry(spark, tmp_path):
+    """Snapshot reads: each commit archives its manifest; read(at_version)
+    reconstructs the table as of that commit; vacuum expires history
+    but never the live table."""
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "v1")]))
+    t.merge(df_of(spark, [("k1", 2, "v2"), ("k2", 1, "w1")]))
+    t.merge(df_of(spark, [("k2", 2, "w2")]))
+
+    assert t.snapshot_versions() == [1, 2, 3]
+    v1 = {(r["arcane_merge_key"], r["payload"]) for r in t.read(at_version=1).collect()}
+    v2 = {(r["arcane_merge_key"], r["payload"]) for r in t.read(at_version=2).collect()}
+    now = {(r["arcane_merge_key"], r["payload"]) for r in t.read().collect()}
+    assert v1 == {("k1", "v1")}
+    assert v2 == {("k1", "v2"), ("k2", "w1")}
+    assert now == {("k1", "v2"), ("k2", "w2")}
+
+    t.vacuum()
+    assert t.snapshot_versions() == [3]  # history expired
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot v1"):
+        t.read(at_version=1)
+    # live table unaffected
+    assert {(r["arcane_merge_key"], r["payload"]) for r in t.read().collect()} == now
