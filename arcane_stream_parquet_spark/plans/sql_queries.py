@@ -811,3 +811,31 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro_col(F.min("l_quantity")).alias("min_qty_micro"),
         micro_col(F.max("l_quantity")).alias("max_qty_micro"),
     )
+
+
+@register_query(
+    "grouped_pandas_normalize",
+    oracle="""
+        SELECT doc_id,
+               CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+                   AS chars_above_lang_min
+        FROM documents
+    """,
+    doc="Grouped-map pandas surface (§2.10, applyInPandas): per-lang "
+    "normalization computed inside an Arrow-batched Python worker per "
+    "group — hash-checked against the SQL window twin, proving the "
+    "grouped round trip. Integer arithmetic (float group stats would "
+    "be accumulation-order traps).",
+    tags=("llm", "pandas-udf", "grouped"),
+)
+def q_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def normalize(pdf):
+        out = pdf[["doc_id"]].copy()
+        out["chars_above_lang_min"] = pdf["n_chars"] - pdf["n_chars"].min()
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, schema="doc_id long, chars_above_lang_min long"
+    )

@@ -283,3 +283,14 @@ def test_contamination_flags_hits_and_clean(spark):
     assert out[1]["contaminated"] is True  # shares 'quick brown fox'
     assert out[2]["contaminated"] is False
     assert out[2]["n_contaminated_shingles"] == 0
+
+
+def test_fan_out_noop_when_parallel(spark):
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    small = spark.range(10)  # few partitions
+    assert fan_out(small).rdd.getNumPartitions() >= min(
+        10, spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(64)
+    assert fan_out(wide).rdd.getNumPartitions() == 64  # no-op, no extra shuffle
