@@ -1028,3 +1028,68 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "tok", "score")
     )
+
+
+@register_query(
+    "curation_funnel",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        q AS (
+            SELECT doc_id, text, ({_QUALITY_SCORE_SQL}) >= 0.5 AS keep
+            FROM base
+        ),
+        kept AS (SELECT doc_id, text FROM q WHERE keep),
+        fp AS (
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM kept
+        ),
+        deduped AS (SELECT doc_id FROM fp WHERE rn = 1),
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN {_sql_hash_bucket("doc_id", "split")} < 8000
+                        THEN 'train' ELSE 'heldout' END AS s
+            FROM deduped
+        )
+        SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM base
+        UNION ALL
+        SELECT 'quality_kept', CAST(count(*) AS BIGINT) FROM kept
+        UNION ALL
+        SELECT 'exact_deduped', CAST(count(*) AS BIGINT) FROM deduped
+        UNION ALL
+        SELECT 'train_split', CAST(count(*) AS BIGINT) FROM split WHERE s = 'train'
+    """,
+    doc="End-to-end curation funnel — the operators COMPOSE: quality "
+    "filter → exact dedup → split assignment, reporting survivor "
+    "counts per stage. One chained DataFrame plan; Catalyst fuses the "
+    "narrow stages.",
+    tags=("llm", "pipeline"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.fingerprint import exact_dedup
+    from arcane_stream_parquet_spark.operators.sampling import train_test_split
+    from arcane_stream_parquet_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = quality_score(docs)
+    kept = scored.filter(F.col("quality_keep")).select("doc_id", "text")
+    deduped = exact_dedup(kept)
+    split = train_test_split(deduped, "doc_id", train_frac=0.8, val_frac=0.0)
+
+    def stage(name, df):
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("raw", docs)
+        .unionByName(stage("quality_kept", kept))
+        .unionByName(stage("exact_deduped", deduped))
+        .unionByName(
+            stage("train_split", split.filter(F.col("split") == "train"))
+        )
+    )

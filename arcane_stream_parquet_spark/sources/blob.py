@@ -69,6 +69,11 @@ class BlobParquetSource:
     schema: StructType | None = None
     modified_after: str | None = None
     extra_read_options: dict[str, str] = field(default_factory=dict)
+    # blob format: parquet (the reference's only format) | csv | json —
+    # Spark's DataSource framework makes the other text formats free;
+    # csv/json REQUIRE an explicit schema (no parquet footer to sniff;
+    # sniffing would mistype and inference isn't allowed for streams).
+    format: str = "parquet"
 
     def _enrich(self, df: DataFrame) -> DataFrame:
         """normalize names → createdon (file mtime, µs) → merge key → select."""
@@ -84,9 +89,11 @@ class BlobParquetSource:
         reader = spark.read.options(**self.extra_read_options)
         if self.schema is not None:
             reader = reader.schema(self.schema)
+        elif self.format != "parquet":
+            raise ValueError(f"{self.format} sources require an explicit schema")
         if self.modified_after:
             reader = reader.option("modifiedAfter", self.modified_after)
-        return self._enrich(reader.parquet(self.path))
+        return self._enrich(reader.format(self.format).load(self.path))
 
     def read_files(self, spark: SparkSession, files: Sequence[str]) -> DataFrame:
         """Read an explicit blob subset with the same enrichment as the
@@ -96,12 +103,16 @@ class BlobParquetSource:
         reader = spark.read.options(**self.extra_read_options)
         if self.schema is not None:
             reader = reader.schema(self.schema)
-        return self._enrich(reader.parquet(*files))
+        elif self.format != "parquet":
+            raise ValueError(f"{self.format} sources require an explicit schema")
+        return self._enrich(reader.format(self.format).load(list(files)))
 
     def sniff_schema(self, spark: SparkSession) -> StructType:
         """Infer the source schema from existing files (reference default:
         'from a random file in the source path')."""
         configure_session(spark)
+        if self.format != "parquet":
+            raise ValueError(f"{self.format} sources require an explicit schema")
         return spark.read.options(**self.extra_read_options).parquet(self.path).schema
 
     def read_stream(
@@ -125,7 +136,7 @@ class BlobParquetSource:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         if max_bytes_per_trigger is not None:
             reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
-        out = self._enrich(reader.parquet(self.path))
+        out = self._enrich(reader.format(self.format).load(self.path))
         if self.modified_after:
             cutoff_us = int(
                 datetime.fromisoformat(

@@ -62,3 +62,20 @@ def test_range_join_no_nested_loop(spark):
     plan = _plan(spark, "range_join_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew tool: salted_join must be semantically identical to the
+    plain equi-join while spreading a hot key across salt partitions."""
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.functions.skew import salted_join
+
+    # 90% of left rows share one hot key
+    left = spark.createDataFrame(
+        [Row(k=1 if i % 10 else 2, v=i) for i in range(1000)]
+    )
+    right = spark.createDataFrame([Row(k=1, tag="hot"), Row(k=2, tag="cold")])
+    plain = left.join(right, ["k"]).groupBy("tag").count().collect()
+    salted = salted_join(left, right, ["k"], salt_factor=8).groupBy("tag").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))

@@ -187,3 +187,48 @@ def test_maintenance_gated_every_n_batches(spark, tmp_path, fixture_dir):
 
     # golden outcome unchanged (same as the no-maintenance runner)
     assert target.read().count() == N_KEYS
+
+
+def test_csv_and_json_sources_stream_and_merge(spark, tmp_path):
+    """Beyond-reference source formats: the same pipeline over CSV and
+    JSON blobs (schema mandatory — no footer to sniff)."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("col0", LongType()), StructField("col1", StringType())]
+    )
+    for fmt, writer in (
+        ("csv", lambda rows: "\n".join(f"{k},{v}" for k, v in rows)),
+        ("json", lambda rows: "\n".join(
+            _json.dumps({"col0": k, "col1": v}) for k, v in rows)),
+    ):
+        src = tmp_path / f"landing_{fmt}"
+        src.mkdir()
+        (src / f"a.{fmt}").write_text(writer([(1, "x"), (2, "y"), (1, "x2")]))
+        source = BlobParquetSource(
+            path=str(src),
+            primary_keys=["col0"],
+            schema=schema,
+            format=fmt,
+            extra_read_options={} if fmt != "csv" else {"header": "false"},
+        )
+        target = ParquetMergeTarget(
+            spark=spark, path=str(tmp_path / f"tgt_{fmt}"), num_buckets=4
+        )
+        runner = StreamRunner(
+            source=source,
+            target=target,
+            checkpoint_dir=str(tmp_path / f"ckpt_{fmt}"),
+        )
+        runner.run_available_now(spark)
+        assert target.read().count() == 2  # upsert collapsed col0=1
+
+    # schema omission is an explicit error for schemaless formats
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="require an explicit schema"):
+        BlobParquetSource(
+            path=str(tmp_path), primary_keys=["col0"], format="csv"
+        ).read_batch(spark)
