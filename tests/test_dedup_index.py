@@ -63,3 +63,38 @@ def test_replay_idempotent(spark, tmp_path):
     assert v[0]["dup_of"] == 1  # now sees itself in the index — flagged
     after = sorted(map(tuple, idx._shingles.read().select("doc_id").collect()))
     assert after == before
+
+
+# -- vector index -------------------------------------------------------
+
+
+def test_vector_index_incremental_search(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.vector_index import VectorIndex
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # 2 planes → 4 coarse buckets: guaranteed bucket-mates at this
+    # corpus size (plane count is the recall/speed dial)
+    idx = VectorIndex(
+        spark=spark, path=str(tmp_path / "vidx"), num_planes=2, num_buckets=4
+    )
+
+    # two incremental batches
+    idx.add_batch(emb.filter(F.col("vec_id") < 50), ingest_seq=1)
+    idx.add_batch(
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)), ingest_seq=2
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    hits = idx.search(queries, k=5).collect()
+    assert hits  # buckets shared by construction (query vec ∈ corpus bucket)
+    assert all(r["query_id"] != r["neighbor_id"] for r in hits)
+    # neighbors only come from the indexed 0..99 range
+    assert all(r["neighbor_id"] < 100 for r in hits)
+    # results include both ingest batches' vectors if buckets allow
+    # idempotent re-add: same vec_ids don't duplicate
+    before = idx._table.read().count()
+    idx.add_batch(emb.filter(F.col("vec_id") < 50), ingest_seq=3)
+    assert idx._table.read().count() == before
