@@ -251,7 +251,10 @@ class ParquetMergeTarget:
         """Live table contents including the bucket partition column:
         per-version scans filtered to the buckets the manifest assigns
         to that version (partition pruning), unioned. ``at_version``
-        reads the archived snapshot manifest instead (time travel)."""
+        reads the archived snapshot manifest instead (time travel;
+        snapshots are read with the CURRENT schema — post-drift columns
+        appear null-filled in history, the same forward-compatible rule
+        as live reads of pre-drift files)."""
         if at_version is not None:
             archive = os.path.join(
                 self._meta_path, f"manifest-v{at_version:05d}.json"
