@@ -104,40 +104,6 @@ def simhash_parts(
     return sums.select(F.col(id_col), *parts)
 
 
-def simhash_chunks(
-    sig: DataFrame,
-    id_col: str = "doc_id",
-    bits: int = SIMHASH_BITS,
-    chunks: int = SIMHASH_CHUNKS,
-) -> DataFrame:
-    """Explode (id, simhash) → (id, simhash, chunk_id, chunk_value)."""
-    if bits % chunks:
-        raise ValueError("bits must divide evenly into chunks")
-    w = bits // chunks
-    parts = [
-        F.struct(
-            F.lit(c).alias("chunk_id"),
-            F.substring("simhash", c * w + 1, w).alias("chunk_value"),
-        )
-        for c in range(chunks)
-    ]
-    return sig.select(
-        id_col, "simhash", F.explode(F.array(*parts)).alias("p")
-    ).select(id_col, "simhash", "p.chunk_id", "p.chunk_value")
-
-
-def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Hamming distance between two equal-length bit strings."""
-    diffs = [
-        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
-        for i in range(bits)
-    ]
-    total = diffs[0]
-    for d in diffs[1:]:
-        total = total + d
-    return total.cast("bigint")
-
-
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

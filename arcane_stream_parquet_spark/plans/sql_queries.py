@@ -839,3 +839,113 @@ def q_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         normalize, schema="doc_id long, chars_above_lang_min long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (funnel / cohort shapes over the events stream table)
+
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+@register_query(
+    "event_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS c_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.s_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+    doc="Ordered conversion funnel (signup → first click after → first "
+    "purchase after): stepwise min-timestamp joins, each stage keyed on "
+    "user_id — three key-local aggregations, no sequence explosion.",
+    tags=("sql", "analytics", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("us") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@register_query(
+    "cohort_retention",
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, min(epoch_us(ts)) AS first_us FROM events
+            GROUP BY user_id
+        ),
+        cohorts AS (
+            SELECT user_id, (first_us // {_WEEK_US}) AS cohort_week
+            FROM first_seen
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, (epoch_us(e.ts) // {_WEEK_US}) AS week
+            FROM events e
+        )
+        SELECT c.cohort_week,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT CASE WHEN a.week = c.cohort_week + 1
+                    THEN a.user_id END) AS BIGINT) AS retained_w1
+        FROM cohorts c LEFT JOIN activity a ON a.user_id = c.user_id
+        GROUP BY c.cohort_week
+    """,
+    doc="Cohort retention: users bucketed by first-seen week, week-1 "
+    "retention per cohort — two user-keyed aggregations + one join, "
+    "the standard cohort-table shape.",
+    tags=("sql", "analytics", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("us")
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.floor(F.min("us") / _WEEK_US).cast("long").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.floor(F.col("us") / _WEEK_US).cast("long").alias("week")
+    ).distinct()
+    joined = cohorts.join(activity, "user_id", "left")
+    return joined.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("week") == F.col("cohort_week") + 1, F.col("user_id"))
+        ).alias("retained_w1"),
+    )
