@@ -148,6 +148,26 @@ def with_lsh_bucket(
     return df.withColumn(out_col, lsh_bucket_expr(as_double_array(vec_col), planes))
 
 
+def _probe_buckets_expr(bucket: Column, num_planes: int, multi_probe: bool) -> Column:
+    """array of bucket ids to probe: the exact bucket, plus (multi-
+    probe) every Hamming-1 neighbor — the standard LSH recall knob: a
+    vector near a hyperplane falls on either side with ~equal
+    probability, so flipping one sign bit recovers most of the recall
+    lost to boundary effects, at num_planes× the candidate cost."""
+    if not multi_probe:
+        return F.array(bucket)
+    variants = [bucket]
+    for i in range(num_planes):
+        flipped = F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+        variants.append(
+            F.concat(
+                F.substring(bucket, 1, i), flipped,
+                F.substring(bucket, i + 2, num_planes - i - 1),
+            )
+        )
+    return F.array(*variants)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,9 +175,11 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     planes: Sequence[Sequence[float]] | None = None,
     k: int = 10,
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's exact LSH bucket;
-    cosine + window top-k within candidates only."""
+    """Approximate top-k: candidates share the query's LSH bucket (plus
+    its Hamming-1 neighbors when ``multi_probe``); cosine + window
+    top-k within candidates only."""
     from pyspark.sql import Window
 
     planes = planes if planes is not None else random_planes()
@@ -168,6 +190,14 @@ def ann_lsh_topk(
         "__qv",
         planes,
     ).withColumn("__qn", norm_expr(F.col("__qv")))
+    q = q.select(
+        "query_id",
+        "__qv",
+        "__qn",
+        F.explode(
+            _probe_buckets_expr(F.col("lsh_bucket"), len(planes), multi_probe)
+        ).alias("lsh_bucket"),
+    )
     c = with_lsh_bucket(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv")

@@ -1093,3 +1093,61 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage("train_split", split.filter(F.col("split") == "train"))
         )
     )
+
+
+def _sql_flip_bucket(bucket: str, i: int, num_planes: int) -> str:
+    """DuckDB: bucket string with bit i (0-based) flipped."""
+    flipped = (
+        f"CASE WHEN substr({bucket}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END"
+    )
+    return (
+        f"substr({bucket}, 1, {i}) || {flipped} || "
+        f"substr({bucket}, {i + 2}, {num_planes - i - 1})"
+    )
+
+
+@register_query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+        WITH q0 AS (
+            SELECT vec_id AS query_id, {_sql_vec()} AS qv,
+                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS b
+            FROM embeddings WHERE vec_id IN {ANN_QUERY_IDS}
+        ),
+        probes AS (
+            SELECT query_id, qv, unnest([b,
+                {", ".join(_sql_flip_bucket("b", i, 8) for i in range(8))}
+            ]) AS bucket
+            FROM q0
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, {_sql_vec()} AS cv,
+                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT DISTINCT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS sim
+            FROM c JOIN probes USING (bucket) WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
+        FROM ranked WHERE rn <= {ANN_K}
+    """,
+    doc="Multi-probe LSH ANN: each query also probes its 8 Hamming-1 "
+    "neighbor buckets — the standard recall knob (vectors near a "
+    "hyperplane recover) at ~9× the candidate cost, still bucket "
+    "equi-joins only.",
+    tags=("llm", "similarity"),
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(
+        emb, _queries_subset(spark, sf_dir), k=ANN_K, multi_probe=True
+    )
+    return out.select(
+        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
+    )

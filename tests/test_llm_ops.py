@@ -294,3 +294,22 @@ def test_fan_out_noop_when_parallel(spark):
     )
     wide = spark.range(1000).repartition(64)
     assert fan_out(wide).rdd.getNumPartitions() == 64  # no-op, no extra shuffle
+
+
+def test_multiprobe_recall_superset(spark, sf_dir):
+    """Multi-probe must only ADD candidates relative to exact-bucket
+    probing (recall knob, never a different answer set for found pairs)."""
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, queries, k=100).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, queries, k=100, multi_probe=True).collect()
+    }
+    assert exact <= multi
+    assert len(multi) >= len(exact)
