@@ -106,6 +106,14 @@ class LshDedupIndex:
         merge is latest-wins per (doc, band) key); a re-ingested
         already-accepted document reports ``dup_of = itself`` ("already
         present") and does not grow the index.
+
+        Crash contract: the bands and shingles tables commit with two
+        INDEPENDENT manifest flips. A crash between them leaves band
+        rows whose shingle sets are missing; the exact-Jaccard verify
+        inner-joins the shingle store, so those candidates are silently
+        dropped until the caller RE-RUNS the failed ``add_batch`` (the
+        documented recovery — replay heals both tables; each flip alone
+        is crash-safe, the pair is not atomic).
         """
         sig = self._signature(docs)
         batch_sets = sig.select("doc_id", F.col("__shingles").alias("sh"))
@@ -141,14 +149,20 @@ class LshDedupIndex:
                 self._verify(cross, batch_sets, stored_sets)
             )
 
-        # one verdict per doc: the smallest matching prior/lower id
+        # one verdict per doc: the smallest matching prior/lower id,
+        # reporting THAT pair's jaccard (min_by over the pair struct —
+        # both fields come from the same selected pair)
+        sel = F.min_by(F.struct("id_b", "jaccard"), "id_b")
         verdicts = (
             docs.select("doc_id")
             .join(
-                pairs.groupBy("id_a").agg(
-                    F.min_by("id_b", F.struct("id_b")).alias("dup_of"),
-                    F.max("jaccard").alias("jaccard"),
-                ).withColumnRenamed("id_a", "doc_id"),
+                pairs.groupBy("id_a")
+                .agg(sel.alias("__sel"))
+                .select(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("__sel.id_b").alias("dup_of"),
+                    F.col("__sel.jaccard").alias("jaccard"),
+                ),
                 "doc_id",
                 "left",
             )

@@ -273,6 +273,12 @@ class ParquetMergeTarget:
         for bucket, version in manifest["buckets"].items():
             by_version.setdefault(int(version), []).append(int(bucket))
         schema = self._saved_schema()
+        if not by_version:
+            # empty table (e.g. overwrite() from an empty source):
+            # readable as zero rows with the authoritative schema
+            if schema is None:
+                raise ValueError(f"empty manifest and no saved schema at {self.path}")
+            return self.spark.createDataFrame([], schema)
         parts = []
         for version, buckets in sorted(by_version.items()):
             reader = self.spark.read
@@ -381,6 +387,8 @@ class ParquetMergeTarget:
             r[BUCKET_COLUMN]
             for r in batch_latest.select(BUCKET_COLUMN).distinct().collect()
         ]
+        if not buckets:
+            return  # empty batch: no version bump, no manifest churn
         existing = self._read_raw().filter(F.col(BUCKET_COLUMN).isin(buckets))
         existing, batch_latest = self._reconcile_schema(existing, batch_latest)
 
@@ -404,12 +412,17 @@ class ParquetMergeTarget:
         self._flip_manifest(manifest)
 
     def _commit_initial(self, bucketed: DataFrame) -> None:
-        self._write_version(bucketed, 1)
-        self._save_schema(bucketed)
+        # buckets BEFORE the write: an empty first batch must not commit
+        # a zero-bucket manifest (which would shadow the real first
+        # commit) — it is a no-op and the target stays nonexistent
         buckets = [
             r[BUCKET_COLUMN]
             for r in bucketed.select(BUCKET_COLUMN).distinct().collect()
         ]
+        if not buckets:
+            return
+        self._write_version(bucketed, 1)
+        self._save_schema(bucketed)
         self._flip_manifest(
             {"version": 1, "buckets": {str(b): 1 for b in buckets}}
         )
@@ -421,12 +434,15 @@ class ParquetMergeTarget:
         every bucket."""
         snapshot = self._with_bucket(self._dedup_latest(df))
         new_version = (self._manifest()["version"] + 1) if self.exists() else 1
-        self._write_version(snapshot, new_version)
-        self._save_schema(snapshot)
         buckets = [
             r[BUCKET_COLUMN]
             for r in snapshot.select(BUCKET_COLUMN).distinct().collect()
         ]
+        if buckets:
+            self._write_version(snapshot, new_version)
+        # empty source → truncate: schema + zero-bucket manifest, no
+        # data write; the table reads back as zero rows (_read_raw)
+        self._save_schema(snapshot)
         self._flip_manifest(
             {"version": new_version, "buckets": {str(b): new_version for b in buckets}}
         )

@@ -144,5 +144,8 @@ class BlobParquetSource:
                 ).timestamp()
                 * 1_000_000
             )
-            out = out.filter(F.col(VERSION_COLUMN) >= F.lit(cutoff_us))
+            # strictly-after, matching the batch path's `modifiedAfter`
+            # reader option (which excludes files whose mtime equals the
+            # cutoff) — both faces agree on the boundary
+            out = out.filter(F.col(VERSION_COLUMN) > F.lit(cutoff_us))
         return out

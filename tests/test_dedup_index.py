@@ -98,3 +98,23 @@ def test_vector_index_incremental_search(spark, tmp_path, sf_dir):
     before = idx._table.read().count()
     idx.add_batch(emb.filter(F.col("vec_id") < 50), ingest_seq=3)
     assert idx._table.read().count() == before
+
+
+def test_verdict_pair_is_consistent(spark, tmp_path):
+    """ADVICE r2: (dup_of, jaccard) must describe the SAME prior pair —
+    dup_of is the smallest matching id and jaccard is THAT pair's
+    jaccard, not the max over all matching pairs."""
+    from arcane_stream_parquet_spark.operators.dedup_index import LshDedupIndex
+
+    idx = LshDedupIndex(spark=spark, path=str(tmp_path / "idx"), min_jaccard=0.3, num_buckets=4)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs1 = spark.createDataFrame(
+        [(1, base), (2, base + " extra words appended here to lower overlap ratio")],
+        "doc_id long, text string",
+    )
+    idx.add_batch(docs1, ingest_seq=1)
+    # doc 3 matches doc 1 exactly (jaccard 1.0) and doc 2 partially
+    docs2 = spark.createDataFrame([(3, base)], "doc_id long, text string")
+    v = {r["doc_id"]: r for r in idx.add_batch(docs2, ingest_seq=2).collect()}
+    assert v[3]["dup_of"] == 1
+    assert v[3]["jaccard"] == 1.0  # the pair (3,1)'s jaccard, by construction

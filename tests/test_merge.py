@@ -142,3 +142,35 @@ def test_watermark_monotonic(spark, tmp_path):
     assert t.watermark() == 100
     t.commit_watermark(200)
     assert t.watermark() == 200
+
+
+def test_empty_first_batch_does_not_brick_target(spark, tmp_path):
+    """ADVICE r2 (medium): an empty first batch must not commit a
+    zero-bucket manifest that permanently breaks read()/merge()."""
+    t = make_target(spark, tmp_path)
+    empty = df_of(spark, []).filter(F.lit(False))
+    t.merge(empty)
+    assert not t.exists()  # no-op, target still uninitialized
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    assert [(r["arcane_merge_key"], r["payload"]) for r in t.read().collect()] == [("k1", "a")]
+
+
+def test_empty_batch_on_existing_target_is_noop(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    v_before = t._manifest()["version"]
+    t.merge(df_of(spark, []).filter(F.lit(False)))
+    assert t._manifest()["version"] == v_before  # no version churn
+    assert t.read().count() == 1
+
+
+def test_overwrite_with_empty_source_truncates(spark, tmp_path):
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    t.overwrite(df_of(spark, []).filter(F.lit(False)))
+    out = t.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"arcane_merge_key", "createdon", "payload"}
+    # and the table keeps working afterwards
+    t.merge(df_of(spark, [("k3", 1, "c")]))
+    assert t.read().count() == 1
