@@ -23,8 +23,6 @@ from arcane_stream_parquet_spark.operators.minhash import (
     NUM_BANDS,
     NUM_HASHES,
     SHINGLE_K,
-    candidate_pairs,
-    lsh_bands,
     minhash_signature,
     near_duplicates,
 )
@@ -43,7 +41,6 @@ from arcane_stream_parquet_spark.operators.similarity import (
 from arcane_stream_parquet_spark.operators.simhash import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
-    simhash,
     simhash_near_duplicates,
 )
 from arcane_stream_parquet_spark.operators.text import (
@@ -203,6 +200,17 @@ MINHASH_MIN_JACCARD = 0.2
 # Text analysis
 
 
+_QUALITY_SCORE_SQL = (
+    "0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) "
+    "+ 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+    "         / nullif(CAST(length(text) AS DOUBLE), 0.0)) "
+    "+ 0.2 * least((CAST(len(list_filter(toks, t -> list_contains("
+    + str(list(STOPWORDS)).replace('"', "'")
+    + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)) * 5.0, 1.0) "
+    "+ 0.1 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+)
+
+
 @register_query(
     "text_stats",
     oracle=f"""
@@ -228,17 +236,22 @@ MINHASH_MIN_JACCARD = 0.2
                {_micro("CAST(len(list_filter(toks, t -> list_contains("
                        + str(list(STOPWORDS)).replace('"', "'")
                        + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)")}
-                   AS stopword_ratio_micro
+                   AS stopword_ratio_micro,
+               {_micro(_QUALITY_SCORE_SQL)} AS quality_score_micro,
+               ({_QUALITY_SCORE_SQL}) >= 0.5 AS quality_keep
         FROM base
     """,
-    doc="Per-document text profile: char/token/BPE-token counts, "
-    "alpha/digit/stopword ratios (micro-units). Narrow projection, "
-    "codegen-only — free rider on any 100 TB scan.",
+    doc="Per-document text profile + C4/Gopher-style quality score in "
+    "ONE pass (consolidated from the former text_stats + text_quality "
+    "entries — same operators, one registry row): char/token/BPE-token "
+    "counts, alpha/digit/stopword ratios (micro-units), quality score + "
+    "keep flag. Narrow projection, codegen-only — free rider on any "
+    "100 TB scan; quality_score composes text_stats without a join.",
     tags=("llm", "text"),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    st = text_stats(docs)
+    st = quality_score(docs)  # text_stats columns + quality columns, one projection
     return st.select(
         "doc_id",
         "stat_n_chars",
@@ -249,38 +262,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro_col(F.col("stat_alpha_ratio")).alias("alpha_ratio_micro"),
         micro_col(F.col("stat_digit_ratio")).alias("digit_ratio_micro"),
         micro_col(F.col("stat_stopword_ratio")).alias("stopword_ratio_micro"),
-    )
-
-
-_QUALITY_SCORE_SQL = (
-    "0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) "
-    "+ 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
-    "         / nullif(CAST(length(text) AS DOUBLE), 0.0)) "
-    "+ 0.2 * least((CAST(len(list_filter(toks, t -> list_contains("
-    + str(list(STOPWORDS)).replace('"', "'")
-    + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)) * 5.0, 1.0) "
-    "+ 0.1 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
-)
-
-
-@register_query(
-    "text_quality",
-    oracle=f"""
-        WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-        SELECT doc_id,
-               {_micro(_QUALITY_SCORE_SQL)} AS quality_score_micro,
-               ({_QUALITY_SCORE_SQL}) >= 0.5 AS quality_keep
-        FROM base
-    """,
-    doc="C4/Gopher-style heuristic quality score + keep flag "
-    "(length, letter share, stopword glue, repetition).",
-    tags=("llm", "text"),
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    qs = quality_score(docs)
-    return qs.select(
-        "doc_id",
         micro_col(F.col("quality_score")).alias("quality_score_micro"),
         "quality_keep",
     )
@@ -392,25 +373,6 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "minhash_lsh_candidates",
-    oracle=_sql_sig_cte()
-    + f""", bands AS ({_sql_bands()})
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b USING (band_id, band_key)
-        WHERE a.doc_id < b.doc_id
-    """,
-    doc=f"LSH banding ({NUM_BANDS} bands × {NUM_HASHES // NUM_BANDS} "
-    "rows): candidate pairs sharing ≥1 band bucket. Equi-join on the "
-    "band key — candidates only, NEVER an all-pairs cross join.",
-    tags=("llm", "dedup", "minhash"),
-)
-def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs.select("doc_id", "text"))
-    return candidate_pairs(lsh_bands(sig))
-
-
-@register_query(
     "minhash_near_duplicates",
     oracle=_sql_sig_cte()
     + f""", bands AS ({_sql_bands()}),
@@ -431,9 +393,14 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b, {_micro("jaccard")} AS jaccard_micro
         FROM verified WHERE jaccard >= {MINHASH_MIN_JACCARD}
     """,
-    doc="Full near-dup pipeline: LSH candidates verified by exact "
-    "shingle-set Jaccard ≥ threshold. Shingle arrays travel only for "
-    "candidate rows.",
+    doc=f"Full near-dup pipeline: LSH banding ({NUM_BANDS} bands × "
+    f"{NUM_HASHES // NUM_BANDS} rows) candidates verified by exact "
+    "shingle-set Jaccard ≥ threshold — the oracle re-derives the "
+    "candidate stage (former minhash_lsh_candidates entry, consolidated "
+    "here; candidate_pairs/lsh_bands stay pytest-covered in "
+    "tests/test_llm_ops.py). Equi-join on the band key only — NEVER an "
+    "all-pairs cross join; shingle arrays travel only for candidate "
+    "rows.",
     tags=("llm", "dedup", "minhash"),
 )
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,18 +415,6 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash
-
-
-@register_query(
-    "simhash_signature",
-    oracle=_sql_simhash_cte() + "SELECT doc_id, simhash FROM sig",
-    doc=f"{SIMHASH_BITS}-bit frequency-weighted SimHash per document. "
-    "explode tokens → ONE doc_id shuffle with map-side partial sums.",
-    tags=("llm", "dedup", "simhash"),
-)
-def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs.select("doc_id", "text"))
 
 
 def _sql_hamming(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
@@ -492,9 +447,13 @@ def _sql_hamming(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
         FROM pairs
         WHERE {_sql_hamming("sh_a", "sh_b")} <= {SIMHASH_CHUNKS - 1}
     """,
-    doc=f"SimHash near-dups: {SIMHASH_CHUNKS}-chunk pigeonhole "
-    f"candidates (complete for Hamming ≤ {SIMHASH_CHUNKS - 1}) + exact "
-    "Hamming verify. Equi-join on chunk value only.",
+    doc=f"SimHash near-dups: {SIMHASH_BITS}-bit frequency-weighted "
+    f"signatures (explode tokens → ONE doc_id shuffle with map-side "
+    f"partial sums — the oracle re-derives the full signature stage, "
+    f"former simhash_signature entry consolidated here), then "
+    f"{SIMHASH_CHUNKS}-chunk pigeonhole candidates (complete for "
+    f"Hamming ≤ {SIMHASH_CHUNKS - 1}) + exact Hamming verify. Equi-join "
+    "on chunk value only.",
     tags=("llm", "dedup", "simhash"),
 )
 def q_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,45 +504,6 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "ann_lsh_topk",
-    oracle=f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, {_sql_vec()} AS qv,
-                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS bucket
-            FROM embeddings WHERE vec_id IN {ANN_QUERY_IDS}
-        ),
-        c AS (
-            SELECT vec_id AS neighbor_id, {_sql_vec()} AS cv,
-                   {_sql_lsh_bucket(_sql_vec(), random_planes())} AS bucket
-            FROM embeddings
-        ),
-        scored AS (
-            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS sim
-            FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
-        ),
-        ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
-        FROM ranked WHERE rn <= {ANN_K}
-    """,
-    doc="Approximate top-k via random-hyperplane LSH (8 fixed planes → "
-    "256 buckets): candidates share the query's bucket; cosine only "
-    "within candidates. The 100 TB path — bucket equi-join, no "
-    "all-pairs.",
-    tags=("llm", "similarity"),
-)
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = ann_lsh_topk(emb, _queries_subset(spark, sf_dir), k=ANN_K)
-    return out.select(
-        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
-    )
-
-
-@register_query(
     "embedding_near_duplicates",
     oracle=f"""
         WITH b AS (
@@ -623,63 +543,48 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "multimodal_metadata",
-    oracle="""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-               lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
-               sha256(text) AS content_hash,
-               'application/octet-stream' AS media_type
-        FROM documents
-    """,
-    doc="Typed metadata over an opaque binary payload column: byte "
-    "length, magic-number header, content hash. All JVM built-ins.",
-    tags=("llm", "multimodal"),
-)
-def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return payload_metadata(with_binary_payload(docs))
-
-
-@register_query(
-    "multimodal_decode_fake",
+    "multimodal_pipeline",
     oracle=f"""
-        WITH h AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+        WITH h AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
                           sha256(text) AS ch FROM documents)
         SELECT doc_id,
                CAST(blen AS BIGINT) AS byte_len,
+               lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
+               ch AS content_hash,
+               'application/octet-stream' AS media_type,
                CAST(64 + {_hex4_to_int("ch")} % 1024 AS BIGINT) AS width,
                CAST(64 + {_hex4_to_int("substr(ch, 5, 4)")} % 1024 AS BIGINT) AS height,
                CAST(3 AS BIGINT) AS n_channels,
-               ch AS feature_hash
+               ch AS feature_hash,
+               CAST((blen + 63) // 64 AS BIGINT) AS n_frames
         FROM h
     """,
-    doc="mapInPandas (Arrow-batched) image-decode path with the "
-    "DETERMINISTIC FAKE codec (real codecs absent in this env — "
-    "clearly-marked stub). The oracle checks the full Python-worker "
-    "round trip byte-for-byte.",
+    doc="Multimodal plumbing in one per-doc row (consolidated from the "
+    "former multimodal_metadata / multimodal_decode_fake / "
+    "multimodal_frame_counts entries — same three operators, one "
+    "registry row): typed metadata over the opaque binary payload (JVM "
+    "built-ins), the mapInPandas Arrow image-decode path with the "
+    "DETERMINISTIC FAKE codec (real PNG/JPEG header decoding is the "
+    "multimodal_image_dims entry), and the 1-row→N-frames sampling "
+    "shape verified by per-doc frame counts. The oracle checks the "
+    "full Python-worker round trip byte-for-byte.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_features(with_binary_payload(docs), fake=True)
-
-
-@register_query(
-    "multimodal_frame_counts",
-    oracle="""
-        SELECT doc_id,
-               CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
-        FROM documents
-    """,
-    doc="Video-frame-sampling shape (1 payload row → N frame rows via "
-    "mapInPandas, fake codec) verified by frame counts per doc.",
-    tags=("llm", "multimodal", "pandas-udf"),
-)
-def q_multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    frames = sample_frames(with_binary_payload(docs), every_n_bytes=64, fake=True)
-    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    payload = with_binary_payload(docs)
+    md = payload_metadata(payload).select(
+        "doc_id", "byte_len", "header_hex", "content_hash", "media_type"
+    )
+    dec = decode_image_features(payload, fake=True).select(
+        "doc_id", "width", "height", "n_channels", "feature_hash"
+    )
+    frames = (
+        sample_frames(payload, every_n_bytes=64, fake=True)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return md.join(dec, "doc_id").join(frames, "doc_id")
 
 
 IVF_NUM_CENTROIDS = 8
@@ -1137,10 +1042,13 @@ def _sql_flip_bucket(bucket: str, i: int, num_planes: int) -> str:
         SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
         FROM ranked WHERE rn <= {ANN_K}
     """,
-    doc="Multi-probe LSH ANN: each query also probes its 8 Hamming-1 "
-    "neighbor buckets — the standard recall knob (vectors near a "
-    "hyperplane recover) at ~9× the candidate cost, still bucket "
-    "equi-joins only.",
+    doc="Random-hyperplane LSH ANN top-k, multi-probe: candidates share "
+    "the query's bucket (8 fixed planes → 256 buckets) and its 8 "
+    "Hamming-1 neighbor buckets — the standard recall knob (vectors "
+    "near a hyperplane recover) at ~9× the candidate cost, still "
+    "bucket equi-joins only, no all-pairs. Subsumes the former "
+    "single-bucket ann_lsh_topk entry (multi_probe=False — "
+    "pytest-covered in tests/test_llm_ops.py).",
     tags=("llm", "similarity"),
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

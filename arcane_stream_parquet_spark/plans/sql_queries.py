@@ -82,35 +82,37 @@ def q_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
-               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+               TRUE AS approx_within_5pct
         FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Exact distinct aggregation (expand + two-phase hash agg in "
-    "Spark; approx_count_distinct is the scale alternative, see "
-    "approx_distinct).",
+    doc="Exact distinct aggregation (expand + two-phase hash agg) PLUS "
+    "the approx_count_distinct (HyperLogLog++, rsd=0.02) 100 TB "
+    "alternative, gated by a tolerance oracle: approx_within_5pct "
+    "asserts |approx − exact| ≤ 5% · exact per group, which the oracle "
+    "pins to TRUE — sketch values are engine-specific, but the error "
+    "bound is hash-checkable (closes the former rows-only "
+    "approx_distinct entry).",
     tags=("sql", "aggregate"),
 )
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-    )
-
-
-@register_query(
-    "approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific by construction
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "cardinality — no exact-distinct expand/shuffle blowup. Sketch "
-    "values are engine-specific, hence rows-only check (non-sql); the "
-    "exact twin distinct_agg is the hash-checked counterpart.",
-    tags=("sql", "aggregate", "non-sql"),
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "distinct_suppliers",
+            "distinct_parts",
+            (
+                F.abs(F.col("__approx") - F.col("distinct_suppliers"))
+                <= F.col("distinct_suppliers") * F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -180,47 +182,34 @@ def q_join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-        SELECT c_custkey, c_name FROM customer
+        SELECT 'semi' AS kind, c_custkey, c_name FROM customer
         WHERE c_custkey IN (
             SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         )
-    """,
-    doc="Left-semi join (EXISTS): customers having a >400k order — "
-    "probe side never duplicates, payload columns never shuffle.",
-    tags=("sql", "join"),
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 400000
-    )
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register_query(
-    "join_anti",
-    oracle="""
-        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
-        FROM customer
+        UNION ALL
+        SELECT 'anti', c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        GROUP BY c_mktsegment
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders, "
-    "counted per segment.",
+    doc="Left-semi + left-anti joins, one tagged union (consolidated "
+    "from the former join_semi / join_anti entries): EXISTS — customers "
+    "having a >400k order (probe side never duplicates, payload columns "
+    "never shuffle) — and NOT EXISTS — customers with no orders. Plan "
+    "asserted LeftSemi + LeftAnti in tests/test_sql_surface.py.",
     tags=("sql", "join"),
 )
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name"
     )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register_query(
@@ -334,19 +323,42 @@ def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(o_totalprice) OVER w AS next_price,
                CAST(rank() OVER (
                    PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
-                   AS price_rank
+                   AS price_rank,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_total,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER wfull AS last_key,
+               nth_value(o_orderkey, 2) OVER wfull AS second_key
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
-    doc="Ranking + offset windows (row_number/lag/lead/rank) over the "
-    "customer partition: ONE shuffle on o_custkey shared by both "
-    "window specs' sorts.",
+    doc="Window-function pack (§2.5, consolidated from the former "
+    "window_rank_lag + window_frames entries): ranking + offset "
+    "functions (row_number/lag/lead/rank) AND explicit frame specs — "
+    "growing-frame running total (DECIMAL-exact; float running sums are "
+    "accumulation-order traps), first/last/nth over the full partition. "
+    "Every spec partitions by o_custkey: ONE shuffle shared by all "
+    "sorts (plan asserted in tests/test_sql_surface.py).",
     tags=("sql", "window"),
 )
 def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order)
     wr = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -354,6 +366,12 @@ def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.rank().over(wr).cast("bigint").alias("price_rank"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(grow), 4)
+        .cast("double")
+        .alias("running_total"),
+        F.first("o_orderkey").over(grow).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
     )
 
 
@@ -435,93 +453,74 @@ def q_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "asof_join_backward",
+    "asof_join",
     oracle="""
-        WITH l AS (
-            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-            FROM events WHERE event_type = 'click'
-        ),
-        r AS (
+        WITH r AS (
             SELECT event_id AS r_event_id, user_id,
                    epoch_us(ts) AS r_ts_us, value AS r_value
             FROM events WHERE event_type = 'purchase'
+        ),
+        lb AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'click'
+        ),
+        lf AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(NULL AS DOUBLE) AS value
+            FROM events WHERE event_type = 'signup'
         )
-        SELECT l.event_id, l.user_id, l.ts_us, l.value,
-               r.r_value AS value_right, r.r_event_id AS event_id_right
-        FROM l ASOF LEFT JOIN r
-          ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us
+        SELECT 'backward' AS direction, lb.event_id, lb.user_id, lb.ts_us,
+               lb.value, r.r_value AS value_right, r.r_event_id AS event_id_right
+        FROM lb ASOF LEFT JOIN r
+          ON lb.user_id = r.user_id AND lb.ts_us >= r.r_ts_us
+        UNION ALL
+        SELECT 'forward', lf.event_id, lf.user_id, lf.ts_us,
+               lf.value, r.r_value, r.r_event_id
+        FROM lf ASOF LEFT JOIN r
+          ON lf.user_id = r.user_id AND lf.ts_us <= r.r_ts_us
     """,
-    doc="As-of join, backward: each click joined to the user's latest "
-    "purchase at-or-before it. Union + one key shuffle + partition "
-    "sort + struct-atomic last() carry — linear, no range explosion "
-    "(operators/asof.py; DuckDB native ASOF JOIN is the oracle).",
+    doc="As-of join, both directions in one tagged union (consolidated "
+    "from the former asof_join_backward / asof_join_forward entries): "
+    "backward — each click joined to the user's latest purchase "
+    "at-or-before it; forward — each signup to the first purchase "
+    "at-or-after it (time-to-conversion shape). Union + one key "
+    "shuffle + partition sort + struct-atomic last() carry per "
+    "direction — linear, no range explosion (operators/asof.py; DuckDB "
+    "native ASOF JOIN is the oracle).",
     tags=("sql", "join", "asof"),
 )
-def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts DIV 1000")
     )
-    left = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_us", "value"
-    )
     right = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us", "value"
     )
-    return asof_join(
-        left,
+    back = asof_join(
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts_us", "value"
+        ),
         right,
         on=["user_id"],
         left_ts="ts_us",
         right_ts="ts_us",
         right_value_cols=["value", "event_id"],
         direction="backward",
-    )
-
-
-@register_query(
-    "asof_join_forward",
-    oracle="""
-        WITH l AS (
-            SELECT event_id, user_id, epoch_us(ts) AS ts_us
-            FROM events WHERE event_type = 'signup'
+    ).select(F.lit("backward").alias("direction"), "*")
+    fwd = asof_join(
+        ev.filter(F.col("event_type") == "signup").select(
+            "event_id", "user_id", "ts_us", F.lit(None).cast("double").alias("value")
         ),
-        r AS (
-            SELECT event_id AS r_event_id, user_id,
-                   epoch_us(ts) AS r_ts_us, value AS r_value
-            FROM events WHERE event_type = 'purchase'
-        )
-        SELECT l.event_id, l.user_id, l.ts_us,
-               r.r_value AS value_right, r.r_event_id AS event_id_right
-        FROM l ASOF LEFT JOIN r
-          ON l.user_id = r.user_id AND l.ts_us <= r.r_ts_us
-    """,
-    doc="As-of join, forward: each signup joined to the user's first "
-    "purchase at-or-after it (time-to-conversion shape).",
-    tags=("sql", "join", "asof"),
-)
-def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
-    left = ev.filter(F.col("event_type") == "signup").select(
-        "event_id", "user_id", "ts_us"
-    )
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts_us", "value"
-    )
-    return asof_join(
-        left,
         right,
         on=["user_id"],
         left_ts="ts_us",
         right_ts="ts_us",
         right_value_cols=["value", "event_id"],
         direction="forward",
-    )
+    ).select(F.lit("forward").alias("direction"), "*")
+    return back.unionByName(fwd)
 
 
 # ---------------------------------------------------------------------------
@@ -631,57 +630,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "window_frames",
-    oracle="""
-        SELECT o_custkey, o_orderkey,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_total,
-               first_value(o_orderkey) OVER w AS first_key,
-               last_value(o_orderkey) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                   AS last_key,
-               nth_value(o_orderkey, 2) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                   AS second_key
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS UNBOUNDED PRECEDING)
-    """,
-    doc="Explicit frame specs (§2.5): growing-frame running total "
-    "(DECIMAL-exact — float running sums are accumulation-order traps), "
-    "first/last/nth over the full partition. One shuffle, shared sort.",
-    tags=("sql", "window"),
-)
-def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    order = [F.col("o_orderdate"), F.col("o_orderkey")]
-    grow = (
-        Window.partitionBy("o_custkey")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    full = (
-        Window.partitionBy("o_custkey")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(grow), 4)
-        .cast("double")
-        .alias("running_total"),
-        F.first("o_orderkey").over(grow).alias("first_key"),
-        F.last("o_orderkey").over(full).alias("last_key"),
-        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
-    )
-
-
-@register_query(
-    "pivot_agg",
+    "pivot_percentile_agg",
     oracle="""
         SELECT l_returnflag,
                CAST(round(sum(CASE WHEN l_linestatus = 'F'
@@ -689,23 +638,42 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS qty_F,
                CAST(round(sum(CASE WHEN l_linestatus = 'O'
                    THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4) AS DOUBLE)
-                   AS qty_O
+                   AS qty_O,
+               CAST(floor(median(l_quantity) * 1000000) AS BIGINT)
+                   AS median_qty_micro,
+               CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT)
+                   AS p90_qty_micro,
+               CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS min_qty_micro,
+               CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS max_qty_micro
         FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Pivot (wide aggregation): linestatus values become columns — "
-    "Spark plans it as conditional aggregates in ONE pass (explicit "
-    "value list avoids the extra distinct-discovery job).",
-    tags=("sql", "aggregate", "pivot"),
+    doc="Pivot + exact order statistics per group (consolidated from "
+    "the former pivot_agg + percentile_agg entries — same group key, "
+    "one row set): linestatus values become columns (Spark plans the "
+    "explicit value list as conditional aggregates in ONE pass, no "
+    "distinct-discovery job) alongside exact median / continuous p90 / "
+    "min / max (approx_percentile is the sketch-based 100 TB "
+    "alternative, engine-specific like approx_count_distinct).",
+    tags=("sql", "aggregate", "pivot", "percentile"),
 )
-def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pivot_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.plans.llm_queries import micro_col
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(_to_double(_dsum("l_quantity")))
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
     )
+    pct = li.groupBy("l_returnflag").agg(
+        micro_col(F.median("l_quantity")).alias("median_qty_micro"),
+        micro_col(F.percentile("l_quantity", 0.9)).alias("p90_qty_micro"),
+        micro_col(F.min("l_quantity")).alias("min_qty_micro"),
+        micro_col(F.max("l_quantity")).alias("max_qty_micro"),
+    )
+    return piv.join(pct, "l_returnflag")
 
 
 @register_query(
@@ -784,36 +752,6 @@ def q_array_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "percentile_agg",
-    oracle="""
-        SELECT l_returnflag,
-               CAST(floor(median(l_quantity) * 1000000) AS BIGINT)
-                   AS median_qty_micro,
-               CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT)
-                   AS p90_qty_micro,
-               CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS min_qty_micro,
-               CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS max_qty_micro
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Exact order statistics (median / continuous p90 / min / max) "
-    "per group — Spark's percentile is the exact sort-based algorithm "
-    "(approx_percentile is the sketch-based 100 TB alternative, "
-    "engine-specific like approx_distinct).",
-    tags=("sql", "aggregate", "percentile"),
-)
-def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.plans.llm_queries import micro_col
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        micro_col(F.median("l_quantity")).alias("median_qty_micro"),
-        micro_col(F.percentile("l_quantity", 0.9)).alias("p90_qty_micro"),
-        micro_col(F.min("l_quantity")).alias("min_qty_micro"),
-        micro_col(F.max("l_quantity")).alias("max_qty_micro"),
-    )
-
-
-@register_query(
     "grouped_pandas_normalize",
     oracle="""
         SELECT doc_id,
@@ -848,8 +786,8 @@ _WEEK_US = 7 * 24 * 3_600_000_000
 
 
 @register_query(
-    "event_funnel",
-    oracle="""
+    "event_analytics",
+    oracle=f"""
         WITH s AS (
             SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
             WHERE event_type = 'signup' GROUP BY user_id
@@ -865,17 +803,43 @@ _WEEK_US = 7 * 24 * 3_600_000_000
             FROM events e JOIN c ON e.user_id = c.user_id
             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_ts
             GROUP BY e.user_id
+        ),
+        first_seen AS (
+            SELECT user_id, min(epoch_us(ts)) AS first_us FROM events
+            GROUP BY user_id
+        ),
+        cohorts AS (
+            SELECT user_id, (first_us // {_WEEK_US}) AS cohort_week
+            FROM first_seen
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, (epoch_us(e.ts) // {_WEEK_US}) AS week
+            FROM events e
         )
-        SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
-               CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
-               CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+        SELECT 'funnel' AS kind, CAST(-1 AS BIGINT) AS cohort_week,
+               CAST((SELECT count(*) FROM s) AS BIGINT) AS m1,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS m2,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS m3
+        UNION ALL
+        SELECT 'retention', c.cohort_week,
+               CAST(count(DISTINCT c.user_id) AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN a.week = c.cohort_week + 1
+                    THEN a.user_id END) AS BIGINT),
+               CAST(-1 AS BIGINT)
+        FROM cohorts c LEFT JOIN activity a ON a.user_id = c.user_id
+        GROUP BY c.cohort_week
     """,
-    doc="Ordered conversion funnel (signup → first click after → first "
-    "purchase after): stepwise min-timestamp joins, each stage keyed on "
-    "user_id — three key-local aggregations, no sequence explosion.",
-    tags=("sql", "analytics", "funnel"),
+    doc="Event analytics, one tagged union (consolidated from the "
+    "former event_funnel + cohort_retention entries). kind='funnel' "
+    "(one row): m1/m2/m3 = ordered conversion counts signup → first "
+    "click after → first purchase after — stepwise min-timestamp "
+    "joins, each stage keyed on user_id, no sequence explosion. "
+    "kind='retention' (per cohort_week): m1=n_users, m2=retained_w1 — "
+    "users bucketed by first-seen week, week-1 retention. Unused "
+    "slots carry the -1 sentinel (typed BIGINT on both engines).",
+    tags=("sql", "analytics", "funnel", "cohort"),
 )
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
     )
@@ -898,43 +862,17 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("p_ts"))
     )
-    return (
-        s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
-    )
-
-
-@register_query(
-    "cohort_retention",
-    oracle=f"""
-        WITH first_seen AS (
-            SELECT user_id, min(epoch_us(ts)) AS first_us FROM events
-            GROUP BY user_id
-        ),
-        cohorts AS (
-            SELECT user_id, (first_us // {_WEEK_US}) AS cohort_week
-            FROM first_seen
-        ),
-        activity AS (
-            SELECT DISTINCT e.user_id, (epoch_us(e.ts) // {_WEEK_US}) AS week
-            FROM events e
+    funnel = (
+        s.agg(F.count("*").alias("m1"))
+        .crossJoin(c.agg(F.count("*").alias("m2")))
+        .crossJoin(p.agg(F.count("*").alias("m3")))
+        .select(
+            F.lit("funnel").alias("kind"),
+            F.lit(-1).cast("long").alias("cohort_week"),
+            "m1",
+            "m2",
+            "m3",
         )
-        SELECT c.cohort_week,
-               CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
-               CAST(count(DISTINCT CASE WHEN a.week = c.cohort_week + 1
-                    THEN a.user_id END) AS BIGINT) AS retained_w1
-        FROM cohorts c LEFT JOIN activity a ON a.user_id = c.user_id
-        GROUP BY c.cohort_week
-    """,
-    doc="Cohort retention: users bucketed by first-seen week, week-1 "
-    "retention per cohort — two user-keyed aggregations + one join, "
-    "the standard cohort-table shape.",
-    tags=("sql", "analytics", "cohort"),
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("us")
     )
     cohorts = ev.groupBy("user_id").agg(
         F.floor(F.min("us") / _WEEK_US).cast("long").alias("cohort_week")
@@ -942,10 +880,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.floor(F.col("us") / _WEEK_US).cast("long").alias("week")
     ).distinct()
-    joined = cohorts.join(activity, "user_id", "left")
-    return joined.groupBy("cohort_week").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct(
-            F.when(F.col("week") == F.col("cohort_week") + 1, F.col("user_id"))
-        ).alias("retained_w1"),
+    retention = (
+        cohorts.join(activity, "user_id", "left")
+        .groupBy("cohort_week")
+        .agg(
+            F.countDistinct("user_id").alias("m1"),
+            F.countDistinct(
+                F.when(F.col("week") == F.col("cohort_week") + 1, F.col("user_id"))
+            ).alias("m2"),
+        )
+        .select(
+            F.lit("retention").alias("kind"),
+            "cohort_week",
+            "m1",
+            "m2",
+            F.lit(-1).cast("long").alias("m3"),
+        )
     )
+    return funnel.unionByName(retention)

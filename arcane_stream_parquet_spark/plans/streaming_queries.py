@@ -33,48 +33,7 @@ def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "window_tumbling",
-    oracle=f"""
-        SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
-               event_type,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
-                   AS sum_value
-        FROM events
-        GROUP BY 1, 2
-    """,
-    doc="Tumbling 1 h event-time windows per event_type: one hash "
-    "shuffle on (window, type) with map-side partial agg. Identical "
-    "expression serves streaming with withWatermark (ST4).",
-    tags=("streaming", "window", "event-time"),
-)
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_with_ts(spark, sf_dir)
-    return tumbling_counts(
-        ev, "ts_ts", "1 hour", group_cols=("event_type",), value_col="value"
-    )
-
-
-@register_query(
-    "window_sliding",
-    oracle=f"""
-        SELECT ((epoch_us(ts) // {_HOUR_US}) - k.k) * {_HOUR_US} AS window_start_us,
-               CAST(count(*) AS BIGINT) AS n_events
-        FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
-        GROUP BY 1
-    """,
-    doc="Sliding windows (2 h length, 1 h slide): each event counts in "
-    "2 overlapping windows — Spark expands internally, the oracle "
-    "reproduces it as a 2-offset union.",
-    tags=("streaming", "window", "event-time"),
-)
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_with_ts(spark, sf_dir)
-    return sliding_counts(ev, "ts_ts", "2 hours", "1 hour")
-
-
-@register_query(
-    "window_session",
+    "window_event_time",
     oracle=f"""
         WITH ordered AS (
             SELECT user_id, epoch_us(ts) AS us,
@@ -95,16 +54,62 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS UNBOUNDED PRECEDING) AS session_no
             FROM flagged
         )
-        SELECT user_id,
-               min(us) AS session_start_us,
-               CAST(count(*) AS BIGINT) AS n_events
+        SELECT 'tumbling' AS kind,
+               (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+               event_type AS grp,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding',
+               ((epoch_us(ts) // {_HOUR_US}) - k.k) * {_HOUR_US},
+               'ALL',
+               CAST(count(*) AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        GROUP BY 2
+        UNION ALL
+        SELECT 'session', min(us), CAST(user_id AS VARCHAR),
+               CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
         FROM numbered GROUP BY user_id, session_no
     """,
-    doc="Session windows (30 min gap) per user: Spark session_window "
-    "merges in the aggregation; the oracle is the gaps-and-islands "
-    "construction — identical session boundaries.",
+    doc="Event-time windows, all three families in one tagged union "
+    "(consolidated from the former window_tumbling / window_sliding / "
+    "window_session entries — same operators in operators/windows.py, "
+    "one registry row). kind='tumbling': 1 h windows per event_type "
+    "(grp) with count + DECIMAL-exact value sum — one hash shuffle on "
+    "(window, type) with map-side partial agg. kind='sliding': 2 h "
+    "windows sliding 1 h (each event in 2 windows; the oracle is the "
+    "2-offset union). kind='session': 30 min-gap sessions per user "
+    "(grp; Spark session_window merges in the aggregation; the oracle "
+    "is gaps-and-islands). The same expressions serve streaming with "
+    "withWatermark (ST4, tests/test_streaming_windows.py).",
     tags=("streaming", "window", "event-time", "session"),
 )
-def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_with_ts(spark, sf_dir)
-    return session_counts(ev, "ts_ts", "30 minutes", key_cols=("user_id",))
+    tumbling = tumbling_counts(
+        ev, "ts_ts", "1 hour", group_cols=("event_type",), value_col="value"
+    ).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start_us",
+        F.col("event_type").alias("grp"),
+        "n_events",
+        "sum_value",
+    )
+    sliding = sliding_counts(ev, "ts_ts", "2 hours", "1 hour").select(
+        F.lit("sliding").alias("kind"),
+        "window_start_us",
+        F.lit("ALL").alias("grp"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    session = session_counts(ev, "ts_ts", "30 minutes", key_cols=("user_id",)).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start_us").alias("window_start_us"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumbling.unionByName(sliding).unionByName(session)

@@ -30,8 +30,9 @@ def test_multi_join_broadcasts_dims(spark):
 
 
 def test_semi_anti_join_types(spark):
-    assert "LeftSemi" in _plan(spark, "join_semi")
-    assert "LeftAnti" in _plan(spark, "join_anti")
+    plan = _plan(spark, "join_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_topk_uses_take_ordered(spark):
