@@ -29,6 +29,8 @@ import re
 from dataclasses import dataclass
 from typing import Any
 
+from arcane_stream_parquet_spark.fsio import fs_join
+
 _DURATION_UNITS = {
     "ms": 0.001,
     "millisecond": 0.001,
@@ -242,10 +244,10 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
         field_selection=selection,
         modified_after=spec.backfill_start_date,
     )
-    target_rel = spec.target_table_full_name.replace(".", os.sep)
+    target_rel = spec.target_table_full_name.replace(".", "/")
     target = ParquetMergeTarget(
         spark=spark,
-        path=os.path.join(warehouse_root, target_rel),
+        path=fs_join(warehouse_root, target_rel),
         max_records_per_file=spec.max_rows_per_file,
         unified_schema=spec.is_unified_schema,
         sorted_by=spec.sorted_by,
@@ -254,7 +256,7 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
     runner = StreamRunner(
         source=source,
         target=target,
-        checkpoint_dir=os.path.join(checkpoint_root, target_rel),
+        checkpoint_dir=fs_join(checkpoint_root, target_rel),
         change_capture_interval_seconds=spec.change_capture_interval_seconds,
         max_files_per_trigger=spec.max_files_per_trigger,
         maintenance_every_n_batches=spec.maintenance_batch_threshold,

@@ -36,6 +36,7 @@ from arcane_stream_parquet_spark.operators.minhash import (
     lsh_bands,
     minhash_signature,
 )
+from arcane_stream_parquet_spark.fsio import fs_join
 from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
 
 
@@ -56,14 +57,14 @@ class LshDedupIndex:
 
         self._bands = ParquetMergeTarget(
             spark=self.spark,
-            path=os.path.join(self.path, "bands"),
+            path=fs_join(self.path, "bands"),
             key_col="band_doc_key",
             version_col="ingest_seq",
             num_buckets=self.num_buckets,
         )
         self._shingles = ParquetMergeTarget(
             spark=self.spark,
-            path=os.path.join(self.path, "shingles"),
+            path=fs_join(self.path, "shingles"),
             key_col="doc_key",
             version_col="ingest_seq",
             num_buckets=self.num_buckets,

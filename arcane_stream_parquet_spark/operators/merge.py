@@ -25,8 +25,13 @@ affected buckets of the live table (partition pruning on ``__bucket``),
 (3) resolves latest-wins with one ranking window (batch beats target on
 equal version — MERGE's ``s.createdon >= t.createdon``), (4) writes the
 merged buckets to a FRESH version directory, and (5) atomically flips
-the manifest (tmp + ``os.replace``) to point those buckets at the new
-version.
+the manifest (tmp-write + Hadoop FS rename) to point those buckets at
+the new version.
+
+All metadata IO goes through :class:`HadoopFileIO` (fsio.py) — one code
+path for ``file://``, ``hdfs://`` and ``s3a://`` alike, matching the
+reference's object-store-only deployment (``targetPath: s3a://...``,
+reference docs/crd.md:53-54).
 
 Durability (the round-1 ADVICE findings, all closed by this design):
 - No session-global ``partitionOverwriteMode`` mutation — every write
@@ -54,13 +59,13 @@ the dependency-free stand-in with the same observable semantics.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
 
 from arcane_stream_parquet_spark.functions.keys import (
     MERGE_KEY_COLUMN,
@@ -165,26 +170,29 @@ class ParquetMergeTarget:
     # -- storage layout ----------------------------------------------------
 
     @property
+    def _fio(self) -> HadoopFileIO:
+        return HadoopFileIO(self.spark)
+
+    @property
     def _meta_path(self) -> str:
-        return os.path.join(self.path, _META_DIR)
+        return fs_join(self.path, _META_DIR)
 
     @property
     def _manifest_path(self) -> str:
-        return os.path.join(self._meta_path, "manifest.json")
+        return fs_join(self._meta_path, "manifest.json")
 
     @property
     def _schema_path(self) -> str:
-        return os.path.join(self._meta_path, "schema.json")
+        return fs_join(self._meta_path, "schema.json")
 
     def _version_dir(self, version: int) -> str:
-        return os.path.join(self.path, "data", f"v{version:05d}")
+        return fs_join(self.path, "data", f"v{version:05d}")
 
     def exists(self) -> bool:
-        return os.path.isfile(self._manifest_path)
+        return self._fio.exists(self._manifest_path)
 
     def _manifest(self) -> dict:
-        with open(self._manifest_path) as fh:
-            return json.load(fh)
+        return json.loads(self._fio.read_text(self._manifest_path, tmp_fallback=True))
 
     def _flip_manifest(self, manifest: dict) -> None:
         """THE commit point: atomic rename (same pattern as the
@@ -199,16 +207,15 @@ class ParquetMergeTarget:
         multi-writer coordination is the job of a real table format's
         catalog (swap in Iceberg for that).
         """
-        os.makedirs(self._meta_path, exist_ok=True)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path)
-        archive = os.path.join(
+        text = json.dumps(manifest)
+        # archive BEFORE the flip: an archive of an uncommitted manifest
+        # is harmless (vacuum reclaims non-current archives); a committed
+        # manifest without its archive would lose a snapshot
+        archive = fs_join(
             self._meta_path, f"manifest-v{manifest['version']:05d}.json"
         )
-        with open(archive, "w") as fh:
-            json.dump(manifest, fh)
+        self._fio.write_text(archive, text)
+        self._fio.write_text(self._manifest_path, text)
 
     # -- schema ------------------------------------------------------------
 
@@ -220,27 +227,21 @@ class ParquetMergeTarget:
         from pyspark.sql.types import StructType
 
         try:
-            with open(self._schema_path) as fh:
-                return StructType.fromJson(json.load(fh))
+            return StructType.fromJson(
+                json.loads(self._fio.read_text(self._schema_path, tmp_fallback=True))
+            )
         except FileNotFoundError:
             return None
 
     def _save_schema(self, df: DataFrame) -> None:
-        os.makedirs(self._meta_path, exist_ok=True)
-        tmp = self._schema_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(df.schema.jsonValue(), fh)
-        os.replace(tmp, self._schema_path)
+        self._fio.write_text(self._schema_path, json.dumps(df.schema.jsonValue()))
 
     # -- read path ---------------------------------------------------------
 
     def snapshot_versions(self) -> list[int]:
         """Archived snapshot versions available for time travel (until
         vacuum)."""
-        try:
-            names = os.listdir(self._meta_path)
-        except FileNotFoundError:
-            return []
+        names = self._fio.list_names(self._meta_path)
         return sorted(
             int(n[len("manifest-v") : -len(".json")])
             for n in names
@@ -256,12 +257,11 @@ class ParquetMergeTarget:
         appear null-filled in history, the same forward-compatible rule
         as live reads of pre-drift files)."""
         if at_version is not None:
-            archive = os.path.join(
+            archive = fs_join(
                 self._meta_path, f"manifest-v{at_version:05d}.json"
             )
             try:
-                with open(archive) as fh:
-                    manifest = json.load(fh)
+                manifest = json.loads(self._fio.read_text(archive))
             except FileNotFoundError:
                 raise ValueError(
                     f"no snapshot v{at_version}; available: "
@@ -325,8 +325,8 @@ class ParquetMergeTarget:
         # a dir numbered above the committed manifest version can only
         # be a crash orphan (the flip is the commit point) — clear it so
         # a retry doesn't trip over its own previous attempt
-        if os.path.isdir(target):
-            shutil.rmtree(target)
+        if self._fio.exists(target):
+            self._fio.delete(target, recursive=True)
         writer.mode("errorifexists").parquet(target)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -450,21 +450,24 @@ class ParquetMergeTarget:
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --
 
-    def _live_files(self) -> dict[int, list[str]]:
-        """bucket -> live data files (driver-side listing of manifest-
-        referenced dirs only — metadata op, like Iceberg's manifests)."""
+    def _live_files(self) -> dict[int, list[tuple[str, int]]]:
+        """bucket -> live (path, bytes) data files (driver-side listing
+        of manifest-referenced dirs only — metadata op, like Iceberg's
+        manifests; works on any Hadoop FS)."""
         manifest = self._manifest()
-        out: dict[int, list[str]] = {}
+        out: dict[int, list[tuple[str, int]]] = {}
+        fio = self._fio
         for bucket, version in manifest["buckets"].items():
-            d = os.path.join(
+            d = fs_join(
                 self._version_dir(int(version)), f"{BUCKET_COLUMN}={bucket}"
             )
-            if os.path.isdir(d):
-                out[int(bucket)] = [
-                    os.path.join(d, f)
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                ]
+            entries = [
+                (fs_join(d, name), size)
+                for name, size in fio.list_files(d)
+                if name.endswith(".parquet")
+            ]
+            if entries:
+                out[int(bucket)] = entries
         return out
 
     def compact(self, min_files_per_bucket: int = 2) -> int:
@@ -500,44 +503,47 @@ class ParquetMergeTarget:
         untouched. Returns removed dirs."""
         manifest = self._manifest()
         live = {int(v) for v in manifest["buckets"].values()}
-        data_root = os.path.join(self.path, "data")
+        data_root = fs_join(self.path, "data")
+        fio = self._fio
         removed = []
-        for name in sorted(os.listdir(data_root)):
+        for name in fio.list_names(data_root):
             version = int(name.lstrip("v"))
             if version not in live:
-                shutil.rmtree(os.path.join(data_root, name))
+                fio.delete(fs_join(data_root, name), recursive=True)
                 removed.append(name)
         current = manifest["version"]
         for v in self.snapshot_versions():
             if v != current:
-                os.remove(
-                    os.path.join(self._meta_path, f"manifest-v{v:05d}.json")
-                )
+                fio.delete(fs_join(self._meta_path, f"manifest-v{v:05d}.json"))
         return removed
 
-    def stats(self) -> dict:
-        """ANALYZE equivalent: row count (distributed), live file count
-        and bytes (manifest listing)."""
+    def stats(self, with_row_count: bool = True) -> dict:
+        """ANALYZE equivalent: live file count and bytes come straight
+        from the metadata listing (O(files) driver-side, no data scan);
+        ``row_count`` is a distributed count over live buckets only —
+        pass ``with_row_count=False`` for the pure-metadata variant in
+        hot maintenance loops."""
         files = self._live_files()
-        all_files = [f for fs in files.values() for f in fs]
+        entries = [e for fs in files.values() for e in fs]
         return {
-            "row_count": self.read().count(),
+            "row_count": self.read().count() if with_row_count else None,
             "bucket_count": len(files),
-            "file_count": len(all_files),
-            "total_bytes": sum(os.path.getsize(f) for f in all_files),
+            "file_count": len(entries),
+            "total_bytes": sum(size for _, size in entries),
         }
 
     # -- watermark (reference ST2) ----------------------------------------
 
     @property
     def _watermark_path(self) -> str:
-        return os.path.join(self._meta_path, "watermark.json")
+        return fs_join(self._meta_path, "watermark.json")
 
     def watermark(self) -> int | None:
         """Last committed MAX(version) (reference BlobSourceWatermark)."""
         try:
-            with open(self._watermark_path) as fh:
-                return json.load(fh)["version"]
+            return json.loads(
+                self._fio.read_text(self._watermark_path, tmp_fallback=True)
+            )["version"]
         except FileNotFoundError:
             return None
 
@@ -547,8 +553,6 @@ class ParquetMergeTarget:
         current = self.watermark()
         if current is not None and version <= current:
             return  # monotonic
-        os.makedirs(self._meta_path, exist_ok=True)
-        tmp = self._watermark_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": int(version)}, fh)
-        os.replace(tmp, self._watermark_path)
+        self._fio.write_text(
+            self._watermark_path, json.dumps({"version": int(version)})
+        )

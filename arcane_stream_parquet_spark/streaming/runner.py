@@ -23,11 +23,12 @@ Backfill (E2) is the same transforms as one batch job with
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
 
 from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
 from arcane_stream_parquet_spark.operators.watermark import watermark_value
@@ -136,17 +137,11 @@ def run_backfill(
 # DefaultBackfillStateManager persisting progress, main.scala:104-111)
 
 
-def _list_source_files(path: str) -> list[str]:
+def _list_source_files(spark: SparkSession, path: str) -> list[str]:
     """Deterministic (sorted) listing of the source's parquet blobs —
-    the shard universe. Local FS here; on a real deployment the same
-    listing comes from the object store via Hadoop FS (reference S1)."""
-    import glob as _glob
-
-    files = sorted(
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    )
+    the shard universe. One recursive Hadoop FS listing, so the same
+    call serves local dirs and ``s3a://`` prefixes (reference S1)."""
+    files = HadoopFileIO(spark).list_files_recursive(path, suffix=".parquet")
     if not files:
         raise FileNotFoundError(f"no parquet blobs under {path}")
     return files
@@ -155,15 +150,24 @@ def _list_source_files(path: str) -> list[str]:
 @dataclass
 class BackfillState:
     """Persisted shard progress (reference DefaultBackfillStateManager):
-    JSON file listing completed shard indices; atomic tmp+rename like
-    every other commit in this engine."""
+    JSON file listing completed shard indices, committed through the
+    Hadoop FS layer (tmp-write + rename) so the state file can live
+    next to an ``s3a://`` target. ``spark`` defaults to the active
+    session."""
 
     path: str
+    spark: SparkSession | None = None
+
+    @property
+    def _fio(self) -> HadoopFileIO:
+        spark = self.spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("BackfillState needs an active SparkSession")
+        return HadoopFileIO(spark)
 
     def load(self) -> dict:
         try:
-            with open(self.path) as fh:
-                return json.load(fh)
+            return json.loads(self._fio.read_text(self.path, tmp_fallback=True))
         except FileNotFoundError:
             return {"done_shards": []}
 
@@ -171,17 +175,10 @@ class BackfillState:
         state = self.load()
         if shard_idx not in state["done_shards"]:
             state["done_shards"].append(shard_idx)
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, self.path)
+        self._fio.write_text(self.path, json.dumps(state))
 
     def clear(self) -> None:
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
+        self._fio.delete(self.path)
 
 
 def run_backfill_sharded(
@@ -210,16 +207,16 @@ def run_backfill_sharded(
     if behavior not in ("Merge", "Overwrite"):
         raise ValueError(f"behavior must be Merge|Overwrite, got {behavior!r}")
 
-    files = _list_source_files(source.path)
+    files = _list_source_files(spark, source.path)
     num_shards = min(num_shards, len(files))
     shards = [files[i::num_shards] for i in range(num_shards)]
-    state = BackfillState(state_path)
+    state = BackfillState(state_path, spark)
     done = set(state.load()["done_shards"])
 
     if behavior == "Overwrite":
         staging = ParquetMergeTarget(
             spark=spark,
-            path=os.path.join(target.path + "_backfill_staging"),
+            path=target.path + "_backfill_staging",
             key_col=target.key_col,
             version_col=target.version_col,
             num_buckets=target.num_buckets,
@@ -240,9 +237,7 @@ def run_backfill_sharded(
 
     if behavior == "Overwrite":
         target.overwrite(sink.read())
-        import shutil as _shutil
-
-        _shutil.rmtree(sink.path, ignore_errors=True)
+        HadoopFileIO(spark).delete(sink.path, recursive=True)
 
     full = source.read_batch(spark)
     target.commit_watermark(watermark_value(full, target.version_col))

@@ -1,0 +1,117 @@
+"""Hadoop FileSystem metadata layer (fsio.py) — the round-2 verdict's
+top storage fix: ParquetMergeTarget metadata must run through
+``org.apache.hadoop.fs.FileSystem`` so one code path serves ``file://``,
+``hdfs://`` and ``s3a://`` (reference deploys only to object stores,
+docs/crd.md:53-54). No S3 exists in this sandbox, so the proof is the
+scheme-URI path: everything here runs against explicit ``file://...``
+URIs, which exercise the exact same JVM FileSystem API surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def test_fs_join_is_uri_safe():
+    assert fs_join("s3a://bucket/pre/", "a", "b.json") == "s3a://bucket/pre/a/b.json"
+    assert fs_join("file:///tmp/x", "y") == "file:///tmp/x/y"
+    assert fs_join("/plain/path", "z") == "/plain/path/z"
+
+
+def test_small_file_round_trip_on_file_uri(spark, tmp_path):
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}"
+    p = fs_join(root, "meta", "state.json")
+
+    with pytest.raises(FileNotFoundError):
+        fio.read_text(p)
+    assert not fio.exists(p)
+
+    fio.write_text(p, '{"v": 1}')
+    assert fio.exists(p)
+    assert fio.read_text(p) == '{"v": 1}'
+    fio.write_text(p, '{"v": 2}')  # mutable overwrite
+    assert fio.read_text(p) == '{"v": 2}'
+
+    # immutable commit refuses to overwrite
+    q = fs_join(root, "meta", "manifest-v00001.json")
+    fio.create_text(q, "m1")
+    with pytest.raises(FileExistsError):
+        fio.create_text(q, "m2")
+
+    assert fio.list_names(fs_join(root, "meta")) == [
+        "manifest-v00001.json",
+        "state.json",
+    ]
+    assert fio.delete(p)
+    assert not fio.exists(p)
+
+
+def test_tmp_fallback_heals_mutable_crash_window(spark, tmp_path):
+    """write_text's crash window (dst deleted, rename pending) is healed
+    on read: the .tmp file is always a complete newer value."""
+    fio = HadoopFileIO(spark)
+    p = f"file://{tmp_path}/wm.json"
+    fio._write_raw(p + ".tmp", b'{"version": 7}')  # simulated crash state
+    assert fio.read_text(p, tmp_fallback=True) == '{"version": 7}'
+
+
+def test_list_files_recursive_filters_and_sorts(spark, tmp_path):
+    fio = HadoopFileIO(spark)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "1.parquet").write_bytes(b"x")
+    (tmp_path / "a" / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "b.parquet").write_bytes(b"y")
+    (tmp_path / "c.json").write_bytes(b"z")
+    got = fio.list_files_recursive(f"file://{tmp_path}", suffix=".parquet")
+    assert [g.rsplit("/", 1)[1] for g in got] == ["1.parquet", "b.parquet"]
+    assert all(g.startswith("file:") for g in got)
+    assert fio.list_files_recursive(f"file://{tmp_path}/nope") == []
+
+
+def test_merge_target_full_lifecycle_on_file_uri(spark, tmp_path):
+    """The production posture in miniature: every metadata op of
+    ParquetMergeTarget (manifest flip, schema, snapshots, compact,
+    vacuum, stats, watermark) against a scheme URI path."""
+    from pyspark.sql import Row
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=f"file://{tmp_path}/tgt",
+        num_buckets=4,
+        max_records_per_file=2,
+    )
+
+    def batch(version, payloads):
+        return spark.createDataFrame(
+            [
+                Row(arcane_merge_key=k, createdon=version, payload=p)
+                for k, p in payloads
+            ]
+        )
+
+    t.merge(batch(1, [(f"k{i}", "a") for i in range(8)]))
+    t.merge(batch(2, [("k0", "b"), ("k1", "b")]))
+    rows = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert rows["k0"] == "b" and rows["k7"] == "a" and len(rows) == 8
+
+    # time travel via archived manifests on the URI path
+    v1 = {r["arcane_merge_key"]: r["payload"] for r in t.read(at_version=1).collect()}
+    assert v1["k0"] == "a"
+
+    # maintenance ops
+    t.compact(min_files_per_bucket=2)
+    assert {r["arcane_merge_key"] for r in t.read().collect()} == set(rows)
+    removed = t.vacuum()
+    assert isinstance(removed, list)
+    s = t.stats()
+    assert s["row_count"] == 8 and s["total_bytes"] > 0
+    assert t.stats(with_row_count=False)["row_count"] is None
+
+    # watermark persistence through the same layer
+    t.commit_watermark(2)
+    t.commit_watermark(1)  # monotonic no-op
+    assert t.watermark() == 2

@@ -135,7 +135,7 @@ def test_sorted_by_orders_rows_within_files(spark, tmp_path):
     t = make_target(spark, tmp_path, num_buckets=1, sorted_by=("createdon",))
     rows = [(f"k{i}", (i * 37) % 100, "x") for i in range(100)]
     t.merge(df_of(spark, rows))
-    files = [f for fs in t._live_files().values() for f in fs]
+    files = [path for fs in t._live_files().values() for path, _size in fs]
     assert files
     for f in files:
         created = pq.read_table(f, columns=["createdon"])["createdon"].to_pylist()
