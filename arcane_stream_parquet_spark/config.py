@@ -164,6 +164,29 @@ class StreamSpec:
         )
 
     @property
+    def query_retry(self):
+        """``sink.mergeServiceClient.queryRetry*`` → QueryRetryPolicy
+        (reference stream-context-serialized-example.json:50-56). The
+        mode is the uPickle enum encoding ``{"never":{}} | {"always":{}}
+        | {"backfillOnly":{}}``; durations are CRD literals."""
+        from arcane_stream_parquet_spark.streaming.retry import QueryRetryPolicy
+
+        msc = self.raw.get("sink", {}).get("mergeServiceClient", {})
+        mode_obj = msc.get("queryRetryMode", {"never": {}})
+        mode = next(iter(mode_obj)) if mode_obj else "never"
+        return QueryRetryPolicy(
+            mode=mode,
+            base_duration_seconds=parse_duration_seconds(
+                msc.get("queryRetryBaseDuration", "1 second")
+            ),
+            scale_factor=float(msc.get("queryRetryScaleFactor", 2.0)),
+            max_attempts=int(msc.get("queryRetryMaxAttempts", 3)),
+            retry_on_message_contents=tuple(
+                msc.get("queryRetryOnMessageContents", [])
+            ),
+        )
+
+    @property
     def maintenance_batch_threshold(self) -> int:
         """Smallest of the four reference maintenance cadences — the
         stand-in target runs compact+vacuum+stats together."""
@@ -260,6 +283,7 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
         change_capture_interval_seconds=spec.change_capture_interval_seconds,
         max_files_per_trigger=spec.max_files_per_trigger,
         maintenance_every_n_batches=spec.maintenance_batch_threshold,
+        retry_policy=spec.query_retry,
     )
     return source, target, runner
 
@@ -291,7 +315,13 @@ def run_stream_context(
         spark, ctx.spec, warehouse_root, checkpoint_root
     )
     if ctx.backfill:
-        run_backfill(spark, source, target, behavior=ctx.spec.backfill_behavior)
+        run_backfill(
+            spark,
+            source,
+            target,
+            behavior=ctx.spec.backfill_behavior,
+            retry_policy=ctx.spec.query_retry,
+        )
     elif available_now:
         runner.run_available_now(spark)
     else:

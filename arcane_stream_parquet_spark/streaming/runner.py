@@ -33,6 +33,10 @@ from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
 from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
 from arcane_stream_parquet_spark.operators.watermark import watermark_value
 from arcane_stream_parquet_spark.sources.blob import BlobParquetSource
+from arcane_stream_parquet_spark.streaming.retry import (
+    QueryRetryPolicy,
+    run_with_retry,
+)
 
 
 @dataclass
@@ -58,12 +62,17 @@ class StreamRunner:
     # batchThreshold batches, defaults 60/60/60/180,
     # crd-parquet-stream.yaml:235-296). 0 disables.
     maintenance_every_n_batches: int = 60
+    # reference S6 queryRetry*: in-process merge retry with backoff +
+    # retryable-message matching (streaming/retry.py); default "never"
+    retry_policy: QueryRetryPolicy = field(default_factory=QueryRetryPolicy)
     _batches_since_maintenance: int = field(default=0, repr=False)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        self.target.merge(batch)
+        run_with_retry(
+            lambda: self.target.merge(batch), self.retry_policy, is_backfill=False
+        )
         self.target.commit_watermark(
             watermark_value(batch, self.target.version_col)
         )
@@ -116,18 +125,21 @@ def run_backfill(
     source: BlobParquetSource,
     target: ParquetMergeTarget,
     behavior: str = "Merge",
+    retry_policy: QueryRetryPolicy | None = None,
 ) -> None:
     """Backfill (reference E2): re-read the whole source (from
     ``source.modified_after`` if set) and apply ``Overwrite | Merge``
     (crd-parquet-stream.yaml:113-116). Sharding is Spark partitioning —
-    free (SURVEY.md ST10)."""
+    free (SURVEY.md ST10). ``retry_policy`` applies with
+    ``is_backfill=True`` (the ``backfillOnly`` mode's domain)."""
     if behavior not in ("Merge", "Overwrite"):
         raise ValueError(f"behavior must be Merge|Overwrite, got {behavior!r}")
+    policy = retry_policy or QueryRetryPolicy()
     df = source.read_batch(spark)
     if behavior == "Overwrite":
-        target.overwrite(df)
+        run_with_retry(lambda: target.overwrite(df), policy, is_backfill=True)
     else:
-        target.merge(df)
+        run_with_retry(lambda: target.merge(df), policy, is_backfill=True)
     target.commit_watermark(watermark_value(df, target.version_col))
 
 
@@ -188,6 +200,7 @@ def run_backfill_sharded(
     state_path: str,
     behavior: str = "Merge",
     num_shards: int = 8,
+    retry_policy: QueryRetryPolicy | None = None,
 ) -> None:
     """Backfill in resumable shards: the blob set splits round-robin
     into ``num_shards`` deterministic shards; each shard is one merge
@@ -228,11 +241,12 @@ def run_backfill_sharded(
     else:
         sink = target
 
+    policy = retry_policy or QueryRetryPolicy()
     for idx, shard_files in enumerate(shards):
         if idx in done:
             continue
         shard_df = source.read_files(spark, shard_files)
-        sink.merge(shard_df)
+        run_with_retry(lambda: sink.merge(shard_df), policy, is_backfill=True)
         state.mark_done(idx)
 
     if behavior == "Overwrite":
