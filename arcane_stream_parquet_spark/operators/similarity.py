@@ -342,6 +342,65 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's-style coarse-quantizer training, k-MEDIANS flavor:
+    assignment = cosine argmax against the current centroids
+    (:func:`ivf_assign` — broadcast join + map-side ``max_by``, one
+    n-row shuffle per iteration); update = per-dimension MEDIAN of each
+    cell's vectors (``posexplode`` + groupBy(cell, pos)).
+
+    Median instead of mean is deliberate: a median is a sort-based,
+    ORDER-INDEPENDENT reduction, so the trained centroids are
+    bit-identical regardless of partitioning/engine — which keeps the
+    whole training loop reproducible in the DuckDB oracle SQL (a float
+    mean's partial-sum order is engine-dependent). Init: the ``k``
+    lowest-id corpus vectors (same training-free seeding as before —
+    iterations now spread the cells to the data's actual clusters).
+
+    Driver traffic: k·dim doubles per iteration (broadcast-scale).
+    At 100 TB, train on a bounded sample and pass the result in — the
+    IVF operators take centroids as plain data.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__tid"), as_double_array(vec_col).alias("__tv")
+    )
+    init = (
+        base.orderBy("__tid").limit(k).collect()
+    )  # k×dim doubles — metadata-scale
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["__tid"]), [float(x) for x in r["__tv"]]) for r in init
+    ]
+    for _ in range(iters):
+        assigned = _probe_cells(
+            base, cents, "__tid", F.col("__tv"), nprobe=1, out_id="__tid"
+        )
+        med_rows = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.median("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in med_rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][p] for p in range(len(old))]
+                if cid in by_cell
+                else old,  # empty cell keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -589,16 +589,48 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NUM_CENTROIDS = 8
 IVF_NPROBE = 2
+IVF_TRAIN_ITERS = 2
+
+
+def _sql_kmedians_iter(i: int, dim: int) -> str:
+    """One Lloyd's k-medians iteration as CTEs: cent{i-1} → cent{i}.
+    Assignment = cosine argmax (ties → lower cid), update = per-dim
+    MEDIAN (order-independent — bit-identical to Spark's F.median, see
+    operators/similarity.py train_ivf_centroids). Empty cells keep
+    their previous centroid via the LEFT JOIN + coalesce."""
+    return f"""
+        a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, ct.cid, ROW_NUMBER() OVER (
+                    PARTITION BY c.vec_id
+                    ORDER BY {_sql_cosine("c.v", "ct.cv")} DESC, ct.cid ASC) AS rn
+                FROM corpus c CROSS JOIN cent{i - 1} ct
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT a.cid, d.pos, median(c.v[d.pos]) AS m
+            FROM a{i} a JOIN corpus c USING (vec_id)
+            CROSS JOIN range(1, {dim + 1}) AS d(pos)
+            GROUP BY a.cid, d.pos
+        ),
+        cent{i} AS (
+            SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+            FROM cent{i - 1} p LEFT JOIN (
+                SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+            ) n USING (cid)
+        )"""
 
 
 @register_query(
     "ann_ivf_topk",
     oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cid, {_sql_vec()} AS cv FROM embeddings
+        WITH corpus AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+        cent0 AS (
+            SELECT vec_id AS cid, v AS cv FROM corpus
             WHERE vec_id < {IVF_NUM_CENTROIDS}
         ),
-        corpus AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+        {",".join(_sql_kmedians_iter(i + 1, 64) for i in range(IVF_TRAIN_ITERS))},
+        cent AS (SELECT cid, cv FROM cent{IVF_TRAIN_ITERS}),
         assigned AS (
             SELECT vec_id, cid, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
@@ -629,23 +661,25 @@ IVF_NPROBE = 2
         SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
         FROM ranked WHERE rn <= {ANN_K}
     """,
-    doc=f"IVF ANN: corpus assigned to nearest of {IVF_NUM_CENTROIDS} "
-    f"centroid cells (pure projection over literal centroids — no "
-    f"shuffle), queries probe their {IVF_NPROBE} nearest cells; exact "
-    "cosine top-k within probed cells only. The coarse-quantizer "
-    "scale path alongside ann_lsh_topk.",
+    doc=f"IVF ANN with TRAINED centroids: {IVF_TRAIN_ITERS} Lloyd's "
+    f"k-medians iterations (assignment = broadcast argmax join, update "
+    f"= per-dim median — order-independent, so the oracle reproduces "
+    f"training bit-for-bit in SQL), then corpus assigned to nearest of "
+    f"{IVF_NUM_CENTROIDS} cells and queries probe their {IVF_NPROBE} "
+    "nearest; exact cosine top-k within probed cells only. The "
+    "coarse-quantizer scale path alongside ann_lsh_topk.",
     tags=("llm", "similarity", "ivf"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.similarity import ivf_topk
+    from arcane_stream_parquet_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < IVF_NUM_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # K×dim floats — metadata-scale driver collect, like a broadcast dim
-    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    centroids = train_ivf_centroids(
+        emb, k=IVF_NUM_CENTROIDS, iters=IVF_TRAIN_ITERS
+    )
     out = ivf_topk(
         emb, _queries_subset(spark, sf_dir), centroids, k=ANN_K, nprobe=IVF_NPROBE
     )
