@@ -8,8 +8,11 @@ parquet). What is REAL here and what is STUBBED:
   struct, partition-parallel Arrow batching, UDF signatures, output
   schemas, and the deterministic byte-level features (length, header
   bytes, content hash). These are tested and oracle-checked.
-- STUBBED: the actual media codecs. This container has no image/audio
-  libraries, so ``decode_image``/``sample_frames`` raise
+- REAL as of round 3: header decoding. ``image_header_features`` parses
+  PNG/JPEG/GIF/BMP magic numbers and dimensions straight from the bytes
+  (public format specs — see parse_image_header) with no codec library.
+- STUBBED: pixel/audio/video decoding. This container has no media
+  libraries, so ``decode_image_features``/``sample_frames`` raise
   ``NotImplementedError`` unless ``fake=True``, in which case a
   DETERMINISTIC FAKE derives plausible features (width/height/duration)
   from the payload bytes. The batch shape, schema, and partitioning are
@@ -122,6 +125,173 @@ def decode_image_features(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image-header decoding (round-2 verdict item 5). Parsing magic
+# numbers + dimensions out of PNG/JPEG/GIF/BMP headers is pure public
+# format knowledge (PNG spec §5.2/§11.2.2: 8-byte signature then the
+# IHDR chunk with big-endian width/height; JPEG/JFIF: marker walk to an
+# SOFn segment holding precision/height/width/components; GIF87a/89a:
+# little-endian logical-screen dims at offset 6; BMP: BITMAPINFOHEADER
+# little-endian dims at offset 18) — no codec library required. Pixel
+# decoding stays stubbed; header decoding is real and tested against
+# hand-crafted known-good bytes.
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+# SOF markers carry frame dims; C4/C8/CC are huffman/arithmetic/reserved
+_JPEG_SOF_MARKERS = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def parse_image_header(b: bytes):
+    """(fmt, width, height, n_channels) parsed from real header bytes;
+    (None, None, None, None) when no known magic number matches."""
+    if b.startswith(PNG_SIGNATURE) and len(b) >= 26 and b[12:16] == b"IHDR":
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        color_type = b[25]
+        return "png", width, height, _PNG_CHANNELS.get(color_type)
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF_MARKERS and i + 9 <= len(b):
+                height = int.from_bytes(b[i + 5 : i + 7], "big")
+                width = int.from_bytes(b[i + 7 : i + 9], "big")
+                n_comp = b[i + 9] if i + 9 < len(b) else None
+                return "jpeg", width, height, n_comp
+            i += 2 + seg_len
+        return "jpeg", None, None, None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            None,  # GIF header carries a palette, not channels
+        )
+    if b.startswith(b"BM") and len(b) >= 26:
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+            None,
+        )
+    return None, None, None, None
+
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+    ]
+)
+
+
+def image_header_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL header decode over Arrow batches: (doc_id, fmt, width,
+    height, n_channels) from the payload's actual magic numbers —
+    unrecognized payloads yield null features rather than failing the
+    batch (media lakes always contain stragglers)."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(bytes(p)) for p in pdf[PAYLOAD_COL]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "n_channels": pd.array([p[3] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return cols.mapInPandas(batches, HEADER_SCHEMA)
+
+
+def make_png_header(width: int, height: int, color_type: int = 6) -> bytes:
+    """A spec-valid PNG prefix: signature + IHDR chunk (length, type,
+    13-byte payload, CRC32 over type+payload per PNG spec §5.3)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        PNG_SIGNATURE
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def make_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
+    """A spec-valid JPEG prefix: SOI, APP0/JFIF, SOF0 with the frame
+    dimensions, EOI."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_payload = struct.pack(">BHHB", 8, height, width, n_components) + b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(n_components)
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+        + b"\xff\xd9"
+    )
+
+
+def make_gif_header(width: int, height: int) -> bytes:
+    """A spec-valid GIF prefix: GIF89a + little-endian logical screen
+    descriptor."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-format payloads for testdata (which ships no
+    media): doc_id % 3 picks png/jpeg/gif; dims are closed-form in
+    doc_id (width = 16 + 7·id mod 640, height = 16 + 13·id mod 480) so
+    an oracle can state expected parse results without re-parsing —
+    while the Spark side must round-trip generator → real bytes →
+    real parser to match."""
+    cols = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = [make_png_header, make_jpeg_header, make_gif_header]
+        for pdf in it:
+            payloads = [
+                makers[int(i) % 3](16 + (int(i) * 7) % 640, 16 + (int(i) * 13) % 480)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], PAYLOAD_COL: payloads})
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
+    )
 
 
 FRAME_SCHEMA = StructType(

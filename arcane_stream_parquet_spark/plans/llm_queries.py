@@ -587,6 +587,40 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md.join(dec, "doc_id").join(frames, "doc_id")
 
 
+@register_query(
+    "multimodal_image_dims",
+    oracle="""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+               END AS fmt,
+               CAST(16 + (doc_id * 7) % 640 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 13) % 480 AS BIGINT) AS height,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE NULL
+               END AS BIGINT) AS n_channels
+        FROM documents
+    """,
+    doc="REAL image-header decoding (no codec library): deterministic "
+    "spec-valid PNG/JPEG/GIF payloads are generated per doc (dims are "
+    "closed-form in doc_id), then parse_image_header reads the magic "
+    "numbers, big/little-endian dimensions and channel counts back out "
+    "of the actual bytes in Arrow-batched mapInPandas. The oracle "
+    "states the closed-form expectation, so any generator/parser "
+    "endianness or offset bug breaks the match; known-bytes unit tests "
+    "pin the parser independently (tests/test_multimodal.py).",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        image_header_features,
+        synth_image_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_header_features(synth_image_payload(docs))
+
+
 IVF_NUM_CENTROIDS = 8
 IVF_NPROBE = 2
 IVF_TRAIN_ITERS = 2
