@@ -413,6 +413,59 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "dedup_clusters",
+    oracle=_sql_sig_cte().replace("WITH base", "WITH RECURSIVE base", 1)
+    + f""", bands AS ({_sql_bands()}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        dup AS (
+            SELECT p.id_a, p.id_b
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                  >= {MINHASH_MIN_JACCARD}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM dup
+            UNION SELECT id_b, id_a FROM dup
+        ),
+        walk(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc="Near-dup CLUSTERING: verified minhash pairs → connected "
+    "components via iterative min-label propagation on DataFrames "
+    "(operators/clustering.py — no graph library; one join + groupBy "
+    "min per round, localCheckpoint-truncated lineage, O(diameter) "
+    "rounds) → every doc labeled with its cluster's min id; exactly "
+    "one canonical doc per cluster. The oracle replays components with "
+    "a recursive CTE — the keep-one-per-cluster step every production "
+    "dedup pipeline runs after pair mining.",
+    tags=("llm", "dedup", "clustering"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.clustering import dedup_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = near_duplicates(
+        docs.select("doc_id", "text"), min_jaccard=MINHASH_MIN_JACCARD
+    )
+    return dedup_assignment(docs, nd.select("id_a", "id_b"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
