@@ -22,8 +22,9 @@ Layout::
 
 A merge (1) dedups the batch per key (J2 window), (2) reads ONLY the
 affected buckets of the live table (partition pruning on ``__bucket``),
-(3) resolves latest-wins with one ranking window (batch beats target on
-equal version — MERGE's ``s.createdon >= t.createdon``), (4) writes the
+(3) resolves latest-wins with one partial-aggregated max_by (batch
+beats target on equal version — MERGE's ``s.createdon >=
+t.createdon``), (4) writes the
 merged buckets to a FRESH version directory, and (5) atomically flips
 the manifest (tmp-write + Hadoop FS rename) to point those buckets at
 the new version.
@@ -74,7 +75,7 @@ from arcane_stream_parquet_spark.functions.keys import (
 
 BUCKET_COLUMN = "__bucket"
 _PRECEDENCE_COL = "__asp_precedence"
-_ROW_NUMBER_COL = "__asp_rn"
+_ROW_STRUCT_COL = "__asp_row"
 _META_DIR = "_asp_meta"
 
 
@@ -89,20 +90,25 @@ def _dedup_latest_df(
     batch_beats_target: bool = False,
     tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
-    from pyspark.sql import Window
+    """max_by(whole-row struct, ordering struct) per key — PARTIAL
+    aggregation, so a hot merge key reduces map-side instead of piling
+    every row onto one reducer (skew posture: operators/dedup.py
+    docstring; proven in tests/test_merge_skew.py). Ordering:
+    version desc, then batch-over-target precedence, then explicit
+    tiebreakers → deterministic survivor for exact (key, version)
+    duplicates within one batch (ADVICE round 1; same total-order rule
+    as operators/dedup.py)."""
+    from arcane_stream_parquet_spark.operators.dedup import latest_row_agg
 
-    order = [F.col(version_col).desc()]
+    ordering = [version_col]
     if batch_beats_target:
-        order.append(F.col(_PRECEDENCE_COL).desc())
-    # explicit tiebreakers → deterministic survivor for exact
-    # (key, version) duplicates within one batch (ADVICE round 1;
-    # same total-order rule as operators/dedup.py)
-    order.extend(F.col(t).desc() for t in tiebreakers)
-    w = Window.partitionBy(key_col).orderBy(*order)
-    return (
-        df.withColumn(_ROW_NUMBER_COL, F.row_number().over(w))
-        .filter(F.col(_ROW_NUMBER_COL) == 1)
-        .drop(_ROW_NUMBER_COL)
+        ordering.append(_PRECEDENCE_COL)
+    ordering.extend(tiebreakers)
+    agg = df.groupBy(key_col).agg(
+        latest_row_agg(df.columns, ordering[0], ordering[1:]).alias(_ROW_STRUCT_COL)
+    )
+    return agg.select(
+        *[F.col(_ROW_STRUCT_COL).getField(c).alias(c) for c in df.columns]
     )
 
 
@@ -120,8 +126,10 @@ def merge_latest_wins(
     THEN INSERT *`` — one row per key survives, highest version wins,
     batch wins exact-version ties.
 
-    One shuffle (window over the union, hash-partitioned by key);
-    Catalyst plans the union scan-side, no driver involvement.
+    One shuffle (hash-partitioned by key), with PARTIAL aggregation
+    before it — hot keys reduce map-side (skew posture, see
+    _dedup_latest_df); Catalyst plans the union scan-side, no driver
+    involvement.
     """
     unioned = target.withColumn(_PRECEDENCE_COL, F.lit(0)).unionByName(
         batch.withColumn(_PRECEDENCE_COL, F.lit(1))
