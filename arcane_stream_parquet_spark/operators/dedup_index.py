@@ -15,7 +15,9 @@ Per batch:
    of all stored documents;
 3. exact Jaccard verify joins only candidate ids to the shingle store;
 4. accepted (non-duplicate) docs append their bands + shingles to the
-   index — one merge commit each, crash-safe via the manifest flip.
+   index — one merge commit each; each flip alone is crash-safe, the
+   PAIR is not atomic: recovery contract is re-running the failed
+   add_batch (see the method docstring).
 
 Cost per batch at 100 TB corpus: O(batch) signature work + equi-joins
 proportional to batch size and candidate count. Corpus size enters only
