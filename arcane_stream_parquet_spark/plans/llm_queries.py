@@ -1096,27 +1096,41 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "pipeline"),
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.fingerprint import exact_dedup
-    from arcane_stream_parquet_spark.operators.sampling import train_test_split
+    # Single-pass funnel: one scan, one fingerprint groupBy (partial-
+    # aggregated, skew-proof), one 4-number rollup — identical counts to
+    # running quality_score → exact_dedup → train_test_split staged
+    # (which would scan 4× and shuffle twice; Catalyst does not share
+    # subtrees across union branches).
+    from arcane_stream_parquet_spark.operators.fingerprint import (
+        fingerprint_column,
+    )
+    from arcane_stream_parquet_spark.operators.sampling import hash_bucket_expr
     from arcane_stream_parquet_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = quality_score(docs)
-    kept = scored.filter(F.col("quality_keep")).select("doc_id", "text")
-    deduped = exact_dedup(kept)
-    split = train_test_split(deduped, "doc_id", train_frac=0.8, val_frac=0.0)
-
-    def stage(name, df):
-        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
+    scored = quality_score(docs).withColumn("__fp", fingerprint_column("text"))
+    groups = scored.groupBy("__fp").agg(
+        F.count("*").alias("__n"),
+        F.count_if(F.col("quality_keep")).alias("__n_kept"),
+        # exact_dedup survivor among kept twins: the minimum doc_id
+        F.min(F.when(F.col("quality_keep"), F.col("doc_id"))).alias("__min_kept"),
+    )
+    survived = F.col("__min_kept").isNotNull()
+    agg = groups.agg(
+        F.sum("__n").cast("bigint").alias("raw"),
+        F.sum("__n_kept").cast("bigint").alias("quality_kept"),
+        F.count_if(survived).cast("bigint").alias("exact_deduped"),
+        F.count_if(
+            survived & (hash_bucket_expr(F.col("__min_kept"), "split") < F.lit(8000))
         )
-
-    return (
-        stage("raw", docs)
-        .unionByName(stage("quality_kept", kept))
-        .unionByName(stage("exact_deduped", deduped))
-        .unionByName(
-            stage("train_split", split.filter(F.col("split") == "train"))
+        .cast("bigint")
+        .alias("train_split"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'raw', raw, 'quality_kept', quality_kept, "
+            "'exact_deduped', exact_deduped, 'train_split', train_split) "
+            "AS (stage, n_docs)"
         )
     )
 
