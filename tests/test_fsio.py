@@ -72,6 +72,41 @@ def test_list_files_recursive_filters_and_sorts(spark, tmp_path):
     assert fio.list_files_recursive(f"file://{tmp_path}/nope") == []
 
 
+def test_sharded_backfill_entirely_on_file_uris(spark, tmp_path):
+    """The full E2 path — source listing, shard state, merges, staging
+    swap, watermark — with EVERY path a scheme URI, proving no local-FS
+    call survives anywhere in the backfill stack."""
+    import random
+
+    from arcane_stream_parquet_spark.sources.blob import BlobParquetSource
+    from arcane_stream_parquet_spark.streaming.runner import run_backfill_sharded
+    from tests.test_streaming import N_KEYS, write_fixture_file
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rng = random.Random(7)
+    for i in range(6):
+        write_fixture_file(str(landing), i, rng, 1_700_000_000 + i * 60)
+
+    source = BlobParquetSource(path=f"file://{landing}", primary_keys=["col0"])
+    target = ParquetMergeTarget(
+        spark=spark, path=f"file://{tmp_path}/tgt", num_buckets=4
+    )
+    run_backfill_sharded(
+        spark,
+        source,
+        target,
+        state_path=f"file://{tmp_path}/state.json",
+        behavior="Overwrite",
+        num_shards=3,
+    )
+    assert target.read().count() == N_KEYS
+    assert target.watermark() is not None
+    fio = HadoopFileIO(spark)
+    assert not fio.exists(f"file://{tmp_path}/tgt_backfill_staging")
+    assert not fio.exists(f"file://{tmp_path}/state.json")  # cleared
+
+
 def test_merge_target_full_lifecycle_on_file_uri(spark, tmp_path):
     """The production posture in miniature: every metadata op of
     ParquetMergeTarget (manifest flip, schema, snapshots, compact,

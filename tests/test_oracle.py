@@ -105,3 +105,15 @@ def test_every_query_has_oracle_or_tag():
 def test_oracle_sql_runs_standalone(duck):
     for name, sql in oracle_queries().items():
         duck.execute(sql).fetchone()
+
+
+def test_registry_stays_under_driver_correctness_cap():
+    """The round-2 driver recorded exactly 50 CORRECTNESS rows while 61
+    queries were registered — the harness caps the file at 50 entries
+    and silently drops the rest, leaving those operators driver-
+    unverified. The registry was consolidated to fit; this guard keeps
+    any future addition from pushing a query past the cap unnoticed
+    (consolidate overlapping entries instead)."""
+    assert len(spark_queries()) <= 50
+    # every query has either a real oracle or an explicit None
+    assert set(oracle_queries()) <= set(spark_queries())
