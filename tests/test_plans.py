@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100× scale-up must be visible in the executed plan, not just
+asserted in docstrings — column pruning reaching the parquet scan,
+small dimensions broadcast, top-k via TakeOrdered (no global sort),
+partial aggregation under every hot-key reduction."""
+
+from __future__ import annotations
+
+import pytest
+
+from arcane_stream_parquet_spark.plans.registry import spark_queries
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = spark_queries()[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_projection_prunes_scan_columns(spark):
+    """field_selection_include projects 3 of lineitem's 16 columns; the
+    scan must read exactly those (ReadSchema pruning — reading all
+    columns for a narrow projection is wrong at any scale)."""
+    scans = _scan_lines(_plan(spark, "field_selection_include"))
+    assert scans
+    for ln in scans:
+        cols = ln.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names == {"l_orderkey", "l_linenumber", "l_quantity"}, names
+
+
+def test_small_dimension_is_broadcast(spark):
+    plan = _plan(spark, "join_broadcast_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # no full exchange-then-sort of the orders table
+    assert "Sort [" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """4-way star (lineitem ⨝ supplier ⨝ nation ⨝ region): every
+    dimension side must broadcast; only the fact table may shuffle."""
+    plan = _plan(spark, "multi_join_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_dedup_has_partial_aggregation(spark):
+    """latest_by_key: partial (map-side) + final max_by pair — the
+    skew-resistant shape (tests/test_merge_skew.py drives it at 10⁶
+    rows on one key)."""
+    plan = _plan(spark, "latest_by_key")
+    assert "Window" not in plan
+    assert plan.count("max_by") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_near_duplicates", "embedding_near_duplicates", "ann_lsh_multiprobe"],
+)
+def test_no_all_pairs_anywhere(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroid_expansion_is_broadcast_only(spark):
+    """IVF's only un-keyed joins are the two K-row centroid expansions
+    (corpus assignment + query probe) — each a BroadcastNestedLoopJoin
+    with the TINY side built (cost n·K, reduced map-side by max_by
+    before any exchange). The candidate join itself must be a hash
+    equi-join on the cell id — never corpus×corpus."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") == plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "BroadcastHashJoin [cell" in plan
