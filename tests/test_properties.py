@@ -111,3 +111,51 @@ def test_interval_join_matches_bruteforce(spark, points, intervals):
         if s <= x <= s + span
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/clustering.py) vs a union-find reference
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)
+)
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    return {n: find(n) for n in parent}
+
+
+@given(edges=st.lists(edge, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from arcane_stream_parquet_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges], schema="id_a bigint, id_b bigint"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    expect = _union_find(edges)
+    # path-compressed union-find roots are already the component minimum
+    # because we always hang the larger root under the smaller
+    assert got == expect
