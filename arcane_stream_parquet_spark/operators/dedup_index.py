@@ -55,8 +55,6 @@ class LshDedupIndex:
     num_buckets: int = 64
 
     def __post_init__(self) -> None:
-        import os
-
         self._bands = ParquetMergeTarget(
             spark=self.spark,
             path=fs_join(self.path, "bands"),

@@ -1,0 +1,82 @@
+"""End-to-end streaming curation: quality gate → incremental near-dup
+index → curated corpus + audit targets, across MULTIPLE micro-batches —
+the streaming face of the batch curation_funnel/dedup_clusters queries.
+Near-duplicates of documents accepted in an EARLIER drain must be
+rejected without rescanning the corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arcane_stream_parquet_spark.streaming.curation import (
+    StreamingCurationPipeline,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the quiet green forest where it finds a warm place to rest"
+)
+GOOD2 = (
+    "many hands make light work when people share the load and help each "
+    "other finish the long task before the evening light is gone"
+)
+JUNK = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"
+
+
+def _write_docs(dirpath: str, name: str, rows: list[tuple[int, str]]) -> None:
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, name))
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return landing, StreamingCurationPipeline(
+        spark=spark,
+        source_path=str(landing),
+        work_path=str(tmp_path / "work"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_jaccard=0.5,
+    )
+
+
+def test_multi_batch_curation(pipeline):
+    landing, p = pipeline
+
+    # drain 1: two good docs + junk
+    _write_docs(str(landing), "b1.parquet", [(1, GOOD), (2, GOOD2), (3, JUNK)])
+    p.run_available_now()
+
+    corpus = {r["doc_id"] for r in p.corpus.read().collect()}
+    assert corpus == {1, 2}
+    audit = {r["doc_key"]: r["status"] for r in p.audit.read().collect()}
+    assert audit == {"1": "kept", "2": "kept", "3": "rejected:quality"}
+
+    # drain 2: a near-dup of doc 1 (one word changed), one new good doc
+    near_dup = GOOD.replace("lazy", "sleepy")
+    new_doc = (
+        "seven silver ships sailed slowly past the southern shore while "
+        "gulls circled high above the cold grey waves all afternoon long"
+    )
+    _write_docs(str(landing), "b2.parquet", [(10, near_dup), (11, new_doc)])
+    p.run_available_now()
+
+    corpus = {r["doc_id"] for r in p.corpus.read().collect()}
+    assert corpus == {1, 2, 11}, "near-dup of an earlier drain was re-admitted"
+    audit = {r["doc_key"]: (r["status"], r["dup_of"]) for r in p.audit.read().collect()}
+    assert audit["10"] == ("rejected:near_dup", 1)
+    assert audit["11"] == ("kept", None)
+
+    # drain 3: nothing new → no changes (checkpoint skips processed files)
+    p.run_available_now()
+    assert {r["doc_id"] for r in p.corpus.read().collect()} == {1, 2, 11}
