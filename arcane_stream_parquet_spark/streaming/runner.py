@@ -22,7 +22,6 @@ Backfill (E2) is the same transforms as one batch job with
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,10 +161,13 @@ def _list_source_files(spark: SparkSession, path: str) -> list[str]:
 @dataclass
 class BackfillState:
     """Persisted shard progress (reference DefaultBackfillStateManager):
-    JSON file listing completed shard indices, committed through the
-    Hadoop FS layer (tmp-write + rename) so the state file can live
-    next to an ``s3a://`` target. ``spark`` defaults to the active
-    session."""
+    ``path`` is a directory holding one CREATE-ONLY marker file per
+    completed shard (``shard-NNNNN.done``), committed through the
+    Hadoop FS layer so the state can live next to an ``s3a://`` target.
+    Create-only markers mean there is no read-modify-write anywhere —
+    no mutable-file crash window, and concurrent shard completions
+    could not lose each other's progress. ``spark`` defaults to the
+    active session."""
 
     path: str
     spark: SparkSession | None = None
@@ -178,19 +180,24 @@ class BackfillState:
         return HadoopFileIO(spark)
 
     def load(self) -> dict:
-        try:
-            return json.loads(self._fio.read_text(self.path, tmp_fallback=True))
-        except FileNotFoundError:
-            return {"done_shards": []}
+        names = self._fio.list_names(self.path)
+        done = sorted(
+            int(n[len("shard-") : -len(".done")])
+            for n in names
+            if n.startswith("shard-") and n.endswith(".done")
+        )
+        return {"done_shards": done}
 
     def mark_done(self, shard_idx: int) -> None:
-        state = self.load()
-        if shard_idx not in state["done_shards"]:
-            state["done_shards"].append(shard_idx)
-        self._fio.write_text(self.path, json.dumps(state))
+        try:
+            self._fio.create_text(
+                fs_join(self.path, f"shard-{shard_idx:05d}.done"), "{}"
+            )
+        except FileExistsError:
+            pass  # replay after a crash between merge and marker: done is done
 
     def clear(self) -> None:
-        self._fio.delete(self.path)
+        self._fio.delete(self.path, recursive=True)
 
 
 def run_backfill_sharded(
@@ -249,13 +256,23 @@ def run_backfill_sharded(
         run_with_retry(lambda: sink.merge(shard_df), policy, is_backfill=True)
         state.mark_done(idx)
 
+    # Completion ordering matters for resumability (round-3 ADVICE: the
+    # old order deleted staging BEFORE clearing state, so a crash in
+    # between bricked the rerun — all shards marked done but staging
+    # gone). Now: swap target → watermark → clear state → drop staging.
+    # Every crash window reruns idempotently: before clear, the rerun
+    # skips done shards and re-runs the (idempotent) overwrite; after
+    # clear, the rerun re-merges into whatever staging remains — the
+    # latest-wins merge converges to the same snapshot.
     if behavior == "Overwrite":
         target.overwrite(sink.read())
-        HadoopFileIO(spark).delete(sink.path, recursive=True)
 
     full = source.read_batch(spark)
     target.commit_watermark(watermark_value(full, target.version_col))
     state.clear()
+
+    if behavior == "Overwrite":
+        HadoopFileIO(spark).delete(sink.path, recursive=True)
 
 
 def run_jittered(

@@ -30,13 +30,15 @@ def test_small_file_round_trip_on_file_uri(spark, tmp_path):
         fio.read_text(p)
     assert not fio.exists(p)
 
-    fio.write_text(p, '{"v": 1}')
+    fio.create_text(p, '{"v": 1}')
     assert fio.exists(p)
     assert fio.read_text(p) == '{"v": 1}'
-    fio.write_text(p, '{"v": 2}')  # mutable overwrite
-    assert fio.read_text(p) == '{"v": 2}'
 
-    # immutable commit refuses to overwrite
+    # the ONLY write primitive is create-only: committed files are
+    # immutable, evolution happens by creating a higher-versioned file
+    with pytest.raises(FileExistsError):
+        fio.create_text(p, '{"v": 2}')
+
     q = fs_join(root, "meta", "manifest-v00001.json")
     fio.create_text(q, "m1")
     with pytest.raises(FileExistsError):
@@ -50,13 +52,23 @@ def test_small_file_round_trip_on_file_uri(spark, tmp_path):
     assert not fio.exists(p)
 
 
-def test_tmp_fallback_heals_mutable_crash_window(spark, tmp_path):
-    """write_text's crash window (dst deleted, rename pending) is healed
-    on read: the .tmp file is always a complete newer value."""
+def test_create_only_crash_states_are_invisible(spark, tmp_path):
+    """A crash inside create_text leaves only an orphaned .tmp — which
+    listings filter and exists() on the destination misses, so readers
+    can never observe a partial commit (the round-3 mutable-file crash
+    window is gone with the write_text primitive itself)."""
     fio = HadoopFileIO(spark)
-    p = f"file://{tmp_path}/wm.json"
-    fio._write_raw(p + ".tmp", b'{"version": 7}')  # simulated crash state
-    assert fio.read_text(p, tmp_fallback=True) == '{"version": 7}'
+    root = f"file://{tmp_path}"
+    committed = fs_join(root, "meta", "manifest-v00001.json")
+    fio.create_text(committed, "m1")
+    # simulated crash mid-commit of the NEXT version
+    fio._write_raw(fs_join(root, "meta", "manifest-v00002.json.tmp"), b"partial")
+
+    assert fio.list_names(fs_join(root, "meta")) == ["manifest-v00001.json"]
+    assert not fio.exists(fs_join(root, "meta", "manifest-v00002.json"))
+    # the retry commits cleanly over the orphan (tmp is overwritten raw)
+    fio.create_text(fs_join(root, "meta", "manifest-v00002.json"), "m2")
+    assert fio.read_text(fs_join(root, "meta", "manifest-v00002.json")) == "m2"
 
 
 def test_list_files_recursive_filters_and_sorts(spark, tmp_path):

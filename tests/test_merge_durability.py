@@ -37,7 +37,9 @@ def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
 
     boom = RuntimeError("simulated crash at commit point")
     monkeypatch.setattr(
-        ParquetMergeTarget, "_flip_manifest", lambda self, m: (_ for _ in ()).throw(boom)
+        ParquetMergeTarget,
+        "_commit_manifest",
+        lambda self, m: (_ for _ in ()).throw(boom),
     )
     with pytest.raises(RuntimeError, match="simulated crash"):
         t.merge(df_of(spark, [("k1", 2, "new")]))
@@ -57,10 +59,13 @@ def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
     assert t.read().count() == 50
 
 
-def test_schema_saved_before_commit_is_forward_compatible(spark, tmp_path, monkeypatch):
-    """Crash between schema save and manifest flip: reads must still see
-    every pre-crash row, with the drifted column null-filled (never a
-    silently dropped column — the round-1 bug had the reverse order)."""
+def test_schema_commits_atomically_with_manifest(spark, tmp_path, monkeypatch):
+    """Schema is EMBEDDED in the manifest (round-4 create-only
+    redesign), so a crash before the commit rolls back cleanly: old
+    rows intact, old schema intact — no half-visible drifted column
+    (round 1 had schema-then-manifest ordering; round 3's separate
+    schema.json still left a window where drift was visible without
+    its data). After a successful retry the drift lands atomically."""
     t = make_target(spark, tmp_path)
     t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
 
@@ -69,7 +74,7 @@ def test_schema_saved_before_commit_is_forward_compatible(spark, tmp_path, monke
     )
     monkeypatch.setattr(
         ParquetMergeTarget,
-        "_flip_manifest",
+        "_commit_manifest",
         lambda self, m: (_ for _ in ()).throw(RuntimeError("crash")),
     )
     with pytest.raises(RuntimeError):
@@ -78,7 +83,76 @@ def test_schema_saved_before_commit_is_forward_compatible(spark, tmp_path, monke
 
     rows = {r["arcane_merge_key"]: r for r in t.read().collect()}
     assert set(rows) == {"k1", "k2"}  # old data intact
-    assert rows["k1"]["extra"] is None  # new column null-filled, not dropped
+    assert "extra" not in t.read().columns  # clean rollback: no drift visible
+
+    # retry converges: data + drifted schema commit together
+    t.merge(drifted)
+    rows = {r["arcane_merge_key"]: r for r in t.read().collect()}
+    assert set(rows) == {"k1", "k2", "k3"}
+    assert rows["k1"]["extra"] is None  # old rows null-filled under new schema
+    assert rows["k3"]["extra"] == "X"
+
+
+def test_restart_after_mid_commit_crash_never_reinitializes(spark, tmp_path):
+    """Round-3 ADVICE (high): with the old mutable manifest.json, a
+    crash inside the delete→rename flip could leave only a .tmp file;
+    exists() then returned False and the next merge() re-initialized
+    v00001 over the committed table. The create-only protocol makes
+    that state unreachable — the worst mid-commit crash leaves an
+    orphaned tmp NEXT TO the intact committed manifest set. This test
+    plants exactly that worst-case state and proves restart takes the
+    incremental path."""
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    before = sorted(map(tuple, t.read().collect()))
+
+    # worst reachable crash state: tmp of the NEXT manifest, orphaned
+    fio = HadoopFileIO(spark)
+    fio._write_raw(
+        fs_join(str(tmp_path / "tgt"), "_asp_meta", "manifest-v00002.json.tmp"),
+        b'{"version": 2, "buckets": {}, "schema": null}',
+    )
+
+    assert t.exists()  # the committed table is still found
+    assert sorted(map(tuple, t.read().collect())) == before
+    t.merge(df_of(spark, [("k2", 2, "b2")]))  # incremental, NOT re-init
+    rows = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert rows == {"k1": "a", "k2": "b2"}
+    assert t._manifest()["version"] == 2
+
+
+def test_watermark_survives_mid_commit_crash_and_reader_races(spark, tmp_path):
+    """Round-3 verdict #1: the old mutable watermark.json did
+    delete→rename, so on S3A a racing reader could observe a deleted
+    watermark. Now each commit CREATES watermark-<value>.json and the
+    reader takes the listing max — every mid-commit crash state reads
+    as a committed value, never as missing or partial."""
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO
+
+    t = make_target(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    t.commit_watermark(5)
+    assert t.watermark() == 5
+
+    fio = HadoopFileIO(spark)
+    # crash BEFORE the new value's rename: only an orphaned tmp exists
+    fio._write_raw(t._watermark_file(9) + ".tmp", b'{"version": 9}')
+    assert t.watermark() == 5  # reader still sees the old committed value
+
+    # crash AFTER the create but BEFORE pruning the old value: both
+    # files committed — reader takes the max
+    fio._write_raw(t._watermark_file(9), b'{"version": 9}')
+    assert t.watermark() == 9
+
+    # the interrupted commit retried (or any later commit) prunes
+    t.commit_watermark(11)
+    assert t.watermark() == 11
+    assert t._watermark_versions() == [11]  # superseded values pruned
+
+    t.commit_watermark(10)  # monotonic no-op
+    assert t.watermark() == 11
 
 
 def test_exact_tie_deterministic_with_tiebreakers(spark, tmp_path):
