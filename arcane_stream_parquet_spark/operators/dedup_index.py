@@ -105,8 +105,17 @@ class LshDedupIndex:
 
         Replay-safe: re-adding the same batch is idempotent (the index
         merge is latest-wins per (doc, band) key); a re-ingested
-        already-accepted document reports ``dup_of = itself`` ("already
-        present") and does not grow the index.
+        already-accepted document SELF-MATCHES in the index probe and is
+        reported as accepted (``dup_of`` NULL) — "already present" and
+        "freshly accepted" are deliberately indistinguishable, so a
+        caller that crashed between the index commit and its own
+        downstream commit (the round-3 ADVICE scenario in
+        streaming/curation.py) re-runs the batch and converges: the
+        replayed doc flows into the downstream commit instead of being
+        rejected as a near-duplicate of itself. A self-match wins over
+        any other match (defensively: a doc already IN the index must
+        stay kept, else its index entries would describe a rejected
+        doc).
 
         Crash contract: the bands and shingles tables commit with two
         INDEPENDENT manifest flips. A crash between them leaves band
@@ -152,20 +161,40 @@ class LshDedupIndex:
 
         # one verdict per doc: the smallest matching prior/lower id,
         # reporting THAT pair's jaccard (min_by over the pair struct —
-        # both fields come from the same selected pair)
+        # both fields come from the same selected pair). A SELF-match
+        # (id_a == id_b, only possible via the stored-index probe) means
+        # the doc is already committed to the index — replay of a batch
+        # whose downstream commit was lost; it overrides any dup verdict
+        # (docstring: already-present docs stay accepted).
         sel = F.min_by(F.struct("id_b", "jaccard"), "id_b")
+        already = (
+            pairs.filter(F.col("id_a") == F.col("id_b"))
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__already", F.lit(True))
+        )
+        dup_agg = (
+            pairs.filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a")
+            .agg(sel.alias("__sel"))
+            .select(
+                F.col("id_a").alias("doc_id"),
+                F.col("__sel.id_b").alias("__dup_of"),
+                F.col("__sel.jaccard").alias("__jaccard"),
+            )
+        )
         verdicts = (
             docs.select("doc_id")
-            .join(
-                pairs.groupBy("id_a")
-                .agg(sel.alias("__sel"))
-                .select(
-                    F.col("id_a").alias("doc_id"),
-                    F.col("__sel.id_b").alias("dup_of"),
-                    F.col("__sel.jaccard").alias("jaccard"),
-                ),
+            .join(dup_agg, "doc_id", "left")
+            .join(already, "doc_id", "left")
+            .select(
                 "doc_id",
-                "left",
+                F.when(F.col("__already"), F.lit(None))
+                .otherwise(F.col("__dup_of"))
+                .alias("dup_of"),
+                F.when(F.col("__already"), F.lit(None))
+                .otherwise(F.col("__jaccard"))
+                .alias("jaccard"),
             )
         )
 

@@ -80,3 +80,46 @@ def test_multi_batch_curation(pipeline):
     # drain 3: nothing new → no changes (checkpoint skips processed files)
     p.run_available_now()
     assert {r["doc_id"] for r in p.corpus.read().collect()} == {1, 2, 11}
+
+
+def test_replayed_batch_converges_after_index_commit_crash(pipeline):
+    """Round-3 ADVICE (high): crash AFTER LshDedupIndex.add_batch
+    committed the index but BEFORE the corpus/audit merges. On replay
+    the accepted docs self-match in the index; they must be treated as
+    'already present / kept' — merged into the corpus with audit
+    status kept — not rejected as near-duplicates of themselves."""
+    landing, p = pipeline
+
+    _write_docs(str(landing), "b1.parquet", [(1, GOOD), (2, GOOD2), (3, JUNK)])
+
+    # simulated crash: first attempt dies between the index commit and
+    # the corpus merge
+    real_merge = p.corpus.merge
+    calls = {"n": 0}
+
+    def crashing_merge(df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before corpus merge")
+        return real_merge(df)
+
+    p.corpus.merge = crashing_merge
+    with pytest.raises(Exception):  # surfaced through the stream query
+        p.run_available_now()
+    assert p.index._shingles.exists()  # index DID commit before the crash
+    assert not p.corpus.exists()  # corpus merge was lost
+
+    # replay (fresh checkpoint = the batch is re-delivered, same docs)
+    import shutil
+
+    shutil.rmtree(p.checkpoint_dir)
+    p.run_available_now()
+
+    corpus = {r["doc_id"] for r in p.corpus.read().collect()}
+    assert corpus == {1, 2}, "replayed docs were rejected as dups of themselves"
+    audit = {r["doc_key"]: (r["status"], r["dup_of"]) for r in p.audit.read().collect()}
+    assert audit == {
+        "1": ("kept", None),
+        "2": ("kept", None),
+        "3": ("rejected:quality", None),
+    }

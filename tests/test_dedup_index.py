@@ -58,11 +58,46 @@ def test_replay_idempotent(spark, tmp_path):
     idx = LshDedupIndex(spark=spark, path=str(tmp_path / "idx2"), num_buckets=4)
     idx.add_batch(_docs(spark, [(1, DOC_A)]), ingest_seq=1)
     before = sorted(map(tuple, idx._shingles.read().select("doc_id").collect()))
-    # crash-replay of the same batch: same verdicts, no index bloat
+    # crash-replay of the same batch: the doc self-matches in the index
+    # and is reported ACCEPTED (round-3 ADVICE: dup_of = itself would
+    # make downstream callers drop the doc on replay), no index bloat
     v = idx.add_batch(_docs(spark, [(1, DOC_A)]), ingest_seq=1).collect()
-    assert v[0]["dup_of"] == 1  # now sees itself in the index — flagged
+    assert v[0]["dup_of"] is None  # already present → kept, not flagged
     after = sorted(map(tuple, idx._shingles.read().select("doc_id").collect()))
     assert after == before
+
+
+def test_replay_self_match_beats_other_matches(spark, tmp_path):
+    """Defensive corner of the replay contract: a doc ALREADY in the
+    index stays accepted even if some other index doc also matches it —
+    rejecting it would leave index entries describing a rejected doc."""
+    from pyspark.sql import functions as F
+
+    idx = LshDedupIndex(spark=spark, path=str(tmp_path / "idx3"), num_buckets=4)
+    idx.add_batch(_docs(spark, [(5, DOC_A)]), ingest_seq=1)
+    # plant a conflicting lower-id near-dup directly in the index (can't
+    # arise through add_batch — it would have been rejected — but replay
+    # code must still prefer keep)
+    sig = idx._signature(_docs(spark, [(2, DOC_A)]))
+    from arcane_stream_parquet_spark.operators.minhash import lsh_bands
+
+    bands = (
+        lsh_bands(sig, num_hashes=idx.num_hashes, num_bands=idx.num_bands)
+        .withColumn(
+            "band_doc_key", F.concat_ws("|", F.col("band_key"), F.col("doc_id"))
+        )
+        .withColumn("ingest_seq", F.lit(0).cast("long"))
+    )
+    sets = (
+        sig.select("doc_id", F.col("__shingles").alias("sh"))
+        .withColumn("doc_key", F.col("doc_id").cast("string"))
+        .withColumn("ingest_seq", F.lit(0).cast("long"))
+    )
+    idx._bands.merge(bands)
+    idx._shingles.merge(sets)
+
+    v = {r["doc_id"]: r for r in idx.add_batch(_docs(spark, [(5, DOC_A)]), ingest_seq=2).collect()}
+    assert v[5]["dup_of"] is None  # self-match wins: already present → kept
 
 
 # -- vector index -------------------------------------------------------
