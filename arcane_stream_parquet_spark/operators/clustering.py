@@ -14,18 +14,20 @@ table; each round does
 
 as one equi-join (edges ⨝ labels on src) + one groupBy(dst) min + one
 left join back — all hash-partitioned on the node id, so successive
-rounds reuse the same partitioning. Rounds needed = component diameter;
-near-dup clusters are short-diameter stars/cliques (a pair-verified
-duplicate of A and of B is near both), so convergence is typically 2-3
-rounds. ``localCheckpoint`` truncates lineage each round — plans stay
-flat however many rounds run.
+rounds reuse the same partitioning — FOLLOWED by one POINTER-JUMPING
+step per round (``lbl(n) ← lbl(lbl(n))``, a self-join of the label
+table, Shiloach–Vishkin-style shortcutting): the label chain halves
+every round, so convergence is O(log diameter) rounds, not O(diameter).
+Near-dup clusters are short-diameter stars/cliques (2-3 rounds);
+adversarial chained-plagiarism paths (round-3 verdict #6) are the case
+the jump step exists for — a 400-node path converges in ~10 rounds
+(measured: tests/test_clustering.py, SCALE.md). ``localCheckpoint``
+truncates lineage each round — plans stay flat however many rounds run.
 
 100 TB posture: the loop's shuffles are all on the node id; the edge
 table is the candidate-pair output (already bucketed by the LSH
-machinery upstream, orders of magnitude smaller than the corpus).
-If diameters ever grew (chained plagiarism), the alternating
-large-star/small-star variant of the same DataFrame loop halves round
-count; the state shape is unchanged.
+machinery upstream, orders of magnitude smaller than the corpus), and
+the jump step shuffles only the (node, lbl) state table.
 """
 
 from __future__ import annotations
@@ -39,11 +41,20 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = the component's minimum node id (deterministic,
-    engine-independent labeling). Converges early when a round changes
-    nothing; ``max_iters`` bounds pathological chains."""
+    engine-independent labeling). Each round propagates the neighbor
+    min then pointer-jumps (``lbl ← lbl(lbl)``), so rounds needed is
+    O(log diameter); converges early when a round changes nothing.
+
+    ``strict=True`` (default) RAISES if ``max_iters`` rounds pass with
+    labels still changing — silently returning partial labels would
+    mislabel components with no signal to the caller (round-3 ADVICE).
+    ``stats``, if given, receives ``{"rounds": r, "converged": bool}``.
+    """
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
@@ -57,18 +68,35 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    changed, rounds = 1, 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        updated = (
+        prop = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("__old"),
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("__chg"),
+            )
+            .localCheckpoint()  # eager: read twice by the self-join below
+        )
+        # pointer jumping: follow one's label to ITS label — every label
+        # value is a node id, so this is a self-join of the state table;
+        # chains halve each round (O(log diameter) total)
+        parents = prop.select(
+            F.col("node").alias("__pn"), F.col("lbl").alias("__pl")
+        )
+        updated = (
+            prop.join(parents, prop["lbl"] == parents["__pn"], "left")
+            .select(
+                "node",
+                F.coalesce("__pl", "lbl").alias("lbl"),
+                (F.coalesce("__pl", "lbl") < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint()  # eager: materialized once, read twice below
         )
@@ -76,6 +104,15 @@ def connected_components(
         labels = updated.select("node", "lbl")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
+    if changed and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters; "
+            "pass strict=False to accept partial labels"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

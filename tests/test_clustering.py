@@ -41,12 +41,34 @@ def test_clique_and_disjoint_components(spark):
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
-def test_max_iters_bounds_pathological_chain(spark):
-    # chain longer than max_iters: must not loop forever; labels are
-    # whatever max_iters rounds reached (partial, but terminating)
+def test_unconverged_raises_not_partial_labels(spark):
+    # round-3 ADVICE: exiting via max_iters with labels still changing
+    # must RAISE, not silently return mislabeled components
+    import pytest
+
     edges = [(i, i + 1) for i in range(60)]
-    rows = connected_components(_pairs(spark, edges), max_iters=3).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, edges), max_iters=1)
+    # strict=False opts back into bounded partial labels
+    rows = connected_components(
+        _pairs(spark, edges), max_iters=1, strict=False
+    ).collect()
     assert len(rows) == 61
+
+
+def test_adversarial_chain_converges_in_log_rounds(spark):
+    """Round-3 verdict #6 (adversarial-diameter probe): a 400-node
+    chained-plagiarism path has diameter 400 — plain min-label
+    propagation needs ~400 rounds; the pointer-jumping step must bring
+    it to O(log n) (~10), inside the default max_iters=25."""
+    edges = [(i, i + 1) for i in range(400)]
+    stats: dict = {}
+    rows = connected_components(_pairs(spark, edges), stats=stats).collect()
+    assert stats["converged"]
+    assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+    assert {r["node"]: r["cluster_id"] for r in rows} == {
+        i: 0 for i in range(401)
+    }
 
 
 def test_dedup_assignment_covers_singletons(spark):
