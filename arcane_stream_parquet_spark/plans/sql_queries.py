@@ -83,36 +83,50 @@ def q_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
                CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
-               TRUE AS approx_within_5pct
+               TRUE AS approx_within_tol
         FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Exact distinct aggregation (expand + two-phase hash agg) PLUS "
-    "the approx_count_distinct (HyperLogLog++, rsd=0.02) 100 TB "
-    "alternative, gated by a tolerance oracle: approx_within_5pct "
-    "asserts |approx − exact| ≤ 5% · exact per group, which the oracle "
-    "pins to TRUE — sketch values are engine-specific, but the error "
-    "bound is hash-checkable (closes the former rows-only "
-    "approx_distinct entry).",
+    doc="Exact distinct aggregation PLUS the approx_count_distinct "
+    "(HyperLogLog++, rsd=0.02) 100 TB alternative. PLAN (round-3 "
+    "verdict #5): NOT one multi-distinct aggregate — Spark plans that "
+    "as an Expand (×3 row multiplier into the shuffle, triple shuffle "
+    "input at scale). Instead each distinct is its own two-phase plan "
+    "(map-side partial dedup shrinks the shuffle to the distinct pairs) "
+    "and the per-group results join on the 3-row group key (AQE "
+    "broadcasts). The HLL sketch rides the suppkey branch — HLL "
+    "insertion is idempotent, so sketching the deduped keys gives the "
+    "identical estimate. Tolerance oracle: approx_within_tol asserts "
+    "|approx − exact| ≤ 15% · exact per group, pinned TRUE — 15% ≈ "
+    "7.5σ at rsd=0.02 tests the mechanism, not a tail probability "
+    "(round-3 ADVICE: a 5%=2.5σ pin could legitimately fail on a "
+    "version/SF change).",
     tags=("sql", "aggregate"),
 )
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    supp = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count("*").alias("distinct_suppliers"),
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("__approx"),
         )
-        .select(
-            "l_returnflag",
-            "distinct_suppliers",
-            "distinct_parts",
-            (
-                F.abs(F.col("__approx") - F.col("distinct_suppliers"))
-                <= F.col("distinct_suppliers") * F.lit(0.05)
-            ).alias("approx_within_5pct"),
-        )
+    )
+    part = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("distinct_parts"))
+    )
+    return supp.join(part, "l_returnflag").select(
+        "l_returnflag",
+        "distinct_suppliers",
+        "distinct_parts",
+        (
+            F.abs(F.col("__approx") - F.col("distinct_suppliers"))
+            <= F.col("distinct_suppliers") * F.lit(0.15)
+        ).alias("approx_within_tol"),
     )
 
 
