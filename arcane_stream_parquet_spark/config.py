@@ -243,15 +243,17 @@ def load_stream_context(env: dict[str, str] | None = None) -> StreamContext:
 
 
 def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root: str):
-    """spec → (BlobParquetSource, ParquetMergeTarget, StreamRunner).
+    """spec → (BlobParquetSource, merge target, StreamRunner).
 
-    ``targetTableFullName`` ('catalog.schema.table') maps to
-    ``<warehouse_root>/<catalog>/<schema>/<table>`` for the parquet
-    stand-in target (an Iceberg deployment would pass the name through
-    to ``writeTo`` unchanged).
+    The merge target is chosen by runtime probe
+    (``operators/table_format.make_merge_target``): an Iceberg/Delta
+    deployment gets the real catalog table with ``targetTableFullName``
+    ('catalog.schema.table') passed through unchanged (the reference's
+    contract, main.scala:34-39); without the JARs it falls back to the
+    parquet stand-in at ``<warehouse_root>/<catalog>/<schema>/<table>``.
     """
     from arcane_stream_parquet_spark.functions.selection import FieldSelectionRule
-    from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+    from arcane_stream_parquet_spark.operators.table_format import make_merge_target
     from arcane_stream_parquet_spark.sources.blob import BlobParquetSource
     from arcane_stream_parquet_spark.streaming.runner import StreamRunner
 
@@ -268,9 +270,11 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
         modified_after=spec.backfill_start_date,
     )
     target_rel = spec.target_table_full_name.replace(".", "/")
-    target = ParquetMergeTarget(
-        spark=spark,
-        path=fs_join(warehouse_root, target_rel),
+    target = make_merge_target(
+        spark,
+        fs_join(warehouse_root, target_rel),
+        table=spec.target_table_full_name,
+        table_format="auto",
         max_records_per_file=spec.max_rows_per_file,
         unified_schema=spec.is_unified_schema,
         sorted_by=spec.sorted_by,
