@@ -125,7 +125,14 @@ class LshDedupIndex:
         documented recovery — replay heals both tables; each flip alone
         is crash-safe, the pair is not atomic).
         """
-        sig = self._signature(docs)
+        # Materialize the signature ONCE per batch (eager localCheckpoint):
+        # everything downstream — in-batch self-join, index probe, verify,
+        # verdicts, and both index merges — forks from this plan, and
+        # without pinning it Spark recomputes the sha256 shingle/minhash
+        # work for every one of those actions (~8× at 4 merges/batch).
+        # Batch-bounded data, so executor storage holds it at any corpus
+        # size; lineage truncation also keeps foreachBatch plans flat.
+        sig = self._signature(docs).localCheckpoint(eager=True)
         batch_sets = sig.select("doc_id", F.col("__shingles").alias("sh"))
         batch_bands = lsh_bands(sig, num_hashes=self.num_hashes, num_bands=self.num_bands)
 
@@ -196,6 +203,10 @@ class LshDedupIndex:
                 .otherwise(F.col("__jaccard"))
                 .alias("jaccard"),
             )
+            # pinned: consumed by both index merges below plus whatever
+            # the caller does (curation: audit + corpus merges) — four
+            # actions over one batch-sized verify result
+            .localCheckpoint(eager=True)
         )
 
         accepted = verdicts.filter(F.col("dup_of").isNull()).select("doc_id")

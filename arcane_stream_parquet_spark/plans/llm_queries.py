@@ -1194,3 +1194,195 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation parity (round-3 VERDICT item 3): the 50th registry
+# slot proves the STREAMING pipeline's persisted end state — not a batch
+# re-derivation — equals the batch composition of its own operators.
+
+
+def _sql_curation_parity(num_batches: int, min_jaccard: float) -> str:
+    """DuckDB replay of StreamingCurationPipeline over ``documents``
+    split into ``num_batches`` micro-batches by ``doc_id % num_batches``
+    (exactly how the Spark builder stages the landing files).
+
+    Semantics being replayed (streaming/curation.py +
+    operators/dedup_index.py): per batch, quality-gate, then reject a
+    kept doc iff it exact-Jaccard-matches (≥ threshold, LSH-banded
+    candidates only) a LOWER-ID KEPT doc of the SAME batch, or ANY
+    ACCEPTED doc of an EARLIER batch (the persisted index holds only
+    accepted docs). The acceptance recurrence unrolls into one chained
+    CTE per batch — no recursion needed for a fixed batch count.
+    ``dup_of`` = min qualifying prior id (add_batch's min_by)."""
+    mh = ",\n               ".join(
+        f"{_sql_minhash(seed)} AS mh_{seed}" for seed in range(NUM_HASHES)
+    )
+    acc_ctes = []
+    for i in range(num_batches):
+        in_batch = (
+            f"NOT EXISTS (SELECT 1 FROM vp p JOIN kq e ON e.doc_id = p.id_b "
+            f"WHERE p.id_a = k.doc_id AND e.b = {i} AND p.id_b < k.doc_id)"
+        )
+        if i == 0:
+            cross = ""
+        else:
+            earlier = " UNION ALL ".join(
+                f"SELECT doc_id FROM acc{j}" for j in range(i)
+            )
+            cross = (
+                f" AND NOT EXISTS (SELECT 1 FROM vp p "
+                f"WHERE p.id_a = k.doc_id AND p.id_b IN ({earlier}))"
+            )
+        acc_ctes.append(
+            f"acc{i} AS (SELECT k.doc_id FROM kq k "
+            f"WHERE k.b = {i} AND {in_batch}{cross})"
+        )
+    all_acc = " UNION ALL ".join(
+        f"SELECT doc_id FROM acc{j}" for j in range(num_batches)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        kq AS (
+            SELECT doc_id, CAST(doc_id % {num_batches} AS BIGINT) AS b
+            FROM base WHERE ({_QUALITY_SCORE_SQL}) >= 0.5
+        ),
+        shingled AS (
+            SELECT doc_id, {_sql_shingles()} AS sh FROM base
+        ),
+        hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> sha256(s)) AS hs
+            FROM shingled
+        ),
+        sig AS (
+            SELECT doc_id, sh,
+               {mh}
+            FROM hashed
+        ),
+        bands AS ({_sql_bands()}),
+        cpairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_key)
+            WHERE a.doc_id <> b.doc_id
+        ),
+        vp AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                       AS jaccard
+            FROM cpairs p
+            JOIN kq ka ON ka.doc_id = p.id_a
+            JOIN kq kb ON kb.doc_id = p.id_b
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                  >= {min_jaccard}
+        ),
+        {", ".join(acc_ctes)},
+        dupsrc AS (
+            SELECT p.id_a, p.id_b, p.jaccard
+            FROM vp p
+            JOIN kq d ON d.doc_id = p.id_a
+            JOIN kq e ON e.doc_id = p.id_b
+            WHERE (e.b = d.b AND p.id_b < p.id_a)
+               OR (e.b < d.b AND p.id_b IN ({all_acc}))
+        ),
+        verdict AS (
+            SELECT id_a AS doc_id, min(id_b) AS dup_of
+            FROM dupsrc GROUP BY id_a
+        ),
+        verdictj AS (
+            SELECT v.doc_id, v.dup_of, {_micro("s.jaccard")} AS jaccard_micro
+            FROM verdict v
+            JOIN dupsrc s ON s.id_a = v.doc_id AND s.id_b = v.dup_of
+        )
+        SELECT d.doc_id,
+               CASE WHEN k.doc_id IS NULL THEN 'rejected:quality'
+                    WHEN v.dup_of IS NOT NULL THEN 'rejected:near_dup'
+                    ELSE 'kept' END AS status,
+               v.dup_of,
+               v.jaccard_micro,
+               (k.doc_id IS NOT NULL AND v.dup_of IS NULL) AS in_corpus
+        FROM documents d
+        LEFT JOIN kq k ON k.doc_id = d.doc_id
+        LEFT JOIN verdictj v ON v.doc_id = d.doc_id
+    """
+
+
+_PARITY_BATCHES = 3
+
+
+@register_query(
+    "streaming_curation_parity",
+    oracle=_sql_curation_parity(_PARITY_BATCHES, MINHASH_MIN_JACCARD),
+    doc="Streaming-vs-batch parity for the production ingest pipeline "
+    "(streaming/curation.py): the builder REALLY RUNS "
+    "StreamingCurationPipeline — documents staged as 3 landing files "
+    "(doc_id % 3, mtime-ordered), drained availableNow with "
+    "maxFilesPerTrigger=1 so the incremental LSH index sees 3 genuine "
+    "micro-batches — then returns the PERSISTED end state (audit merge "
+    "target joined with curated-corpus membership). The oracle replays "
+    "the whole thing declaratively: quality gate, in-batch lower-id-kept "
+    "rejection, cross-batch rejection against earlier ACCEPTED docs "
+    "only, min-id dup attribution — so checkpointing, the band-index "
+    "probe, and both merge targets all sit inside the hash check. "
+    "Streaming lifecycle cost is test plumbing; per-batch scale shape "
+    "is documented in the module docstring (corpus size never scanned).",
+    tags=("llm", "streaming", "pipeline"),
+)
+def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from arcane_stream_parquet_spark.streaming.curation import (
+        StreamingCurationPipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="asp_stream_parity_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    now = time.time()
+    for i in range(_PARITY_BATCHES):
+        stage = os.path.join(work, f"stage{i}")
+        docs.filter((F.col("doc_id") % _PARITY_BATCHES) == i).coalesce(
+            1
+        ).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{i:03d}.parquet")
+        os.replace(src, dst)
+        # distinct ascending mtimes pin FileStreamSource's batch order
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    pipe = StreamingCurationPipeline(
+        spark=spark,
+        source_path=landing,
+        work_path=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        min_jaccard=MINHASH_MIN_JACCARD,
+        # parity-harness sizing: at sf≤0.1 per-file overhead dominates
+        # (buckets × tables × batches of near-empty files); production
+        # default stays 64+, the semantics are bucket-count-invariant
+        num_buckets=8,
+    )
+    pipe.run_available_now(max_files_per_trigger=1)
+    in_corpus = (
+        pipe.corpus.read().select("doc_key").withColumn("in_corpus", F.lit(True))
+    )
+    return (
+        pipe.audit.read()
+        .join(in_corpus, "doc_key", "left")
+        .select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            "status",
+            "dup_of",
+            micro_col(F.col("jaccard")).alias("jaccard_micro"),
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("in_corpus"),
+        )
+    )

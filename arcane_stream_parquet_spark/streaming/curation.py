@@ -47,6 +47,11 @@ class StreamingCurationPipeline:
     checkpoint_dir: str
     min_quality: float = 0.5
     min_jaccard: float = 0.5
+    # bucket count for corpus/audit/index targets: sized to the stream's
+    # steady-state corpus, not the batch (512+ in production; small
+    # harnesses shrink it — at tiny scale per-file overhead dominates,
+    # 64 buckets × tables × batches of near-empty parquet files).
+    num_buckets: int = 64
     corpus: ParquetMergeTarget = field(init=False)
     audit: ParquetMergeTarget = field(init=False)
     index: LshDedupIndex = field(init=False)
@@ -58,20 +63,21 @@ class StreamingCurationPipeline:
             spark=self.spark,
             path=fs_join(self.work_path, "dedup_index"),
             min_jaccard=self.min_jaccard,
+            num_buckets=self.num_buckets,
         )
         self.corpus = ParquetMergeTarget(
             spark=self.spark,
             path=fs_join(self.work_path, "corpus"),
             key_col="doc_key",
             version_col="ingest_seq",
-            num_buckets=64,
+            num_buckets=self.num_buckets,
         )
         self.audit = ParquetMergeTarget(
             spark=self.spark,
             path=fs_join(self.work_path, "audit"),
             key_col="doc_key",
             version_col="ingest_seq",
-            num_buckets=64,
+            num_buckets=self.num_buckets,
         )
 
     # -- one micro-batch -----------------------------------------------------
@@ -79,7 +85,11 @@ class StreamingCurationPipeline:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        scored = quality_score(batch, min_score=self.min_quality)
+        # one scoring pass per batch (audit + kept both read it; without
+        # the pin the quality projection re-runs per downstream action)
+        scored = quality_score(batch, min_score=self.min_quality).localCheckpoint(
+            eager=True
+        )
         kept = scored.filter(F.col("quality_keep")).select("doc_id", "text")
         # near-dup probe + index commit happens only for quality-kept
         # docs (junk must not pollute the accepted-corpus index)
@@ -114,11 +124,21 @@ class StreamingCurationPipeline:
 
     # -- stream assembly -----------------------------------------------------
 
-    def run_available_now(self, timeout_sec: float = 600) -> None:
+    def run_available_now(
+        self, timeout_sec: float = 600, max_files_per_trigger: int | None = None
+    ) -> None:
         """Drain everything currently in the landing prefix, then stop
         (the test-harness trigger; continuous mode is the same writer
-        with a processingTime trigger, as in StreamRunner)."""
-        stream = self.spark.readStream.schema(DOC_SCHEMA).parquet(self.source_path)
+        with a processingTime trigger, as in StreamRunner).
+
+        ``max_files_per_trigger`` caps files per micro-batch —
+        availableNow honors source rate limits, so N landing files
+        become ceil(N/cap) ordered batches (mtime order), exercising
+        the incremental index exactly as a long-running stream would."""
+        reader = self.spark.readStream.schema(DOC_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(self.source_path)
         query = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
