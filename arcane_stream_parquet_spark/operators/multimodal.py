@@ -11,12 +11,19 @@ parquet). What is REAL here and what is STUBBED:
 - REAL as of round 3: header decoding. ``image_header_features`` parses
   PNG/JPEG/GIF/BMP magic numbers and dimensions straight from the bytes
   (public format specs — see parse_image_header) with no codec library.
-- STUBBED: pixel/audio/video decoding. This container has no media
-  libraries, so ``decode_image_features``/``sample_frames`` raise
-  ``NotImplementedError`` unless ``fake=True``, in which case a
-  DETERMINISTIC FAKE derives plausible features (width/height/duration)
-  from the payload bytes. The batch shape, schema, and partitioning are
-  exactly what a real decoder drops into.
+- REAL as of round 4: PNG PIXEL decoding, stdlib-only.
+  ``decode_png_pixels`` inflates the IDAT stream with ``zlib`` and
+  inverts all five PNG scanline filters (None/Sub/Up/Average/Paeth, PNG
+  spec §9) for 8-bit gray/RGB/gray-alpha/RGBA, and
+  ``decode_image_features`` computes true pixel statistics (mean,
+  16-bin histogram) from the recovered samples for any PNG payload.
+- STUBBED: JPEG pixel decode and audio/video decoding. This container
+  has no media libraries, so ``decode_image_features``/``sample_frames``
+  raise ``NotImplementedError`` for non-PNG payloads unless
+  ``fake=True``, in which case a DETERMINISTIC FAKE derives plausible
+  features (width/height/duration) from the payload bytes. The batch
+  shape, schema, and partitioning are exactly what a real codec drops
+  into.
 
 Scale: ``mapInPandas`` streams Arrow record batches per partition — no
 driver involvement, no shuffle; batch size is bounded by
@@ -78,51 +85,183 @@ DECODED_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("n_channels", LongType()),
         StructField("feature_hash", StringType()),
+        # pixel-level stats — populated by the REAL PNG decode path,
+        # NULL from the fake codec (which never sees actual pixels)
+        StructField("mean_micro", LongType()),
+        StructField("hist16", StringType()),
     ]
 )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): the neighbor (left, up, upleft)
+    closest to the linear estimate a + b - c, ties left > up > upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Invert the per-scanline filters (PNG spec §9): each scanline is a
+    filter-type byte then ``width*bpp`` filtered bytes; recover the raw
+    samples row by row (Sub/Average/Paeth are sequential along x by
+    construction — the spec's own decode recurrence)."""
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected "
+            f"{height * (1 + stride)} for {width}x{height}x{bpp}"
+        )
+    out = bytearray(height * stride)
+    prior = bytearray(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = line
+    return out
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib-only PNG pixel decode → (width, height, n_channels,
+    raw samples row-major). Walks the chunk stream, inflates the
+    concatenated IDAT payload with ``zlib`` and unfilters every
+    scanline. Supports the non-interlaced 8-bit truecolor family
+    (gray / RGB / gray+alpha / RGBA — PNG color types 0/2/4/6);
+    palette, 16-bit, and Adam7 raise ``ValueError`` (honest bounds,
+    not silent misreads)."""
+    import zlib
+
+    if not b.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG payload")
+    pos, width = len(PNG_SIGNATURE), None
+    height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS or color_type == 3:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("PNG has no IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    samples = _unfilter_scanlines(raw, width, height, channels)
+    return width, height, channels, bytes(samples)
+
+
+def _pixel_stats(samples: bytes) -> tuple[int, str]:
+    """(mean_micro, hist16) over 8-bit samples: floor(mean·1e6) — the
+    integer sum and /n division are exact-then-deterministic IEEE, same
+    on every engine — and a comma-joined 16-bin histogram of v>>4."""
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    mean_micro = int((float(int(arr.sum(dtype=np.int64))) / len(arr)) * 1_000_000)
+    hist = np.bincount(arr >> 4, minlength=16)
+    return mean_micro, ",".join(str(int(c)) for c in hist)
 
 
 def decode_image_features(
     df: DataFrame, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
-    """Decode image payloads to (width, height, channels, feature hash)
-    via Arrow-batched mapInPandas.
+    """Decode image payloads to (width, height, channels, feature hash,
+    pixel stats) via Arrow-batched mapInPandas.
 
-    ``fake=False`` raises NotImplementedError per batch: the real codec
-    (PIL/OpenCV) is NOT INSTALLED in this environment — STUB, clearly
-    marked. ``fake=True`` derives deterministic pseudo-features from the
-    bytes so the full distributed path (batching, schema, partition
-    parallelism) is exercised end-to-end in tests.
+    PNG payloads take the REAL path regardless of ``fake``: stdlib
+    inflate + unfilter (:func:`decode_png_pixels`) and true pixel
+    statistics. Non-PNG payloads raise NotImplementedError per batch —
+    the JPEG codec is NOT INSTALLED in this environment (STUB, clearly
+    marked) — unless ``fake=True``, which derives deterministic
+    pseudo-features from the bytes (NULL pixel stats) so the full
+    distributed path is exercised end-to-end in tests.
     """
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def decode_one(b: bytes):
+        if b.startswith(PNG_SIGNATURE):
+            w, h, ch, samples = decode_png_pixels(b)
+            mean_micro, hist16 = _pixel_stats(samples)
+            return len(b), w, h, ch, mean_micro, hist16
+        if not fake:
+            # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
+            raise NotImplementedError(
+                "non-PNG image decode requires a codec library not "
+                "present in this environment; use fake=True for the "
+                "deterministic test double (PNG decodes for real)"
+            )
+        import hashlib
+
+        d = hashlib.sha256(b).digest()
+        return (
+            len(b),
+            64 + int.from_bytes(d[:2]) % 1024,
+            64 + int.from_bytes(d[2:4]) % 1024,
+            3,
+            None,
+            None,
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            if not fake:
-                # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
-                raise NotImplementedError(
-                    "image decode requires a codec library not present "
-                    "in this environment; use fake=True for the "
-                    "deterministic test double"
-                )
-            out = {
-                "doc_id": pdf["doc_id"],
-                "byte_len": pdf[PAYLOAD_COL].map(len),
-                # fake decode: dims derived from content hash — stable
-                "width": pdf[PAYLOAD_COL].map(
-                    lambda b: 64 + int.from_bytes(hashlib.sha256(b).digest()[:2]) % 1024
-                ),
-                "height": pdf[PAYLOAD_COL].map(
-                    lambda b: 64 + int.from_bytes(hashlib.sha256(b).digest()[2:4]) % 1024
-                ),
-                "n_channels": pdf[PAYLOAD_COL].map(lambda b: 3),
-                "feature_hash": pdf[PAYLOAD_COL].map(
-                    lambda b: hashlib.sha256(b).hexdigest()
-                ),
-            }
-            yield pd.DataFrame(out)
+            decoded = [decode_one(bytes(p)) for p in pdf[PAYLOAD_COL]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_channels": [d[3] for d in decoded],
+                    "feature_hash": [
+                        hashlib.sha256(bytes(p)).hexdigest()
+                        for p in pdf[PAYLOAD_COL]
+                    ],
+                    "mean_micro": pd.array(
+                        [d[4] for d in decoded], dtype="Int64"
+                    ),
+                    "hist16": [d[5] for d in decoded],
+                }
+            )
 
     return cols.mapInPandas(batches, DECODED_SCHEMA)
 
@@ -254,6 +393,111 @@ def make_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
         + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
         + b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
         + b"\xff\xd9"
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    samples: bytes,
+    color_type: int = 6,
+    filter_for_row=lambda y: y % 5,
+) -> bytes:
+    """A COMPLETE spec-valid PNG (signature, IHDR, one IDAT, IEND) from
+    raw 8-bit samples, applying a real scanline filter per row
+    (``filter_for_row`` defaults to cycling through all five types, so a
+    decoder must implement every unfilter recurrence to read it back).
+    Test/synthesis encoder — a deliberately small, readable
+    implementation of PNG spec §9's filter definitions."""
+    import struct
+    import zlib
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(samples) != height * stride:
+        raise ValueError("samples length != height * width * channels")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = samples[y * stride : (y + 1) * stride]
+        ftype = filter_for_row(y)
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, upleft)
+            filt[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# Closed-form dims/content for the pixel-decode facet: small enough that
+# per-byte Python unfiltering stays cheap per doc, row count ≥ 5 so every
+# filter type occurs, and sample value (doc_id + y + c) % 256 is constant
+# along x — an oracle can state the exact mean and histogram in SQL
+# while the Spark side must round-trip encoder → zlib → unfilter.
+PIX_W = lambda i: 8 + (i * 7) % 56  # noqa: E731
+PIX_H = lambda i: 5 + (i * 13) % 28  # noqa: E731
+
+
+def make_png_image(doc_id: int) -> bytes:
+    """Deterministic full RGBA PNG for ``doc_id`` (see PIX_W/PIX_H)."""
+    w, h = PIX_W(doc_id), PIX_H(doc_id)
+    row_px = [
+        bytes((doc_id + y + c) % 256 for c in range(4)) * w for y in range(h)
+    ]
+    return encode_png(w, h, b"".join(row_px), color_type=6)
+
+
+def synth_png_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Complete deterministic PNGs (not just headers) per doc — the
+    input side of the REAL pixel-decode path."""
+    cols = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    PAYLOAD_COL: [make_png_image(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
     )
 
 

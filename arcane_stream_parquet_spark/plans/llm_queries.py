@@ -643,35 +643,86 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "multimodal_image_dims",
     oracle="""
-        SELECT doc_id,
-               CASE CAST(doc_id % 3 AS INT)
+        WITH pixd AS (
+            SELECT doc_id,
+                   8 + (doc_id * 7) % 56 AS w,
+                   5 + (doc_id * 13) % 28 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        samples AS (
+            SELECT d.doc_id, d.w, ((d.doc_id + y.r + c.r) % 256) AS v
+            FROM pixd d
+            CROSS JOIN range(0, 33) y(r)
+            CROSS JOIN range(0, 4) c(r)
+            WHERE y.r < d.h
+        ),
+        pixmean AS (
+            SELECT doc_id,
+                   CAST(floor(avg(v) * 1000000) AS BIGINT) AS pix_mean_micro
+            FROM samples GROUP BY doc_id
+        ),
+        bins AS (
+            SELECT s.doc_id, b.r AS bin,
+                   CAST(sum(CASE WHEN v // 16 = b.r THEN s.w ELSE 0 END)
+                        AS BIGINT) AS n
+            FROM samples s CROSS JOIN range(0, 16) b(r)
+            GROUP BY s.doc_id, b.r
+        ),
+        pixhist AS (
+            SELECT doc_id,
+                   string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
+                       AS pix_hist16
+            FROM bins GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE CAST(d.doc_id % 3 AS INT)
                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
                END AS fmt,
-               CAST(16 + (doc_id * 7) % 640 AS BIGINT) AS width,
-               CAST(16 + (doc_id * 13) % 480 AS BIGINT) AS height,
-               CAST(CASE CAST(doc_id % 3 AS INT)
+               CAST(16 + (d.doc_id * 7) % 640 AS BIGINT) AS width,
+               CAST(16 + (d.doc_id * 13) % 480 AS BIGINT) AS height,
+               CAST(CASE CAST(d.doc_id % 3 AS INT)
                     WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE NULL
-               END AS BIGINT) AS n_channels
-        FROM documents
+               END AS BIGINT) AS n_channels,
+               m.pix_mean_micro,
+               hh.pix_hist16
+        FROM documents d
+        LEFT JOIN pixmean m ON m.doc_id = d.doc_id
+        LEFT JOIN pixhist hh ON hh.doc_id = d.doc_id
     """,
-    doc="REAL image-header decoding (no codec library): deterministic "
-    "spec-valid PNG/JPEG/GIF payloads are generated per doc (dims are "
-    "closed-form in doc_id), then parse_image_header reads the magic "
-    "numbers, big/little-endian dimensions and channel counts back out "
-    "of the actual bytes in Arrow-batched mapInPandas. The oracle "
-    "states the closed-form expectation, so any generator/parser "
-    "endianness or offset bug breaks the match; known-bytes unit tests "
-    "pin the parser independently (tests/test_multimodal.py).",
+    doc="REAL image decoding, no codec library — two facets. Headers: "
+    "deterministic spec-valid PNG/JPEG/GIF payloads per doc (dims "
+    "closed-form in doc_id), parse_image_header reads magic numbers "
+    "and big/little-endian dims back out of the actual bytes. PIXELS "
+    "(round-4): every doc_id%3==0 doc gets a COMPLETE small RGBA PNG "
+    "(gradient samples closed-form in doc_id, scanline filters cycling "
+    "through all five PNG types), and decode_png_pixels zlib-inflates "
+    "the IDAT and inverts the Sub/Up/Average/Paeth recurrences to "
+    "recover exact samples — surfaced as floor(mean·1e6) and a 16-bin "
+    "histogram string the oracle states in closed form, so any filter/"
+    "inflate/offset bug breaks the hash. Known-bytes unit tests pin "
+    "encoder and decoder independently (tests/test_multimodal.py). "
+    "Both facets are Arrow-batched mapInPandas; JPEG pixel decode "
+    "stays an honest stub.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.multimodal import (
+        decode_image_features,
         image_header_features,
         synth_image_payload,
+        synth_png_pixel_payload,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_header_features(synth_image_payload(docs))
+    headers = image_header_features(synth_image_payload(docs))
+    pix = decode_image_features(
+        synth_png_pixel_payload(docs.filter(F.col("doc_id") % 3 == 0))
+    ).select(
+        "doc_id",
+        F.col("mean_micro").alias("pix_mean_micro"),
+        F.col("hist16").alias("pix_hist16"),
+    )
+    return headers.join(pix, "doc_id", "left")
 
 
 IVF_NUM_CENTROIDS = 8

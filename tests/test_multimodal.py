@@ -88,3 +88,134 @@ def test_distributed_header_decode(spark):
         assert r["fmt"] == ["png", "jpeg", "gif"][i % 3]
         assert r["width"] == 16 + (i * 7) % 640
         assert r["height"] == 16 + (i * 13) % 480
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel decode (round-3 VERDICT item 4): decoder pinned against
+# HAND-FILTERED known bytes (computed by hand from PNG spec §9, so an
+# encoder/decoder bug pair cannot cancel), then encoder round-trip with
+# all five filters, then the distributed feature path.
+
+import struct
+import zlib
+
+import pytest
+
+from arcane_stream_parquet_spark.operators.multimodal import (
+    PIX_H,
+    PIX_W,
+    decode_image_features,
+    decode_png_pixels,
+    encode_png,
+    make_png_image,
+    synth_png_pixel_payload,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _gray_png(rows: bytes, w: int, h: int) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        bytes.fromhex("89504e470d0a1a0a")
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_known_sub_up_filtered_bytes():
+    # 2x2 gray. Row 0 Sub: raw [10,20] -> filt [10, 20-10=10].
+    # Row 1 Up: raw [30,40] -> filt [30-10=20, 40-20=20].
+    # Hand-computed; the decoder must invert both recurrences exactly.
+    png = _gray_png(b"\x01\x0a\x0a" + b"\x02\x14\x14", 2, 2)
+    w, h, ch, samples = decode_png_pixels(png)
+    assert (w, h, ch) == (2, 2, 1)
+    assert samples == bytes([10, 20, 30, 40])
+
+
+def test_decode_known_average_paeth_filtered_bytes():
+    # 2x2 gray. Row 0 Average: raw [100,101] -> filt [100-(0+0)//2=100,
+    # 101-(100+0)//2=51]. Row 1 Paeth: raw [102,103]; px0 predictor
+    # paeth(0,100,0)=100 -> filt 2; px1 paeth(102,101,100)=102 -> filt 1.
+    png = _gray_png(b"\x03\x64\x33" + b"\x04\x02\x01", 2, 2)
+    w, h, ch, samples = decode_png_pixels(png)
+    assert samples == bytes([100, 101, 102, 103])
+
+
+def test_decode_multiple_idat_chunks_concatenate():
+    # the zlib stream may be split across IDAT chunks arbitrarily
+    rows = b"\x00\x07\x08"  # 2x1 gray, filter None
+    z = zlib.compress(rows)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    png = (
+        bytes.fromhex("89504e470d0a1a0a")
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", z[:3])
+        + _chunk(b"IDAT", z[3:])
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(png)[3] == bytes([7, 8])
+
+
+def test_decode_rejects_unsupported_variants():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"GIF89a")
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_pixels(png16)
+    ihdr_pal = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png_pal = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_pal)
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_pixels(png_pal)
+    ihdr_i7 = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    png_i7 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_i7)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png_pixels(png_i7)
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png_pixels(_gray_png(b"\x05\x00\x00", 2, 1))
+
+
+def test_encoder_roundtrip_every_filter_and_shape():
+    # 3 channels, 6 rows -> every filter type occurs (y % 5 cycles);
+    # content exercises wrap-around arithmetic (values near 255)
+    w, h, ch = 5, 6, 3
+    samples = bytes(((x * 37 + y * 91 + c * 53) % 256)
+                    for y in range(h) for x in range(w) for c in range(ch))
+    png = encode_png(w, h, samples, color_type=2)
+    assert decode_png_pixels(png) == (w, h, ch, samples)
+
+
+def test_make_png_image_closed_form():
+    for i in (0, 3, 42, 999):
+        w, h, ch, samples = decode_png_pixels(make_png_image(i))
+        assert (w, h, ch) == (PIX_W(i), PIX_H(i), 4)
+        exp = b"".join(
+            bytes((i + y + c) % 256 for c in range(4)) * w for y in range(h)
+        )
+        assert samples == exp
+
+
+def test_distributed_real_png_decode(spark):
+    ids = spark.createDataFrame([Row(doc_id=i) for i in (0, 3, 6, 9)])
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_features(synth_png_pixel_payload(ids)).collect()
+    }
+    assert set(out) == {0, 3, 6, 9}
+    for i, r in out.items():
+        assert (r["width"], r["height"], r["n_channels"]) == (PIX_W(i), PIX_H(i), 4)
+        vals = [(i + y + c) % 256 for y in range(PIX_H(i)) for c in range(4)]
+        assert r["mean_micro"] == int(sum(vals) / len(vals) * 1_000_000)
+        hist = [0] * 16
+        for v in vals:
+            hist[v >> 4] += PIX_W(i)
+        assert r["hist16"] == ",".join(str(n) for n in hist)
