@@ -36,13 +36,12 @@ NUM_BANDS = 4
 SHINGLE_K = 3
 
 
-def char_shingles_column(text_col: str | Column, k: int = 5) -> Column:
-    """Distinct k-character shingles of the normalized (lowercased,
-    trimmed) text — the character-n-gram flavor of the shingle set
-    (robust to word-boundary edits where word shingles are not).
-    Documents shorter than k chars yield themselves as one shingle."""
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    norm = F.lower(F.trim(col))
+def char_shingles_from_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles over an ALREADY-normalized text column.
+    ``norm`` must be a plain column reference (hoisted via withColumn):
+    a composite expression here is re-evaluated once per gram inside the
+    transform lambda — O(len²) per doc, measured 1.7× on the whole
+    shingle stage at sf0.1."""
     n = F.length(norm)
     upper = F.greatest(n - F.lit(k - 1), F.lit(1))
     grams = F.transform(
@@ -51,11 +50,21 @@ def char_shingles_column(text_col: str | Column, k: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
-def shingles_column(text_col: str | Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles (space-joined) of the tokenized text.
-    Documents shorter than k tokens yield their whole token sequence as
-    one shingle (so they still participate)."""
-    toks = tokens_column(text_col)
+def char_shingles_column(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized (lowercased,
+    trimmed) text — the character-n-gram flavor of the shingle set
+    (robust to word-boundary edits where word shingles are not).
+    Documents shorter than k chars yield themselves as one shingle.
+    Prefer hoisting the normalization and calling
+    :func:`char_shingles_from_norm` in hot paths (see its docstring)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return char_shingles_from_norm(F.lower(F.trim(col)), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles over an ALREADY-tokenized array column.
+    Like :func:`char_shingles_from_norm`, ``toks`` should be a plain
+    column reference — the lambda indexes it k times per shingle."""
     n = F.size(toks)
     # positions 1..n-k+1; degenerate short docs → 1 shingle. F.get is
     # 0-based and NULL out-of-bounds (ANSI-safe, matching DuckDB's
@@ -69,6 +78,13 @@ def shingles_column(text_col: str | Column, k: int = SHINGLE_K) -> Column:
         ),
     )
     return F.array_distinct(joined)
+
+
+def shingles_column(text_col: str | Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles (space-joined) of the tokenized text.
+    Documents shorter than k tokens yield their whole token sequence as
+    one shingle (so they still participate)."""
+    return shingles_from_tokens(tokens_column(text_col), k)
 
 
 def minhash_expr(hashed_col: Column, seed: int) -> Column:
@@ -98,13 +114,22 @@ def minhash_signature(
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be word|char, got {unit!r}")
     df = fan_out(df)  # hashing is CPU-bound: never serialize on 1 scan split
-    sh = (
-        shingles_column(text_col, k)
-        if unit == "word"
-        else char_shingles_column(text_col, k)
-    )
-    staged = df.withColumn("__shingles", sh).withColumn(
-        "__sh_hashes", F.transform(F.col("__shingles"), lambda s: F.sha2(s, 256))
+    # hoist tokenization/normalization into real columns BEFORE the
+    # shingle lambdas reference them (see char_shingles_from_norm: a
+    # composite expression re-evaluates per gram)
+    if unit == "word":
+        staged = df.withColumn("__toks", tokens_column(text_col))
+        sh = shingles_from_tokens(F.col("__toks"), k)
+    else:
+        col = F.col(text_col)
+        staged = df.withColumn("__norm", F.lower(F.trim(col)))
+        sh = char_shingles_from_norm(F.col("__norm"), k)
+    staged = (
+        staged.withColumn("__shingles", sh)
+        .drop("__toks", "__norm")
+        .withColumn(
+            "__sh_hashes", F.transform(F.col("__shingles"), lambda s: F.sha2(s, 256))
+        )
     )
     return staged.select(
         "*",
@@ -210,8 +235,12 @@ def near_duplicates(
             "id_b",
         )
     )
+    # |A∪B| = |A| + |B| − |A∩B| for the (distinct) shingle sets — one
+    # O(n) array op per candidate instead of two; the integer (and
+    # therefore the IEEE quotient) is identical to array_union's size,
+    # so oracles are unaffected
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jacc = inter.cast("double") / union.cast("double")
     return (
         joined.select("id_a", "id_b", jacc.alias("jaccard"))
