@@ -29,6 +29,58 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def merge_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end ingest throughput (round-3 VERDICT item 7): drive the
+    production backfill→merge path over sf lineitem and report rows/s.
+
+    Two phases, both through the real code path (BlobParquetSource
+    enrichment → ParquetMergeTarget latest-wins merge + watermark
+    commit, run_backfill):
+    - cold backfill: full source into an empty target;
+    - incremental upsert: a 10% batch (bumped version) merged into the
+      committed table — the shape of the reference's steady-state
+      envelope (~5,000 rows in ≤60 s ≈ 83 rows/s, BASELINE.md).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+    from arcane_stream_parquet_spark.sources.blob import BlobParquetSource
+    from arcane_stream_parquet_spark.streaming.runner import run_backfill
+
+    work = tempfile.mkdtemp(prefix="asp_bench_merge_")
+    source = BlobParquetSource(
+        path=os.path.join(sf_dir, "lineitem.parquet"),
+        primary_keys=["l_orderkey", "l_linenumber"],
+    )
+    target = ParquetMergeTarget(
+        spark=spark, path=os.path.join(work, "t"), num_buckets=64
+    )
+    n = source.read_batch(spark).count()
+    t0 = time.perf_counter()
+    run_backfill(spark, source, target, behavior="Merge")
+    backfill_sec = time.perf_counter() - t0
+
+    batch = (
+        source.read_batch(spark)
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .withColumn("createdon", F.col("createdon") + F.lit(1))
+    )
+    bn = batch.count()
+    t0 = time.perf_counter()
+    target.merge(batch)
+    upsert_sec = time.perf_counter() - t0
+    return {
+        "backfill_rows": n,
+        "backfill_sec": round(backfill_sec, 2),
+        "backfill_rows_per_sec": round(n / backfill_sec),
+        "upsert_rows": bn,
+        "upsert_sec": round(upsert_sec, 2),
+        "upsert_rows_per_sec": round(bn / upsert_sec),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -55,6 +107,7 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "cpus": cpus,
+                "merge_throughput": merge_throughput(spark, sf_dir),
             }
         )
     )
