@@ -404,9 +404,15 @@ class ParquetMergeTarget:
             return
 
         # Affected buckets: tiny driver-side list (≤ num_buckets ints).
+        # Derived from the RAW batch — dedup can't change the key set,
+        # so this action skips the max_by aggregation entirely (the
+        # dedup runs once, inside the version write below).
         buckets = [
             r[BUCKET_COLUMN]
-            for r in batch_latest.select(BUCKET_COLUMN).distinct().collect()
+            for r in self._with_bucket(batch)
+            .select(BUCKET_COLUMN)
+            .distinct()
+            .collect()
         ]
         if not buckets:
             return  # empty batch: no version bump, no manifest churn

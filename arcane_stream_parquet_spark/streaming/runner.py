@@ -67,6 +67,12 @@ class StreamRunner:
     _batches_since_maintenance: int = field(default=0, repr=False)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # Pin the micro-batch once: head-check, merge (bucket listing +
+        # version write) and the watermark max each run an action over
+        # this plan, and without the pin every one re-reads the source
+        # files. Micro-batches are trigger-bounded (files/bytes caps),
+        # so executor storage holds them at any corpus scale.
+        batch = batch.localCheckpoint(eager=True)
         if not batch.head(1):
             return
         run_with_retry(
