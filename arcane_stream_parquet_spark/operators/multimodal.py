@@ -478,8 +478,12 @@ def make_png_image(doc_id: int) -> bytes:
 
 def synth_png_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Complete deterministic PNGs (not just headers) per doc — the
-    input side of the REAL pixel-decode path."""
-    cols = df.select(F.col(id_col).alias("doc_id"))
+    input side of the REAL pixel-decode path. ``fan_out`` so encode and
+    the downstream per-byte unfilter parallelize even off a single-file
+    scan (no-op on real multi-file tables)."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
