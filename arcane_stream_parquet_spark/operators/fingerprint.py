@@ -103,16 +103,23 @@ def with_winnowing_fingerprints(
     identical selection semantics, engine-portable.
     """
     col = F.col(text_col)
-    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    # hoist the normalization into a real column: referencing the
+    # composite regexp_replace expression from inside the gram lambda
+    # re-evaluates it once PER GRAM — O(len²) regex work per doc (same
+    # pitfall as minhash.char_shingles_from_norm)
+    staged = df.withColumn(
+        "__wg_norm", F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    )
+    norm = F.col("__wg_norm")
     n = F.length(norm)
     g_upper = F.greatest(n - F.lit(k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), g_upper), lambda i: norm.substr(i, F.lit(k))
     )
-    hashed = df.withColumn(
+    hashed = staged.withColumn(
         "__wg_hashes",
         F.transform(grams, lambda g: F.substring(F.sha2(g, 256), 1, 8)),
-    )
+    ).drop("__wg_norm")
     hcol = F.col("__wg_hashes")
     w_upper = F.greatest(F.size(hcol) - F.lit(window - 1), F.lit(1))
     selected = F.transform(
