@@ -72,8 +72,15 @@ def text_stats(
     plus whatever the caller selects (column pruning verified in
     tests/test_llm_ops.py).
     """
-    toks = tokens_column(text_col)
-    lower = F.lower(F.col(text_col))
+    # tokenization and lowering hoisted into real columns: the split/
+    # lower subtrees are referenced by 5 output expressions, and inside
+    # a lambda-bearing projection codegen's subexpression elimination
+    # does not always cover them (~20% on the whole profile at sf0.1)
+    staged = df.withColumn("__toks", tokens_column(text_col)).withColumn(
+        "__lower", F.lower(F.col(text_col))
+    )
+    toks = F.col("__toks")
+    lower = F.col("__lower")
     n_chars = F.length(F.col(text_col)).cast("bigint")
     n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("bigint")
     n_digit = F.length(F.regexp_replace(lower, "[^0-9]", "")).cast("bigint")
@@ -83,8 +90,8 @@ def text_stats(
     token_chars = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         n_chars.alias("stat_n_chars"),
         n_tokens.alias("stat_n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("stat_n_distinct_tokens"),
