@@ -51,8 +51,13 @@ def _vote_sums(
 
     df = fan_out(df)  # per-token hashing is CPU-bound (see partitioning.py)
     toks = df.select(F.col(id_col), F.explode(tokens_column(text_col)).alias("__tok"))
-    h = F.sha2(F.col("__tok"), 256)
-    votes = toks.select(
+    # hash each token instance ONCE into a real column: the digest is
+    # referenced by all `bits` vote expressions, and subexpression
+    # elimination does not reliably cover a composite referenced across
+    # that many projection outputs (bits× sha256 per token otherwise)
+    hashed = toks.withColumn("__h", F.sha2(F.col("__tok"), 256))
+    h = F.col("__h")
+    votes = hashed.select(
         id_col, *[token_bit_vote(h, b).alias(f"__v{b}") for b in range(bits)]
     )
     return votes.groupBy(id_col).agg(
