@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import random
+import time
 
 import pytest
 
@@ -111,6 +112,14 @@ def test_metrics_listener_captures_batches(spark, tmp_path):
     try:
         runner = make_runner(spark, tmp_path, src)
         runner.run_available_now(spark)
+        # Progress events ride the async listener bus and can land after
+        # the query returns, so poll for delivery before detaching.
+        deadline = time.monotonic() + 30.0
+        while (
+            sum(r["num_input_rows"] for r in published) < 4 * 100
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(listener)
 
