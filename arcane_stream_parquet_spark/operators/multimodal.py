@@ -17,13 +17,20 @@ parquet). What is REAL here and what is STUBBED:
   spec §9) for 8-bit gray/RGB/gray-alpha/RGBA, and
   ``decode_image_features`` computes true pixel statistics (mean,
   16-bin histogram) from the recovered samples for any PNG payload.
-- STUBBED: JPEG pixel decode and audio/video decoding. This container
-  has no media libraries, so ``decode_image_features``/``sample_frames``
-  raise ``NotImplementedError`` for non-PNG payloads unless
-  ``fake=True``, in which case a DETERMINISTIC FAKE derives plausible
-  features (width/height/duration) from the payload bytes. The batch
-  shape, schema, and partitioning are exactly what a real codec drops
-  into.
+- REAL as of round 4 (codecs.py wiring): BMP and GIF pixel decoding
+  (``decode_image_features`` routes BM / GIF8?a magics through
+  ``operators.codecs``), PCM WAV audio features
+  (``decode_audio_features``: RIFF walk + integer duration/peak/mean/
+  zero-crossing stats), and animated-GIF FRAME EXTRACTION
+  (``gif_frame_features`` and the real path of ``sample_frames``:
+  LZW decode per image descriptor → one row per frame) — video-style
+  1→N sampling with an honest decoder for one real format.
+- STUBBED: JPEG pixel decode and non-GIF video containers. This
+  container has no media libraries, so those paths raise
+  ``NotImplementedError`` unless ``fake=True``, in which case a
+  DETERMINISTIC FAKE derives plausible features (width/height/duration)
+  from the payload bytes. The batch shape, schema, and partitioning are
+  exactly what a real codec drops into.
 
 Scale: ``mapInPandas`` streams Arrow record batches per partition — no
 driver involvement, no shuffle; batch size is bounded by
