@@ -72,6 +72,163 @@ def _mk_rows(spark, rows):
     return spark.createDataFrame(rows, "arcane_merge_key string, version bigint, v string")
 
 
+# ---------------------------------------------------------------------------
+# Golden-SQL pinning (r4 VERDICT task 1): every statement each real-format
+# target can emit is rendered via render_only construction and asserted
+# against exact pinned text.  These run in EVERY environment — syntax or
+# semantics bugs in the probe-gated SQL can no longer hide behind the skip.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    LongType, StringType, StructField, StructType,
+)
+
+_SCHEMA = StructType([
+    StructField("arcane_merge_key", StringType()),
+    StructField("createdon", LongType()),
+    StructField("col0", LongType()),
+])
+
+
+def _iceberg(spark, **kw):
+    defaults = dict(
+        spark=spark, table="cat.db.events", path="s3a://wh/events",
+        key_col="arcane_merge_key", version_col="createdon",
+        num_buckets=16, render_only=True,
+    )
+    defaults.update(kw)
+    return IcebergMergeTarget(**defaults)
+
+
+def _delta(spark, **kw):
+    defaults = dict(
+        spark=spark, table="cat.db.events", path="s3a://wh/events",
+        key_col="arcane_merge_key", version_col="createdon",
+        render_only=True, )
+    defaults.update(kw)
+    return DeltaMergeTarget(**defaults)
+
+
+def test_golden_iceberg_create(spark):
+    t = _iceberg(spark)
+    assert t.render_create(_SCHEMA) == (
+        "CREATE TABLE `cat`.`db`.`events` "
+        "(`arcane_merge_key` string, `createdon` bigint, `col0` bigint) "
+        "USING iceberg "
+        "PARTITIONED BY (bucket(16, `arcane_merge_key`)) "
+        "LOCATION 's3a://wh/events/table' "
+        "TBLPROPERTIES ('format-version'='2', "
+        "'write.merge.mode'='merge-on-read')"
+    )
+
+
+def test_golden_iceberg_create_all_knobs(spark):
+    """maxRowsPerFile VALUE must reach the writer (bytes = rows × estimate,
+    r4 bug #1b) and bloom columns map per-column."""
+    t = _iceberg(
+        spark, max_records_per_file=100_000, estimated_row_size_bytes=512,
+        bloom_filter_cols=("arcane_merge_key",),
+    )
+    assert t.render_create(_SCHEMA) == (
+        "CREATE TABLE `cat`.`db`.`events` "
+        "(`arcane_merge_key` string, `createdon` bigint, `col0` bigint) "
+        "USING iceberg "
+        "PARTITIONED BY (bucket(16, `arcane_merge_key`)) "
+        "LOCATION 's3a://wh/events/table' "
+        "TBLPROPERTIES ('format-version'='2', "
+        "'write.merge.mode'='merge-on-read', "
+        "'write.target-file-size-bytes'='51200000', "
+        "'write.parquet.bloom-filter-enabled.column.arcane_merge_key'='true')"
+    )
+
+
+def test_golden_iceberg_sort_order_is_ddl_not_property(spark):
+    """sortedBy (docs/crd.md:229-232) must be WRITE ORDERED BY DDL — a
+    `sort-order` TBLPROPERTY is stored-and-ignored by Iceberg (r4 bug #1a)."""
+    t = _iceberg(spark, sorted_by=("createdon ASC NULLS LAST", "col0 DESC"))
+    assert "sort-order" not in t.render_create(_SCHEMA)
+    assert t.render_post_create() == [
+        "ALTER TABLE `cat`.`db`.`events` WRITE ORDERED BY "
+        "createdon ASC NULLS LAST, col0 DESC"
+    ]
+    # no sort order -> no ALTER issued
+    assert _iceberg(spark).render_post_create() == []
+
+
+def test_golden_merge_statement_both_formats(spark):
+    expected = (
+        "MERGE INTO `cat`.`db`.`events` t USING __asp_merge_source s "
+        "ON t.`arcane_merge_key` = s.`arcane_merge_key` "
+        "WHEN MATCHED AND s.`createdon` >= t.`createdon` THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _iceberg(spark).render_merge() == expected
+    assert _delta(spark).render_merge() == expected
+
+
+def test_golden_iceberg_maintenance(spark):
+    assert _iceberg(spark).render_maintenance() == {
+        "optimize": (
+            "CALL `cat`.system.rewrite_data_files(table => 'cat.db.events')"
+        ),
+        "expire_snapshots": (
+            "CALL `cat`.system.expire_snapshots(table => 'cat.db.events')"
+        ),
+        "remove_orphan_files": (
+            "CALL `cat`.system.remove_orphan_files(table => 'cat.db.events')"
+        ),
+        "analyze": "ANALYZE TABLE `cat`.`db`.`events` COMPUTE STATISTICS",
+    }
+
+
+def test_golden_delta_create_and_maintenance(spark):
+    t = _delta(spark)
+    assert t.render_create(_SCHEMA) == (
+        "CREATE TABLE `cat`.`db`.`events` "
+        "(`arcane_merge_key` string, `createdon` bigint, `col0` bigint) "
+        "USING delta  "
+        "LOCATION 's3a://wh/events/table' "
+        "TBLPROPERTIES ('delta.autoOptimize.autoCompact'='true')"
+    )
+    assert t.render_post_create() == []
+    assert t.render_maintenance() == {
+        "optimize": "OPTIMIZE `cat`.`db`.`events` ZORDER BY (`arcane_merge_key`)",
+        "vacuum": "VACUUM `cat`.`db`.`events`",
+    }
+
+
+def test_golden_identifier_quoting(spark):
+    """Backtick-quoting survives hostile identifiers in every renderer."""
+    t = _iceberg(spark, table="cat.db.we`ird", key_col="k`ey")
+    assert "`we``ird`" in t.render_merge()
+    assert "ON t.`k``ey` = s.`k``ey`" in t.render_merge()
+
+
+def test_delta_write_limits_sets_and_restores_conf(spark):
+    """maxRowsPerFile flows to Delta via spark.sql.files.maxRecordsPerFile,
+    scoped to the write and restored afterwards."""
+    key = "spark.sql.files.maxRecordsPerFile"
+    t = _delta(spark, max_records_per_file=12345)
+    before = spark.conf.get(key, None)
+    with t._write_limits():
+        assert spark.conf.get(key) == "12345"
+    assert spark.conf.get(key, None) == before
+    # Iceberg must NOT touch the conf (its writer ignores it; bytes
+    # property carries the knob instead)
+    ti = _iceberg(spark, max_records_per_file=12345)
+    with ti._write_limits():
+        assert spark.conf.get(key, None) == before
+
+
+def test_render_only_never_downgrades(spark, probe):
+    """render_only defers the probe, it does not skip the contract: a
+    normal construction still fails loudly when the runtime is absent."""
+    if probe["iceberg"]:
+        pytest.skip("iceberg present; unavailable path untestable")
+    with pytest.raises(TableFormatUnavailable):
+        IcebergMergeTarget(spark=spark, table="c.d.t", path="/tmp/x")
+
+
 @pytest.mark.parametrize("fmt_cls", [IcebergMergeTarget, DeltaMergeTarget])
 def test_real_format_merge_latest_wins(spark, probe, tmp_path, fmt_cls):
     """Full merge contract against the REAL format — runs only where the
