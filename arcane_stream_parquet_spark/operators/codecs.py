@@ -368,6 +368,643 @@ def encode_gif(
 
 
 # ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (SOF0), ITU-T T.81 from scratch.
+#
+# Decoder scope (honest bounds, ValueError outside them): 8-bit baseline
+# Huffman (SOF0), 1 or 3 components, any sampling factors ≤ 4, DQT with
+# 8- or 16-bit precision, DRI/RSTn restart intervals, APPn/COM skipping,
+# 0xFF00 byte unstuffing.  Progressive (SOF2), arithmetic coding, 12-bit
+# precision, and 4-component (CMYK) raise.
+#
+# Determinism: the IDCT is exact integer arithmetic for DC-only blocks
+# (constant blocks round-trip EXACTLY under an all-ones quant table:
+# DC = 8·(v−128) and f(x,y) = DC/8 — the basis of the closed-form SQL
+# oracle in the multimodal facet) and float64 separable cosines with
+# round-half-up for general blocks — bit-stable across runs/machines
+# (IEEE 754 double ops are exactly specified).
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# M[u][x] = C(u)/2 · cos((2x+1)uπ/16); f(y,x) = Σu Σv M[u][x]·M[v][y]·F[v,u]
+import math as _math
+
+_IDCT_M = tuple(
+    tuple(
+        ((0.7071067811865476 if u == 0 else 1.0) / 2.0)
+        * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+        for x in range(8)
+    )
+    for u in range(8)
+)
+
+
+def _round_half_up(v: float) -> int:
+    return _math.floor(v + 0.5)
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL
+    (T.81 Annex C): codes of length l are assigned consecutively,
+    doubling the code on each length step."""
+
+    def __init__(self, counts: bytes, symbols: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are consumed by :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF and self.bit == 0:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} inside entropy data"
+                )
+        out = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if b == 0xFF else 0)  # skip the stuffed 0x00
+        return out
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81 E.2.4)."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1 + (1 if self.data[self.pos] == 0xFF else 0)
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decoding (T.81 F.2.2.1): s low bits encode
+    values ±[2^(s-1), 2^s−1]; a leading 0 bit means negative."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_block(coeffs: list[int], qtab: list[int]) -> list[int]:
+    """Dequantize + IDCT one block (natural-order quantized coeffs) →
+    64 clamped 8-bit samples.  DC-only blocks take the exact integer
+    path; general blocks the separable float64 path (same rounding)."""
+    if not any(coeffs[1:]):
+        f0 = coeffs[0] * qtab[0]
+        val = _clamp8(_round_half_up(f0 / 8.0) + 128)
+        return [val] * 64
+    deq = [coeffs[i] * qtab[i] for i in range(64)]
+    # rows: tmp[v][x] = Σ_u M[u][x] · F[v,u]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = deq[v * 8 : v * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = row[u]
+                if cu:
+                    s += _IDCT_M[u][x] * cu
+            tmp[v][x] = s
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                tv = tmp[v][x]
+                if tv:
+                    s += _IDCT_M[v][y] * tv
+            out[y * 8 + x] = _clamp8(_round_half_up(s) + 128)
+    return out
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib-only baseline JPEG decode → (width, height,
+    n_channels, row-major samples: gray for 1 component, RGB for 3).
+    See module notes for scope; anything outside baseline raises."""
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, list[int]] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, [(cid, h, v, tq)])
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {i}")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    zz = list(seg[p : p + 64])
+                    p += 64
+                elif pq == 1:
+                    zz = [
+                        int.from_bytes(seg[p + 2 * j : p + 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                    p += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                nat = [0] * 64
+                for zi, q in enumerate(zz):
+                    nat[_ZIGZAG[zi]] = q
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — baseline/ext sequential
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            if n_comp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {n_comp}")
+            comps = []
+            for c in range(n_comp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError(
+                f"unsupported JPEG frame type 0xff{marker:02x} "
+                "(baseline SOF0/SOF1 only)"
+            )
+        elif marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tabs = seg[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+            return _decode_jpeg_scan(
+                b, i + 2 + seg_len, frame, scan_tabs, qtables,
+                huff_dc, huff_ac, restart_interval,
+            )
+        # APPn/COM and anything else: skip
+        i += 2 + seg_len
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_jpeg_scan(
+    b: bytes,
+    pos: int,
+    frame: tuple,
+    scan_tabs: dict,
+    qtables: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> tuple[int, int, int, bytes]:
+    width, height, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    planes = []
+    for cid, h, v, tq in comps:
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        planes.append(bytearray(pw * ph))
+    reader = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                dc_tab = huff_dc[scan_tabs[cid][0]]
+                ac_tab = huff_ac[scan_tabs[cid][1]]
+                qtab = qtables[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        coeffs = [0] * 64
+                        s = dc_tab.decode(reader)
+                        if s > 11:
+                            raise ValueError(f"bad JPEG DC category {s}")
+                        preds[ci] += _extend(reader.receive(s), s)
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_tab.decode(reader)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coeffs[_ZIGZAG[k]] = _extend(
+                                reader.receive(sz), sz
+                            )
+                            k += 1
+                        block = _idct_block(coeffs, qtab)
+                        pw = mcus_x * h * 8
+                        x0 = (mx * h + bx) * 8
+                        y0 = (my * v + by) * 8
+                        plane = planes[ci]
+                        for yy in range(8):
+                            row_off = (y0 + yy) * pw + x0
+                            plane[row_off : row_off + 8] = bytes(
+                                block[yy * 8 : yy * 8 + 8]
+                            )
+    if len(comps) == 1:
+        pw = mcus_x * comps[0][1] * 8
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = planes[0][
+                y * pw : y * pw + width
+            ]
+        return width, height, 1, bytes(out)
+    # YCbCr → RGB (JFIF): nearest-sample (box) chroma upsampling
+    out = bytearray(width * height * 3)
+    pws = [mcus_x * c[1] * 8 for c in comps]
+    for y in range(height):
+        for x in range(width):
+            vals = []
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                sx = x * h // max_h
+                sy = y * v // max_v
+                vals.append(planes[ci][sy * pws[ci] + sx])
+            Y, Cb, Cr = vals
+            r = _clamp8(_round_half_up(Y + 1.402 * (Cr - 128)))
+            g = _clamp8(
+                _round_half_up(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128))
+            )
+            bl = _clamp8(_round_half_up(Y + 1.772 * (Cb - 128)))
+            o = (y * width + x) * 3
+            out[o : o + 3] = bytes((r, g, bl))
+    return width, height, 3, bytes(out)
+
+
+# -- JPEG encoder (tests/synthesis only, same policy as encode_png) ---------
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1 bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _fixed_length_huff(symbols: list[int]) -> tuple[bytes, bytes, dict]:
+    """A valid DHT table assigning every symbol the same code length
+    L = ceil(log2(n+1)) (codes 0..n−1; n < 2^L keeps the all-ones code
+    free as T.81 requires).  Returns (BITS, HUFFVAL, {sym: (code, L)})."""
+    n = len(symbols)
+    length = max(1, (n + 1 - 1).bit_length())  # ceil(log2(n+1))
+    while (1 << length) <= n:
+        length += 1
+    counts = bytearray(16)
+    counts[length - 1] = n
+    codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bytes(counts), bytes(symbols), codes
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    components: list[dict],
+    restart_interval: int = 0,
+) -> bytes:
+    """A spec-valid baseline JPEG from pre-quantized block coefficients
+    (tests/synthesis encoder).  Each component dict: ``id``, sampling
+    ``h``/``v``, ``qtable`` (64 ints, natural order) and ``blocks`` — a
+    2-D grid ``blocks[by][bx]`` of 64-coefficient lists (natural order,
+    already divided by the qtable).  Huffman tables are built from the
+    symbols actually emitted (fixed-length canonical codes — valid DHT,
+    exercises the decoder's generic table path, no Annex K dependency)."""
+    max_h = max(c["h"] for c in components)
+    max_v = max(c["v"] for c in components)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    for c in components:
+        if len(c["blocks"]) != mcus_y * c["v"] or any(
+            len(row) != mcus_x * c["h"] for row in c["blocks"]
+        ):
+            raise ValueError("component block grid does not match MCU grid")
+
+    # pass 1: the (dc_category, ac_run_size) symbol sets actually used
+    def _ac_symbols(coeffs: list[int]):
+        zz = [coeffs[_ZIGZAG[k]] for k in range(64)]
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+            else:
+                while run > 15:
+                    yield 0xF0, 0, 0
+                    run -= 16
+                sz = _category(zz[k])
+                yield (run << 4) | sz, zz[k], sz
+                run = 0
+            k += 1
+        if run:
+            yield 0x00, 0, 0
+
+    def _mcu_walk():
+        """Yield (ci, coeffs, dc_diff) in MCU-interleaved emission order,
+        modeling the same predictor resets restart_interval causes — so
+        pass 1 sees exactly the DC categories pass 2 will emit."""
+        preds = [0] * len(components)
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                is_restart = (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                )
+                if is_restart:
+                    preds = [0] * len(components)
+                mcu_count += 1
+                for ci, c in enumerate(components):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coeffs = c["blocks"][my * c["v"] + by][
+                                mx * c["h"] + bx
+                            ]
+                            diff = coeffs[0] - preds[ci]
+                            preds[ci] = coeffs[0]
+                            yield ci, coeffs, diff, is_restart and (
+                                by == 0 and bx == 0 and ci == 0
+                            )
+
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    for ci, coeffs, diff, _ in _mcu_walk():
+        dc_syms.add(_category(diff))
+        for sym, _, _ in _ac_symbols(coeffs):
+            ac_syms.add(sym)
+    dc_bits, dc_vals, dc_codes = _fixed_length_huff(sorted(dc_syms))
+    ac_bits, ac_vals, ac_codes = _fixed_length_huff(sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for ti, c in enumerate(components):
+        c["_tq"] = ti if ti < 2 else 1  # ≤2 distinct tables is plenty here
+    emitted = set()
+    for c in components:
+        tq = c["_tq"]
+        if tq in emitted:
+            continue
+        emitted.add(tq)
+        zz = bytes(c["qtable"][_ZIGZAG[k]] for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(len(components))
+    for c in components:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["_tq"]])
+    seg(0xC0, bytes(sof))
+    seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+    seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(components)])
+    for c in components:
+        sos += bytes([c["id"], 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    w = _BitWriter()
+
+    def _emit_amplitude(v: int, sz: int) -> None:
+        if sz:
+            w.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+
+    rst = 0
+    for ci, coeffs, diff, at_restart in _mcu_walk():
+        if at_restart:
+            w.flush()
+            out.extend(w.out)
+            w.out.clear()
+            out.extend(b"\xff" + bytes([0xD0 + rst]))
+            rst = (rst + 1) & 7
+        sz = _category(diff)
+        code, ln = dc_codes[sz]
+        w.write(code, ln)
+        _emit_amplitude(diff, sz)
+        for sym, val, vsz in _ac_symbols(coeffs):
+            code, ln = ac_codes[sym]
+            w.write(code, ln)
+            _emit_amplitude(val, vsz)
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_gray_tiles(
+    width: int, height: int, tile_values: list[list[int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """Grayscale JPEG whose 8×8 blocks are CONSTANT tiles (value grid
+    ``tile_values[by][bx]``) under an all-ones quant table — every tile
+    decodes back EXACTLY (DC = 8·(v−128), all AC zero), which is what
+    makes the multimodal facet's oracle expressible in closed form."""
+    blocks = [
+        [[8 * (v - 128)] + [0] * 63 for v in row] for row in tile_values
+    ]
+    return encode_jpeg(
+        width, height,
+        [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}],
+        restart_interval=restart_interval,
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVI — RIFF container walk for MJPEG video (frame extraction).
+#
+# MJPEG-in-AVI is the one honest video path this container can decode
+# end-to-end: the RIFF walk (same chunk grammar as WAV below) yields the
+# '00dc' compressed-frame chunks, each of which IS a baseline JPEG that
+# decode_jpeg_pixels handles.  Public specs: Microsoft RIFF/AVI
+# (AVIMAINHEADER/AVISTREAMHEADER/BITMAPINFOHEADER), OpenDML.
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], us_per_frame: int = 100_000
+) -> bytes:
+    """A spec-valid minimal MJPEG AVI (tests/synthesis): RIFF('AVI ')
+    with LIST hdrl (avih + one 'vids'/'MJPG' strl) and LIST movi of
+    '00dc' chunks — one per JPEG frame payload."""
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I", us_per_frame, max_bytes * 1_000_000 // max(us_per_frame, 1),
+        0, 0x10, len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        us_per_frame, 1_000_000, 0, len(frames), max_bytes, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24,
+        0x47504A4D,  # 'MJPG' fourcc as little-endian u32
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi(b: bytes) -> dict:
+    """REAL stdlib-only AVI parse → ``{"width", "height",
+    "us_per_frame", "n_frames", "frames"}`` with frames as the raw
+    compressed chunk payloads ('00dc'/'00db' entries of LIST movi, in
+    stream order).  For MJPEG files each frame is a complete baseline
+    JPEG, decodable by :func:`decode_jpeg_pixels`."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = us_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, us_per_frame
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", b, body_start)[0]
+                width, height = struct.unpack_from("<II", b, body_start + 32)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(b))
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return {
+        "width": width,
+        "height": height,
+        "us_per_frame": us_per_frame,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+# ---------------------------------------------------------------------------
 # WAV — RIFF/WAVE PCM
 
 

@@ -17,19 +17,21 @@ parquet). What is REAL here and what is STUBBED:
   spec §9) for 8-bit gray/RGB/gray-alpha/RGBA, and
   ``decode_image_features`` computes true pixel statistics (mean,
   16-bin histogram) from the recovered samples for any PNG payload.
-- REAL as of round 4 (codecs.py wiring): BMP and GIF pixel decoding
-  (``decode_image_features`` routes BM / GIF8?a magics through
-  ``operators.codecs``), PCM WAV audio features
-  (``decode_audio_features``: RIFF walk + integer duration/peak/mean/
-  zero-crossing stats), and animated-GIF FRAME EXTRACTION
-  (``gif_frame_features`` and the real path of ``sample_frames``:
-  LZW decode per image descriptor → one row per frame) — video-style
-  1→N sampling with an honest decoder for one real format.
-- STUBBED: JPEG pixel decode and non-GIF video containers. This
-  container has no media libraries, so those paths raise
-  ``NotImplementedError`` unless ``fake=True``, in which case a
-  DETERMINISTIC FAKE derives plausible features (width/height/duration)
-  from the payload bytes. The batch shape, schema, and partitioning are
+- REAL as of round 5: JPEG PIXEL decoding (baseline SOF0 — Huffman,
+  dequant, IDCT, YCbCr→RGB, restart intervals — ``codecs.
+  decode_jpeg_pixels``, stdlib-only), BMP and GIF pixel decoding
+  (``decode_image_features`` routes ``\\xff\\xd8`` / BM / GIF8?a magics
+  through ``operators.codecs``), and FRAME EXTRACTION for two honest
+  video-ish formats (the real path of ``sample_frames``): animated GIF
+  (LZW decode per image descriptor → one RGB frame row each) and
+  MJPEG-in-AVI (RIFF walk → one '00dc' JPEG payload row each, further
+  decodable by ``decode_image_features``).
+- STUBBED: progressive JPEG and real video containers (MP4/MKV/WebM).
+  This container has no media libraries, so those paths raise
+  (``ValueError`` from the codecs' honest bounds, or
+  ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,
+  in which case a DETERMINISTIC FAKE derives plausible features from
+  the payload bytes). The batch shape, schema, and partitioning are
   exactly what a real codec drops into.
 
 Scale: ``mapInPandas`` streams Arrow record batches per partition — no
@@ -213,27 +215,44 @@ def decode_image_features(
     """Decode image payloads to (width, height, channels, feature hash,
     pixel stats) via Arrow-batched mapInPandas.
 
-    PNG payloads take the REAL path regardless of ``fake``: stdlib
-    inflate + unfilter (:func:`decode_png_pixels`) and true pixel
-    statistics. Non-PNG payloads raise NotImplementedError per batch —
-    the JPEG codec is NOT INSTALLED in this environment (STUB, clearly
-    marked) — unless ``fake=True``, which derives deterministic
+    PNG, baseline JPEG, GIF, and BMP payloads take the REAL stdlib-only
+    path regardless of ``fake`` (``decode_png_pixels`` here;
+    ``decode_jpeg_pixels`` / ``decode_gif_pixels`` / ``decode_bmp_pixels``
+    in ``operators.codecs``) and yield true pixel statistics.
+    Unrecognized payloads raise NotImplementedError per batch — there is
+    no codec library in this environment for anything else (STUB,
+    clearly marked) — unless ``fake=True``, which derives deterministic
     pseudo-features from the bytes (NULL pixel stats) so the full
     distributed path is exercised end-to-end in tests.
     """
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+    )
+
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
 
     def decode_one(b: bytes):
+        real = None
         if b.startswith(PNG_SIGNATURE):
-            w, h, ch, samples = decode_png_pixels(b)
+            real = decode_png_pixels
+        elif b.startswith(b"\xff\xd8"):
+            real = decode_jpeg_pixels
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            real = decode_gif_pixels
+        elif b.startswith(b"BM"):
+            real = decode_bmp_pixels
+        if real is not None:
+            w, h, ch, samples = real(b)
             mean_micro, hist16 = _pixel_stats(samples)
             return len(b), w, h, ch, mean_micro, hist16
         if not fake:
             # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
             raise NotImplementedError(
-                "non-PNG image decode requires a codec library not "
-                "present in this environment; use fake=True for the "
-                "deterministic test double (PNG decodes for real)"
+                "image decode beyond PNG/JPEG/GIF/BMP requires a codec "
+                "library not present in this environment; use fake=True "
+                "for the deterministic test double"
             )
         import hashlib
 
@@ -512,6 +531,103 @@ def synth_png_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Closed-form JPEG pixel facet (r5): block-count grids chosen so the
+# oracle can restate mean/histogram in SQL.  Tiles are CONSTANT 8×8
+# blocks under an all-ones quant table, which round-trip EXACTLY through
+# Huffman → dequant → IDCT (DC = 8·(v−128); see codecs.decode_jpeg_pixels
+# determinism notes) — so the facet pins the whole entropy-decode path
+# with integer-exact expectations.
+JPEG_WB = lambda i: 1 + (i * 3) % 7  # noqa: E731  blocks across (1..7)
+JPEG_HB = lambda i: 1 + (i * 5) % 4  # noqa: E731  blocks down (1..4)
+
+
+def make_jpeg_image(doc_id: int) -> bytes:
+    """Deterministic complete grayscale baseline JPEG for ``doc_id``:
+    JPEG_WB×JPEG_HB constant tiles of value (doc_id + by + bx) % 256."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_gray_tiles,
+    )
+
+    wb, hb = JPEG_WB(doc_id), JPEG_HB(doc_id)
+    tiles = [
+        [(doc_id + by + bx) % 256 for bx in range(wb)] for by in range(hb)
+    ]
+    return encode_jpeg_gray_tiles(8 * wb, 8 * hb, tiles)
+
+
+def synth_jpeg_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Complete deterministic baseline JPEGs per doc — input side of the
+    REAL JPEG pixel-decode path (same shape as synth_png_pixel_payload)."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    PAYLOAD_COL: [make_jpeg_image(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
+    )
+
+
+AVI_N_FRAMES = lambda i: 1 + i % 5  # noqa: E731
+
+
+def make_avi_video(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI for ``doc_id``: AVI_N_FRAMES 8×8 frames,
+    frame f a constant JPEG of value (doc_id + f) % 256 — frame count
+    AND per-frame decoded content are closed-form in doc_id."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_tiles,
+    )
+
+    frames = [
+        encode_jpeg_gray_tiles(8, 8, [[(doc_id + f) % 256]])
+        for f in range(AVI_N_FRAMES(doc_id))
+    ]
+    return encode_avi_mjpeg(8, 8, frames, us_per_frame=40_000)
+
+
+def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Complete deterministic MJPEG AVIs per doc — input side of the
+    REAL video frame-sampling path."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    PAYLOAD_COL: [make_avi_video(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
+    )
+
+
 def make_gif_header(width: int, height: int) -> bytes:
     """A spec-valid GIF prefix: GIF89a + little-endian logical screen
     descriptor."""
@@ -559,27 +675,49 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(
-    df: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 64, fake: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    every_nth_frame: int = 1,
+    fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling shape: one payload row → N frame rows.
-    Real codec STUBBED (see decode_image_features); ``fake=True`` emits
-    byte-slices as stand-in frames, exercising the 1→N mapInPandas
-    explode shape a real ffmpeg-style sampler uses."""
+    """Video frame sampling: one payload row → N frame rows.
+
+    REAL paths (regardless of ``fake``, same policy as
+    decode_image_features): MJPEG-in-AVI payloads (RIFF magic) emit one
+    row per '00dc' chunk — each ``frame_bytes`` is a complete baseline
+    JPEG, decodable downstream by decode_image_features — and animated
+    GIFs emit one row per image descriptor with the frame's decoded
+    row-major RGB bytes.  ``every_nth_frame`` stride-samples either.
+    Other containers (MP4/MKV/…) are STUBBED: NotImplementedError unless
+    ``fake=True``, which emits byte-slices as stand-in frames,
+    exercising the same 1→N mapInPandas explode shape."""
+    from arcane_stream_parquet_spark.operators.codecs import parse_avi, parse_gif
+
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def frames_of(b: bytes) -> list[bytes]:
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return parse_avi(b)["frames"][::every_nth_frame]
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return [f["rgb"] for f in parse_gif(b)["frames"]][::every_nth_frame]
+        if not fake:
+            raise NotImplementedError(
+                "video decode beyond MJPEG-AVI/GIF requires a codec "
+                "library not present in this environment; use fake=True "
+                "for the deterministic test double"
+            )
+        return [
+            b[off : off + every_n_bytes]
+            for off in range(0, len(b), every_n_bytes)
+        ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires a codec library not present "
-                    "in this environment; use fake=True for the "
-                    "deterministic test double"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[PAYLOAD_COL]):
-                b = bytes(payload)
-                for i, off in enumerate(range(0, len(b), every_n_bytes)):
-                    rows.append((doc_id, i, b[off : off + every_n_bytes]))
+                for i, fb in enumerate(frames_of(bytes(payload))):
+                    rows.append((doc_id, i, fb))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return cols.mapInPandas(batches, FRAME_SCHEMA)

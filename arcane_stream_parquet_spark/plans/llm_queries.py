@@ -673,6 +673,46 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
                        AS pix_hist16
             FROM bins GROUP BY doc_id
+        ),
+        jpixd AS (
+            SELECT doc_id,
+                   1 + (doc_id * 3) % 7 AS wb,
+                   1 + (doc_id * 5) % 4 AS hb
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        jtiles AS (
+            SELECT d.doc_id, ((d.doc_id + by.r + bx.r) % 256) AS v
+            FROM jpixd d
+            CROSS JOIN range(0, 4) by(r)
+            CROSS JOIN range(0, 7) bx(r)
+            WHERE by.r < d.hb AND bx.r < d.wb
+        ),
+        jmean AS (
+            SELECT doc_id,
+                   CAST(floor(avg(v) * 1000000) AS BIGINT) AS pix_mean_micro
+            FROM jtiles GROUP BY doc_id
+        ),
+        jbins AS (
+            SELECT t.doc_id, b.r AS bin,
+                   CAST(sum(CASE WHEN v // 16 = b.r THEN 64 ELSE 0 END)
+                        AS BIGINT) AS n
+            FROM jtiles t CROSS JOIN range(0, 16) b(r)
+            GROUP BY t.doc_id, b.r
+        ),
+        jhist AS (
+            SELECT doc_id,
+                   string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
+                       AS pix_hist16
+            FROM jbins GROUP BY doc_id
+        ),
+        vid AS (
+            SELECT d.doc_id,
+                   CAST(1 + d.doc_id % 5 AS BIGINT) AS n_frames,
+                   CAST(sum((d.doc_id + f.r) % 256) * 1000000 AS BIGINT)
+                       AS vid_mean_sum_micro
+            FROM documents d CROSS JOIN range(0, 5) f(r)
+            WHERE d.doc_id % 3 = 2 AND f.r < 1 + d.doc_id % 5
+            GROUP BY d.doc_id
         )
         SELECT d.doc_id,
                CASE CAST(d.doc_id % 3 AS INT)
@@ -683,33 +723,47 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE CAST(d.doc_id % 3 AS INT)
                     WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE NULL
                END AS BIGINT) AS n_channels,
-               m.pix_mean_micro,
-               hh.pix_hist16
+               coalesce(m.pix_mean_micro, jm.pix_mean_micro) AS pix_mean_micro,
+               coalesce(hh.pix_hist16, jh.pix_hist16) AS pix_hist16,
+               v.n_frames,
+               v.vid_mean_sum_micro
         FROM documents d
         LEFT JOIN pixmean m ON m.doc_id = d.doc_id
         LEFT JOIN pixhist hh ON hh.doc_id = d.doc_id
+        LEFT JOIN jmean jm ON jm.doc_id = d.doc_id
+        LEFT JOIN jhist jh ON jh.doc_id = d.doc_id
+        LEFT JOIN vid v ON v.doc_id = d.doc_id
     """,
-    doc="REAL image decoding, no codec library — two facets. Headers: "
-    "deterministic spec-valid PNG/JPEG/GIF payloads per doc (dims "
-    "closed-form in doc_id), parse_image_header reads magic numbers "
-    "and big/little-endian dims back out of the actual bytes. PIXELS "
-    "(round-4): every doc_id%3==0 doc gets a COMPLETE small RGBA PNG "
-    "(gradient samples closed-form in doc_id, scanline filters cycling "
-    "through all five PNG types), and decode_png_pixels zlib-inflates "
-    "the IDAT and inverts the Sub/Up/Average/Paeth recurrences to "
-    "recover exact samples — surfaced as floor(mean·1e6) and a 16-bin "
-    "histogram string the oracle states in closed form, so any filter/"
-    "inflate/offset bug breaks the hash. Known-bytes unit tests pin "
-    "encoder and decoder independently (tests/test_multimodal.py). "
-    "Both facets are Arrow-batched mapInPandas; JPEG pixel decode "
-    "stays an honest stub.",
+    doc="REAL image+video decoding, no codec library — three facets. "
+    "Headers: deterministic spec-valid PNG/JPEG/GIF payloads per doc "
+    "(dims closed-form in doc_id), parse_image_header reads magic "
+    "numbers and dims back out of the actual bytes. PIXELS: doc_id%3==0 "
+    "docs get a COMPLETE small RGBA PNG (scanline filters cycling "
+    "through all five types → decode_png_pixels zlib-inflates and "
+    "unfilters), and — r5 — doc_id%3==1 docs get a COMPLETE baseline "
+    "JPEG of constant 8x8 tiles under an all-ones quant table, which "
+    "round-trip EXACTLY through decode_jpeg_pixels' Huffman → dequant → "
+    "IDCT (DC = 8(v-128)), so the oracle states floor(mean·1e6) and the "
+    "16-bin histogram in closed form for BOTH formats and any entropy/"
+    "filter/offset bug breaks the hash. VIDEO (r5): doc_id%3==2 docs "
+    "get a real MJPEG-in-AVI (1 + id%5 constant frames); sample_frames "
+    "walks the RIFF '00dc' chunks and decode_image_features decodes "
+    "each sampled frame as a JPEG — surfaced as n_frames plus the sum "
+    "of per-frame pixel means, closed-form again. Known-bytes unit "
+    "tests pin every codec independently (tests/test_codecs.py). All "
+    "facets are Arrow-batched mapInPandas; progressive JPEG and "
+    "MP4-class containers stay honest stubs.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.multimodal import (
+        PAYLOAD_COL,
         decode_image_features,
         image_header_features,
+        sample_frames,
+        synth_avi_payload,
         synth_image_payload,
+        synth_jpeg_pixel_payload,
         synth_png_pixel_payload,
     )
 
@@ -717,12 +771,30 @@ def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers = image_header_features(synth_image_payload(docs))
     pix = decode_image_features(
         synth_png_pixel_payload(docs.filter(F.col("doc_id") % 3 == 0))
+        .unionByName(
+            synth_jpeg_pixel_payload(docs.filter(F.col("doc_id") % 3 == 1))
+        )
     ).select(
         "doc_id",
         F.col("mean_micro").alias("pix_mean_micro"),
         F.col("hist16").alias("pix_hist16"),
     )
-    return headers.join(pix, "doc_id", "left")
+    frames = sample_frames(
+        synth_avi_payload(docs.filter(F.col("doc_id") % 3 == 2))
+    )
+    vstats = (
+        decode_image_features(
+            frames.select("doc_id", F.col("frame_bytes").alias(PAYLOAD_COL))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("mean_micro").alias("vid_mean_sum_micro"),
+        )
+    )
+    return (
+        headers.join(pix, "doc_id", "left").join(vstats, "doc_id", "left")
+    )
 
 
 IVF_NUM_CENTROIDS = 8

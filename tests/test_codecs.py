@@ -229,3 +229,239 @@ def test_wav_8bit_and_rejections():
     non_pcm[20] = 3  # IEEE float format tag
     with pytest.raises(ValueError, match="PCM"):
         parse_wav(bytes(non_pcm))
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline SOF0 (r5)
+
+import math
+
+from arcane_stream_parquet_spark.operators.codecs import (  # noqa: E402
+    _ZIGZAG,
+    decode_jpeg_pixels,
+    encode_avi_mjpeg,
+    encode_jpeg,
+    encode_jpeg_gray_tiles,
+    parse_avi,
+)
+
+
+def _hand_jpeg_gray50() -> bytes:
+    """A COMPLETE single-block grayscale JPEG built field-by-field BY
+    HAND (no encoder involved). Quant table all ones; DHT DC = one
+    symbol (category 10) with 1-bit code '0'; DHT AC = EOB only, code
+    '0'. Pixel value 50 ⇒ DC = 8·(50−128) = −624, category 10,
+    amplitude −624 + 1023 = 399 = 0110001111b. Entropy bits:
+    0 | 0110001111 | 0 + 1-padding → 0x31 0xEF."""
+    return bytes.fromhex(
+        "ffd8"
+        "ffdb" "0043" "00" + "01" * 64 +
+        "ffc0" "000b" "08" "0008" "0008" "01" "01" "11" "00"
+        "ffc4" "0014" "00" + "01" + "00" * 15 + "0a"
+        "ffc4" "0014" "10" + "01" + "00" * 15 + "00"
+        "ffda" "0008" "01" "01" "00" "00" "3f" "00"
+        "31ef"
+        "ffd9"
+    )
+
+
+def test_jpeg_decode_hand_bytes():
+    w, h, nch, s = decode_jpeg_pixels(_hand_jpeg_gray50())
+    assert (w, h, nch) == (8, 8, 1)
+    assert s == bytes([50] * 64)
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """Constant 8×8 tiles under an all-ones quant table round-trip
+    EXACTLY (DC = 8·(v−128), zero AC) — the multimodal facet's basis."""
+    tiles = [[50, 200, 7], [130, 0, 255]]
+    b = encode_jpeg_gray_tiles(24, 16, tiles)
+    w, h, nch, s = decode_jpeg_pixels(b)
+    assert (w, h, nch) == (24, 16, 1)
+    for y in range(16):
+        for x in range(24):
+            assert s[y * 24 + x] == tiles[y // 8][x // 8]
+
+
+def test_jpeg_dc_prediction_across_blocks_and_restart():
+    """Multi-block DC differences + DRI/RSTn: restart markers byte-align
+    the stream and reset predictors; decode must be identical."""
+    tiles = [[10, 250, 90, 180, 33]]
+    plain = decode_jpeg_pixels(encode_jpeg_gray_tiles(40, 8, tiles))
+    rst = decode_jpeg_pixels(
+        encode_jpeg_gray_tiles(40, 8, tiles, restart_interval=2)
+    )
+    assert plain == rst
+    assert plain[3][0] == 10 and plain[3][39] == 33
+
+
+def test_jpeg_ac_block_vs_independent_idct():
+    """A block with AC energy, checked against an INDEPENDENT textbook
+    double-sum IDCT coded here (not the decoder's separable path), so a
+    matching decoder/test bug cannot cancel."""
+    coeffs = [0] * 64
+    coeffs[1] = 16   # (u=1, v=0)
+    coeffs[8] = -9   # (u=0, v=1)
+    coeffs[9] = 5    # (u=1, v=1)
+    qtab = [4] * 64
+    b = encode_jpeg(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "qtable": qtab, "blocks": [[coeffs]]}]
+    )
+    _, _, _, got = decode_jpeg_pixels(b)
+
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    F = [c * 4 for c in coeffs]
+    exp = []
+    for y in range(8):
+        for x in range(8):
+            v = 0.0
+            for uu in range(8):
+                for vv in range(8):
+                    v += (
+                        C(uu) * C(vv) / 4 * F[vv * 8 + uu]
+                        * math.cos((2 * x + 1) * uu * math.pi / 16)
+                        * math.cos((2 * y + 1) * vv * math.pi / 16)
+                    )
+            exp.append(max(0, min(255, math.floor(v + 0.5) + 128)))
+    assert list(got) == exp
+
+
+def test_jpeg_color_subsampled_constants():
+    """3-component 4:2:0 (Y 2×2, Cb/Cr 1×1): constant planes decode to
+    the exact JFIF YCbCr→RGB conversion of the constants."""
+    Yv, Cb, Cr = 120, 140, 60
+
+    def mk(v):
+        return [8 * (v - 128)] + [0] * 63
+
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "qtable": [1] * 64,
+         "blocks": [[mk(Yv), mk(Yv)], [mk(Yv), mk(Yv)]]},
+        {"id": 2, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [[mk(Cb)]]},
+        {"id": 3, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [[mk(Cr)]]},
+    ]
+    w, h, nch, s = decode_jpeg_pixels(encode_jpeg(16, 16, comps))
+    assert (w, h, nch) == (16, 16, 3)
+    r = max(0, min(255, math.floor(Yv + 1.402 * (Cr - 128) + 0.5)))
+    g = max(0, min(255, math.floor(
+        Yv - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128) + 0.5)))
+    bl = max(0, min(255, math.floor(Yv + 1.772 * (Cb - 128) + 0.5)))
+    assert set(
+        tuple(s[i : i + 3]) for i in range(0, len(s), 3)
+    ) == {(r, g, bl)}
+
+
+def test_jpeg_crop_non_multiple_of_8():
+    """Dims not multiples of 8: MCU padding is decoded then cropped."""
+    b = encode_jpeg_gray_tiles(12, 10, [[10, 250], [90, 180]])
+    w, h, nch, s = decode_jpeg_pixels(b)
+    assert (w, h) == (12, 10)
+    for y in range(10):
+        for x in range(12):
+            assert s[y * 12 + x] == [[10, 250], [90, 180]][y // 8][x // 8]
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Tile values chosen to produce 0xFF bytes in the entropy stream
+    exercise stuffing on both sides (encoder writes FF00, decoder
+    strips it). Sweep a range so some stream hits 0xFF."""
+    for base in range(0, 256, 17):
+        tiles = [[(base + k) % 256 for k in range(7)]]
+        b = encode_jpeg_gray_tiles(56, 8, tiles)
+        _, _, _, s = decode_jpeg_pixels(b)
+        assert [s[8 * k] for k in range(7)] == tiles[0]
+
+
+def test_jpeg_16bit_dqt_and_zigzag():
+    """A 16-bit-precision DQT with distinct values per position pins the
+    dezigzag mapping: put q=2 at zigzag index 1 (natural (u=1,v=0)) and
+    verify a coefficient there dequantizes ×2."""
+    qtab = [1] * 64
+    qtab[_ZIGZAG[1]] = 300  # >255 forces Pq=1 on a real encoder; here we
+    # hand-patch the encoder's 8-bit table into a 16-bit segment
+    coeffs = [0] * 64
+    coeffs[_ZIGZAG[1]] = 2
+    b = bytearray(
+        encode_jpeg(8, 8, [{
+            "id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [[coeffs]],
+        }])
+    )
+    # replace the emitted 8-bit DQT (ffdb 0043 00 + 64 bytes) with a
+    # 16-bit one carrying qtab in zigzag order
+    i = bytes(b).index(b"\xff\xdb")
+    zz16 = b"".join(
+        qtab[_ZIGZAG[k]].to_bytes(2, "big") for k in range(64)
+    )
+    new_seg = b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10" + zz16
+    b2 = bytes(b[:i]) + new_seg + bytes(b[i + 4 + 65 :])
+    _, _, _, got = decode_jpeg_pixels(b2)
+    # independent IDCT of F(1,0) = 2 × 300 = 600
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    exp = []
+    for y in range(8):
+        for x in range(8):
+            v = (
+                C(1) * C(0) / 4 * 600
+                * math.cos((2 * x + 1) * 1 * math.pi / 16)
+            )
+            exp.append(max(0, min(255, math.floor(v + 0.5) + 128)))
+    assert list(got) == exp
+
+
+def test_jpeg_rejects_progressive_and_bad_precision():
+    b = bytearray(encode_jpeg_gray_tiles(8, 8, [[7]]))
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(ValueError, match="frame type"):
+        decode_jpeg_pixels(bytes(b))
+    b[i + 1] = 0xC0
+    b[i + 4] = 12  # 12-bit precision
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg_pixels(bytes(b))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x00\x01")
+
+
+# ---------------------------------------------------------------------------
+# AVI — MJPEG container (r5)
+
+
+def test_avi_mjpeg_roundtrip_and_frame_decode():
+    frames = [encode_jpeg_gray_tiles(8, 8, [[(7 + f) % 256]]) for f in range(4)]
+    avi = encode_avi_mjpeg(8, 8, frames, us_per_frame=40_000)
+    p = parse_avi(avi)
+    assert (p["width"], p["height"]) == (8, 8)
+    assert p["us_per_frame"] == 40_000
+    assert p["n_frames"] == 4
+    assert [decode_jpeg_pixels(f)[3][0] for f in p["frames"]] == [7, 8, 9, 10]
+
+
+def test_avi_hand_walk_odd_chunk_padding():
+    """RIFF chunks are word-aligned: an odd-sized frame chunk must be
+    followed at +1; build the container by hand with one odd payload."""
+    def chunk(cid, payload):
+        return (
+            cid + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    avih = struct.pack("<IIIIIIIIII4I", 1000, 0, 0, 0x10, 2, 0, 1, 0, 3, 2,
+                       0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00dc", b"abc") + chunk(b"00dc", b"defg"),
+    )
+    avi = chunk(b"RIFF", b"AVI " + hdrl + movi)
+    p = parse_avi(avi)
+    assert (p["width"], p["height"], p["us_per_frame"]) == (3, 2, 1000)
+    assert p["frames"] == [b"abc", b"defg"]
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        parse_avi(b"RIFF\x00\x00\x00\x00WAVE")

@@ -219,3 +219,84 @@ def test_distributed_real_png_decode(spark):
         for v in vals:
             hist[v >> 4] += PIX_W(i)
         assert r["hist16"] == ",".join(str(n) for n in hist)
+
+
+# ---------------------------------------------------------------------------
+# r5: real JPEG/GIF/BMP routing + real frame sampling
+
+
+def test_decode_image_features_routes_all_real_formats(spark):
+    """One payload per format through the SAME distributed decode path:
+    PNG, baseline JPEG, GIF, and BMP all yield true pixel stats."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg_gray_tiles,
+    )
+    from arcane_stream_parquet_spark.operators.multimodal import make_png_image
+
+    payloads = [
+        (0, make_png_image(0)),
+        (1, encode_jpeg_gray_tiles(8, 8, [[77]])),
+        (2, encode_gif(2, 2, [bytes([5, 5, 5, 5])])),
+        (3, encode_bmp(2, 1, bytes([10, 10, 10, 10, 10, 10]))),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(p)) for i, p in payloads]
+    )
+    out = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (8, 8, 1)
+    assert out[1]["mean_micro"] == 77_000_000
+    assert (out[2]["width"], out[2]["n_channels"]) == (2, 3)
+    assert out[2]["mean_micro"] == 5_000_000
+    assert (out[3]["width"], out[3]["height"]) == (2, 1)
+    assert out[3]["mean_micro"] == 10_000_000
+
+
+def test_sample_frames_real_avi_and_gif(spark):
+    from arcane_stream_parquet_spark.operators.codecs import encode_gif
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        make_avi_video,
+        sample_frames,
+    )
+
+    gif = encode_gif(2, 2, [bytes([k] * 4) for k in (1, 2, 3)])
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, payload=bytearray(make_avi_video(7))),  # 3 frames
+            Row(doc_id=1, payload=bytearray(gif)),
+        ]
+    )
+    rows = sample_frames(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # AVI: frames are complete JPEGs, decodable, values (7+f)%256
+    from arcane_stream_parquet_spark.operators.codecs import decode_jpeg_pixels
+
+    avi_frames = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert len(avi_frames) == 3
+    assert [
+        decode_jpeg_pixels(bytes(r["frame_bytes"]))[3][0] for r in avi_frames
+    ] == [7, 8, 9]
+    # GIF: frames are raw RGB
+    gif_frames = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame_bytes"])[0] for r in gif_frames] == [1, 2, 3]
+
+
+def test_sample_frames_every_nth_and_stub(spark):
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        make_avi_video,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=4, payload=bytearray(make_avi_video(4)))])
+    # 5 frames, stride 2 -> frames 0, 2, 4
+    rows = sample_frames(df, every_nth_frame=2).collect()
+    assert len(rows) == 3
+    # non-video payload without fake: honest stub raises
+    bad = spark.createDataFrame([Row(doc_id=0, payload=bytearray(b"mp4?"))])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|fake=True"):
+        sample_frames(bad).collect()
