@@ -74,6 +74,59 @@ def test_no_all_pairs_anywhere(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# ---------------------------------------------------------------------------
+# r5: the generic gate over the WHOLE registry (r4 VERDICT task 3).
+#
+# Every registered query's executed plan must be free of the two
+# shapes that kill a 100-TB run — CartesianProduct anywhere, and
+# BroadcastNestedLoopJoin on anything corpus-sized — and must actually
+# scan parquet (a query that collects to the driver and re-parallelizes
+# would pass the hash check while being undistributed).
+#
+# The allowlist is EXPLICIT and pinned to exact NLJ counts, each one a
+# deliberate tiny-side broadcast documented at its site; a new NLJ
+# appearing anywhere (including one more in an allowlisted query) fails.
+_NLJ_ALLOWLIST = {
+    # two K-row centroid expansions (corpus assignment + query probe);
+    # see test_ivf_centroid_expansion_is_broadcast_only for the
+    # BuildRight assertion (similarity.py ivf_topk)
+    "ann_ivf_topk": 2,
+    # the documented exact O(n·q) baseline the ANN entries are measured
+    # against (similarity.py cosine_topk, broadcast query side)
+    "cosine_topk_bruteforce": 1,
+    # two 1-row global-aggregate attaches (avg revenue + total count)
+    # joined onto the grouped output (sql_queries.py event_analytics)
+    "event_analytics": 2,
+    # 1-row corpus-doc-count broadcast for the IDF term
+    # (llm_queries.py tfidf_top_terms)
+    "tfidf_top_terms": 1,
+}
+
+
+@pytest.fixture(scope="module")
+def _all_plans(spark):
+    """Plan every registered query once (planning only — no execution
+    beyond what query construction itself requires)."""
+    return {
+        name: _plan(spark, name) for name in sorted(spark_queries())
+    }
+
+
+@pytest.mark.parametrize("name", sorted(spark_queries()))
+def test_registry_plan_gate(name, _all_plans):
+    plan = _all_plans[name]
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    allowed = _NLJ_ALLOWLIST.get(name, 0)
+    got = plan.count("BroadcastNestedLoopJoin")
+    assert got == allowed, (
+        f"{name}: {got} BroadcastNestedLoopJoin (allowlisted: {allowed}) — "
+        "a new nested-loop join appeared; either it is corpus-sized (fix "
+        "the query) or it is a deliberate tiny-side broadcast (document "
+        "it at the site and pin it in _NLJ_ALLOWLIST)"
+    )
+    assert "FileScan" in plan, f"{name}: no parquet scan in plan"
+
+
 def test_ivf_centroid_expansion_is_broadcast_only(spark):
     """IVF's only un-keyed joins are the two K-row centroid expansions
     (corpus assignment + query probe) — each a BroadcastNestedLoopJoin
