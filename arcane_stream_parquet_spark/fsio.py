@@ -186,3 +186,22 @@ class HadoopFileIO:
     def mkdirs(self, path: str) -> None:
         jp = self._jpath(path)
         self._fs(jp).mkdirs(jp)
+
+    # -- data-file staging (NOT metadata commits) ---------------------------
+
+    def move(self, src: str, dst: str) -> None:
+        """Move a DATA file into place (landing-file staging, fixture
+        setup).  Refuses a pre-existing destination, same stance as
+        :meth:`create_text` — but this is a plain rename of bulk data,
+        not the metadata commit primitive: evolving state still only
+        ever rides create-only versioned files."""
+        if self.exists(dst):
+            raise FileExistsError(dst)
+        self._rename(src, dst)
+
+    def set_mtime(self, path: str, mtime_ms: int) -> None:
+        """Pin a file's modification time (Hadoop ``setTimes``; atime
+        untouched) — what lets a test order FileStreamSource batches
+        deterministically on any filesystem, not just POSIX."""
+        jp = self._jpath(path)
+        self._fs(jp).setTimes(jp, int(mtime_ms), -1)

@@ -1457,37 +1457,43 @@ _PARITY_BATCHES = 3
     tags=("llm", "streaming", "pipeline"),
 )
 def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import tempfile
     import time
+    import uuid
 
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
     from arcane_stream_parquet_spark.streaming.curation import (
         StreamingCurationPipeline,
     )
 
-    work = tempfile.mkdtemp(prefix="asp_stream_parity_")
-    landing = os.path.join(work, "landing")
-    os.makedirs(landing)
+    # Staging rides the SAME Hadoop FS layer as every other operator
+    # (r4 VERDICT task 4: this used to be the one operator-adjacent
+    # path on driver-local tempfile/os.*) — swap this root for
+    # ``s3a://bucket/...`` and the harness runs unchanged.
+    fio = HadoopFileIO(spark)
+    work = f"file:///tmp/asp_stream_parity_{uuid.uuid4().hex}"
+    landing = fs_join(work, "landing")
+    fio.mkdirs(landing)
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    now = time.time()
+    now_ms = int(time.time() * 1000)
     for i in range(_PARITY_BATCHES):
-        stage = os.path.join(work, f"stage{i}")
+        stage = fs_join(work, f"stage{i}")
         docs.filter((F.col("doc_id") % _PARITY_BATCHES) == i).coalesce(
             1
         ).write.parquet(stage)
-        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(landing, f"batch-{i:03d}.parquet")
-        os.replace(src, dst)
+        src = next(
+            n for n, _ in fio.list_files(stage) if n.endswith(".parquet")
+        )
+        dst = fs_join(landing, f"batch-{i:03d}.parquet")
+        fio.move(fs_join(stage, src), dst)
         # distinct ascending mtimes pin FileStreamSource's batch order
-        os.utime(dst, (now + 10 * i, now + 10 * i))
+        fio.set_mtime(dst, now_ms + 10_000 * i)
     pipe = StreamingCurationPipeline(
         spark=spark,
         source_path=landing,
-        work_path=os.path.join(work, "state"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
+        work_path=fs_join(work, "state"),
+        checkpoint_dir=fs_join(work, "ckpt"),
         min_jaccard=MINHASH_MIN_JACCARD,
         # parity-harness sizing: at sf≤0.1 per-file overhead dominates
         # (buckets × tables × batches of near-empty files); production

@@ -162,3 +162,36 @@ def test_merge_target_full_lifecycle_on_file_uri(spark, tmp_path):
     t.commit_watermark(2)
     t.commit_watermark(1)  # monotonic no-op
     assert t.watermark() == 2
+
+
+# ---------------------------------------------------------------------------
+# r5: data-file staging helpers (move + set_mtime)
+
+
+def test_move_refuses_existing_destination(spark, tmp_path):
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+    fio = HadoopFileIO(spark)
+    root = str(tmp_path)
+    fio.create_text(fs_join(root, "a.txt"), "A")
+    fio.create_text(fs_join(root, "b.txt"), "B")
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        fio.move(fs_join(root, "a.txt"), fs_join(root, "b.txt"))
+    # and a clean move works, preserving content
+    fio.move(fs_join(root, "a.txt"), fs_join(root, "c.txt"))
+    assert fio.read_text(fs_join(root, "c.txt")) == "A"
+    assert not fio.exists(fs_join(root, "a.txt"))
+
+
+def test_set_mtime_pins_modification_time(spark, tmp_path):
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+    fio = HadoopFileIO(spark)
+    p = fs_join(str(tmp_path), "f.txt")
+    fio.create_text(p, "x")
+    fio.set_mtime(p, 1_234_567_890_000)
+    jp = fio._jpath(p)
+    st = fio._fs(jp).getFileStatus(jp)
+    assert int(st.getModificationTime()) == 1_234_567_890_000
