@@ -84,6 +84,65 @@ from arcane_stream_parquet_spark.functions.keys import (
 )
 
 BUCKET_COLUMN = "__bucket"
+
+
+def _strip_nullability(dt):
+    """The type with every nullability flag (column, array element,
+    map value, struct field — recursively) normalized to nullable.
+    Nullability is NOT schema drift: the merged column is nullable
+    wherever either side is, which union handles by itself."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
+def _widen_type(a, b):
+    """The wider of two Spark types iff promoting the narrower one is a
+    LEGAL Iceberg schema evolution (Iceberg spec §Schemas, "valid type
+    promotion": int→long, float→double, decimal(P,S)→decimal(P',S) with
+    P'≥P — the contract the reference's Trino/Iceberg sink enforces),
+    plus the byte→short→int ladder Spark's parquet reader surfaces for
+    small integers.  ``None`` means no legal promotion exists (e.g.
+    int vs string): the caller must raise, never coerce."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    a, b = _strip_nullability(a), _strip_nullability(b)
+    if a == b:
+        return a
+    int_ladder = [ByteType(), ShortType(), IntegerType(), LongType()]
+    if a in int_ladder and b in int_ladder:
+        return int_ladder[max(int_ladder.index(a), int_ladder.index(b))]
+    float_ladder = [FloatType(), DoubleType()]
+    if a in float_ladder and b in float_ladder:
+        return float_ladder[max(float_ladder.index(a), float_ladder.index(b))]
+    if (
+        isinstance(a, DecimalType)
+        and isinstance(b, DecimalType)
+        and a.scale == b.scale
+    ):
+        return a if a.precision >= b.precision else b
+    return None
 _PRECEDENCE_COL = "__asp_precedence"
 _ROW_STRUCT_COL = "__asp_row"
 _META_DIR = "_asp_meta"
@@ -369,16 +428,60 @@ class ParquetMergeTarget:
     ) -> tuple[DataFrame, DataFrame]:
         """Schema-drift handling (reference SchemaMigrationProcessor,
         main.scala:50,114): new batch columns become NULL-filled target
-        columns; ``unified_schema=True`` forbids drift instead."""
-        existing_cols, batch_cols = set(existing.columns), set(batch.columns)
-        if existing_cols == batch_cols:
+        columns, and same-name type differences resolve to the wider
+        type iff the promotion is Iceberg-legal (:func:`_widen_type`) —
+        anything else raises rather than riding Spark's silent union
+        coercion (int+string would otherwise quietly become string).
+        ``unified_schema=True`` forbids ALL drift instead, column and
+        type alike (reference isUnifiedSchema,
+        crd-parquet-stream.yaml:79-82).  Nullability differences are
+        not drift: the union is nullable wherever either side is."""
+        ex_types = {f.name: f.dataType for f in existing.schema.fields}
+        b_types = {f.name: f.dataType for f in batch.schema.fields}
+        casts: dict[str, object] = {}
+        illegal: dict[str, str] = {}
+        for name in sorted(set(ex_types) & set(b_types)):
+            if _strip_nullability(ex_types[name]) == _strip_nullability(
+                b_types[name]
+            ):
+                continue
+            wide = _widen_type(ex_types[name], b_types[name])
+            if wide is None:
+                illegal[name] = (
+                    f"{ex_types[name].simpleString()} vs "
+                    f"{b_types[name].simpleString()}"
+                )
+            else:
+                casts[name] = wide
+        if illegal:
+            raise ValueError(
+                f"illegal schema evolution (no Iceberg-legal type "
+                f"promotion): {illegal}"
+            )
+        if set(ex_types) == set(b_types) and not casts:
             return existing, batch
         if self.unified_schema:
             raise ValueError(
                 f"schema drift with unified_schema=True: "
-                f"target-only={sorted(existing_cols - batch_cols)} "
-                f"batch-only={sorted(batch_cols - existing_cols)}"
+                f"target-only={sorted(set(ex_types) - set(b_types))} "
+                f"batch-only={sorted(set(b_types) - set(ex_types))} "
+                f"type-drift={sorted(casts)}"
             )
+
+        def widen(df: DataFrame, types: dict) -> DataFrame:
+            if not any(n in casts and types[n] != casts[n] for n in df.columns):
+                return df
+            return df.select(
+                *[
+                    F.col(n).cast(casts[n]).alias(n)
+                    if n in casts and types[n] != casts[n]
+                    else F.col(n)
+                    for n in df.columns
+                ]
+            )
+
+        existing = widen(existing, ex_types)
+        batch = widen(batch, b_types)
         union_schema = existing.unionByName(batch, allowMissingColumns=True).schema
 
         def pad(df: DataFrame) -> DataFrame:

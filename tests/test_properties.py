@@ -159,3 +159,206 @@ def test_connected_components_matches_union_find(spark, edges):
     # path-compressed union-find roots are already the component minimum
     # because we always hang the larger root under the smaller
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r5: schema-drift reconciliation (_reconcile_schema / _widen_type) —
+# the reference's SchemaMigrationProcessor + isUnifiedSchema contract
+# (crd-parquet-stream.yaml:79-82), including TYPE conflicts.
+#
+# Documented accept/raise matrix:
+#   add/remove columns ............ accept (NULL-padded) | unified -> raise
+#   int->long, float->double,
+#   decimal(P,S)->decimal(P',S) ... accept (widen BOTH sides) | unified -> raise
+#   int->string, long->float,
+#   decimal scale change .......... raise ALWAYS (no Iceberg-legal promotion)
+#   nullable flip ................. not drift (accept silently)
+#   column reorder ................ not drift (resolution is by name)
+#   rename collision after
+#   normalization ................. raise in normalize_column_names
+
+import pytest
+from pyspark.sql import types as T
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget, _widen_type
+
+
+def _target(spark, tmp_path, unified=False):
+    return ParquetMergeTarget(
+        spark=spark, path=str(tmp_path / "t"), key_col="k", version_col="v",
+        num_buckets=4, unified_schema=unified,
+    )
+
+
+def _df(spark, schema_pairs, n=2):
+    schema = T.StructType(
+        [T.StructField(name, dt, True) for name, dt in schema_pairs]
+    )
+    rows = []
+    for i in range(n):
+        row = []
+        for name, dt in schema_pairs:
+            if name == "k":
+                row.append(f"key{i}")
+            elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                row.append(i)
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                row.append(float(i))
+            elif isinstance(dt, T.DecimalType):
+                from decimal import Decimal
+                row.append(Decimal(i))
+            else:
+                row.append(str(i))
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, schema)
+
+
+_BASE = [("k", T.StringType()), ("v", T.LongType())]
+
+
+def test_widen_type_matrix():
+    cases_ok = [
+        (T.IntegerType(), T.LongType(), T.LongType()),
+        (T.ByteType(), T.IntegerType(), T.IntegerType()),
+        (T.ShortType(), T.LongType(), T.LongType()),
+        (T.FloatType(), T.DoubleType(), T.DoubleType()),
+        (T.DecimalType(10, 2), T.DecimalType(18, 2), T.DecimalType(18, 2)),
+    ]
+    for a, b, want in cases_ok:
+        assert _widen_type(a, b) == want
+        assert _widen_type(b, a) == want  # symmetric
+    cases_illegal = [
+        (T.IntegerType(), T.StringType()),
+        (T.LongType(), T.FloatType()),       # Iceberg has no long->float
+        (T.IntegerType(), T.DoubleType()),   # nor int->double
+        (T.DecimalType(10, 2), T.DecimalType(12, 4)),  # scale change
+        (T.StringType(), T.BinaryType()),
+        (T.LongType(), T.TimestampType()),
+    ]
+    for a, b in cases_illegal:
+        assert _widen_type(a, b) is None
+        assert _widen_type(b, a) is None
+
+
+def test_drift_add_remove_columns_null_padded(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    ex = _df(spark, _BASE + [("only_target", T.StringType())])
+    ba = _df(spark, _BASE + [("only_batch", T.LongType())])
+    rex, rba = t._reconcile_schema(ex, ba)
+    assert set(rex.columns) == set(rba.columns) == {
+        "k", "v", "only_target", "only_batch"
+    }
+    assert dict(rex.dtypes) == dict(rba.dtypes)
+    assert rex.select("only_batch").distinct().collect()[0][0] is None
+    assert rba.select("only_target").distinct().collect()[0][0] is None
+
+
+def test_drift_legal_widening_widens_both_sides(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    ex = _df(spark, _BASE + [("x", T.IntegerType()), ("f", T.FloatType())])
+    ba = _df(spark, _BASE + [("x", T.LongType()), ("f", T.DoubleType())])
+    rex, rba = t._reconcile_schema(ex, ba)
+    assert dict(rex.dtypes)["x"] == dict(rba.dtypes)["x"] == "bigint"
+    assert dict(rex.dtypes)["f"] == dict(rba.dtypes)["f"] == "double"
+    # values survive the widening cast
+    assert sorted(r["x"] for r in rex.collect()) == [0, 1]
+
+
+def test_drift_illegal_type_conflict_raises_not_coerces(spark, tmp_path):
+    """int vs string would silently union to string without the check —
+    the exact silent-downgrade class this gate exists for."""
+    t = _target(spark, tmp_path)
+    ex = _df(spark, _BASE + [("x", T.IntegerType())])
+    ba = _df(spark, _BASE + [("x", T.StringType())])
+    with pytest.raises(ValueError, match="illegal schema evolution"):
+        t._reconcile_schema(ex, ba)
+    # illegal beats unified: the type error names the column either way
+    tu = _target(spark, tmp_path, unified=True)
+    with pytest.raises(ValueError, match="illegal schema evolution"):
+        tu._reconcile_schema(ex, ba)
+
+
+def test_unified_schema_forbids_all_drift_kinds(spark, tmp_path):
+    tu = _target(spark, tmp_path, unified=True)
+    ex = _df(spark, _BASE)
+    # column drift
+    with pytest.raises(ValueError, match="unified_schema"):
+        tu._reconcile_schema(ex, _df(spark, _BASE + [("extra", T.LongType())]))
+    # pure TYPE drift (same column set) must also raise under unified
+    ex2 = _df(spark, _BASE + [("x", T.IntegerType())])
+    ba2 = _df(spark, _BASE + [("x", T.LongType())])
+    with pytest.raises(ValueError, match="type-drift"):
+        tu._reconcile_schema(ex2, ba2)
+
+
+def test_nullable_flip_and_reorder_are_not_drift(spark, tmp_path):
+    t = _target(spark, tmp_path)
+    ex = spark.createDataFrame(
+        [("a", 1, 5, ["s"])],
+        T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+            T.StructField("x", T.LongType(), False),
+            # nested containsNull=False vs True below: NOT drift either
+            T.StructField("sh", T.ArrayType(T.StringType(), False), False),
+        ]),
+    )
+    ba = spark.createDataFrame(
+        [(7, "b", 2, ["t"])],
+        T.StructType([
+            T.StructField("x", T.LongType(), True),   # nullable flip
+            T.StructField("k", T.StringType(), True),  # + reorder
+            T.StructField("v", T.LongType(), True),
+            T.StructField("sh", T.ArrayType(T.StringType(), True), True),
+        ]),
+    )
+    rex, rba = t._reconcile_schema(ex, ba)
+    assert (rex is ex) and (rba is ba)  # no-op: resolution is by name
+
+
+_DRIFT_TYPES = [
+    T.IntegerType(), T.LongType(), T.FloatType(), T.DoubleType(),
+    T.StringType(), T.DecimalType(10, 2), T.DecimalType(18, 2),
+]
+
+
+@given(
+    ta=st.sampled_from(_DRIFT_TYPES),
+    tb=st.sampled_from(_DRIFT_TYPES),
+    extra_target=st.booleans(),
+    extra_batch=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_reconcile_property(spark, tmp_path_factory, ta, tb, extra_target, extra_batch):
+    """For any type pair + column drift combo: reconcile either raises
+    (exactly when no legal promotion exists) or returns two frames with
+    IDENTICAL name->type maps covering the union of columns."""
+    t = _target(spark, tmp_path_factory.mktemp("drift"))
+    ex_cols = _BASE + [("x", ta)] + ([("et", T.LongType())] if extra_target else [])
+    ba_cols = _BASE + [("x", tb)] + ([("eb", T.LongType())] if extra_batch else [])
+    ex, ba = _df(spark, ex_cols), _df(spark, ba_cols)
+    legal = _widen_type(ta, tb) is not None
+    if not legal:
+        with pytest.raises(ValueError, match="illegal schema evolution"):
+            t._reconcile_schema(ex, ba)
+        return
+    rex, rba = t._reconcile_schema(ex, ba)
+    assert dict(rex.dtypes) == dict(rba.dtypes)
+    want_cols = {n for n, _ in ex_cols} | {n for n, _ in ba_cols}
+    assert set(rex.columns) == want_cols
+    assert dict(rex.dtypes)["x"] == _widen_type(ta, tb).simpleString()
+
+
+def test_merge_e2e_widening_and_illegal(spark, tmp_path):
+    """Through the real merge path: an int->long widened batch merges
+    and the widened column reads back (old files read under the new
+    manifest schema — Spark 4 parquet type widening); an int->string
+    batch fails loudly."""
+    t = _target(spark, tmp_path)
+    t.merge(_df(spark, _BASE + [("x", T.IntegerType())], n=3))
+    t.merge(_df(spark, _BASE + [("x", T.LongType())], n=2))
+    out = t.read()
+    assert dict(out.dtypes)["x"] == "bigint"
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="illegal schema evolution"):
+        t.merge(_df(spark, _BASE + [("x", T.StringType())], n=1))
