@@ -243,6 +243,15 @@ class ParquetMergeTarget:
     # (crd-parquet-stream.yaml:220-224): per-column parquet bloom
     # filters for point-lookup file skipping on non-sort columns.
     bloom_filter_cols: tuple[str, ...] = ()
+    #: Record per-file min/max merge keys in the manifest (one cheap
+    #: key-column read-back per commit) and PRUNE unaffected files on
+    #: merge: inside a touched bucket, files whose key range contains no
+    #: batch key stay live as-is instead of rewriting (r4 VERDICT task
+    #: 6 — narrow upserts rewrite O(touched files), not O(touched
+    #: buckets)).  Keys are uniform sha256, so range pruning only bites
+    #: because files are written KEY-SORTED within each bucket (see
+    #: _write_version), making each file a contiguous key range.
+    file_stats: bool = True
 
     # -- storage layout ----------------------------------------------------
 
@@ -350,6 +359,15 @@ class ParquetMergeTarget:
                 ) from None
         else:
             manifest = current
+        files = self._files_of_manifest(manifest)
+        if files is not None:
+            if not files:
+                if schema is None:
+                    raise ValueError(
+                        f"empty manifest and no saved schema at {self.path}"
+                    )
+                return self.spark.createDataFrame([], schema)
+            return self._read_files(files, schema)
         by_version: dict[int, list[int]] = {}
         for bucket, version in manifest["buckets"].items():
             by_version.setdefault(int(version), []).append(int(bucket))
@@ -389,12 +407,20 @@ class ParquetMergeTarget:
         compaction path: it packs per-bucket regardless of the
         streaming ``max_records_per_file`` policy (mirroring Iceberg's
         rewrite_data_files having its own target size)."""
-        if self.sorted_by:
+        inner_sort = self.sorted_by or (
+            # key-sorted files make each data file a contiguous merge-key
+            # range, which is what gives the manifest's per-file min/max
+            # its pruning power (file_stats docstring); an explicit
+            # sorted_by wins (reference knob) and pruning degrades
+            # gracefully — ranges are still recorded, just wider
+            (self.key_col,) if self.file_stats else ()
+        )
+        if inner_sort:
             # bucket column leads the sort so the partitioned writer's
             # required ordering is already satisfied and it does not
-            # re-sort (which would destroy the inner sorted_by order)
+            # re-sort (which would destroy the inner sort order)
             df = df.repartition(F.col(BUCKET_COLUMN)).sortWithinPartitions(
-                BUCKET_COLUMN, *self.sorted_by
+                BUCKET_COLUMN, *inner_sort
             )
         writer = df.write.partitionBy(BUCKET_COLUMN)
         if self.max_records_per_file and honor_file_cap:
@@ -411,6 +437,160 @@ class ParquetMergeTarget:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
+
+    # -- file-level manifest entries (Iceberg-manifest-style) --------------
+    #
+    # Each manifest may carry ``"files"``: the COMPLETE live file set as
+    # ``{"v": version, "b": bucket, "n": name, "mn"/"mx": min/max merge
+    # key, "sz": bytes}`` entries.  Reads then target exactly these
+    # files; merges prune by key range.  Manifests without the entry
+    # (pre-r5 tables) fall back to bucket→version-dir granularity and
+    # are upgraded in place on their next commit.
+
+    def _file_path(self, entry: dict) -> str:
+        return fs_join(
+            self._version_dir(int(entry["v"])),
+            f"{BUCKET_COLUMN}={entry['b']}",
+            entry["n"],
+        )
+
+    def _collect_file_stats(self, version: int) -> list[dict]:
+        """Manifest entries for every data file of a freshly written
+        version dir: min/max merge key from ONE column-pruned
+        distributed read-back of the new files (the key column only —
+        Iceberg gets the same stats from write-time footers), sizes
+        from the directory listing."""
+        vdir = self._version_dir(version)
+        sizes: dict[tuple[int, str], int] = {}
+        for bname in self._fio.list_names(vdir):
+            if not bname.startswith(f"{BUCKET_COLUMN}="):
+                continue
+            b = int(bname.split("=", 1)[1])
+            for name, size in self._fio.list_files(fs_join(vdir, bname)):
+                if name.endswith(".parquet"):
+                    sizes[(b, name)] = size
+        if not sizes:
+            return []
+        if not self.file_stats:
+            return [
+                {"v": version, "b": b, "n": n, "mn": None, "mx": None, "sz": sz}
+                for (b, n), sz in sorted(sizes.items())
+            ]
+        rows = (
+            self.spark.read.option("basePath", vdir)
+            .parquet(vdir)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(BUCKET_COLUMN).alias("_b"),
+                F.col(self.key_col).cast("string").alias("_k"),
+            )
+            .groupBy("_f", "_b")
+            .agg(F.min("_k").alias("_mn"), F.max("_k").alias("_mx"))
+            .collect()
+        )
+        out = []
+        for r in rows:
+            name = r["_f"].rsplit("/", 1)[-1]
+            b = int(r["_b"])
+            out.append(
+                {
+                    "v": version,
+                    "b": b,
+                    "n": name,
+                    "mn": r["_mn"],
+                    "mx": r["_mx"],
+                    "sz": sizes.get((b, name), 0),
+                }
+            )
+        return sorted(out, key=lambda e: (e["b"], e["n"]))
+
+    def _files_of_manifest(self, manifest: dict) -> list[dict] | None:
+        """The manifest's live-file entries, or ``None`` for a pre-r5
+        manifest (callers fall back to bucket granularity)."""
+        return manifest.get("files")
+
+    def _read_files(self, entries: list[dict], schema) -> DataFrame:
+        """Scan exactly these manifest file entries (grouped per version
+        dir so partition-column recovery gets its basePath)."""
+        by_version: dict[int, list[str]] = {}
+        for f in entries:
+            by_version.setdefault(int(f["v"]), []).append(self._file_path(f))
+        parts = []
+        for version, paths in sorted(by_version.items()):
+            reader = self.spark.read.option(
+                "basePath", self._version_dir(version)
+            )
+            if schema is not None:
+                reader = reader.schema(schema)
+            parts.append(reader.parquet(*sorted(paths)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _legacy_files(self, manifest: dict) -> list[dict]:
+        """Synthesize file entries for a pre-r5 manifest by listing its
+        bucket→version dirs.  No min/max recorded (``None`` = never
+        prunable, always scanned) — the next commit persists real
+        stats for everything it rewrites."""
+        out = []
+        for bucket, version in manifest["buckets"].items():
+            d = fs_join(
+                self._version_dir(int(version)), f"{BUCKET_COLUMN}={bucket}"
+            )
+            for name, size in self._fio.list_files(d):
+                if name.endswith(".parquet"):
+                    out.append(
+                        {
+                            "v": int(version),
+                            "b": int(bucket),
+                            "n": name,
+                            "mn": None,
+                            "mx": None,
+                            "sz": size,
+                        }
+                    )
+        return out
+
+    def _prune_touched_files(
+        self, files: list[dict], batch_bucketed: DataFrame, buckets: list[int]
+    ) -> tuple[list[dict], list[dict]]:
+        """Split the live files of ``buckets`` into (touched, kept):
+        a file is touched iff some batch key falls inside its recorded
+        [mn, mx] range (``None`` stats → always touched).  The check is
+        one broadcast range-join of the batch's distinct keys against a
+        #files-row range table — driver traffic is O(#files)."""
+        in_scope = [f for f in files if int(f["b"]) in set(buckets)]
+        unranged = [f for f in in_scope if f["mn"] is None or f["mx"] is None]
+        ranged = [f for f in in_scope if f["mn"] is not None and f["mx"] is not None]
+        if not ranged:
+            return in_scope, []
+        ranges = self.spark.createDataFrame(
+            [
+                (i, int(f["b"]), str(f["mn"]), str(f["mx"]))
+                for i, f in enumerate(ranged)
+            ],
+            "fid int, fb int, mn string, mx string",
+        )
+        keys = batch_bucketed.select(
+            F.col(self.key_col).cast("string").alias("_k"),
+            F.col(BUCKET_COLUMN).alias("_b"),
+        ).distinct()
+        hit_ids = {
+            r["fid"]
+            for r in keys.join(
+                F.broadcast(ranges),
+                (F.col("_b") == F.col("fb"))
+                & (F.col("_k") >= F.col("mn"))
+                & (F.col("_k") <= F.col("mx")),
+            )
+            .select("fid")
+            .distinct()
+            .collect()
+        }
+        touched = unranged + [f for i, f in enumerate(ranged) if i in hit_ids]
+        kept = [f for i, f in enumerate(ranged) if i not in hit_ids]
+        return touched, kept
 
     # -- merge semantics ---------------------------------------------------
 
@@ -510,16 +690,36 @@ class ParquetMergeTarget:
         # Derived from the RAW batch — dedup can't change the key set,
         # so this action skips the max_by aggregation entirely (the
         # dedup runs once, inside the version write below).
+        batch_bucketed = self._with_bucket(batch)
         buckets = [
             r[BUCKET_COLUMN]
-            for r in self._with_bucket(batch)
-            .select(BUCKET_COLUMN)
-            .distinct()
-            .collect()
+            for r in batch_bucketed.select(BUCKET_COLUMN).distinct().collect()
         ]
         if not buckets:
             return  # empty batch: no version bump, no manifest churn
-        existing = self._read_raw().filter(F.col(BUCKET_COLUMN).isin(buckets))
+
+        manifest = self._manifest()
+        files = self._files_of_manifest(manifest)
+        if files is None:
+            files = self._legacy_files(manifest)  # in-place upgrade
+        # Sub-bucket pruning: inside touched buckets, files whose key
+        # range contains no batch key stay live AS-IS — the rewrite is
+        # O(files actually holding batch keys), not O(touched buckets).
+        touched, kept_in_scope = self._prune_touched_files(
+            files, batch_bucketed, buckets
+        )
+        bucket_set = set(buckets)
+        surviving = [
+            f for f in files if int(f["b"]) not in bucket_set
+        ] + kept_in_scope
+
+        schema = self._schema_of(manifest)
+        if touched:
+            existing = self._read_files(touched, schema)
+        else:
+            existing = self.spark.createDataFrame(
+                [], schema if schema is not None else batch_latest.schema
+            )
         existing, batch_latest = self._reconcile_schema(existing, batch_latest)
 
         merged = merge_latest_wins(
@@ -530,12 +730,12 @@ class ParquetMergeTarget:
             tiebreakers=self.tiebreakers,
         )
 
-        manifest = self._manifest()
         new_version = manifest["version"] + 1
         self._write_version(merged, new_version)
-        # schema + bucket map commit in ONE create-only manifest write:
+        # schema + file map commit in ONE create-only manifest write:
         # a crash before it leaves the old table (and old schema) fully
         # intact — clean rollback, no half-visible drift
+        manifest["files"] = surviving + self._collect_file_stats(new_version)
         for b in buckets:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
@@ -558,6 +758,7 @@ class ParquetMergeTarget:
                 "version": 1,
                 "buckets": {str(b): 1 for b in buckets},
                 "schema": bucketed.schema.jsonValue(),
+                "files": self._collect_file_stats(1),
             }
         )
 
@@ -581,6 +782,7 @@ class ParquetMergeTarget:
                 "version": new_version,
                 "buckets": {str(b): new_version for b in buckets},
                 "schema": snapshot.schema.jsonValue(),
+                "files": self._collect_file_stats(new_version) if buckets else [],
             }
         )
 
@@ -588,11 +790,20 @@ class ParquetMergeTarget:
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --
 
     def _live_files(self) -> dict[int, list[tuple[str, int]]]:
-        """bucket -> live (path, bytes) data files (driver-side listing
-        of manifest-referenced dirs only — metadata op, like Iceberg's
-        manifests; works on any Hadoop FS)."""
+        """bucket -> live (path, bytes) data files.  Straight from the
+        manifest's file entries when present (pure metadata — no FS
+        listing at all, exactly Iceberg's manifest read); pre-r5
+        manifests fall back to listing their bucket→version dirs."""
         manifest = self._manifest()
-        out: dict[int, list[tuple[str, int]]] = {}
+        files = self._files_of_manifest(manifest)
+        if files is not None:
+            out: dict[int, list[tuple[str, int]]] = {}
+            for f in files:
+                out.setdefault(int(f["b"]), []).append(
+                    (self._file_path(f), int(f["sz"]))
+                )
+            return out
+        out = {}
         fio = self._fio
         for bucket, version in manifest["buckets"].items():
             d = fs_join(
@@ -611,7 +822,10 @@ class ParquetMergeTarget:
         """OPTIMIZE equivalent: rewrite buckets fragmented into ≥
         ``min_files_per_bucket`` files to a single new version, one
         atomic manifest flip. Returns number of buckets compacted.
-        Contents are unchanged (pure repack; proven in tests)."""
+        Contents are unchanged (pure repack; proven in tests).
+        Sub-bucket pruning makes this the pressure valve for the small
+        files narrow upserts append — run it batch-gated like the
+        reference's OPTIMIZE (ST8)."""
         fragmented = [
             b
             for b, files in self._live_files().items()
@@ -619,13 +833,23 @@ class ParquetMergeTarget:
         ]
         if not fragmented:
             return 0
-        rows = self._read_raw().filter(F.col(BUCKET_COLUMN).isin(fragmented))
         manifest = self._manifest()
+        files = self._files_of_manifest(manifest)
+        if files is None:
+            files = self._legacy_files(manifest)
+        frag_set = set(fragmented)
+        rows = self._read_files(
+            [f for f in files if int(f["b"]) in frag_set],
+            self._schema_of(manifest),
+        )
         new_version = manifest["version"] + 1
         # coalesce within bucket: one output file per bucket partition
         self._write_version(
             rows.repartition(F.col(BUCKET_COLUMN)), new_version, honor_file_cap=False
         )
+        manifest["files"] = [
+            f for f in files if int(f["b"]) not in frag_set
+        ] + self._collect_file_stats(new_version)
         for b in fragmented:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
@@ -634,20 +858,56 @@ class ParquetMergeTarget:
 
     def vacuum(self) -> list[str]:
         """remove_orphan_files + expire_snapshots equivalent: delete
-        version dirs the CURRENT manifest doesn't reference (crash
-        leftovers, superseded versions) and the snapshot archives that
-        depended on them — history is reclaimed, the live table is
-        untouched. Returns removed dirs."""
+        data the CURRENT manifest doesn't reference (crash leftovers,
+        superseded versions) and the snapshot archives that depended on
+        it — history is reclaimed, the live table is untouched.  With
+        file-level manifests a version dir can be PARTIALLY live (kept
+        files ride alongside superseded ones), so reclamation is
+        per-file inside referenced dirs and per-dir otherwise.  Returns
+        removed entries."""
         manifest = self._manifest()
-        live = {int(v) for v in manifest["buckets"].values()}
+        files = self._files_of_manifest(manifest)
         data_root = fs_join(self.path, "data")
         fio = self._fio
         removed = []
-        for name in fio.list_names(data_root):
-            version = int(name.lstrip("v"))
-            if version not in live:
-                fio.delete(fs_join(data_root, name), recursive=True)
-                removed.append(name)
+        if files is None:
+            live_versions = {int(v) for v in manifest["buckets"].values()}
+            for name in fio.list_names(data_root):
+                if int(name.lstrip("v")) not in live_versions:
+                    fio.delete(fs_join(data_root, name), recursive=True)
+                    removed.append(name)
+        else:
+            live_by_version: dict[int, set[tuple[int, str]]] = {}
+            for f in files:
+                live_by_version.setdefault(int(f["v"]), set()).add(
+                    (int(f["b"]), f["n"])
+                )
+            for name in fio.list_names(data_root):
+                version = int(name.lstrip("v"))
+                vdir = fs_join(data_root, name)
+                live = live_by_version.get(version)
+                if not live:
+                    fio.delete(vdir, recursive=True)
+                    removed.append(name)
+                    continue
+                for bname in fio.list_names(vdir):
+                    if not bname.startswith(f"{BUCKET_COLUMN}="):
+                        continue
+                    b = int(bname.split("=", 1)[1])
+                    bdir = fs_join(vdir, bname)
+                    parquets = [
+                        n
+                        for n, _ in fio.list_files(bdir)
+                        if n.endswith(".parquet")
+                    ]
+                    dead = [n for n in parquets if (b, n) not in live]
+                    if parquets and len(dead) == len(parquets):
+                        fio.delete(bdir, recursive=True)
+                        removed.append(f"{name}/{bname}")
+                    else:
+                        for n in dead:
+                            fio.delete(fs_join(bdir, n))
+                            removed.append(f"{name}/{bname}/{n}")
         current = manifest["version"]
         for v in self.snapshot_versions():
             if v != current:

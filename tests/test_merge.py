@@ -174,3 +174,99 @@ def test_overwrite_with_empty_source_truncates(spark, tmp_path):
     # and the table keeps working afterwards
     t.merge(df_of(spark, [("k3", 1, "c")]))
     assert t.read().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# r5: sub-bucket file pruning (file-level manifests)
+
+
+def test_narrow_upsert_keeps_unaffected_files(spark, tmp_path):
+    """A 1-key upsert into a bucket fragmented across several key-sorted
+    files must rewrite ONLY the file(s) whose range holds the key; every
+    other file entry survives verbatim (same version dir, same name)."""
+    t = ParquetMergeTarget(
+        spark=spark, path=str(tmp_path / "t"), num_buckets=1,
+        max_records_per_file=25,
+    )
+    t.merge(df_of(spark, [(f"k{i:04d}", 1, f"p{i}") for i in range(100)]))
+    m1 = t._manifest()
+    files1 = m1["files"]
+    assert len(files1) >= 4  # 100 rows / 25 per file
+    assert all(f["mn"] is not None and f["mx"] is not None for f in files1)
+    # pick the key-sorted middle: exactly one file's range holds "k0050"
+    t.merge(df_of(spark, [("k0050", 2, "updated")]))
+    m2 = t._manifest()
+    files2 = m2["files"]
+    kept = [f for f in files2 if f["v"] == 1]
+    new = [f for f in files2 if f["v"] == 2]
+    assert len(new) == 1
+    assert len(kept) == len(files1) - 1
+    # kept entries are byte-identical carryovers of v1 entries
+    v1_by_name = {f["n"]: f for f in files1}
+    for f in kept:
+        assert f == v1_by_name[f["n"]]
+    # and the table reads correctly through the mixed-version manifest
+    out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert out["k0050"] == "updated" and len(out) == 100
+    assert out["k0000"] == "p0"
+
+
+def test_pruned_bytes_smaller_than_bucket_rewrite(spark, tmp_path):
+    """The measurable claim: bytes written by a narrow upsert with file
+    stats on are a fraction of the full-bucket rewrite with them off."""
+    def bytes_written(file_stats: bool) -> int:
+        path = str(tmp_path / f"t_{file_stats}")
+        t = ParquetMergeTarget(
+            spark=spark, path=path, num_buckets=2,
+            max_records_per_file=50, file_stats=file_stats,
+        )
+        t.merge(df_of(spark, [(f"k{i:05d}", 1, "x" * 50) for i in range(1000)]))
+        t.merge(df_of(spark, [("k00500", 2, "y")]))
+        m = t._manifest()
+        return sum(
+            f["sz"] for f in m["files"] if int(f["v"]) == m["version"]
+        )
+
+    pruned = bytes_written(True)
+    full = bytes_written(False)
+    assert pruned < full / 3, (pruned, full)
+
+
+def test_legacy_manifest_upgrades_in_place(spark, tmp_path):
+    """A pre-r5 manifest (no "files" entry) reads via the bucket
+    fallback and the next merge persists real file entries."""
+    import json
+
+    t = ParquetMergeTarget(spark=spark, path=str(tmp_path / "t"), num_buckets=4)
+    t.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(20)]))
+    # rewrite the manifest as a legacy one (next version, files stripped)
+    m = t._manifest()
+    legacy = {k: v for k, v in m.items() if k != "files"}
+    legacy["version"] = m["version"]  # same data, files-less view
+    t._fio.delete(t._manifest_file(m["version"]))
+    t._fio.create_text(t._manifest_file(m["version"]), json.dumps(legacy))
+    assert t._files_of_manifest(t._manifest()) is None
+    assert t.read().count() == 20  # bucket-granular fallback read
+    t.merge(df_of(spark, [("k1", 2, "new")]))
+    m2 = t._manifest()
+    assert t._files_of_manifest(m2) is not None
+    out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert out["k1"] == "new" and len(out) == 20
+
+
+def test_sorted_by_wins_over_key_sort(spark, tmp_path):
+    """An explicit sorted_by (reference knob) keeps its order; pruning
+    stats are still recorded (just wider ranges)."""
+    t = ParquetMergeTarget(
+        spark=spark, path=str(tmp_path / "t"), num_buckets=1,
+        sorted_by=("payload",), max_records_per_file=25,
+    )
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{999 - i}") for i in range(100)]))
+    files = t._manifest()["files"]
+    assert all(f["mn"] is not None for f in files)
+    # rows inside each file are payload-sorted, not key-sorted
+    import pyspark.sql.functions as SF
+
+    one = t._read_files(files[:1], None).select("payload").collect()
+    payloads = [r["payload"] for r in one]
+    assert payloads == sorted(payloads)

@@ -50,9 +50,13 @@ def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
     # retry WITHOUT any cleanup converges (the orphaned version dir
     # from the failed attempt is cleared by the writer itself)
     t.merge(df_of(spark, [("k1", 2, "new")]))
-    # the retry recycled the orphaned dir into the real commit — every
-    # version dir is referenced again, nothing to vacuum
-    assert t.vacuum() == []
+    # the retry recycled the orphaned dir into the real commit; the only
+    # reclaimable garbage is the superseded v1 copy of k1's bucket
+    # (file-level vacuum, r5 sub-bucket manifests) — and vacuuming it
+    # must not touch the live table
+    removed = t.vacuum()
+    assert all(r.startswith("v00001/") for r in removed), removed
+    assert t.vacuum() == []  # idempotent: nothing left
     assert t.read().filter(F.col("arcane_merge_key") == "k1").collect()[0][
         "payload"
     ] == "new"
