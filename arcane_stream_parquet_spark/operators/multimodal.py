@@ -582,6 +582,36 @@ def synth_jpeg_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def synth_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PNG (doc_id%3==0) or JPEG (doc_id%3==1) COMPLETE payloads in one
+    Arrow pass — the fused input side of the pixel-decode facet (one
+    mapInPandas chain instead of two unioned ones; the per-format
+    synth functions remain the composable API)."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                make_png_image(int(i))
+                if int(i) % 3 == 0
+                else make_jpeg_image(int(i))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], PAYLOAD_COL: payloads})
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
+    )
+
+
 AVI_N_FRAMES = lambda i: 1 + i % 5  # noqa: E731
 
 
@@ -672,6 +702,47 @@ FRAME_SCHEMA = StructType(
         StructField("frame_bytes", BinaryType()),
     ]
 )
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("vid_mean_sum_micro", LongType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", every_nth_frame: int = 1
+) -> DataFrame:
+    """Fused video facet: RIFF walk → per-frame JPEG decode → per-doc
+    (frame count, sum of per-frame pixel means) in ONE Arrow pass — no
+    shuffle, no second Python stage.  Numerically identical to the
+    composable ``sample_frames`` → ``decode_image_features`` → groupBy
+    pipeline (asserted in tests); use that form when the intermediate
+    frames themselves are needed downstream."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        parse_avi,
+    )
+
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[PAYLOAD_COL]):
+                frames = parse_avi(bytes(payload))["frames"][::every_nth_frame]
+                total = 0
+                for fb in frames:
+                    samples = decode_jpeg_pixels(fb)[3]
+                    total += _pixel_stats(samples)[0]
+                rows.append((doc_id, len(frames), total))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "vid_mean_sum_micro"]
+            )
+
+    return cols.mapInPandas(batches, VIDEO_STATS_SCHEMA)
 
 
 def sample_frames(

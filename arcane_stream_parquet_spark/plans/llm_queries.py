@@ -757,40 +757,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.multimodal import (
-        PAYLOAD_COL,
         decode_image_features,
         image_header_features,
-        sample_frames,
         synth_avi_payload,
         synth_image_payload,
-        synth_jpeg_pixel_payload,
-        synth_png_pixel_payload,
+        synth_pixel_payload,
+        video_frame_stats,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     headers = image_header_features(synth_image_payload(docs))
     pix = decode_image_features(
-        synth_png_pixel_payload(docs.filter(F.col("doc_id") % 3 == 0))
-        .unionByName(
-            synth_jpeg_pixel_payload(docs.filter(F.col("doc_id") % 3 == 1))
-        )
+        synth_pixel_payload(docs.filter(F.col("doc_id") % 3 != 2))
     ).select(
         "doc_id",
         F.col("mean_micro").alias("pix_mean_micro"),
         F.col("hist16").alias("pix_hist16"),
     )
-    frames = sample_frames(
+    # fused single-pass RIFF walk + per-frame JPEG decode + per-doc agg
+    # (sample_frames → decode_image_features is the composable
+    # equivalent — numerically identical, tested)
+    vstats = video_frame_stats(
         synth_avi_payload(docs.filter(F.col("doc_id") % 3 == 2))
-    )
-    vstats = (
-        decode_image_features(
-            frames.select("doc_id", F.col("frame_bytes").alias(PAYLOAD_COL))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_frames"),
-            F.sum("mean_micro").alias("vid_mean_sum_micro"),
-        )
     )
     return (
         headers.join(pix, "doc_id", "left").join(vstats, "doc_id", "left")

@@ -114,21 +114,27 @@ def main() -> None:
     _release_pinned_blocks(spark)
 
     # One warm run (plan + codegen + Python-worker spin-up), then the
-    # best of two timed runs per query: a single timed run on a
+    # best of three timed runs per query: a single timed run on a
     # long-lived 32-thread JVM is exposed to GC pauses from whatever ran
     # before it (observed ±10× on individual queries run-to-run); min
-    # of two measures the plan, not the heap history.
+    # of N measures the plan, not the heap history.  The per-query
+    # SPREAD (max−min over the timed runs) is reported alongside so a
+    # future regression is attributable: a plan regression moves the
+    # best, JVM noise moves only the spread (r4 VERDICT task 8).
     queries = spark_queries()
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(queries):
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm plan + JIT
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs_per_query):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -138,6 +144,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spreads,
+                "runs_per_query": runs_per_query,
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "cpus": cpus,

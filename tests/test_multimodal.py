@@ -300,3 +300,38 @@ def test_sample_frames_every_nth_and_stub(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|fake=True"):
         sample_frames(bad).collect()
+
+
+def test_video_frame_stats_matches_composable_pipeline(spark):
+    """The fused single-pass operator must be numerically identical to
+    sample_frames -> decode_image_features -> groupBy."""
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        PAYLOAD_COL,
+        make_avi_video,
+        sample_frames,
+        video_frame_stats,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(make_avi_video(i))) for i in (2, 5, 8, 11)]
+    )
+    fused = {
+        r["doc_id"]: (r["n_frames"], r["vid_mean_sum_micro"])
+        for r in video_frame_stats(df).collect()
+    }
+    frames = sample_frames(df)
+    composed = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in decode_image_features(
+            frames.select("doc_id", SF.col("frame_bytes").alias(PAYLOAD_COL))
+        )
+        .groupBy("doc_id")
+        .agg(SF.count("*").alias("n"), SF.sum("mean_micro").alias("s"))
+        .collect()
+    }
+    assert fused == composed
+    # closed form: n_frames = 1 + id%5, sum = sum((id+f)%256)*1e6
+    for i in (2, 5, 8, 11):
+        n = 1 + i % 5
+        assert fused[i] == (n, sum((i + f) % 256 for f in range(n)) * 1_000_000)
