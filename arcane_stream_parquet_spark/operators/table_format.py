@@ -60,6 +60,7 @@ from dataclasses import dataclass, field
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
@@ -243,6 +244,73 @@ class _SqlMergeTargetBase:
         reference's operation name (docs/crd.md:150-182)."""
         raise NotImplementedError
 
+    def render_schema_migration(
+        self, target_schema: StructType, batch_schema: StructType
+    ) -> list[str]:
+        """The DDL the reference's SchemaMigrationProcessor
+        (main.scala:50,114) issues before a drifted MERGE, as statements
+        against THIS format: ``ADD COLUMNS`` for batch-only columns and
+        ``ALTER COLUMN ... TYPE`` for Iceberg-legal widenings (same
+        matrix as ParquetMergeTarget._reconcile_schema / _widen_type —
+        one promotion contract across all targets).  Raises on illegal
+        evolutions; returns [] when nothing drifted.  With
+        ``unified_schema=True`` any drift raises instead (reference
+        isUnifiedSchema, crd-parquet-stream.yaml:79-82)."""
+        from arcane_stream_parquet_spark.operators.merge import (
+            _strip_nullability,
+            _widen_type,
+        )
+
+        t_types = {f.name: f.dataType for f in target_schema.fields}
+        b_types = {f.name: f.dataType for f in batch_schema.fields}
+        added = [f for f in batch_schema.fields if f.name not in t_types]
+        widened: list[tuple[str, object]] = []
+        illegal: dict[str, str] = {}
+        for name in sorted(set(t_types) & set(b_types)):
+            a, b = t_types[name], b_types[name]
+            if _strip_nullability(a) == _strip_nullability(b):
+                continue
+            wide = _widen_type(a, b)
+            if wide is None:
+                illegal[name] = f"{a.simpleString()} vs {b.simpleString()}"
+            elif _strip_nullability(wide) != _strip_nullability(a):
+                widened.append((name, wide))  # target needs the promotion
+        if illegal:
+            raise ValueError(
+                f"illegal schema evolution (no Iceberg-legal type "
+                f"promotion): {illegal}"
+            )
+        if not added and not widened:
+            return []
+        if self.unified_schema:
+            raise ValueError(
+                f"schema drift with unified_schema=True: "
+                f"added={[f.name for f in added]} "
+                f"widened={[n for n, _ in widened]}"
+            )
+        stmts = []
+        if added:
+            cols = ", ".join(
+                f"{_q(f.name)} {f.dataType.simpleString()}" for f in added
+            )
+            stmts.append(f"ALTER TABLE {self._tbl} ADD COLUMNS ({cols})")
+        for name, wide in widened:
+            stmts.append(
+                f"ALTER TABLE {self._tbl} ALTER COLUMN {_q(name)} "
+                f"TYPE {wide.simpleString()}"
+            )
+        return stmts
+
+    def migrate_schema(self, batch: DataFrame) -> list[str]:
+        """Execute the drift DDL against the live table; returns the
+        statements run (empty when no drift)."""
+        stmts = self.render_schema_migration(
+            self.spark.table(self.table).schema, batch.schema
+        )
+        for stmt in stmts:
+            self.spark.sql(stmt)
+        return stmts
+
     def _create(self, like: DataFrame) -> None:
         self.spark.sql(self.render_create(like.schema))
         for stmt in self.render_post_create():
@@ -286,6 +354,21 @@ class _SqlMergeTargetBase:
             with self._write_limits():
                 deduped.writeTo(self.table).append()
             return
+        # reference SchemaMigrationProcessor step: evolve the target for
+        # drifted batches (ADD COLUMNS / legal type widenings), then pad
+        # the batch with NULLs for target-only columns so UPDATE SET * /
+        # INSERT * bind by name
+        self.migrate_schema(deduped)
+        target_fields = self.spark.table(self.table).schema.fields
+        missing = [f for f in target_fields if f.name not in deduped.columns]
+        if missing:
+            deduped = deduped.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            )
         view = "__asp_merge_source"
         deduped.createOrReplaceTempView(view)
         try:

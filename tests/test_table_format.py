@@ -80,7 +80,7 @@ def _mk_rows(spark, rows):
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.types import (  # noqa: E402
-    LongType, StringType, StructField, StructType,
+    IntegerType, LongType, StringType, StructField, StructType,
 )
 
 _SCHEMA = StructType([
@@ -293,3 +293,59 @@ def test_merge_statement_semantics_match_parquet_target(spark, tmp_path):
     assert got == expected == {
         "a": (2, "tie-batch-wins"), "b": (1, "keep"), "c": (3, "new")
     }
+
+
+def test_golden_schema_migration_ddl(spark):
+    """SchemaMigrationProcessor parity: added columns -> ADD COLUMNS,
+    legal widenings -> ALTER COLUMN TYPE, illegal -> raise, unified ->
+    raise — the same promotion matrix as ParquetMergeTarget (one
+    contract, two executors)."""
+    target = StructType([
+        StructField("arcane_merge_key", StringType()),
+        StructField("createdon", LongType()),
+        StructField("x", IntegerType()),
+    ])
+    batch = StructType([
+        StructField("arcane_merge_key", StringType()),
+        StructField("createdon", LongType()),
+        StructField("x", LongType()),          # widen int -> long
+        StructField("note", StringType()),     # new column
+    ])
+    t = _iceberg(spark)
+    assert t.render_schema_migration(target, batch) == [
+        "ALTER TABLE `cat`.`db`.`events` ADD COLUMNS (`note` string)",
+        "ALTER TABLE `cat`.`db`.`events` ALTER COLUMN `x` TYPE bigint",
+    ]
+    # no drift -> no DDL; batch-narrower-than-target -> no DDL either
+    assert t.render_schema_migration(target, target) == []
+    narrower = StructType(target.fields[:2])
+    assert t.render_schema_migration(target, narrower) == []
+    # target already wide: batch int into long target needs no ALTER
+    wide_target = StructType([
+        StructField("arcane_merge_key", StringType()),
+        StructField("createdon", LongType()),
+        StructField("x", LongType()),
+    ])
+    assert t.render_schema_migration(wide_target, target) == []
+    # illegal promotion raises
+    bad = StructType([
+        StructField("arcane_merge_key", StringType()),
+        StructField("createdon", LongType()),
+        StructField("x", StringType()),
+    ])
+    with pytest.raises(ValueError, match="illegal schema evolution"):
+        t.render_schema_migration(target, bad)
+    # unified forbids drift
+    tu = _iceberg(spark, unified_schema=True)
+    with pytest.raises(ValueError, match="unified_schema"):
+        tu.render_schema_migration(target, batch)
+
+
+def test_golden_schema_migration_delta_same_contract(spark):
+    target = StructType([StructField("k", StringType())])
+    batch = StructType([
+        StructField("k", StringType()), StructField("v2", LongType()),
+    ])
+    assert _delta(spark).render_schema_migration(target, batch) == [
+        "ALTER TABLE `cat`.`db`.`events` ADD COLUMNS (`v2` bigint)"
+    ]
