@@ -695,6 +695,97 @@ def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Closed-form audio facet (r5): mono 16-bit PCM whose samples are a
+# zero-free arithmetic pattern, so duration / peak / mean-abs / strict
+# sign-flip zero crossings are all SQL-restatable while the Spark side
+# must round-trip encode_wav → RIFF walk → PCM decode.
+WAV_RATE = 8000
+WAV_N_FRAMES = lambda i: 50 + i % 64  # noqa: E731
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """Sample i of doc_id's WAV: ((7·id + 13·i) % 2000) − 1000, with
+    non-negatives shifted +1 — range [−1000, 1000], never zero (keeps
+    the zero-crossing oracle a plain sign-flip count)."""
+    s = (doc_id * 7 + i * 13) % 2000 - 1000
+    return s + 1 if s >= 0 else s
+
+
+def make_wav_audio(doc_id: int) -> bytes:
+    """Deterministic complete PCM WAV for ``doc_id`` (see wav_sample)."""
+    from arcane_stream_parquet_spark.operators.codecs import encode_wav
+
+    n = WAV_N_FRAMES(doc_id)
+    return encode_wav(WAV_RATE, 1, [wav_sample(doc_id, i) for i in range(n)])
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Complete deterministic PCM WAVs per doc — input side of the REAL
+    audio-decode path."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    PAYLOAD_COL: [make_wav_audio(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return cols.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(PAYLOAD_COL, BinaryType()),
+            ]
+        ),
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_audio_frames", LongType()),
+        StructField("duration_micro", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_abs_micro", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL stdlib-only audio decode over Arrow batches: RIFF/WAVE chunk
+    walk + PCM sample decode (``codecs.wav_features``) → deterministic
+    integer features per payload.  Non-WAV payloads raise (honest
+    bounds; there is no audio codec library here for anything else)."""
+    from arcane_stream_parquet_spark.operators.codecs import wav_features
+
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [wav_features(bytes(p)) for p in pdf[PAYLOAD_COL]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_audio_frames": [f["n_frames"] for f in feats],
+                    "duration_micro": [f["duration_micro"] for f in feats],
+                    "peak_abs": [f["peak_abs"] for f in feats],
+                    "mean_abs_micro": [f["mean_abs_micro"] for f in feats],
+                    "zero_crossings": [f["zero_crossings"] for f in feats],
+                }
+            )
+
+    return cols.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

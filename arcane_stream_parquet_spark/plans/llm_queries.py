@@ -599,8 +599,37 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_pipeline",
     oracle=f"""
         WITH h AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
-                          sha256(text) AS ch FROM documents)
-        SELECT doc_id,
+                          sha256(text) AS ch FROM documents),
+        wsamp AS (
+            SELECT d.doc_id, i.r AS i,
+                   CASE WHEN (d.doc_id * 7 + i.r * 13) % 2000 - 1000 >= 0
+                        THEN (d.doc_id * 7 + i.r * 13) % 2000 - 999
+                        ELSE (d.doc_id * 7 + i.r * 13) % 2000 - 1000
+                   END AS s
+            FROM documents d CROSS JOIN range(0, 114) i(r)
+            WHERE i.r < 50 + d.doc_id % 64
+        ),
+        wagg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_audio_frames,
+                   CAST(count(*) * 1000000 // 8000 AS BIGINT) AS duration_micro,
+                   CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+                   CAST(sum(abs(s)) * 1000000 // count(*) AS BIGINT)
+                       AS mean_abs_micro
+            FROM wsamp GROUP BY doc_id
+        ),
+        wzc AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN sign(s) <> sign(prev) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS zero_crossings
+            FROM (
+                SELECT doc_id, s,
+                       lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM wsamp
+            ) WHERE prev IS NOT NULL
+            GROUP BY doc_id
+        )
+        SELECT h.doc_id,
                CAST(blen AS BIGINT) AS byte_len,
                lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
                ch AS content_hash,
@@ -609,21 +638,33 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(64 + {_hex4_to_int("substr(ch, 5, 4)")} % 1024 AS BIGINT) AS height,
                CAST(3 AS BIGINT) AS n_channels,
                ch AS feature_hash,
-               CAST((blen + 63) // 64 AS BIGINT) AS n_frames
+               CAST((blen + 63) // 64 AS BIGINT) AS n_frames,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               a.n_audio_frames, a.duration_micro, a.peak_abs,
+               a.mean_abs_micro, z.zero_crossings
         FROM h
+        JOIN wagg a ON a.doc_id = h.doc_id
+        JOIN wzc z ON z.doc_id = h.doc_id
     """,
-    doc="Multimodal plumbing in one per-doc row (consolidated from the "
-    "former multimodal_metadata / multimodal_decode_fake / "
-    "multimodal_frame_counts entries — same three operators, one "
-    "registry row): typed metadata over the opaque binary payload (JVM "
-    "built-ins), the mapInPandas Arrow image-decode path with the "
-    "DETERMINISTIC FAKE codec (real PNG/JPEG header decoding is the "
-    "multimodal_image_dims entry), and the 1-row→N-frames sampling "
-    "shape verified by per-doc frame counts. The oracle checks the "
-    "full Python-worker round trip byte-for-byte.",
+    doc="Multimodal plumbing in one per-doc row: typed metadata over "
+    "the opaque binary payload (JVM built-ins), the mapInPandas Arrow "
+    "image-decode path with the DETERMINISTIC FAKE codec (real pixel "
+    "decoding is the multimodal_image_dims entry), the 1-row→N-frames "
+    "sampling shape verified by per-doc frame counts, and — r5 — a "
+    "REAL AUDIO facet: every doc gets a complete PCM WAV (zero-free "
+    "closed-form samples), decode_audio_features walks the RIFF chunks "
+    "and decodes 16-bit PCM (codecs.wav_features), surfacing duration/"
+    "peak/mean-abs/zero-crossings as exact integers the oracle restates "
+    "in SQL (lag-based sign-flip count). The oracle checks the full "
+    "Python-worker round trip byte-for-byte.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_wav_payload,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     payload = with_binary_payload(docs)
     md = payload_metadata(payload).select(
@@ -637,7 +678,10 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_frames"))
     )
-    return md.join(dec, "doc_id").join(frames, "doc_id")
+    audio = decode_audio_features(synth_wav_payload(docs))
+    return (
+        md.join(dec, "doc_id").join(frames, "doc_id").join(audio, "doc_id")
+    )
 
 
 @register_query(

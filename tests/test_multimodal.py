@@ -335,3 +335,36 @@ def test_video_frame_stats_matches_composable_pipeline(spark):
     for i in (2, 5, 8, 11):
         n = 1 + i % 5
         assert fused[i] == (n, sum((i + f) % 256 for f in range(n)) * 1_000_000)
+
+
+def test_audio_facet_closed_form(spark):
+    """decode_audio_features over synthesized WAVs matches the
+    hand-computed closed form (and the zero-free sample guarantee the
+    oracle's sign-flip count depends on)."""
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        WAV_N_FRAMES,
+        WAV_RATE,
+        decode_audio_features,
+        synth_wav_payload,
+        wav_sample,
+    )
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in (0, 7, 63, 200)])
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio_features(synth_wav_payload(ids)).collect()
+    }
+    for i in (0, 7, 63, 200):
+        n = WAV_N_FRAMES(i)
+        s = [wav_sample(i, k) for k in range(n)]
+        assert all(v != 0 for v in s)
+        r = out[i]
+        assert r["sample_rate"] == WAV_RATE
+        assert r["n_audio_frames"] == n
+        assert r["duration_micro"] == n * 1_000_000 // WAV_RATE
+        assert r["peak_abs"] == max(abs(v) for v in s)
+        assert r["mean_abs_micro"] == sum(abs(v) for v in s) * 1_000_000 // n
+        flips = sum(
+            1 for a, b in zip(s, s[1:]) if (a > 0) != (b > 0)
+        )
+        assert r["zero_crossings"] == flips
