@@ -114,24 +114,53 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Invert the per-scanline filters (PNG spec §9): each scanline is a
-    filter-type byte then ``width*bpp`` filtered bytes; recover the raw
-    samples row by row (Sub/Average/Paeth are sequential along x by
-    construction — the spec's own decode recurrence)."""
-    stride = width * bpp
+# Adam7 pass layout (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unpack_scanline(line: bytes, width: int, channels: int, depth: int) -> bytes:
+    """One unfiltered scanline → per-sample bytes.  Sub-byte depths are
+    MSB-first packed (PNG spec §7.2) and scaled... NOT scaled: palette
+    indices and low-depth gray stay raw index/level values (the caller
+    maps palette entries; gray callers get 0..2^depth−1 levels).
+    16-bit samples reduce to their high byte (the spec's own 8-bit
+    reduction; exactness beyond 8 bits is out of scope here)."""
+    n = width * channels
+    if depth == 8:
+        return line[:n]
+    if depth == 16:
+        return line[0 : 2 * n : 2]
+    out = bytearray(n)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        byte = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i] = (byte >> shift) & mask
+    return bytes(out)
+
+
+def _decode_png_image(
+    raw: bytes, width: int, height: int, channels: int, depth: int
+) -> bytearray:
+    """Unfilter + unpack one (sub)image's scanline stream."""
+    bpp = max(1, channels * depth // 8)
+    stride = (width * channels * depth + 7) // 8
     if len(raw) != height * (1 + stride):
         raise ValueError(
             f"PNG pixel data is {len(raw)} bytes, expected "
-            f"{height * (1 + stride)} for {width}x{height}x{bpp}"
+            f"{height * (1 + stride)} for {width}x{height}@{depth}x{channels}"
         )
-    out = bytearray(height * stride)
+    out = bytearray(height * width * channels)
     prior = bytearray(stride)
     for y in range(height):
         off = y * (1 + stride)
         ftype = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 0:  # None
+        if ftype == 0:
             pass
         elif ftype == 1:  # Sub
             for i in range(bpp, stride):
@@ -150,7 +179,8 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int) -> bytear
                 line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
-        out[y * stride : (y + 1) * stride] = line
+        row = _unpack_scanline(bytes(line), width, channels, depth)
+        out[y * width * channels : (y + 1) * width * channels] = row
         prior = line
     return out
 
@@ -158,17 +188,22 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int) -> bytear
 def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """REAL stdlib-only PNG pixel decode → (width, height, n_channels,
     raw samples row-major). Walks the chunk stream, inflates the
-    concatenated IDAT payload with ``zlib`` and unfilters every
-    scanline. Supports the non-interlaced 8-bit truecolor family
-    (gray / RGB / gray+alpha / RGBA — PNG color types 0/2/4/6);
-    palette, 16-bit, and Adam7 raise ``ValueError`` (honest bounds,
-    not silent misreads)."""
+    concatenated IDAT payload with ``zlib``, unfilters every scanline,
+    and supports the FULL still-image lattice (r5): color types
+    0/2/3/4/6 at bit depths 1/2/4/8/16 (as the spec permits per type),
+    paletted images mapped through PLTE to RGB, and Adam7 interlace
+    (seven per-pass sub-images de-passed into place).  16-bit samples
+    reduce to their high byte; tRNS transparency is not applied
+    (documented bound — alpha beyond type 4/6 channels is metadata
+    here)."""
     import zlib
 
     if not b.startswith(PNG_SIGNATURE):
         raise ValueError("not a PNG payload")
     pos, width = len(PNG_SIGNATURE), None
     height = channels = None
+    bit_depth = color_type = interlace = None
+    palette: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(b):
         length = int.from_bytes(b[pos : pos + 4], "big")
@@ -178,13 +213,22 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, interlace = data[8], data[9], data[12]
-            if bit_depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-            if color_type not in _PNG_CHANNELS or color_type == 3:
+            if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace not supported")
+            allowed = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[color_type]
+            if bit_depth not in allowed:
+                raise ValueError(
+                    f"PNG bit depth {bit_depth} invalid for color type "
+                    f"{color_type}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            palette = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -192,8 +236,44 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + type + data + CRC
     if width is None or not idat:
         raise ValueError("PNG has no IHDR/IDAT")
+    if color_type == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    samples = _unfilter_scanlines(raw, width, height, channels)
+    if interlace == 0:
+        samples = _decode_png_image(raw, width, height, channels, bit_depth)
+    else:
+        samples = bytearray(width * height * channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * bit_depth + 7) // 8
+            size = ph * (1 + stride)
+            sub = _decode_png_image(
+                raw[off : off + size], pw, ph, channels, bit_depth
+            )
+            off += size
+            for py in range(ph):
+                for px in range(pw):
+                    src = (py * pw + px) * channels
+                    dst = ((y0 + py * dy) * width + (x0 + px * dx)) * channels
+                    samples[dst : dst + channels] = sub[src : src + channels]
+        if off != len(raw):
+            raise ValueError(
+                f"Adam7 stream has {len(raw)} bytes, consumed {off}"
+            )
+    if color_type == 3:
+        n_colors = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(samples):
+            if idx >= n_colors:
+                raise ValueError(
+                    f"PNG palette index {idx} outside {n_colors}-entry PLTE"
+                )
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(samples)
 
 

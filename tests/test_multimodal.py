@@ -168,18 +168,20 @@ def test_decode_multiple_idat_chunks_concatenate():
 def test_decode_rejects_unsupported_variants():
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png_pixels(b"GIF89a")
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    png16 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr16)
-    with pytest.raises(ValueError, match="bit depth"):
-        decode_png_pixels(png16)
-    ihdr_pal = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
-    png_pal = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_pal)
-    with pytest.raises(ValueError, match="color type"):
-        decode_png_pixels(png_pal)
-    ihdr_i7 = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    png_i7 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_i7)
+    # spec-invalid depth/type combos stay rejected (16-bit palette,
+    # 2-bit RGB); palette/16-bit/Adam7 themselves are SUPPORTED as of r5
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    png_bad = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_bad)
+    with pytest.raises(ValueError, match="invalid for color type"):
+        decode_png_pixels(png_bad)
+    ihdr_rgb2 = struct.pack(">IIBBBBB", 1, 1, 2, 2, 0, 0, 0)
+    png_rgb2 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_rgb2)
+    with pytest.raises(ValueError, match="invalid for color type"):
+        decode_png_pixels(png_rgb2)
+    ihdr_i9 = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 9)
+    png_i9 = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr_i9)
     with pytest.raises(ValueError, match="interlace"):
-        decode_png_pixels(png_i7)
+        decode_png_pixels(png_i9)
     with pytest.raises(ValueError, match="filter type"):
         decode_png_pixels(_gray_png(b"\x05\x00\x00", 2, 1))
 
@@ -368,3 +370,83 @@ def test_audio_facet_closed_form(spark):
             1 for a, b in zip(s, s[1:]) if (a > 0) != (b > 0)
         )
         assert r["zero_crossings"] == flips
+
+
+# ---------------------------------------------------------------------------
+# r5: full PNG lattice — palette, sub-byte + 16-bit depths, Adam7
+
+
+def _png_of(ihdr_fields, chunks, idat_raw):
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", *ihdr_fields)
+    out = bytes.fromhex("89504e470d0a1a0a") + _chunk(b"IHDR", ihdr)
+    for ctype, payload in chunks:
+        out += _chunk(ctype, payload)
+    return out + _chunk(b"IDAT", _zlib.compress(idat_raw)) + _chunk(b"IEND", b"")
+
+
+def test_decode_palette_hand_bytes():
+    """2x2 depth-2 paletted: indices packed MSB-first, PLTE mapped."""
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # row0 = indices 0,1 -> bits 00 01 -> 0x10; row1 = 2,3 -> 10 11 -> 0xb0
+    raw = bytes([0, 0x10, 0, 0xB0])
+    png = _png_of((2, 2, 2, 3, 0, 0, 0), [(b"PLTE", plte)], raw)
+    assert decode_png_pixels(png) == (
+        2, 2, 3,
+        bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]),
+    )
+    # index outside the palette raises
+    bad = _png_of((1, 1, 8, 3, 0, 0, 0), [(b"PLTE", plte[:6])], bytes([0, 7]))
+    with pytest.raises(ValueError, match="outside"):
+        decode_png_pixels(bad)
+    # missing PLTE raises
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(_png_of((1, 1, 8, 3, 0, 0, 0), [], bytes([0, 0])))
+
+
+def test_decode_16bit_gray_high_byte():
+    raw = bytes([0, 0x12, 0x34, 0xAB, 0xCD])  # 2x1, samples 0x1234 0xabcd
+    png = _png_of((2, 1, 16, 0, 0, 0, 0), [], raw)
+    assert decode_png_pixels(png) == (2, 1, 1, bytes([0x12, 0xAB]))
+
+
+def test_decode_1bit_gray_packed():
+    # 10x1 1-bit: pixels 1,0,1,1,0,0,1,0 | 1,1 -> bytes 0xb2, 0xc0
+    raw = bytes([0, 0b10110010, 0b11000000])
+    png = _png_of((10, 1, 1, 0, 0, 0, 0), [], raw)
+    w, h, ch, s = decode_png_pixels(png)
+    assert (w, h, ch) == (10, 1, 1)
+    assert list(s) == [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+
+
+def test_decode_adam7_hand_bytes_2x2():
+    """2x2 gray Adam7 BY HAND: pass1 carries (0,0), pass6 (1,0),
+    pass7 the bottom row — pass order and placement pinned without any
+    encoder (PNG spec §8.2)."""
+    # streams: p1=[0, 11]  p6=[0, 22]  p7=[0, 33, 44]
+    raw = bytes([0, 11, 0, 22, 0, 33, 44])
+    png = _png_of((2, 2, 8, 0, 0, 0, 1), [], raw)
+    w, h, ch, s = decode_png_pixels(png)
+    assert (w, h, ch) == (2, 2, 1)
+    assert list(s) == [11, 22, 33, 44]
+
+
+def test_decode_adam7_hand_bytes_3x3():
+    """3x3 gray Adam7: five non-empty passes incl. a 1-wide 2-row pass
+    (per-scanline filter bytes) — placement: p1(0,0) p4(2,0) p5(0,2)
+    (2,2) p6(1,0)(1,2) p7 row y=1."""
+    v = {(x, y): 10 * y + x + 1 for y in range(3) for x in range(3)}
+    raw = bytes(
+        [0, v[(0, 0)]]
+        + [0, v[(2, 0)]]
+        + [0, v[(0, 2)], v[(2, 2)]]
+        + [0, v[(1, 0)], 0, v[(1, 2)]]
+        + [0, v[(0, 1)], v[(1, 1)], v[(2, 1)]]
+    )
+    png = _png_of((3, 3, 8, 0, 0, 0, 1), [], raw)
+    w, h, ch, s = decode_png_pixels(png)
+    assert list(s) == [v[(x, y)] for y in range(3) for x in range(3)]
+    # truncated/overlong Adam7 streams raise, not misread
+    with pytest.raises(ValueError):
+        decode_png_pixels(_png_of((3, 3, 8, 0, 0, 0, 1), [], raw + b"\x00"))
