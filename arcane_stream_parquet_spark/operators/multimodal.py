@@ -17,17 +17,20 @@ parquet). What is REAL here and what is STUBBED:
   spec §9) for 8-bit gray/RGB/gray-alpha/RGBA, and
   ``decode_image_features`` computes true pixel statistics (mean,
   16-bin histogram) from the recovered samples for any PNG payload.
-- REAL as of round 5: JPEG PIXEL decoding (baseline SOF0 — Huffman,
-  dequant, IDCT, YCbCr→RGB, restart intervals — ``codecs.
-  decode_jpeg_pixels``, stdlib-only), BMP and GIF pixel decoding
+- REAL as of round 5: JPEG PIXEL decoding (baseline SOF0/SOF1 AND
+  progressive SOF2 — Huffman, spectral selection + successive
+  approximation, dequant, IDCT, YCbCr→RGB, restart intervals —
+  ``codecs.decode_jpeg_pixels``, stdlib-only), BMP and GIF pixel
+  decoding
   (``decode_image_features`` routes ``\\xff\\xd8`` / BM / GIF8?a magics
   through ``operators.codecs``), and FRAME EXTRACTION for two honest
   video-ish formats (the real path of ``sample_frames``): animated GIF
   (LZW decode per image descriptor → one RGB frame row each) and
   MJPEG-in-AVI (RIFF walk → one '00dc' JPEG payload row each, further
   decodable by ``decode_image_features``).
-- STUBBED: progressive JPEG and real video containers (MP4/MKV/WebM).
-  This container has no media libraries, so those paths raise
+- STUBBED: real video containers (MP4/MKV/WebM) and lossless/
+  arithmetic JPEG. This container has no media libraries, so those
+  paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,
   in which case a DETERMINISTIC FAKE derives plausible features from

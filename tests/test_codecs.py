@@ -412,10 +412,10 @@ def test_jpeg_16bit_dqt_and_zigzag():
     assert list(got) == exp
 
 
-def test_jpeg_rejects_progressive_and_bad_precision():
+def test_jpeg_rejects_lossless_and_bad_precision():
     b = bytearray(encode_jpeg_gray_tiles(8, 8, [[7]]))
     i = bytes(b).index(b"\xff\xc0")
-    b[i + 1] = 0xC2  # SOF2 progressive
+    b[i + 1] = 0xC3  # SOF3 lossless
     with pytest.raises(ValueError, match="frame type"):
         decode_jpeg_pixels(bytes(b))
     b[i + 1] = 0xC0
@@ -465,3 +465,143 @@ def test_avi_hand_walk_odd_chunk_padding():
 def test_avi_rejects_non_avi():
     with pytest.raises(ValueError, match="not a RIFF/AVI"):
         parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — r5
+
+
+from arcane_stream_parquet_spark.operators.codecs import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def test_progressive_hand_pinned_stream():
+    """A COMPLETE 4-scan progressive JPEG built field-by-field BY HAND
+    (no encoder): DC first Al=1 (diff −3, pad), DC refine (bit 1 →
+    0xFF 0x00 stuffing), AC first Al=1 (coef t=1 + EOB run), AC refine
+    (history correction bit carried by the EOB flush).  Decodes to
+    DC=−5, AC[zigzag 1]=3 — checked against the independent textbook
+    IDCT."""
+    hand = bytes.fromhex(
+        "ffd8"
+        "ffdb" "0043" "00" + "01" * 64 +
+        "ffc2" "000b" "08" "0008" "0008" "01" "01" "11" "00"
+        # scan 1: DC first, Al=1 — DHT dc {2:len1}, data 0x1f
+        "ffc4" "0014" "00" + "01" + "00" * 15 + "02"
+        "ffda" "0008" "01" "01" "00" "00" "00" "01"
+        "1f"
+        # scan 2: DC refine — bit 1 → 0xff stuffed
+        "ffda" "0008" "01" "01" "00" "00" "00" "10"
+        "ff00"
+        # scan 3: AC first, Al=1 — DHT ac {0x00,0x01:len2}, data 0x67
+        "ffc4" "0015" "10" + "0002" + "00" * 14 + "0001"
+        "ffda" "0008" "01" "01" "00" "01" "3f" "01"
+        "67"
+        # scan 4: AC refine — DHT ac {0x00:len1}, data 0x7f
+        "ffc4" "0014" "10" + "01" + "00" * 15 + "00"
+        "ffda" "0008" "01" "01" "00" "01" "3f" "10"
+        "7f"
+        "ffd9"
+    )
+    w, h, nch, got = decode_jpeg_pixels(hand)
+    assert (w, h, nch) == (8, 8, 1)
+
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    F = [0] * 64
+    F[0], F[1] = -5, 3  # dequantized (q=1)
+    exp = []
+    for y in range(8):
+        for x in range(8):
+            v = 0.0
+            for uu in range(8):
+                for vv in range(8):
+                    v += (
+                        C(uu) * C(vv) / 4 * F[vv * 8 + uu]
+                        * math.cos((2 * x + 1) * uu * math.pi / 16)
+                        * math.cos((2 * y + 1) * vv * math.pi / 16)
+                    )
+            exp.append(max(0, min(255, math.floor(v + 0.5) + 128)))
+    assert list(got) == exp
+
+
+def _rand_blocks(rng, bw, bh, style):
+    import random as _r
+
+    def blk():
+        c = [0] * 64
+        c[0] = rng.randint(-1000, 1000)
+        if style == 1:
+            for k in range(1, 64):
+                if rng.random() < 0.6:
+                    c[k] = rng.randint(-100, 100)
+        elif style == 2:
+            c[rng.choice([60, 61, 62, 63])] = rng.randint(1, 5)
+        elif style == 3:
+            if rng.random() < 0.2:
+                c[1] = rng.randint(-3, 3)
+        elif style == 4:
+            for k in range(1, 64, 7):
+                c[k] = rng.choice([1, 2, 3, -1, -2, 40])
+        return c
+
+    return [[blk() for _ in range(bw)] for _ in range(bh)]
+
+
+@pytest.mark.parametrize("style", [0, 1, 2, 3, 4])
+def test_progressive_equals_baseline_gray(style):
+    """Same quantized coefficients through the sequential and the
+    progressive entropy paths must decode to identical pixels — the
+    two encoders/decoders share only the IDCT, so an entropy bug on
+    either side breaks equality.  Styles: DC-only, dense, sparse-tail
+    (ZRL+EOB), long EOB runs, interspersed history/new (refinement)."""
+    import copy
+    import random
+
+    rng = random.Random(style * 101 + 1)
+    for _ in range(4):
+        w, h = 8 * rng.randint(1, 6), 8 * rng.randint(1, 4)
+        blocks = _rand_blocks(rng, w // 8, h // 8, style)
+        mk = lambda: [{"id": 1, "h": 1, "v": 1, "qtable": [3] * 64,
+                       "blocks": copy.deepcopy(blocks)}]
+        assert decode_jpeg_pixels(
+            encode_jpeg_progressive(w, h, mk())
+        ) == decode_jpeg_pixels(encode_jpeg(w, h, mk()))
+
+
+def test_progressive_equals_baseline_color_subsampled_crop():
+    import copy
+
+    def blk(v):
+        c = [0] * 64
+        c[0] = 8 * (v - 128)
+        c[5] = 9
+        c[62] = -2
+        return c
+
+    comps = [
+        {"id": 1, "h": 2, "v": 1, "qtable": [1] * 64,
+         "blocks": [[blk(60), blk(200)]]},
+        {"id": 2, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [[blk(140)]]},
+        {"id": 3, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [[blk(80)]]},
+    ]
+    assert decode_jpeg_pixels(
+        encode_jpeg_progressive(12, 6, copy.deepcopy(comps))
+    ) == decode_jpeg_pixels(encode_jpeg(12, 6, copy.deepcopy(comps)))
+
+
+def test_progressive_rejects_malformed_scans():
+    # DC scan with Se != 0
+    b = bytearray(encode_jpeg_progressive(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64,
+                "blocks": [[[8] + [0] * 63]]}]
+    ))
+    i = bytes(b).index(b"\xff\xda")
+    # SOS payload: len(2) ns(1) comp(2) ss se ahal — ss at i+2+2+1+2
+    se_off = i + 2 + 2 + 1 + 2 + 1
+    b2 = bytearray(b)
+    b2[se_off] = 5  # DC scan (Ss=0) with Se=5
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_pixels(bytes(b2))
