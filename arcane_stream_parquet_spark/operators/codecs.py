@@ -1333,20 +1333,21 @@ def encode_jpeg_progressive(
 
 def encode_jpeg_gray_tiles(
     width: int, height: int, tile_values: list[list[int]],
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """Grayscale JPEG whose 8×8 blocks are CONSTANT tiles (value grid
     ``tile_values[by][bx]``) under an all-ones quant table — every tile
-    decodes back EXACTLY (DC = 8·(v−128), all AC zero), which is what
-    makes the multimodal facet's oracle expressible in closed form."""
+    decodes back EXACTLY (DC = 8·(v−128), all AC zero) through EITHER
+    entropy coding (the progressive DC split dc>>1 then low-bit refine
+    reassembles losslessly), which is what makes the multimodal facet's
+    oracle expressible in closed form for both frame types."""
     blocks = [
         [[8 * (v - 128)] + [0] * 63 for v in row] for row in tile_values
     ]
-    return encode_jpeg(
-        width, height,
-        [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}],
-        restart_interval=restart_interval,
-    )
+    comps = [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}]
+    if progressive:
+        return encode_jpeg_progressive(width, height, comps)
+    return encode_jpeg(width, height, comps, restart_interval=restart_interval)
 
 
 # ---------------------------------------------------------------------------

@@ -625,8 +625,11 @@ JPEG_HB = lambda i: 1 + (i * 5) % 4  # noqa: E731  blocks down (1..4)
 
 
 def make_jpeg_image(doc_id: int) -> bytes:
-    """Deterministic complete grayscale baseline JPEG for ``doc_id``:
-    JPEG_WB×JPEG_HB constant tiles of value (doc_id + by + bx) % 256."""
+    """Deterministic complete grayscale JPEG for ``doc_id``:
+    JPEG_WB×JPEG_HB constant tiles of value (doc_id + by + bx) % 256.
+    Even doc_ids are BASELINE (SOF0), odd are PROGRESSIVE (SOF2) — the
+    constant tiles decode to identical pixels either way, so the
+    driver's closed-form oracle covers BOTH entropy paths end-to-end."""
     from arcane_stream_parquet_spark.operators.codecs import (
         encode_jpeg_gray_tiles,
     )
@@ -635,7 +638,9 @@ def make_jpeg_image(doc_id: int) -> bytes:
     tiles = [
         [(doc_id + by + bx) % 256 for bx in range(wb)] for by in range(hb)
     ]
-    return encode_jpeg_gray_tiles(8 * wb, 8 * hb, tiles)
+    return encode_jpeg_gray_tiles(
+        8 * wb, 8 * hb, tiles, progressive=bool(doc_id % 2)
+    )
 
 
 def synth_jpeg_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
