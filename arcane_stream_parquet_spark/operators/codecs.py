@@ -74,10 +74,13 @@ def encode_bmp(width: int, height: int, rgb: bytes, top_down: bool = False) -> b
 
 def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """REAL stdlib-only BMP pixel decode → (width, height, n_channels,
-    row-major RGB(A) samples, top row first). Supports uncompressed
-    (BI_RGB) 24- and 32-bit BITMAPINFOHEADER bitmaps, both bottom-up
-    (positive biHeight) and top-down (negative); paletted/compressed
-    variants raise (honest bounds, not silent misreads)."""
+    row-major RGB(A) samples, top row first). Supports BITMAPINFOHEADER
+    bitmaps: uncompressed (BI_RGB) 24/32-bit direct color, PALETTED
+    1/4/8-bit (MSB-first packed indices through the BGRA color table —
+    r5), and RLE8 (BI_RLE8: runs, end-of-line/bitmap escapes, absolute
+    mode with word padding, position deltas — r5); bottom-up (positive
+    biHeight) and top-down (negative). RLE4 and bitfield variants
+    raise (honest bounds, not silent misreads)."""
     if not b.startswith(b"BM") or len(b) < 54:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", b, 10)[0]
@@ -87,12 +90,96 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     width, bi_height = struct.unpack_from("<ii", b, 18)
     planes, bpp = struct.unpack_from("<HH", b, 26)
     compression = struct.unpack_from("<I", b, 30)[0]
-    if compression != 0:
-        raise ValueError(f"unsupported BMP compression {compression}")
-    if bpp not in (24, 32):
-        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    clr_used = struct.unpack_from("<I", b, 46)[0]
     top_down = bi_height < 0
     height = abs(bi_height)
+
+    def palette_rgb() -> list[bytes]:
+        n = clr_used or (1 << bpp)
+        base = 14 + header_size
+        # the color table lives between the info header and the pixel
+        # offset; a smaller gap bounds it (some writers under-declare)
+        n = min(n, max(0, (offset - base)) // 4)
+        if n == 0:
+            raise ValueError("paletted BMP has no color table")
+        table = []
+        for i in range(n):
+            e = b[base + 4 * i : base + 4 * i + 4]  # BGRA entries
+            table.append(bytes((e[2], e[1], e[0])))
+        return table
+
+    if compression == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8-bit depth")
+        if top_down:
+            raise ValueError("RLE BMPs cannot be top-down")
+        table = palette_rgb()
+        grid = [[0] * width for _ in range(height)]  # bottom-up rows
+        x = y = 0
+        pos = offset
+        while pos + 1 < len(b):
+            cnt, val = b[pos], b[pos + 1]
+            pos += 2
+            if cnt:
+                for _ in range(cnt):
+                    if x < width and y < height:
+                        grid[y][x] = val
+                    x += 1
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += b[pos]
+                y += b[pos + 1]
+                pos += 2
+            else:  # absolute mode, word-aligned
+                for k in range(val):
+                    if x < width and y < height:
+                        grid[y][x] = b[pos + k]
+                    x += 1
+                pos += val + (val & 1)
+        out = bytearray(width * height * 3)
+        n_colors = len(table)
+        for yy in range(height):
+            row = grid[height - 1 - yy]
+            for xx in range(width):
+                idx = row[xx]
+                if idx >= n_colors:
+                    raise ValueError(
+                        f"BMP index {idx} outside {n_colors}-color table"
+                    )
+                o = (yy * width + xx) * 3
+                out[o : o + 3] = table[idx]
+        return width, height, 3, bytes(out)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp in (1, 4, 8):  # paletted, uncompressed
+        table = palette_rgb()
+        n_colors = len(table)
+        stride = ((width * bpp + 7) // 8 + 3) & ~3
+        need = offset + stride * height
+        if len(b) < need:
+            raise ValueError(f"BMP pixel data truncated: {len(b)} < {need}")
+        per_byte = 8 // bpp
+        mask = (1 << bpp) - 1
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            src_row = y if top_down else height - 1 - y
+            src = offset + src_row * stride
+            for x in range(width):
+                byte = b[src + x // per_byte]
+                shift = 8 - bpp * (x % per_byte + 1)
+                idx = (byte >> shift) & mask
+                if idx >= n_colors:
+                    raise ValueError(
+                        f"BMP index {idx} outside {n_colors}-color table"
+                    )
+                o = (y * width + x) * 3
+                out[o : o + 3] = table[idx]
+        return width, height, 3, bytes(out)
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
     nch = bpp // 8
     stride = (width * nch + 3) & ~3
     need = offset + stride * height
@@ -244,6 +331,7 @@ def parse_gif(b: bytes) -> dict:
         raise ValueError("not a GIF payload")
     screen_w, screen_h = struct.unpack_from("<HH", b, 6)
     packed = b[10]
+    bg_index = b[11]
     pos = 13
     global_table: bytes | None = None
     if packed & 0x80:
@@ -252,6 +340,8 @@ def parse_gif(b: bytes) -> dict:
         pos += 3 * n
     frames: list[dict] = []
     delay_cs = 0
+    disposal = 0
+    transparent: int | None = None
     while pos < len(b):
         block = b[pos]
         pos += 1
@@ -261,7 +351,10 @@ def parse_gif(b: bytes) -> dict:
             label = b[pos]
             pos += 1
             if label == 0xF9 and b[pos] >= 4:  # graphic control
+                gce_packed = b[pos + 1]
                 delay_cs = struct.unpack_from("<H", b, pos + 2)[0]
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = b[pos + 4] if gce_packed & 0x01 else None
             while b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
@@ -308,10 +401,76 @@ def parse_gif(b: bytes) -> dict:
                 "height": h,
                 "delay_cs": delay_cs,
                 "rgb": bytes(rgb),
+                # compositing inputs (r5): raw palette indices, the
+                # frame's color table, transparency + disposal from the
+                # graphic control extension
+                "indices": bytes(indices),
+                "table": bytes(table),
+                "transparent": transparent,
+                "disposal": disposal,
             }
         )
         delay_cs = 0
-    return {"width": screen_w, "height": screen_h, "frames": frames}
+        disposal = 0
+        transparent = None
+    return {
+        "width": screen_w,
+        "height": screen_h,
+        "bg_index": bg_index,
+        "global_table": global_table,
+        "frames": frames,
+    }
+
+
+def composite_gif_frames(b: bytes) -> list[bytes]:
+    """Full-canvas RGB frames of an animated GIF with DISPOSAL SEMANTICS
+    applied (GIF89a graphic control extension): each coded rectangle is
+    blitted onto the logical screen (transparent indices skipped),
+    yielding one width×height RGB buffer per frame; afterwards disposal
+    0/1 leaves the canvas, 2 restores the rectangle to the background
+    color, 3 restores the pre-frame canvas.  The per-rectangle parse
+    stays available via :func:`parse_gif` (this is pure post-processing
+    over it, as the r4 module docstring promised)."""
+    parsed = parse_gif(b)
+    w, h = parsed["width"], parsed["height"]
+    gt = parsed["global_table"]
+    if gt and parsed["bg_index"] < len(gt) // 3:
+        bg = gt[3 * parsed["bg_index"] : 3 * parsed["bg_index"] + 3]
+    else:
+        bg = b"\x00\x00\x00"
+    canvas = bytearray(bg * (w * h))
+    out: list[bytes] = []
+    for f in parsed["frames"]:
+        before = bytes(canvas) if f["disposal"] == 3 else None
+        fw, fh = f["width"], f["height"]
+        for yy in range(fh):
+            cy = f["top"] + yy
+            if cy >= h:
+                continue
+            for xx in range(fw):
+                cx = f["left"] + xx
+                if cx >= w:
+                    continue
+                idx = f["indices"][yy * fw + xx]
+                if f["transparent"] is not None and idx == f["transparent"]:
+                    continue
+                o = (cy * w + cx) * 3
+                canvas[o : o + 3] = f["table"][3 * idx : 3 * idx + 3]
+        out.append(bytes(canvas))
+        if f["disposal"] == 2:  # restore rect to background
+            for yy in range(fh):
+                cy = f["top"] + yy
+                if cy >= h:
+                    continue
+                for xx in range(fw):
+                    cx = f["left"] + xx
+                    if cx >= w:
+                        continue
+                    o = (cy * w + cx) * 3
+                    canvas[o : o + 3] = bg
+        elif f["disposal"] == 3 and before is not None:
+            canvas = bytearray(before)
+    return out
 
 
 def decode_gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
@@ -337,13 +496,19 @@ def encode_gif(
     palette: bytes | None = None,
     delay_cs: int = 4,
     interlace_frame: int | None = None,
+    frame_meta: list[dict] | None = None,
+    bg_index: int = 0,
 ) -> bytes:
     """A spec-valid (optionally animated) GIF89a from per-frame palette
     INDEX arrays (row-major, one byte per pixel) over a shared global
     color table (default grayscale). Each frame gets a graphic-control
     extension with ``delay_cs``; ``interlace_frame`` writes that frame
     with the 4-pass interlace row order so decoders must de-pass it.
-    Test/synthesis encoder, same policy as ``encode_png``."""
+    ``frame_meta[i]`` may override ``left``/``top``/``width``/
+    ``height`` (a sub-rectangle frame) and set ``disposal`` /
+    ``transparent`` in the graphic-control extension (r5, for the
+    compositor).  Test/synthesis encoder, same policy as
+    ``encode_png``."""
     table = palette if palette is not None else gray_palette()
     n_colors = len(table) // 3
     size_bits = max(1, (n_colors - 1).bit_length()) - 1
@@ -351,21 +516,29 @@ def encode_gif(
         raise ValueError("palette size must be a power of two (2..256)")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
-    out += bytes([0x80 | size_bits, 0, 0])
+    out += bytes([0x80 | size_bits, bg_index, 0])
     out += table
     min_code_size = max(2, size_bits + 1)
     for fi, indices in enumerate(frames):
-        if len(indices) != width * height:
-            raise ValueError("frame index array length != width * height")
-        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        meta = (frame_meta[fi] if frame_meta else None) or {}
+        fx, fy = meta.get("left", 0), meta.get("top", 0)
+        fw, fh = meta.get("width", width), meta.get("height", height)
+        disposal = meta.get("disposal", 0)
+        transparent = meta.get("transparent")
+        if len(indices) != fw * fh:
+            raise ValueError("frame index array length != frame width * height")
+        gce_packed = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, gce_packed])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transparent or 0, 0x00])
         ilace = fi == interlace_frame
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += b"\x2c" + struct.pack("<HHHH", fx, fy, fw, fh)
         out += bytes([0x40 if ilace else 0x00])
         if ilace:
             reordered = bytearray()
             for start, step in _GIF_INTERLACE_PASSES:
-                for y in range(start, height, step):
-                    reordered += indices[y * width : (y + 1) * width]
+                for y in range(start, fh, step):
+                    reordered += indices[y * fw : (y + 1) * fw]
             indices = bytes(reordered)
         out.append(min_code_size)
         compressed = lzw_encode(min_code_size, bytes(indices))

@@ -523,7 +523,16 @@ class DeltaMergeTarget(_SqlMergeTargetBase):
         return ""
 
     def _table_properties(self) -> dict[str, str]:
-        return {"delta.autoOptimize.autoCompact": "true"}
+        return {
+            "delta.autoOptimize.autoCompact": "true",
+            # render_schema_migration emits ALTER COLUMN ... TYPE for
+            # Iceberg-legal widenings; Delta only executes those with
+            # the type-widening table feature enabled (Delta 3.x) —
+            # without it the DDL this target emits would fail at run
+            # time, the same stored-but-ignored class as the r4
+            # sort-order bug.
+            "delta.enableTypeWidening": "true",
+        }
 
     def render_maintenance(self) -> dict[str, str]:
         return {

@@ -188,7 +188,8 @@ def test_golden_delta_create_and_maintenance(spark):
         "(`arcane_merge_key` string, `createdon` bigint, `col0` bigint) "
         "USING delta  "
         "LOCATION 's3a://wh/events/table' "
-        "TBLPROPERTIES ('delta.autoOptimize.autoCompact'='true')"
+        "TBLPROPERTIES ('delta.autoOptimize.autoCompact'='true', "
+        "'delta.enableTypeWidening'='true')"
     )
     assert t.render_post_create() == []
     assert t.render_maintenance() == {
