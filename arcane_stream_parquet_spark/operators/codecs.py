@@ -130,10 +130,14 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             elif val == 1:  # end of bitmap
                 break
             elif val == 2:  # delta
+                if pos + 2 > len(b):
+                    raise ValueError("BMP RLE delta operands truncated")
                 x += b[pos]
                 y += b[pos + 1]
                 pos += 2
             else:  # absolute mode, word-aligned
+                if pos + val > len(b):
+                    raise ValueError("BMP RLE absolute run truncated")
                 for k in range(val):
                     if x < width and y < height:
                         grid[y][x] = b[pos + k]
@@ -1245,6 +1249,11 @@ def encode_jpeg(
 
     for ti, c in enumerate(components):
         c["_tq"] = ti if ti < 2 else 1  # ≤2 distinct tables is plenty here
+        if ti >= 2 and c["qtable"] != components[1]["qtable"]:
+            raise ValueError(
+                "component 3+ reuses quant slot 1: its qtable must equal "
+                "component 2's (this encoder emits at most two DQTs)"
+            )
     emitted = set()
     for c in components:
         tq = c["_tq"]
@@ -1458,6 +1467,11 @@ def encode_jpeg_progressive(
 
     for ti, c in enumerate(components):
         c["_tq"] = ti if ti < 2 else 1
+        if ti >= 2 and c["qtable"] != components[1]["qtable"]:
+            raise ValueError(
+                "component 3+ reuses quant slot 1: its qtable must equal "
+                "component 2's (this encoder emits at most two DQTs)"
+            )
     emitted = set()
     for c in components:
         if c["_tq"] in emitted:

@@ -407,13 +407,17 @@ class ParquetMergeTarget:
         compaction path: it packs per-bucket regardless of the
         streaming ``max_records_per_file`` policy (mirroring Iceberg's
         rewrite_data_files having its own target size)."""
-        inner_sort = self.sorted_by or (
+        inner_sort = list(self.sorted_by) or (
             # key-sorted files make each data file a contiguous merge-key
             # range, which is what gives the manifest's per-file min/max
             # its pruning power (file_stats docstring); an explicit
             # sorted_by wins (reference knob) and pruning degrades
-            # gracefully — ranges are still recorded, just wider
-            (self.key_col,) if self.file_stats else ()
+            # gracefully — ranges are still recorded, just wider.
+            # The sort key is the SAME string cast the stats and the
+            # prune comparison use — native numeric order vs string
+            # min/max would record ranges that cover everything and
+            # silently disable pruning for non-string keys.
+            [F.col(self.key_col).cast("string")] if self.file_stats else []
         )
         if inner_sort:
             # bucket column leads the sort so the partitioned writer's
@@ -560,7 +564,8 @@ class ParquetMergeTarget:
         [mn, mx] range (``None`` stats → always touched).  The check is
         one broadcast range-join of the batch's distinct keys against a
         #files-row range table — driver traffic is O(#files)."""
-        in_scope = [f for f in files if int(f["b"]) in set(buckets)]
+        bucket_set = set(buckets)
+        in_scope = [f for f in files if int(f["b"]) in bucket_set]
         unranged = [f for f in in_scope if f["mn"] is None or f["mx"] is None]
         ranged = [f for f in in_scope if f["mn"] is not None and f["mx"] is not None]
         if not ranged:

@@ -46,6 +46,7 @@ payloads via ``spark.sql.files.maxPartitionBytes``.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -327,9 +328,20 @@ def decode_image_features(
         elif b.startswith(b"BM"):
             real = decode_bmp_pixels
         if real is not None:
-            w, h, ch, samples = real(b)
-            mean_micro, hist16 = _pixel_stats(samples)
-            return len(b), w, h, ch, mean_micro, hist16
+            try:
+                w, h, ch, samples = real(b)
+            except (ValueError, IndexError, struct.error):
+                # ASCII magics ('BM', 'GIF8?a') can legitimately open a
+                # TEXT payload; under fake=True the deterministic double
+                # must stay total for such non-media bytes rather than
+                # failing the batch on a magic-number coincidence.
+                # Without fake, malformed media raises as documented.
+                if not fake:
+                    raise
+                real = None
+            else:
+                mean_micro, hist16 = _pixel_stats(samples)
+                return len(b), w, h, ch, mean_micro, hist16
         if not fake:
             # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
             raise NotImplementedError(
@@ -644,8 +656,9 @@ def make_jpeg_image(doc_id: int) -> bytes:
 
 
 def synth_jpeg_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Complete deterministic baseline JPEGs per doc — input side of the
-    REAL JPEG pixel-decode path (same shape as synth_png_pixel_payload)."""
+    """Complete deterministic JPEGs per doc (baseline or progressive by
+    doc_id parity, see make_jpeg_image) — input side of the REAL JPEG
+    pixel-decode path (same shape as synth_png_pixel_payload)."""
     from arcane_stream_parquet_spark.functions.partitioning import fan_out
 
     cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
@@ -947,10 +960,20 @@ def sample_frames(
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
 
     def frames_of(b: bytes) -> list[bytes]:
-        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-            return parse_avi(b)["frames"][::every_nth_frame]
-        if b[:6] in (b"GIF87a", b"GIF89a"):
-            return [f["rgb"] for f in parse_gif(b)["frames"]][::every_nth_frame]
+        is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
+        if is_avi or b[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                if is_avi:
+                    return parse_avi(b)["frames"][::every_nth_frame]
+                return [
+                    f["rgb"] for f in parse_gif(b)["frames"]
+                ][::every_nth_frame]
+            except (ValueError, IndexError):
+                # 'GIF8?a' is valid ASCII: under fake=True the double
+                # must stay total for text payloads opening with a
+                # media magic; real mode raises as documented
+                if not fake:
+                    raise
         if not fake:
             raise NotImplementedError(
                 "video decode beyond MJPEG-AVI/GIF requires a codec "

@@ -784,10 +784,11 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numbers and dims back out of the actual bytes. PIXELS: doc_id%3==0 "
     "docs get a COMPLETE small RGBA PNG (scanline filters cycling "
     "through all five types → decode_png_pixels zlib-inflates and "
-    "unfilters), and — r5 — doc_id%3==1 docs get a COMPLETE baseline "
-    "JPEG of constant 8x8 tiles under an all-ones quant table, which "
-    "round-trip EXACTLY through decode_jpeg_pixels' Huffman → dequant → "
-    "IDCT (DC = 8(v-128)), so the oracle states floor(mean·1e6) and the "
+    "unfilters), and — r5 — doc_id%3==1 docs get a COMPLETE JPEG of "
+    "constant 8x8 tiles under an all-ones quant table (even doc_ids "
+    "BASELINE SOF0, odd PROGRESSIVE SOF2 — both real decode paths), "
+    "which round-trip EXACTLY through decode_jpeg_pixels' Huffman → "
+    "dequant → IDCT (DC = 8(v-128)), so the oracle states floor(mean·1e6) and the "
     "16-bin histogram in closed form for BOTH formats and any entropy/"
     "filter/offset bug breaks the hash. VIDEO (r5): doc_id%3==2 docs "
     "get a real MJPEG-in-AVI (1 + id%5 constant frames); sample_frames "

@@ -740,3 +740,27 @@ def test_gif_composite_restore_previous():
     assert px(out[1], 0, 0) == 6          # frame 1 shows its patch
     assert px(out[2], 0, 0) == 2          # frame 2: patch was undone
     assert px(out[2], 1, 1) == 4
+
+
+def test_bmp_rle_truncation_raises_valueerror():
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(8))
+    offset = 54 + len(pal)
+    for tail in (bytes([0, 2]), bytes([0, 5, 1, 2])):  # delta / absolute cut
+        b = _bmp_hdr(offset, 4, 2, 8, 1, clr_used=8) + pal + tail
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp_pixels(b)
+
+
+def test_jpeg_encoders_guard_quant_slot_reuse():
+    blk = [[8] + [0] * 63]
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": [blk]},
+        {"id": 2, "h": 1, "v": 1, "qtable": [2] * 64, "blocks": [blk]},
+        {"id": 3, "h": 1, "v": 1, "qtable": [3] * 64, "blocks": [blk]},
+    ]
+    import copy
+
+    with pytest.raises(ValueError, match="quant slot"):
+        encode_jpeg(8, 8, copy.deepcopy(comps))
+    with pytest.raises(ValueError, match="quant slot"):
+        encode_jpeg_progressive(8, 8, copy.deepcopy(comps))

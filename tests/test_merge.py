@@ -270,3 +270,33 @@ def test_sorted_by_wins_over_key_sort(spark, tmp_path):
     one = t._read_files(files[:1], None).select("payload").collect()
     payloads = [r["payload"] for r in one]
     assert payloads == sorted(payloads)
+
+
+def test_pruning_works_for_numeric_keys(spark, tmp_path):
+    """Sort order, recorded stats, and the prune comparison all use the
+    SAME string cast — with a native numeric sort the recorded ranges
+    would overlap lexicographically and pruning would silently never
+    fire (r5 review finding)."""
+    t = ParquetMergeTarget(
+        spark=spark, path=str(tmp_path / "t"), num_buckets=1,
+        max_records_per_file=25, key_col="arcane_merge_key",
+    )
+    rows = [(i, 1, f"p{i}") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "arcane_merge_key bigint, createdon bigint, payload string"
+    )
+    t.merge(df)
+    files1 = t._manifest()["files"]
+    assert len(files1) >= 4
+    one = spark.createDataFrame(
+        [(50, 2, "updated")],
+        "arcane_merge_key bigint, createdon bigint, payload string",
+    )
+    t.merge(one)
+    m2 = t._manifest()
+    new = [f for f in m2["files"] if f["v"] == m2["version"]]
+    kept = [f for f in m2["files"] if f["v"] == 1]
+    assert len(new) == 1, "numeric-key upsert must touch exactly one file"
+    assert len(kept) == len(files1) - 1
+    out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert out[50] == "updated" and len(out) == 100

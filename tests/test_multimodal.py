@@ -450,3 +450,27 @@ def test_decode_adam7_hand_bytes_3x3():
     # truncated/overlong Adam7 streams raise, not misread
     with pytest.raises(ValueError):
         decode_png_pixels(_png_of((3, 3, 8, 0, 0, 0, 1), [], raw + b"\x00"))
+
+
+def test_fake_mode_total_for_text_payloads_with_media_magics(spark):
+    """Documents legitimately start with 'BM' or 'GIF87a' as TEXT; under
+    fake=True the deterministic double must not crash on the magic
+    coincidence (r5 review finding) — while real mode still raises."""
+    from arcane_stream_parquet_spark.operators.multimodal import sample_frames
+
+    payloads = [
+        (0, b"BMW is a carmaker " + b"x" * 60),
+        (1, b"GIF87a was released in 1987 " + b"y" * 40),
+        (2, b"RIFFle through AVI files " + b"z" * 30),
+        (3, b"plain text"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(p)) for i, p in payloads]
+    )
+    decoded = {r["doc_id"]: r for r in decode_image_features(df, fake=True).collect()}
+    assert len(decoded) == 4
+    assert all(decoded[i]["mean_micro"] is None for i in range(4))  # all fake
+    frames = sample_frames(df, fake=True).collect()
+    assert len(frames) >= 4  # byte-slice fallback for every payload
+    with pytest.raises(Exception):
+        decode_image_features(df, fake=False).collect()
