@@ -252,6 +252,15 @@ class ParquetMergeTarget:
     #: because files are written KEY-SORTED within each bucket (see
     #: _write_version), making each file a contiguous key range.
     file_stats: bool = True
+    #: Manifest sharding threshold (Iceberg's manifest-list shape): a
+    #: commit whose file list exceeds this many entries writes the list
+    #: as immutable ``manifest-vNNNNN-shard-*.json`` files and the root
+    #: manifest carries only their names — the commit point stays the
+    #: single create-only root write, and a 10⁶-file table no longer
+    #: concentrates ~120 MB of JSON in one object.  Shards of an
+    #: uncommitted version can only be crash orphans and are replaced
+    #: on retry, exactly like orphan version dirs.
+    manifest_shard_entries: int = 100_000
 
     # -- storage layout ----------------------------------------------------
 
@@ -298,6 +307,9 @@ class ParquetMergeTarget:
                 continue
         raise FileNotFoundError(f"no committed manifest under {self._meta_path}")
 
+    def _shard_name(self, version: int, i: int) -> str:
+        return f"manifest-v{version:05d}-shard-{i:05d}.json"
+
     def _commit_manifest(self, manifest: dict) -> None:
         """THE commit point: CREATE ``manifest-v{version}.json`` — a
         never-pre-existing destination, so the commit is atomic-enough
@@ -306,9 +318,35 @@ class ParquetMergeTarget:
         commit in the same atomic step. Each commit doubles as its own
         snapshot for time-travel reads, valid until ``vacuum()``
         reclaims the data dirs (Iceberg snapshot/expire_snapshots
-        semantics)."""
+        semantics).
+
+        Large file lists shard out first (``manifest_shard_entries``):
+        the shards are written BEFORE the root, so a crash leaves either
+        no new root (old table intact, shards are orphans cleaned by
+        vacuum/retry) or a complete committed set — the atomicity story
+        is unchanged because only the root creation is the commit."""
+        manifest = dict(manifest)
+        manifest.pop("file_shards", None)  # never carry a stale list over
+        files = manifest.get("files")
+        version = manifest["version"]
+        if files is not None and len(files) > self.manifest_shard_entries:
+            shard_names = []
+            for i in range(0, len(files), self.manifest_shard_entries):
+                name = self._shard_name(version, i // self.manifest_shard_entries)
+                path = fs_join(self._meta_path, name)
+                # a shard for an uncommitted version can only be a crash
+                # orphan from a previous attempt (the root's creation is
+                # the commit and it does not exist yet) — replace it
+                if self._fio.exists(path):
+                    self._fio.delete(path)
+                self._fio.create_text(
+                    path, json.dumps(files[i : i + self.manifest_shard_entries])
+                )
+                shard_names.append(name)
+            del manifest["files"]
+            manifest["file_shards"] = shard_names
         self._fio.create_text(
-            self._manifest_file(manifest["version"]), json.dumps(manifest)
+            self._manifest_file(version), json.dumps(manifest)
         )
 
     # -- schema ------------------------------------------------------------
@@ -334,7 +372,9 @@ class ParquetMergeTarget:
         return sorted(
             int(n[len("manifest-v") : -len(".json")])
             for n in names
-            if n.startswith("manifest-v") and n.endswith(".json")
+            if n.startswith("manifest-v")
+            and n.endswith(".json")
+            and "-shard-" not in n
         )
 
     def _read_raw(self, at_version: int | None = None) -> DataFrame:
@@ -509,8 +549,18 @@ class ParquetMergeTarget:
         return sorted(out, key=lambda e: (e["b"], e["n"]))
 
     def _files_of_manifest(self, manifest: dict) -> list[dict] | None:
-        """The manifest's live-file entries, or ``None`` for a pre-r5
-        manifest (callers fall back to bucket granularity)."""
+        """The manifest's live-file entries — inline, or concatenated
+        from its immutable manifest shards (``manifest_shard_entries``);
+        ``None`` for a pre-r5 manifest (callers fall back to bucket
+        granularity)."""
+        shards = manifest.get("file_shards")
+        if shards is not None:
+            out: list[dict] = []
+            for name in shards:
+                out.extend(
+                    json.loads(self._fio.read_text(fs_join(self._meta_path, name)))
+                )
+            return out
         return manifest.get("files")
 
     def _read_files(self, entries: list[dict], schema) -> DataFrame:
@@ -917,6 +967,17 @@ class ParquetMergeTarget:
         for v in self.snapshot_versions():
             if v != current:
                 fio.delete(self._manifest_file(v))
+        # shard files belong to their version's snapshot: drop every
+        # shard not referenced by the (now sole) current manifest —
+        # expired snapshots' shards and crash orphans alike
+        live_shards = set(manifest.get("file_shards") or [])
+        for name in fio.list_names(self._meta_path):
+            if (
+                name.startswith("manifest-v")
+                and "-shard-" in name
+                and name not in live_shards
+            ):
+                fio.delete(fs_join(self._meta_path, name))
         return removed
 
     def stats(self, with_row_count: bool = True) -> dict:

@@ -300,3 +300,88 @@ def test_pruning_works_for_numeric_keys(spark, tmp_path):
     assert len(kept) == len(files1) - 1
     out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
     assert out[50] == "updated" and len(out) == 100
+
+
+# ---------------------------------------------------------------------------
+# r5: manifest sharding (manifest-list shape)
+
+
+def _sharded_target(spark, tmp_path, **kw):
+    kw.setdefault("num_buckets", 4)
+    kw.setdefault("max_records_per_file", 10)
+    kw.setdefault("manifest_shard_entries", 3)  # tiny: force sharding
+    return ParquetMergeTarget(spark=spark, path=str(tmp_path / "t"), **kw)
+
+
+def test_manifest_shards_roundtrip_and_prune(spark, tmp_path):
+    """A file list over the threshold lands as immutable shard files +
+    a root carrying only their names; reads, merges (incl. pruning
+    bookkeeping), time travel, and snapshot listing all behave as with
+    the inline list."""
+    import json
+
+    t = _sharded_target(spark, tmp_path)
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(60)]))
+    m = t._manifest()
+    assert "files" not in m and len(m["file_shards"]) >= 2
+    files = t._files_of_manifest(m)
+    assert len(files) >= 4 and all(f["mn"] is not None for f in files)
+    assert t.read().count() == 60
+    # shards on disk are immutable commits named for their version
+    names = t._fio.list_names(t._meta_path)
+    assert all(s in names for s in m["file_shards"])
+    # snapshot listing must not trip over shard names
+    assert t.snapshot_versions() == [1]
+    # merge on top of a sharded manifest: resolves shards, prunes, and
+    # re-shards the survivors + new files
+    t.merge(df_of(spark, [("k030", 2, "updated")]))
+    m2 = t._manifest()
+    files2 = t._files_of_manifest(m2)
+    assert sum(1 for f in files2 if f["v"] == m2["version"]) == 1
+    out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert out["k030"] == "updated" and len(out) == 60
+    # time travel through a sharded snapshot
+    assert t.read(at_version=1).count() == 60
+
+
+def test_manifest_shard_crash_retry_and_vacuum(spark, tmp_path):
+    """A crash between shard writes and the root commit leaves orphan
+    shards: the old table is intact, a retry replaces them, and vacuum
+    drops shards of expired snapshots."""
+    import pytest as _pytest
+
+    t = _sharded_target(spark, tmp_path)
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(60)]))
+    before = sorted(map(tuple, t.read().collect()))
+
+    real_create = t._fio.__class__.create_text
+    calls = {"n": 0}
+
+    def crashing_create(self, path, text):
+        if "-shard-" not in path:
+            calls["n"] += 1
+            if calls["n"] == 1 and path.endswith("manifest-v00002.json"):
+                raise RuntimeError("simulated crash at root commit")
+        return real_create(self, path, text)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(t._fio.__class__, "create_text", crashing_create):
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            t.merge(df_of(spark, [("k001", 2, "new")]))
+    # old table fully intact; orphan v2 shards may exist
+    assert sorted(map(tuple, t.read().collect())) == before
+    # retry converges, replacing the orphan shards
+    t.merge(df_of(spark, [("k001", 2, "new")]))
+    assert {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}[
+        "k001"
+    ] == "new"
+    # vacuum: only the current version's shards survive
+    t.vacuum()
+    live = set(t._manifest().get("file_shards") or [])
+    on_disk = {
+        n for n in t._fio.list_names(t._meta_path) if "-shard-" in n
+    }
+    assert on_disk == live and live
+    # and the table still reads
+    assert t.read().count() == 60
