@@ -77,10 +77,11 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     row-major RGB(A) samples, top row first). Supports BITMAPINFOHEADER
     bitmaps: uncompressed (BI_RGB) 24/32-bit direct color, PALETTED
     1/4/8-bit (MSB-first packed indices through the BGRA color table —
-    r5), and RLE8 (BI_RLE8: runs, end-of-line/bitmap escapes, absolute
-    mode with word padding, position deltas — r5); bottom-up (positive
-    biHeight) and top-down (negative). RLE4 and bitfield variants
-    raise (honest bounds, not silent misreads)."""
+    r5), RLE8, and RLE4 (runs — nibble-alternating for RLE4 —
+    end-of-line/bitmap escapes, absolute mode with word padding,
+    position deltas — r5); bottom-up (positive biHeight) and top-down
+    (negative). Bitfield variants raise (honest bounds, not silent
+    misreads)."""
     if not b.startswith(b"BM") or len(b) < 54:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", b, 10)[0]
@@ -108,23 +109,34 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             table.append(bytes((e[2], e[1], e[0])))
         return table
 
-    if compression == 1:  # BI_RLE8
-        if bpp != 8:
-            raise ValueError("BI_RLE8 requires 8-bit depth")
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+            raise ValueError(
+                f"BI_RLE{8 if compression == 1 else 4} requires "
+                f"{8 if compression == 1 else 4}-bit depth"
+            )
         if top_down:
             raise ValueError("RLE BMPs cannot be top-down")
         table = palette_rgb()
         grid = [[0] * width for _ in range(height)]  # bottom-up rows
         x = y = 0
         pos = offset
+        rle4 = compression == 2
         while pos + 1 < len(b):
             cnt, val = b[pos], b[pos + 1]
             pos += 2
             if cnt:
-                for _ in range(cnt):
-                    if x < width and y < height:
-                        grid[y][x] = val
-                    x += 1
+                if rle4:  # run alternates the byte's two nibbles
+                    pair = (val >> 4, val & 0x0F)
+                    for k in range(cnt):
+                        if x < width and y < height:
+                            grid[y][x] = pair[k & 1]
+                        x += 1
+                else:
+                    for _ in range(cnt):
+                        if x < width and y < height:
+                            grid[y][x] = val
+                        x += 1
             elif val == 0:  # end of line
                 x, y = 0, y + 1
             elif val == 1:  # end of bitmap
@@ -136,13 +148,19 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 y += b[pos + 1]
                 pos += 2
             else:  # absolute mode, word-aligned
-                if pos + val > len(b):
+                nbytes = (val + 1) // 2 if rle4 else val
+                if pos + nbytes > len(b):
                     raise ValueError("BMP RLE absolute run truncated")
                 for k in range(val):
+                    if rle4:
+                        byte = b[pos + k // 2]
+                        idx = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                    else:
+                        idx = b[pos + k]
                     if x < width and y < height:
-                        grid[y][x] = b[pos + k]
+                        grid[y][x] = idx
                     x += 1
-                pos += val + (val & 1)
+                pos += nbytes + (nbytes & 1)
         out = bytearray(width * height * 3)
         n_colors = len(table)
         for yy in range(height):

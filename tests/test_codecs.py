@@ -69,10 +69,14 @@ def test_bmp_rejects_unsupported_variants():
     rle24 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
         decode_bmp_pixels(header + rle24 + b"\x00" * 16)
-    # RLE4 (compression 2) stays an honest bound
-    rle4 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 4, 2, 16, 0, 0, 0, 0)
+    # RLE on a mismatched depth (RLE4 header claiming 8-bit)
+    rle4_8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="RLE4 requires 4-bit"):
+        decode_bmp_pixels(header + rle4_8 + b"\x00" * 16)
+    # bitfields (compression 3) stay an honest bound
+    bf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="compression"):
-        decode_bmp_pixels(header + rle4 + b"\x00" * 16)
+        decode_bmp_pixels(header + bf + b"\x00" * 16)
     # paletted with no room for a color table (offset == header end)
     pal8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="no color table"):
@@ -764,3 +768,24 @@ def test_jpeg_encoders_guard_quant_slot_reuse():
         encode_jpeg(8, 8, copy.deepcopy(comps))
     with pytest.raises(ValueError, match="quant slot"):
         encode_jpeg_progressive(8, 8, copy.deepcopy(comps))
+
+
+def test_bmp_rle4_hand_bytes():
+    """RLE4: runs alternate the escape byte's two nibbles; absolute
+    mode packs nibbles high-first with word padding."""
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(16))
+    offset = 54 + len(pal)
+    # 6x2 bottom-up. Bottom row: run of 5 alternating (3,7) -> 3,7,3,7,3
+    # then run 1 of (9,_) -> 9. EOL. Top row: absolute 3 px [1,2,3]
+    # (nibbles 0x12, 0x30, padded to word), delta skips 2, then run 1
+    # of (5,_), EOB.
+    rle = bytes(
+        [5, 0x37, 1, 0x90, 0, 0,
+         0, 3, 0x12, 0x30, 0, 2, 2, 0, 1, 0x50,
+         0, 1]
+    )
+    b = _bmp_hdr(offset, 6, 2, 4, 2, clr_used=16) + pal + rle
+    w, h, ch, s = decode_bmp_pixels(b)
+    assert (w, h, ch) == (6, 2, 3)
+    assert s[0::3] == bytes([1, 2, 3, 0, 0, 5,   # top row
+                             3, 7, 3, 7, 3, 9])  # bottom row
