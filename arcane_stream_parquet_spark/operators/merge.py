@@ -631,13 +631,22 @@ class ParquetMergeTarget:
             F.col(self.key_col).cast("string").alias("_k"),
             F.col(BUCKET_COLUMN).alias("_b"),
         ).distinct()
+        # A NULL batch key never satisfies a range predicate (NULL >= mn
+        # is NULL), yet a kept file may hold the target's null-key row —
+        # latest-wins dedup groups nulls together, so such a file MUST be
+        # rewritten or the null key ends up with two live rows (r5
+        # ADVICE).  Files of a null-key bucket therefore match
+        # unconditionally; min/max ignore nulls so a file holding ONLY
+        # null keys is unranged (always touched) already.
         hit_ids = {
             r["fid"]
             for r in keys.join(
                 F.broadcast(ranges),
                 (F.col("_b") == F.col("fb"))
-                & (F.col("_k") >= F.col("mn"))
-                & (F.col("_k") <= F.col("mx")),
+                & (
+                    F.col("_k").isNull()
+                    | ((F.col("_k") >= F.col("mn")) & (F.col("_k") <= F.col("mx")))
+                ),
             )
             .select("fid")
             .distinct()

@@ -47,6 +47,7 @@ payloads via ``spark.sql.files.maxPartitionBytes``.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -330,12 +331,14 @@ def decode_image_features(
         if real is not None:
             try:
                 w, h, ch, samples = real(b)
-            except (ValueError, IndexError, struct.error):
+            except (ValueError, IndexError, struct.error, zlib.error):
                 # ASCII magics ('BM', 'GIF8?a') can legitimately open a
-                # TEXT payload; under fake=True the deterministic double
-                # must stay total for such non-media bytes rather than
-                # failing the batch on a magic-number coincidence.
-                # Without fake, malformed media raises as documented.
+                # TEXT payload, and a PNG-magic payload with a corrupt
+                # IDAT fails inflate (zlib.error, r5 ADVICE); under
+                # fake=True the deterministic double must stay total for
+                # such bytes rather than failing the batch on a
+                # magic-number coincidence.  Without fake, malformed
+                # media raises as documented.
                 if not fake:
                     raise
                 real = None

@@ -490,8 +490,12 @@ class IcebergMergeTarget(_SqlMergeTargetBase):
             "remove_orphan_files": (
                 f"CALL {cat}.system.remove_orphan_files(table => '{self.table}')"
             ),
+            # Spark rejects ANALYZE TABLE on DSv2/Iceberg catalog tables
+            # (r5 ADVICE) — Iceberg's own stats procedure is the
+            # executable mapping of the reference's ANALYZE op.
             "analyze": (
-                f"ANALYZE TABLE {self._tbl} COMPUTE STATISTICS"
+                f"CALL {cat}.system.compute_table_stats"
+                f"(table => '{self.table}')"
             ),
         }
 

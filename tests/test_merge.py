@@ -232,6 +232,33 @@ def test_pruned_bytes_smaller_than_bucket_rewrite(spark, tmp_path):
     assert pruned < full / 3, (pruned, full)
 
 
+def test_null_merge_key_stays_single_row_under_pruning(spark, tmp_path):
+    """r5 ADVICE: a NULL batch key never satisfies the file-range join
+    (NULL >= mn is NULL), so a kept file already holding the target's
+    null-key row would leave TWO live rows for the null key.  Files of a
+    null-key bucket must be treated as touched so latest-wins dedup sees
+    both rows."""
+    t = ParquetMergeTarget(
+        spark=spark, path=str(tmp_path / "t"), num_buckets=1,
+        max_records_per_file=25,
+    )
+    # null key lands in a MIXED file (min/max ignore nulls → file is
+    # ranged, the exact scenario pruning used to skip)
+    t.merge(df_of(spark, [(None, 1, "old")]
+                  + [(f"k{i:03d}", 1, f"p{i}") for i in range(100)]))
+    t.merge(df_of(spark, [(None, 2, "new")]))
+    rows = t.read().collect()
+    null_rows = [r for r in rows if r["arcane_merge_key"] is None]
+    assert len(null_rows) == 1, "null merge key must keep one live row"
+    assert null_rows[0]["payload"] == "new"
+    assert len(rows) == 101
+    # non-null-only batches still prune: file ranges are intact
+    t.merge(df_of(spark, [("k050", 3, "updated")]))
+    m = t._manifest()
+    new = [f for f in m["files"] if f["v"] == m["version"]]
+    assert len(new) == 1, "non-null upsert must still touch exactly one file"
+
+
 def test_legacy_manifest_upgrades_in_place(spark, tmp_path):
     """A pre-r5 manifest (no "files" entry) reads via the bucket
     fallback and the next merge persists real file entries."""

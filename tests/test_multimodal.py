@@ -474,3 +474,22 @@ def test_fake_mode_total_for_text_payloads_with_media_magics(spark):
     assert len(frames) >= 4  # byte-slice fallback for every payload
     with pytest.raises(Exception):
         decode_image_features(df, fake=False).collect()
+
+
+def test_fake_mode_total_for_corrupt_png_idat(spark):
+    """r5 ADVICE: a PNG-magic payload whose IDAT is not valid zlib used
+    to crash the whole batch even under fake=True (zlib.error was not in
+    the caught tuple, unlike the malformed-BMP/GIF/JPEG cases)."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        bytes.fromhex("89504e470d0a1a0a")
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"definitely not a zlib stream")
+        + _chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([Row(doc_id=0, payload=bytearray(png))])
+    decoded = decode_image_features(df, fake=True).collect()
+    assert len(decoded) == 1
+    assert decoded[0]["mean_micro"] is None  # deterministic double
+    with pytest.raises(Exception):
+        decode_image_features(df, fake=False).collect()

@@ -177,7 +177,9 @@ def test_golden_iceberg_maintenance(spark):
         "remove_orphan_files": (
             "CALL `cat`.system.remove_orphan_files(table => 'cat.db.events')"
         ),
-        "analyze": "ANALYZE TABLE `cat`.`db`.`events` COMPUTE STATISTICS",
+        "analyze": (
+            "CALL `cat`.system.compute_table_stats(table => 'cat.db.events')"
+        ),
     }
 
 
