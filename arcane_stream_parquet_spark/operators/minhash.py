@@ -246,3 +246,199 @@ def near_duplicates(
         joined.select("id_a", "id_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash character-n-gram signatures (r5 VERDICT #2): the char-gram
+# flavor above (char_shingles_* + per-shingle sha256) materializes every
+# substring AND a 64-hex digest AND 8 slice strings per gram — ~600 B of
+# short-lived JVM garbage per gram, which made char_ngram_near_duplicates
+# GC-bimodal (0.95 s floor, sporadic 2.8-3.3 s full-GC outliers with an
+# identical plan).  This path computes gram hashes + minhashes in ONE
+# Arrow-batched numpy pass: per document, a handful of vectorized uint64
+# multiply-adds over the byte array — no per-gram object allocation on
+# either side of the Arrow boundary.  The hash is a polynomial rolling
+# hash mod 2^64 (natural uint64 wraparound), replayable exactly in
+# DuckDB via HUGEINT arithmetic (the oracle in plans/llm_queries.py is
+# generated from these same constants).
+
+#: polynomial base for gram hashing (prime; small enough that DuckDB's
+#: 128-bit HUGEINT never overflows in acc*B + c with acc < 2^64)
+ROLL_B = 1_000_003
+_M64 = 1 << 64
+#: 8 per-seed affine stages (g*A_s + C_s) mod 2^64; A odd and < 2^63 so
+#: g*A stays inside HUGEINT for the DuckDB replay.  Each is finalized
+#: by the shared fold-high rounds below — a PURE affine map is not
+#: min-wise independent enough: on the sf0.1 corpus it flooded 59k
+#: band-bucket candidate pairs where the finalized mixer yields 3.3k
+#: with identical verified recall (255 vs 254 of an ideal-LSH-expected
+#: 253; measured, see ROUND6_NOTES.md)
+ROLL_MIX: list[tuple[int, int]] = [
+    (0x4F1BBCDCBFA53E0B, 0x2545F4914F6CDD1D),
+    (0x2B7E151628AED2A5, 0x093C467E37DB0C7A),
+    (0x452821E638D01377, 0x13198A2E03707344),
+    (0x243F6A8885A308D3, 0x082EFA98EC4E6C89),
+    (0x3C6EF372FE94F82B, 0x1BD11BDAA9FC1A21),
+    (0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179),
+    (0x510E527FADE682D1, 0x6A09E667F3BCC908),
+    (0x3243F6A8885A308D, 0x0D1310BA698DFB5A),
+]
+#: shared finalizer multiplier (odd, < 2^63): after the per-seed affine
+#: stage, v += v>>32; v *= A2; v += v>>32 — add/shift/multiply only, so
+#: the DuckDB replay needs just HUGEINT +, * and // 2^32 (no xor, which
+#: HUGEINT lacks); avalanche is enough to restore min-wise behavior
+ROLL_FINAL_A2 = 0x2545F4914F6CDD1D
+
+
+def rolling_char_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, grams: array<long>, mh_0..mh_{H-1}: long) per document via
+    one mapInPandas pass.
+
+    Normalization (replayed verbatim by the oracle): strip non-printable
+    /non-ASCII (``[^ -~]``, which also removes ``\\t``/``\\n``), then
+    ASCII lower + space-trim — ASCII-only so Python, Spark and DuckDB
+    lowercase identically.  Gram hash at position i = polynomial
+    ``fold(acc*B + byte, init=1)`` over k bytes, mod 2^64; documents
+    shorter than k bytes hash their whole text as one gram (empty → the
+    init value).  ``grams`` holds the DISTINCT hashes (uint64-sorted,
+    reinterpreted as signed longs — a bijection, so set sizes and
+    equality survive).  Minhash s = min over grams of the finalized
+    mixer (per-seed affine stage + shared ROLL_FINAL_A2 fold-high
+    rounds), taken in unsigned space.  Wraparound stays in numpy
+    because Spark's ANSI mode (4.x default) raises on JVM long
+    overflow."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    if num_hashes > len(ROLL_MIX):
+        raise ValueError(f"num_hashes > {len(ROLL_MIX)} not supported")
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("grams", ArrayType(LongType(), False), True),
+            *[
+                StructField(f"mh_{s}", LongType(), True)
+                for s in range(num_hashes)
+            ],
+        ]
+    )
+    mix = ROLL_MIX[:num_hashes]
+
+    def compute(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^ -~]")
+        b = np.uint64(ROLL_B)
+        a2 = np.uint64(ROLL_FINAL_A2)
+        sh32 = np.uint64(32)
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            grams_out: list = []
+            mins = [np.empty(len(ids), np.uint64) for _ in mix]
+            for row, t in enumerate(pdf[text_col].tolist()):
+                norm = strip.sub("", t if isinstance(t, str) else "")
+                norm = norm.lower().strip()
+                c = np.frombuffer(norm.encode("ascii"), np.uint8).astype(
+                    np.uint64
+                )
+                m = c.size - k + 1
+                if m < 1:
+                    h = np.ones(1, np.uint64)
+                    for j in range(c.size):
+                        h = h * b + c[j]
+                    g = h
+                else:
+                    g = np.ones(m, np.uint64)
+                    for j in range(k):
+                        g = g * b + c[j : j + m]
+                    g = np.unique(g)
+                grams_out.append(g.view(np.int64))
+                for s, (a_s, c_s) in enumerate(mix):
+                    v = g * np.uint64(a_s) + np.uint64(c_s)
+                    v = v + (v >> sh32)
+                    v = v * a2
+                    v = v + (v >> sh32)
+                    mins[s][row] = v.min()
+            out = {id_col: ids, "grams": grams_out}
+            for s in range(len(mix)):
+                out[f"mh_{s}"] = mins[s].view(np.int64)
+            yield pd.DataFrame(out)
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        compute, out_schema
+    )
+
+
+def rolling_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """:func:`near_duplicates` with :func:`rolling_char_signature` as
+    the signature stage: same LSH shape (band equi-join only, exact
+    Jaccard verify on candidates), allocation-light hashing.  Band keys
+    are within-engine only, so plain ``concat_ws`` over the minhash
+    longs suffices (no digest needed)."""
+    if num_hashes % num_bands:
+        raise ValueError("num_hashes must divide evenly into num_bands")
+    rows = num_hashes // num_bands
+    # the exchange right after the Arrow pass is deliberate: the band
+    # branch and the gram-set branch below both consume sig, and Spark
+    # reuses identical exchange subplans (ReusedExchange) — so the
+    # signature computation runs ONCE instead of once per consumer;
+    # the shuffle moves only (id, grams, 8 longs)
+    sig = rolling_char_signature(df, text_col, id_col, k, num_hashes).repartition(
+        F.col(id_col)
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{band * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    pairs = candidate_pairs(bands, id_col)
+    sets_df = sig.select(F.col(id_col), F.col("grams"))
+    joined = pairs.join(
+        sets_df.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")),
+        "id_a",
+    ).join(
+        sets_df.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size("g_a") + F.size("g_b") - inter
+    jacc = inter.cast("double") / union.cast("double")
+    return joined.select("id_a", "id_b", jacc.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )

@@ -28,9 +28,13 @@ parquet). What is REAL here and what is STUBBED:
   (LZW decode per image descriptor → one RGB frame row each) and
   MJPEG-in-AVI (RIFF walk → one '00dc' JPEG payload row each, further
   decodable by ``decode_image_features``).
-- STUBBED: real video containers (MP4/MKV/WebM) and lossless/
-  arithmetic JPEG. This container has no media libraries, so those
-  paths raise
+- REAL as of round 6: MP4/ISO BMFF CONTAINER METADATA
+  (``codecs.parse_mp4`` box-walks duration/track-count/codecs/
+  dimensions; surfaced by ``pipeline_facets``) and BMP BI_BITFIELDS
+  pixel decode.
+- STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
+  bitstreams) and lossless/arithmetic JPEG. This container has no
+  media libraries, so those paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,
   in which case a DETERMINISTIC FAKE derives plausible features from
@@ -294,6 +298,63 @@ def _pixel_stats(samples: bytes) -> tuple[int, str]:
     return mean_micro, ",".join(str(int(c)) for c in hist)
 
 
+def _decode_image_one(b: bytes, fake: bool):
+    """One payload → (byte_len, width, height, channels, mean_micro,
+    hist16): the shared per-payload core of :func:`decode_image_features`
+    and the fused :func:`pipeline_facets` (both must stay numerically
+    identical — asserted in tests)."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+    )
+
+    real = None
+    if b.startswith(PNG_SIGNATURE):
+        real = decode_png_pixels
+    elif b.startswith(b"\xff\xd8"):
+        real = decode_jpeg_pixels
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        real = decode_gif_pixels
+    elif b.startswith(b"BM"):
+        real = decode_bmp_pixels
+    if real is not None:
+        try:
+            w, h, ch, samples = real(b)
+        except (ValueError, IndexError, struct.error, zlib.error):
+            # ASCII magics ('BM', 'GIF8?a') can legitimately open a
+            # TEXT payload, and a PNG-magic payload with a corrupt
+            # IDAT fails inflate (zlib.error, r5 ADVICE); under
+            # fake=True the deterministic double must stay total for
+            # such bytes rather than failing the batch on a
+            # magic-number coincidence.  Without fake, malformed
+            # media raises as documented.
+            if not fake:
+                raise
+            real = None
+        else:
+            mean_micro, hist16 = _pixel_stats(samples)
+            return len(b), w, h, ch, mean_micro, hist16
+    if not fake:
+        # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
+        raise NotImplementedError(
+            "image decode beyond PNG/JPEG/GIF/BMP requires a codec "
+            "library not present in this environment; use fake=True "
+            "for the deterministic test double"
+        )
+    import hashlib
+
+    d = hashlib.sha256(b).digest()
+    return (
+        len(b),
+        64 + int.from_bytes(d[:2]) % 1024,
+        64 + int.from_bytes(d[2:4]) % 1024,
+        3,
+        None,
+        None,
+    )
+
+
 def decode_image_features(
     df: DataFrame, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
@@ -310,65 +371,15 @@ def decode_image_features(
     pseudo-features from the bytes (NULL pixel stats) so the full
     distributed path is exercised end-to-end in tests.
     """
-    from arcane_stream_parquet_spark.operators.codecs import (
-        decode_bmp_pixels,
-        decode_gif_pixels,
-        decode_jpeg_pixels,
-    )
-
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
-
-    def decode_one(b: bytes):
-        real = None
-        if b.startswith(PNG_SIGNATURE):
-            real = decode_png_pixels
-        elif b.startswith(b"\xff\xd8"):
-            real = decode_jpeg_pixels
-        elif b[:6] in (b"GIF87a", b"GIF89a"):
-            real = decode_gif_pixels
-        elif b.startswith(b"BM"):
-            real = decode_bmp_pixels
-        if real is not None:
-            try:
-                w, h, ch, samples = real(b)
-            except (ValueError, IndexError, struct.error, zlib.error):
-                # ASCII magics ('BM', 'GIF8?a') can legitimately open a
-                # TEXT payload, and a PNG-magic payload with a corrupt
-                # IDAT fails inflate (zlib.error, r5 ADVICE); under
-                # fake=True the deterministic double must stay total for
-                # such bytes rather than failing the batch on a
-                # magic-number coincidence.  Without fake, malformed
-                # media raises as documented.
-                if not fake:
-                    raise
-                real = None
-            else:
-                mean_micro, hist16 = _pixel_stats(samples)
-                return len(b), w, h, ch, mean_micro, hist16
-        if not fake:
-            # STUB: swap in e.g. PIL.Image.open(io.BytesIO(b)) here.
-            raise NotImplementedError(
-                "image decode beyond PNG/JPEG/GIF/BMP requires a codec "
-                "library not present in this environment; use fake=True "
-                "for the deterministic test double"
-            )
-        import hashlib
-
-        d = hashlib.sha256(b).digest()
-        return (
-            len(b),
-            64 + int.from_bytes(d[:2]) % 1024,
-            64 + int.from_bytes(d[2:4]) % 1024,
-            3,
-            None,
-            None,
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            decoded = [decode_one(bytes(p)) for p in pdf[PAYLOAD_COL]]
+            decoded = [
+                _decode_image_one(bytes(p), fake) for p in pdf[PAYLOAD_COL]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -958,42 +969,188 @@ def sample_frames(
     Other containers (MP4/MKV/…) are STUBBED: NotImplementedError unless
     ``fake=True``, which emits byte-slices as stand-in frames,
     exercising the same 1→N mapInPandas explode shape."""
-    from arcane_stream_parquet_spark.operators.codecs import parse_avi, parse_gif
-
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
-
-    def frames_of(b: bytes) -> list[bytes]:
-        is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
-        if is_avi or b[:6] in (b"GIF87a", b"GIF89a"):
-            try:
-                if is_avi:
-                    return parse_avi(b)["frames"][::every_nth_frame]
-                return [
-                    f["rgb"] for f in parse_gif(b)["frames"]
-                ][::every_nth_frame]
-            except (ValueError, IndexError):
-                # 'GIF8?a' is valid ASCII: under fake=True the double
-                # must stay total for text payloads opening with a
-                # media magic; real mode raises as documented
-                if not fake:
-                    raise
-        if not fake:
-            raise NotImplementedError(
-                "video decode beyond MJPEG-AVI/GIF requires a codec "
-                "library not present in this environment; use fake=True "
-                "for the deterministic test double"
-            )
-        return [
-            b[off : off + every_n_bytes]
-            for off in range(0, len(b), every_n_bytes)
-        ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[PAYLOAD_COL]):
-                for i, fb in enumerate(frames_of(bytes(payload))):
+                frames = _frames_of(
+                    bytes(payload), every_n_bytes, every_nth_frame, fake
+                )
+                for i, fb in enumerate(frames):
                     rows.append((doc_id, i, fb))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return cols.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def _frames_of(
+    b: bytes, every_n_bytes: int, every_nth_frame: int, fake: bool
+) -> list[bytes]:
+    """One payload → frame list: the shared per-payload core of
+    :func:`sample_frames` and the fused :func:`pipeline_facets`."""
+    from arcane_stream_parquet_spark.operators.codecs import parse_avi, parse_gif
+
+    is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    if is_avi or b[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            if is_avi:
+                return parse_avi(b)["frames"][::every_nth_frame]
+            return [
+                f["rgb"] for f in parse_gif(b)["frames"]
+            ][::every_nth_frame]
+        except (ValueError, IndexError):
+            # 'GIF8?a' is valid ASCII: under fake=True the double
+            # must stay total for text payloads opening with a
+            # media magic; real mode raises as documented
+            if not fake:
+                raise
+    if not fake:
+        raise NotImplementedError(
+            "video decode beyond MJPEG-AVI/GIF requires a codec "
+            "library not present in this environment; use fake=True "
+            "for the deterministic test double"
+        )
+    return [
+        b[off : off + every_n_bytes]
+        for off in range(0, len(b), every_n_bytes)
+    ]
+
+
+MP4_TIMESCALE = 1000
+
+
+def MP4_DURATION_MS(doc_id: int) -> int:
+    return 500 + (doc_id * 37) % 4000
+
+
+def make_mp4_video(doc_id: int) -> bytes:
+    """Deterministic spec-valid ISO BMFF metadata file for ``doc_id``:
+    one avc1 video track (closed-form dims) plus ``doc_id % 3`` mp4a
+    audio tracks — input side of the REAL :func:`codecs.parse_mp4`
+    box-walk (r6; the coded samples stay stubbed, the container
+    metadata does not)."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_mp4_metadata,
+    )
+
+    dur = MP4_DURATION_MS(doc_id)
+    tracks = [
+        {
+            "handler": "vide",
+            "codec": "avc1",
+            "width": 160 + (doc_id * 7) % 320,
+            "height": 120 + (doc_id * 13) % 240,
+            "timescale": 90000,
+            "duration": dur * 90,
+        }
+    ]
+    for _ in range(doc_id % 3):
+        tracks.append(
+            {
+                "handler": "soun",
+                "codec": "mp4a",
+                "width": 0,
+                "height": 0,
+                "timescale": 48000,
+                "duration": dur * 48,
+            }
+        )
+    return encode_mp4_metadata(dur, MP4_TIMESCALE, tracks)
+
+
+PIPELINE_FACETS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("feature_hash", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_audio_frames", LongType()),
+        StructField("duration_micro", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_abs_micro", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("mp4_duration_micro", LongType()),
+        StructField("mp4_n_tracks", LongType()),
+        StructField("mp4_width", LongType()),
+        StructField("mp4_height", LongType()),
+        StructField("mp4_codecs", StringType()),
+    ]
+)
+
+
+def pipeline_facets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Fused facet pass for the multimodal curation pipeline (r5 VERDICT
+    #3, the same fusion that took multimodal_image_dims 4.0→1.4 s): ONE
+    Arrow pass per payload computes the image-decode facet
+    (:func:`_decode_image_one`), the frame-sampling COUNT
+    (:func:`_frames_of` — the pipeline only needs the count, so frames
+    never materialize as rows), the audio facet (deterministic WAV
+    synth + real RIFF/PCM decode, ``codecs.wav_features``), and — r6 —
+    the MP4 container facet (deterministic ISO BMFF synth + real
+    box-walk metadata decode, ``codecs.parse_mp4``: duration, track
+    count, codecs, video dimensions), replacing what would be extra
+    Python stages, a groupBy shuffle and joins.
+
+    Numerically identical to the composable
+    ``decode_image_features ⨝ count(sample_frames) ⨝
+    decode_audio_features(synth_wav_payload)`` chain (asserted in
+    tests) with ONE deliberate fix: a zero-frame payload keeps its row
+    (``n_frames = 0``) where the composable chain's inner join dropped
+    it — matching the SQL oracle's arithmetic ``(blen+63)//64``."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        parse_mp4,
+        wav_features,
+    )
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL)))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[PAYLOAD_COL]):
+                b = bytes(payload)
+                _, w, h, ch, _, _ = _decode_image_one(b, fake)
+                n_frames = len(_frames_of(b, every_n_bytes, 1, fake))
+                a = wav_features(make_wav_audio(int(doc_id)))
+                m = parse_mp4(make_mp4_video(int(doc_id)))
+                vide = next(
+                    t for t in m["tracks"] if t["handler"] == "vide"
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        ch,
+                        hashlib.sha256(b).hexdigest(),
+                        n_frames,
+                        a["sample_rate"],
+                        a["n_frames"],
+                        a["duration_micro"],
+                        a["peak_abs"],
+                        a["mean_abs_micro"],
+                        a["zero_crossings"],
+                        m["duration_micro"],
+                        m["n_tracks"],
+                        vide["width"],
+                        vide["height"],
+                        ",".join(t["codec"] for t in m["tracks"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PIPELINE_FACETS_SCHEMA])
+
+    return cols.mapInPandas(batches, PIPELINE_FACETS_SCHEMA)

@@ -27,9 +27,7 @@ from arcane_stream_parquet_spark.operators.minhash import (
     near_duplicates,
 )
 from arcane_stream_parquet_spark.operators.multimodal import (
-    decode_image_features,
     payload_metadata,
-    sample_frames,
     with_binary_payload,
 )
 from arcane_stream_parquet_spark.operators.similarity import (
@@ -641,7 +639,17 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((blen + 63) // 64 AS BIGINT) AS n_frames,
                CAST(8000 AS BIGINT) AS sample_rate,
                a.n_audio_frames, a.duration_micro, a.peak_abs,
-               a.mean_abs_micro, z.zero_crossings
+               a.mean_abs_micro, z.zero_crossings,
+               CAST((500 + (h.doc_id * 37) % 4000) * 1000 AS BIGINT)
+                   AS mp4_duration_micro,
+               CAST(1 + h.doc_id % 3 AS BIGINT) AS mp4_n_tracks,
+               CAST(160 + (h.doc_id * 7) % 320 AS BIGINT) AS mp4_width,
+               CAST(120 + (h.doc_id * 13) % 240 AS BIGINT) AS mp4_height,
+               CASE CAST(h.doc_id % 3 AS INT)
+                    WHEN 0 THEN 'avc1'
+                    WHEN 1 THEN 'avc1,mp4a'
+                    ELSE 'avc1,mp4a,mp4a'
+               END AS mp4_codecs
         FROM h
         JOIN wagg a ON a.doc_id = h.doc_id
         JOIN wzc z ON z.doc_id = h.doc_id
@@ -650,19 +658,25 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the opaque binary payload (JVM built-ins), the mapInPandas Arrow "
     "image-decode path with the DETERMINISTIC FAKE codec (real pixel "
     "decoding is the multimodal_image_dims entry), the 1-row→N-frames "
-    "sampling shape verified by per-doc frame counts, and — r5 — a "
-    "REAL AUDIO facet: every doc gets a complete PCM WAV (zero-free "
-    "closed-form samples), decode_audio_features walks the RIFF chunks "
-    "and decodes 16-bit PCM (codecs.wav_features), surfacing duration/"
-    "peak/mean-abs/zero-crossings as exact integers the oracle restates "
-    "in SQL (lag-based sign-flip count). The oracle checks the full "
-    "Python-worker round trip byte-for-byte.",
+    "sampling shape verified by per-doc frame counts, and a REAL AUDIO "
+    "facet: every doc gets a complete PCM WAV (zero-free closed-form "
+    "samples) whose RIFF chunks are walked and 16-bit PCM decoded "
+    "(codecs.wav_features), surfacing duration/peak/mean-abs/"
+    "zero-crossings as exact integers the oracle restates in SQL "
+    "(lag-based sign-flip count). r6 adds a REAL MP4 CONTAINER facet — "
+    "each doc gets a spec-valid ISO BMFF file (ftyp/moov/mvhd/trak/"
+    "tkhd/mdhd/hdlr/stsd) and codecs.parse_mp4 box-walks duration/"
+    "track-count/codecs/dimensions back out, closed-form in the oracle "
+    "(sample decode stays the stub; the container no longer is) — and "
+    "FUSES all facets into one Arrow pass (multimodal.pipeline_facets); "
+    "the composable chain remains available and equivalence-tested. "
+    "The oracle checks the full Python-worker round trip "
+    "byte-for-byte.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.multimodal import (
-        decode_audio_features,
-        synth_wav_payload,
+        pipeline_facets,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -670,18 +684,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = payload_metadata(payload).select(
         "doc_id", "byte_len", "header_hex", "content_hash", "media_type"
     )
-    dec = decode_image_features(payload, fake=True).select(
-        "doc_id", "width", "height", "n_channels", "feature_hash"
-    )
-    frames = (
-        sample_frames(payload, every_n_bytes=64, fake=True)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_frames"))
-    )
-    audio = decode_audio_features(synth_wav_payload(docs))
-    return (
-        md.join(dec, "doc_id").join(frames, "doc_id").join(audio, "doc_id")
-    )
+    return md.join(pipeline_facets(payload), "doc_id")
 
 
 @register_query(
@@ -936,28 +939,81 @@ CHAR_NGRAM_BANDS = 2  # 2 bands x 4 rows: collision threshold ~ 0.84
 CHAR_NGRAM_MIN_JACCARD = 0.6
 
 
+# DuckDB replay of operators/minhash.py's rolling-hash char-gram
+# signatures: polynomial fold mod 2^64 in HUGEINT (products stay under
+# 2^127 because ROLL_B and every mixer A are < 2^63), codes via ord()
+# over the ASCII-normalized text.  Band keys / gram hashes never cross
+# engines — only (id_a, id_b, jaccard_micro) does — so the unsigned
+# HUGEINT values here and Spark's signed-long reinterpretation need no
+# conversion: the mapping is bijective, preserving equality, set sizes
+# and the unsigned min (numpy takes the min in uint64 space too).
+_ROLL_M64 = str(1 << 64)
+
+
+def _sql_roll_fold(lst: str) -> str:
+    from arcane_stream_parquet_spark.operators.minhash import ROLL_B
+
+    return (
+        f"list_reduce(list_prepend(CAST(1 AS HUGEINT), {lst}), "
+        f"(a, c) -> (a * {ROLL_B} + c) % {_ROLL_M64})"
+    )
+
+
+def _sql_roll_minhash(seed: int) -> str:
+    # replicates minhash.rolling_char_signature's finalized mixer:
+    # v = g*A_s + C_s; v += v>>32; v *= A2; v += v>>32 (all mod 2^64);
+    # v >> 32 on a non-negative HUGEINT is integer division by 2^32
+    from arcane_stream_parquet_spark.operators.minhash import (
+        ROLL_FINAL_A2,
+        ROLL_MIX,
+    )
+
+    a, c = ROLL_MIX[seed]
+    v1 = f"((g * {a} + {c}) % {_ROLL_M64})"
+    v2 = f"(({v1} + {v1} // 4294967296) % {_ROLL_M64})"
+    v3 = f"(({v2} * {ROLL_FINAL_A2}) % {_ROLL_M64})"
+    v4 = f"(({v3} + {v3} // 4294967296) % {_ROLL_M64})"
+    return f"list_min(list_transform(gs, g -> {v4}))"
+
+
 @register_query(
     "char_ngram_near_duplicates",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(trim(text)) AS t FROM documents
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '[^ -~]', '', 'g'))) AS t
+            FROM documents
         ),
-        shingled AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(1, greatest(length(t) - {CHAR_NGRAM_K - 1}, 1) + 1),
-                i -> substr(t, i, {CHAR_NGRAM_K}))) AS sh
+        codes AS (
+            SELECT doc_id, length(t) AS n,
+                   list_transform(range(1, length(t) + 1),
+                       i -> CAST(ord(substr(t, i, 1)) AS HUGEINT)) AS cs
             FROM base
         ),
-        hashed AS (
-            SELECT doc_id, sh, list_transform(sh, s -> sha256(s)) AS hs
-            FROM shingled
+        grams AS (
+            SELECT doc_id,
+                CASE WHEN n < {CHAR_NGRAM_K}
+                    THEN [{_sql_roll_fold("cs")}]
+                    ELSE list_distinct(list_transform(
+                        range(1, n - {CHAR_NGRAM_K} + 2),
+                        i -> {_sql_roll_fold(f"list_slice(cs, i, i + {CHAR_NGRAM_K - 1})")}))
+                END AS gs
+            FROM codes
         ),
         sig AS (
-            SELECT doc_id, sh,
-               {", ".join(f"{_sql_minhash(s)} AS mh_{s}" for s in range(NUM_HASHES))}
-            FROM hashed
+            SELECT doc_id, gs,
+               {", ".join(f"{_sql_roll_minhash(s)} AS mh_{s}" for s in range(NUM_HASHES))}
+            FROM grams
         ),
-        bands AS ({_sql_bands(CHAR_NGRAM_BANDS)}),
+        bands AS (
+            SELECT doc_id, 0 AS band_id,
+                   concat_ws('|', mh_0, mh_1, mh_2, mh_3) AS band_key
+            FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id,
+                   concat_ws('|', mh_4, mh_5, mh_6, mh_7) AS band_key
+            FROM sig
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band_id, band_key)
@@ -965,8 +1021,9 @@ CHAR_NGRAM_MIN_JACCARD = 0.6
         ),
         verified AS (
             SELECT p.id_a, p.id_b,
-                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                   CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                   CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) /
+                   CAST(len(sa.gs) + len(sb.gs)
+                        - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
                        AS jaccard
             FROM pairs p
             JOIN sig sa ON sa.doc_id = p.id_a
@@ -976,8 +1033,10 @@ CHAR_NGRAM_MIN_JACCARD = 0.6
         FROM verified WHERE jaccard >= {CHAR_NGRAM_MIN_JACCARD}
     """,
     doc=f"Character {CHAR_NGRAM_K}-gram Jaccard near-dup (the n-gram "
-    "flavor of the dedup ladder — robust to word-boundary edits): same "
-    "MinHash-LSH machinery over char shingles, with STRICTER banding "
+    "flavor of the dedup ladder — robust to word-boundary edits): "
+    "rolling-hash gram signatures (one vectorized Arrow pass, no "
+    "per-gram string materialization — r5's GC-bimodality fix) through "
+    "the same LSH machinery, with STRICTER banding "
     f"({CHAR_NGRAM_BANDS} bands × {NUM_HASHES // CHAR_NGRAM_BANDS} rows "
     "≈ 0.84 collision threshold) — char-gram similarity has a high "
     "baseline on shared-vocabulary corpora, so loose bands would flood "
@@ -985,13 +1044,16 @@ CHAR_NGRAM_MIN_JACCARD = 0.6
     tags=("llm", "dedup", "minhash", "ngram"),
 )
 def q_char_ngram_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.minhash import (
+        rolling_near_duplicates,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    nd = near_duplicates(
+    nd = rolling_near_duplicates(
         docs.select("doc_id", "text"),
         num_bands=CHAR_NGRAM_BANDS,
         min_jaccard=CHAR_NGRAM_MIN_JACCARD,
         k=CHAR_NGRAM_K,
-        unit="char",
     )
     return nd.select(
         "id_a", "id_b", micro_col(F.col("jaccard")).alias("jaccard_micro")

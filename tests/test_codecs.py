@@ -73,10 +73,14 @@ def test_bmp_rejects_unsupported_variants():
     rle4_8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 2, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="RLE4 requires 4-bit"):
         decode_bmp_pixels(header + rle4_8 + b"\x00" * 16)
-    # bitfields (compression 3) stay an honest bound
+    # bitfields are real as of r6, but all-zero masks stay an honest
+    # bound (and unknown compressions still raise)
     bf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, 16, 0, 0, 0, 0)
-    with pytest.raises(ValueError, match="compression"):
+    with pytest.raises(ValueError, match="mask is zero"):
         decode_bmp_pixels(header + bf + b"\x00" * 16)
+    jpg = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 4, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp_pixels(header + jpg + b"\x00" * 16)
     # paletted with no room for a color table (offset == header end)
     pal8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="no color table"):
@@ -789,3 +793,205 @@ def test_bmp_rle4_hand_bytes():
     assert (w, h, ch) == (6, 2, 3)
     assert s[0::3] == bytes([1, 2, 3, 0, 0, 5,   # top row
                              3, 7, 3, 7, 3, 9])  # bottom row
+
+
+# -- MP4 / ISO BMFF box walk (r6) ----------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _hand_mp4() -> bytes:
+    """An ISO BMFF file built box-by-box BY HAND in the test (not via
+    encode_mp4_metadata) so an encoder/decoder bug pair cannot cancel:
+    movie timescale 600, duration 1200 (→ 2 s), one video track avc1
+    512x288 (16.16 fixed), mdhd timescale 24, duration 48."""
+    import struct
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + b"\x00\x00\x00\x00" * 2          # ctime, mtime
+        + struct.pack(">II", 600, 1200)    # timescale, duration
+        + b"\x00" * (4 + 2 + 10 + 36 + 24)
+        + struct.pack(">I", 2),            # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                # version 0 + enabled flags
+        + b"\x00\x00\x00\x00" * 2          # ctime, mtime
+        + struct.pack(">I", 1)             # track id
+        + b"\x00" * 4                      # reserved
+        + struct.pack(">I", 1200)          # duration
+        + b"\x00" * (8 + 8 + 36)           # reserved/layer/etc + matrix
+        + struct.pack(">II", 512 << 16, 288 << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00" * 2
+        + struct.pack(">II", 24, 48)       # media timescale, duration
+        + b"\x55\xc4\x00\x00",
+    )
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"t\x00"
+    )
+    entry = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _box(b"stbl", stsd)))
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"mp42")
+    return ftyp + _box(b"mdat", b"\xde\xad") + moov
+
+
+def test_parse_mp4_hand_pinned_boxes():
+    from arcane_stream_parquet_spark.operators.codecs import parse_mp4
+
+    m = parse_mp4(_hand_mp4())
+    assert m["major_brand"] == "isom"
+    assert m["timescale"] == 600
+    assert m["duration"] == 1200
+    assert m["duration_micro"] == 2_000_000
+    assert m["n_tracks"] == 1
+    t = m["tracks"][0]
+    assert t["handler"] == "vide"
+    assert t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (512, 288)
+    assert (t["timescale"], t["duration"]) == (24, 48)
+
+
+def test_parse_mp4_rejects_non_bmff_and_truncation():
+    import pytest
+
+    from arcane_stream_parquet_spark.operators.codecs import parse_mp4
+
+    with pytest.raises(ValueError):
+        parse_mp4(b"RIFF....AVI ")
+    b = _hand_mp4()
+    # EVERY proper prefix must raise ValueError (never IndexError /
+    # struct.error — the r5 RLE8 bug class): either too short for the
+    # ftyp probe, a box size overrunning the buffer, or a complete
+    # prefix missing moov/mvhd
+    for cut in range(0, len(b), 7):
+        with pytest.raises(ValueError):
+            parse_mp4(b[:cut])
+    # a size field pointing past the buffer must raise, not misread
+    import struct
+
+    bad = bytearray(b)
+    bad[0:4] = struct.pack(">I", len(b) + 100)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+
+
+def test_encode_parse_mp4_roundtrip_multitrack():
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_mp4_metadata,
+        parse_mp4,
+    )
+
+    tracks = [
+        {"handler": "vide", "codec": "avc1", "width": 320, "height": 240,
+         "timescale": 90000, "duration": 90},
+        {"handler": "soun", "codec": "mp4a", "width": 0, "height": 0,
+         "timescale": 48000, "duration": 48},
+    ]
+    m = parse_mp4(encode_mp4_metadata(777, 1000, tracks))
+    assert m["n_tracks"] == 2 and m["duration_micro"] == 777_000
+    assert [t["codec"] for t in m["tracks"]] == ["avc1", "mp4a"]
+    assert m["tracks"][0]["width"] == 320
+
+
+# -- BMP BI_BITFIELDS (r6) -----------------------------------------------
+
+
+def _bmp_bitfields_16(pixels, masks, width, height):
+    """Hand-built 16-bit BI_BITFIELDS BMP: 40-byte BITMAPINFOHEADER,
+    the three DWORD masks appended, bottom-up pixel rows."""
+    import struct
+
+    stride = (width * 2 + 3) & ~3
+    offset = 14 + 40 + 12
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = b"".join(
+            struct.pack("<H", pixels[y * width + x]) for x in range(width)
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 16, 3, len(data), 0, 0, 0, 0
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+    )
+    return header + info + struct.pack("<III", *masks) + data
+
+
+def test_bmp_bitfields_565_hand_pinned():
+    from arcane_stream_parquet_spark.operators.codecs import decode_bmp_pixels
+
+    # (R5=10, G6=33, B5=7) -> bit-replication: 82, 134, 57
+    v = (10 << 11) | (33 << 5) | 7
+    b = _bmp_bitfields_16(
+        [0xF800, 0x07E0, 0x001F, v], (0xF800, 0x07E0, 0x001F), 2, 2
+    )
+    w, h, nch, samples = decode_bmp_pixels(b)
+    assert (w, h, nch) == (2, 2, 3)
+    assert samples == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 82, 134, 57]
+    )
+
+
+def test_bmp_bitfields_555_hand_pinned():
+    from arcane_stream_parquet_spark.operators.codecs import decode_bmp_pixels
+
+    # 555: (31, 16, 1) -> 255, 16<<3|16>>2=132, 1<<3|0=8
+    v = (31 << 10) | (16 << 5) | 1
+    b = _bmp_bitfields_16([v], (0x7C00, 0x03E0, 0x001F), 1, 1)
+    assert decode_bmp_pixels(b) == (1, 1, 3, bytes([255, 132, 8]))
+
+
+def test_bmp_bitfields_32_with_alpha_v3_header():
+    import struct
+
+    from arcane_stream_parquet_spark.operators.codecs import decode_bmp_pixels
+
+    # BITMAPV3INFOHEADER (56 bytes): masks INSIDE the header; 8-bit
+    # channels decode as identity, alpha surfaces as a 4th channel
+    width = height = 1
+    offset = 14 + 56
+    pix = struct.pack("<I", 0x80FF4020)  # A=0x80 R=0xFF G=0x40 B=0x20
+    info = (
+        struct.pack(
+            "<IiiHHIIiiII", 56, width, height, 1, 32, 3, 4, 0, 0, 0, 0
+        )
+        + struct.pack(
+            "<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
+        )
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + 4, 0, 0, offset)
+    w, h, nch, samples = decode_bmp_pixels(header + info + pix)
+    assert (w, h, nch) == (1, 1, 4)
+    assert samples == bytes([0xFF, 0x40, 0x20, 0x80])
+
+
+def test_bmp_bitfields_rejects_bad_masks_and_truncation():
+    import pytest
+
+    from arcane_stream_parquet_spark.operators.codecs import decode_bmp_pixels
+
+    good = _bmp_bitfields_16([0], (0xF800, 0x07E0, 0x001F), 1, 1)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        decode_bmp_pixels(
+            _bmp_bitfields_16([0], (0xF810, 0x07E0, 0x001F), 1, 1)
+        )
+    with pytest.raises(ValueError, match="mask is zero"):
+        decode_bmp_pixels(_bmp_bitfields_16([0], (0, 0x07E0, 0x001F), 1, 1))
+    for cut in range(2, len(good), 5):
+        with pytest.raises(ValueError):
+            decode_bmp_pixels(good[:cut])

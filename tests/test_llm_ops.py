@@ -313,3 +313,95 @@ def test_multiprobe_recall_superset(spark, sf_dir):
     }
     assert exact <= multi
     assert len(multi) >= len(exact)
+
+
+# -- rolling-hash char-gram signatures (r6) ------------------------------
+
+
+def _py_roll_gram(s: str, b: int = None) -> int:
+    """Reference implementation of the polynomial fold, plain Python."""
+    from arcane_stream_parquet_spark.operators.minhash import ROLL_B
+
+    h = 1
+    for ch in s.encode("ascii"):
+        h = (h * ROLL_B + ch) % (1 << 64)
+    return h
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_rolling_signature_hand_computed_grams(spark):
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.minhash import (
+        rolling_char_signature,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcdef"),   # 2 grams: abcde, bcdef
+            Row(doc_id=2, text="ab"),        # short: whole-string gram
+            Row(doc_id=3, text=""),          # empty: init value 1
+            Row(doc_id=4, text="ABçcd"),  # ç stripped -> "abcd" short
+            Row(doc_id=5, text="  abcde \n"),  # \n stripped, spaces trimmed
+        ]
+    )
+    rows = {
+        r["doc_id"]: r for r in rolling_char_signature(df, k=5).collect()
+    }
+    exp1 = sorted(
+        {_signed(_py_roll_gram("abcde")), _signed(_py_roll_gram("bcdef"))},
+        key=lambda v: v % (1 << 64),
+    )
+    assert rows[1]["grams"] == exp1
+    assert rows[2]["grams"] == [_signed(_py_roll_gram("ab"))]
+    assert rows[3]["grams"] == [1]
+    assert rows[4]["grams"] == [_signed(_py_roll_gram("abcd"))]
+    assert rows[5]["grams"] == [_signed(_py_roll_gram("abcde"))]
+
+
+def test_rolling_minhash_matches_reference_mixer(spark):
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.minhash import (
+        ROLL_FINAL_A2,
+        ROLL_MIX,
+        rolling_char_signature,
+    )
+
+    def mix(g: int, s: int) -> int:
+        m = (1 << 64) - 1
+        a, c = ROLL_MIX[s]
+        v = (g * a + c) & m
+        v = (v + (v >> 32)) & m
+        v = (v * ROLL_FINAL_A2) & m
+        v = (v + (v >> 32)) & m
+        return v
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefgh")])
+    row = rolling_char_signature(df, k=5).collect()[0]
+    grams_u = [g % (1 << 64) for g in row["grams"]]
+    for s in range(8):
+        expect = _signed(min(mix(g, s) for g in grams_u))
+        assert row[f"mh_{s}"] == expect, f"seed {s}"
+
+
+def test_rolling_near_duplicates_identical_and_disjoint(spark):
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.minhash import (
+        rolling_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # identical -> jaccard 1.0
+            Row(doc_id=3, text="completely different content here zzz qqq"),
+        ]
+    )
+    out = rolling_near_duplicates(df, min_jaccard=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]

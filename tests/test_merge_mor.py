@@ -1,0 +1,244 @@
+"""Merge-on-read mode for ParquetMergeTarget (r5 VERDICT top item).
+
+MoR commits append winner rows + per-bucket key-delete files instead of
+rewriting touched data files; reads anti-join only metadata-dirty files
+against the live delete set; compact() folds deletes back into plain
+data.  Semantics must be indistinguishable from copy-on-write (the
+reference's MERGE contract, J1+ST3 — main.scala:47-49), which these
+tests check by running identical batch sequences through both modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        [Row(arcane_merge_key=k, createdon=v, payload=p) for k, v, p in rows],
+        "arcane_merge_key string, createdon bigint, payload string",
+    )
+
+
+def make_target(spark, path, **kw) -> ParquetMergeTarget:
+    kw.setdefault("num_buckets", 8)
+    return ParquetMergeTarget(spark=spark, path=str(path), **kw)
+
+
+def _row_key(r):
+    return ("" if r[0] is None else r[0], r[1], r[2])
+
+
+def contents(t: ParquetMergeTarget):
+    return sorted(
+        (
+            (r["arcane_merge_key"], r["createdon"], r["payload"])
+            for r in t.read().collect()
+        ),
+        key=_row_key,
+    )
+
+
+BATCHES = [
+    # initial load
+    [("k1", 1, "a"), ("k2", 1, "b"), ("k3", 1, "c"), (None, 1, "n0")],
+    # update k1, insert k4, equal-version tie on k2 (batch wins),
+    # within-batch dup on k4 (higher version survives)
+    [("k1", 2, "a2"), ("k4", 1, "d"), ("k4", 2, "d2"), ("k2", 1, "b2")],
+    # late old version for k1 (discarded), null-key update (latest wins)
+    [("k1", 1, "stale"), (None, 2, "n1")],
+    # touch k3 and k4 again
+    [("k3", 5, "c5"), ("k4", 3, "d3")],
+]
+
+
+def run_batches(t: ParquetMergeTarget, mode=None):
+    for b in BATCHES:
+        t.merge(df_of(t.spark, b), mode=mode)
+
+
+EXPECTED = sorted(
+    [
+        ("k1", 2, "a2"),
+        ("k2", 1, "b2"),
+        ("k3", 5, "c5"),
+        ("k4", 3, "d3"),
+        (None, 2, "n1"),
+    ],
+    key=_row_key,
+)
+
+
+def test_mor_matches_cow_exactly(spark, tmp_path):
+    cow = make_target(spark, tmp_path / "cow")
+    mor = make_target(spark, tmp_path / "mor", merge_mode="mor")
+    run_batches(cow)
+    run_batches(mor)
+    assert contents(cow) == contents(mor) == EXPECTED
+
+
+def test_mor_appends_without_rewriting_untouched_files(spark, tmp_path):
+    """The point of MoR: a narrow upsert leaves every pre-existing data
+    file live as-is — only batch-sized delta + delete files appear."""
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [(f"k{i}", 1, "x") for i in range(200)]))
+    before = {
+        (f["v"], f["b"], f["n"]) for f in t._files_of_manifest(t._manifest())
+    }
+    t.merge(df_of(spark, [("k7", 2, "y")]))
+    manifest = t._manifest()
+    after = {(f["v"], f["b"], f["n"]) for f in t._files_of_manifest(manifest)}
+    assert before < after  # every old file still live
+    new_files = after - before
+    assert all(v == 2 for v, _, _ in new_files)
+    deletes = manifest["deletes"]
+    assert len(deletes) == 1 and deletes[0]["seq"] == 2
+    assert contents(t).count(("k7", 2, "y")) == 1
+    assert ("k7", 1, "x") not in contents(t)
+
+
+def test_mor_pure_insert_writes_no_delete_file(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    t.merge(df_of(spark, [("zz-new", 1, "b")]))
+    assert t._manifest().get("deletes", []) == []
+    assert len(contents(t)) == 2
+
+
+def test_mor_wholly_stale_batch_is_discarded_without_commit(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 5, "a")]))
+    v = t._manifest()["version"]
+    t.merge(df_of(spark, [("k1", 1, "stale")]))
+    assert t._manifest()["version"] == v
+    assert contents(t) == [("k1", 5, "a")]
+
+
+def test_mor_equal_version_tie_batch_wins(spark, tmp_path):
+    """The >= tie: the suppressed row shares the replacement's version,
+    so only the delete file (not version ordering) can disambiguate."""
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 3, "old")]))
+    t.merge(df_of(spark, [("k1", 3, "new")]))
+    assert contents(t) == [("k1", 3, "new")]
+
+
+def test_cow_merge_after_mor_applies_pending_deletes(spark, tmp_path):
+    """Mixed modes: a CoW merge reading a bucket with a same-version
+    suppressed row must not resurrect it."""
+    t = make_target(spark, tmp_path / "t")
+    t.merge(df_of(spark, [("k1", 3, "old"), ("k2", 1, "b")]))
+    t.merge(df_of(spark, [("k1", 3, "new")]), mode="mor")
+    t.merge(df_of(spark, [("k2", 2, "b2")]), mode="cow")
+    assert contents(t) == [("k1", 3, "new"), ("k2", 2, "b2")]
+
+
+def test_mor_null_key_stays_single_row(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [(None, 1, "n0"), ("k1", 1, "a")]))
+    t.merge(df_of(spark, [(None, 2, "n1")]))
+    rows = contents(t)
+    assert rows == sorted([("k1", 1, "a"), (None, 2, "n1")], key=_row_key)
+
+
+def test_compact_folds_deletes_and_preserves_contents(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    run_batches(t)
+    assert t._manifest()["deletes"]
+    before = contents(t)
+    assert t.compact(min_files_per_bucket=2) >= 1
+    assert t._manifest().get("deletes", []) == []
+    assert contents(t) == before == EXPECTED
+    s = t.stats()
+    assert s["delete_file_count"] == 0 and s["delete_bytes"] == 0
+
+
+def test_vacuum_reclaims_spent_delete_dirs(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    run_batches(t)
+    t.compact()
+    removed = t.vacuum()
+    assert any(r.startswith("deletes/") for r in removed)
+    assert t._fio.list_names(t._delete_dir(2).rsplit("/", 1)[0]) == []
+    assert contents(t) == EXPECTED
+
+
+def test_mor_crash_before_manifest_flip_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """Same commit point as CoW: delta + delete writes before the
+    manifest create are orphans on crash; the old table stays intact
+    and a retry succeeds."""
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+
+    boom = RuntimeError("crash before commit")
+    real = ParquetMergeTarget._commit_manifest
+
+    def crash(self, manifest):
+        raise boom
+
+    monkeypatch.setattr(ParquetMergeTarget, "_commit_manifest", crash)
+    with pytest.raises(RuntimeError):
+        t.merge(df_of(spark, [("k1", 2, "a2")]))
+    monkeypatch.setattr(ParquetMergeTarget, "_commit_manifest", real)
+    assert contents(t) == [("k1", 1, "a"), ("k2", 1, "b")]
+    # vacuum clears the orphan delta/delete dirs; retry commits cleanly
+    t.vacuum()
+    t.merge(df_of(spark, [("k1", 2, "a2")]))
+    assert contents(t) == [("k1", 2, "a2"), ("k2", 1, "b")]
+
+
+def test_mor_column_drift_appends_and_null_fills(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    drift = spark.createDataFrame(
+        [Row(arcane_merge_key="k2", createdon=2, payload="b2", extra="E")]
+    )
+    t.merge(drift)
+    rows = {r["arcane_merge_key"]: r for r in t.read().collect()}
+    assert rows["k2"]["extra"] == "E"
+    assert rows["k1"]["extra"] is None  # old file null-fills at read
+
+
+def test_mor_type_widening_falls_back_to_cow(spark, tmp_path):
+    """int→long drift can't be absorbed append-only (old files would
+    need a type rewrite); merge(mode='mor') silently takes the CoW
+    path and the result is the widened, correct table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    base = df_of(spark, [("k1", 1, "a")]).withColumn(
+        "num", F.lit(7).cast("int")
+    )
+    t.merge(base)
+    wide = df_of(spark, [("k1", 2, "a2")]).withColumn(
+        "num", F.lit(2**40).cast("long")
+    )
+    t.merge(wide)
+    assert t._manifest().get("deletes", []) == []  # CoW path was taken
+    out = t.read().collect()
+    assert len(out) == 1 and out[0]["num"] == 2**40
+    assert isinstance(t.read().schema["num"].dataType, LongType)
+
+
+def test_mor_time_travel_reads_snapshot_with_its_deletes(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    t.merge(df_of(spark, [("k1", 2, "a2")]))
+    t.merge(df_of(spark, [("k2", 3, "b3")]))
+    snap = sorted(
+        (r["arcane_merge_key"], r["createdon"], r["payload"])
+        for r in t.read(at_version=2).collect()
+    )
+    assert snap == [("k1", 2, "a2"), ("k2", 1, "b")]
+
+
+def test_invalid_mode_raises(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="merge mode"):
+        t.merge(df_of(spark, [("k1", 1, "a")]), mode="upsert")

@@ -493,3 +493,63 @@ def test_fake_mode_total_for_corrupt_png_idat(spark):
     assert decoded[0]["mean_micro"] is None  # deterministic double
     with pytest.raises(Exception):
         decode_image_features(df, fake=False).collect()
+
+
+def test_pipeline_facets_matches_composable_chain(spark):
+    """The r6 fused facet pass must be numerically identical to the
+    composable decode ⨝ frame-count ⨝ audio chain it replaced — over
+    text payloads (fake image path), a real AVI (real frame path), and
+    a real PNG (real decode path)."""
+    import pyspark.sql.functions as SF
+
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        PAYLOAD_COL,
+        decode_audio_features,
+        decode_image_features,
+        make_avi_video,
+        make_png_image,
+        pipeline_facets,
+        sample_frames,
+        synth_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(b"plain text payload " * 9)),
+            Row(doc_id=2, payload=bytearray(make_avi_video(2))),
+            Row(doc_id=3, payload=bytearray(make_png_image(3))),
+        ]
+    )
+    fused = {
+        r["doc_id"]: r.asDict() for r in pipeline_facets(df).collect()
+    }
+    dec = decode_image_features(df, fake=True).select(
+        "doc_id", "width", "height", "n_channels", "feature_hash"
+    )
+    frames = (
+        sample_frames(df, every_n_bytes=64, fake=True)
+        .groupBy("doc_id")
+        .agg(SF.count("*").alias("n_frames"))
+    )
+    audio = decode_audio_features(synth_wav_payload(df))
+    composed = {
+        r["doc_id"]: r.asDict()
+        for r in dec.join(frames, "doc_id").join(audio, "doc_id").collect()
+    }
+    assert set(fused) == {1, 2, 3}
+    for doc_id, c in composed.items():
+        f = fused[doc_id]
+        assert {k: f[k] for k in c} == c, doc_id
+
+
+def test_pipeline_facets_keeps_zero_frame_rows(spark):
+    """The one deliberate divergence from the composable chain: an
+    empty payload keeps its row with n_frames=0 (the inner join on the
+    frame counts dropped it), matching the oracle's (blen+63)//64."""
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        pipeline_facets,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=4, payload=bytearray(b""))])
+    rows = pipeline_facets(df).collect()
+    assert len(rows) == 1 and rows[0]["n_frames"] == 0
