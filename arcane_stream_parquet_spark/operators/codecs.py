@@ -420,6 +420,8 @@ def parse_gif(b: bytes) -> dict:
     out of scope here)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     screen_w, screen_h = struct.unpack_from("<HH", b, 6)
     packed = b[10]
     bg_index = b[11]
@@ -439,19 +441,27 @@ def parse_gif(b: bytes) -> dict:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension")
             label = b[pos]
             pos += 1
-            if label == 0xF9 and b[pos] >= 4:  # graphic control
+            if (
+                label == 0xF9 and pos + 5 <= len(b) and b[pos] >= 4
+            ):  # graphic control
                 gce_packed = b[pos + 1]
                 delay_cs = struct.unpack_from("<H", b, pos + 2)[0]
                 disposal = (gce_packed >> 2) & 0x07
                 transparent = b[pos + 4] if gce_packed & 0x01 else None
-            while b[pos] != 0:
+            while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension sub-blocks")
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h = struct.unpack_from("<HHHH", b, pos)
         img_packed = b[pos + 8]
         pos += 9
@@ -462,13 +472,17 @@ def parse_gif(b: bytes) -> dict:
             pos += 3 * n
         if table is None:
             raise ValueError("GIF frame has no color table")
+        if pos >= len(b):
+            raise ValueError("truncated GIF image data")
         min_code_size = b[pos]
         pos += 1
         data = bytearray()
-        while b[pos] != 0:
+        while pos < len(b) and b[pos] != 0:
             ln = b[pos]
             data += b[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(b):
+            raise ValueError("truncated GIF image sub-blocks")
         pos += 1
         indices = lzw_decode(min_code_size, bytes(data))
         if len(indices) < w * h:
@@ -822,6 +836,11 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             i += 2
             continue
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            # a declared segment overrunning the buffer must reject as
+            # ValueError, not index short `seg` slices into IndexError
+            # (r6 property-fuzz find)
+            raise ValueError("truncated JPEG segment")
         seg = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT — one or more tables per segment
             p = 0
@@ -1688,9 +1707,18 @@ def parse_avi(b: bytes) -> dict:
             cid = b[pos : pos + 4]
             size = struct.unpack_from("<I", b, pos + 4)[0]
             body_start = pos + 8
+            if body_start + size > end:
+                # declared chunk overruns the buffer (r6 property-fuzz
+                # find: a truncated avih raised struct.error instead of
+                # the decoder's own rejection type)
+                raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
+                if size < 4:
+                    raise ValueError("truncated AVI LIST chunk")
                 walk(body_start + 4, body_start + size)
             elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("AVI avih header too short")
                 us_per_frame = struct.unpack_from("<I", b, body_start)[0]
                 width, height = struct.unpack_from("<II", b, body_start + 32)
             elif cid[2:4] in (b"dc", b"db"):
@@ -1749,7 +1777,14 @@ def parse_wav(b: bytes) -> dict:
         cid = b[pos : pos + 4]
         size = struct.unpack_from("<I", b, pos + 4)[0]
         payload = b[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            # declared chunk overruns the buffer (r6 property-fuzz
+            # hardening: a cut mid-data must reject, not decode a
+            # silently shorter sample stream)
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
             fmt = payload
         elif cid == b"data":
             data = payload

@@ -654,62 +654,65 @@ class ParquetMergeTarget:
 
     # -- merge-on-read delete files (Iceberg-v2-equality-delete-style) -----
     #
-    # A MoR commit at version N writes ``deletes/vNNNNN/__bucket=B/
-    # *.parquet`` holding ONLY the merge-key column: every key in it is
-    # superseded in all data files committed BEFORE N (entry ``seq`` =
-    # N; a data file entry's ``v`` is its commit, so the rule is
-    # ``file.v < delete.seq``).  The manifest carries the live delete
-    # set under ``"deletes"`` with the same min/max/has-null stats as
-    # data files, so reads classify data files clean/dirty by pure
-    # metadata and anti-join only the dirty ones.
+    # A MoR commit at version N writes ``deletes/vNNNNN/*.parquet``
+    # holding ONLY the merge-key column: every key in it is superseded
+    # in all data files committed BEFORE N (entry ``seq`` = N; a data
+    # file entry's ``v`` is its commit, so the rule is ``file.v <
+    # delete.seq``).  One file per commit (plus splits for huge
+    # batches), NOT bucket-partitioned: a trickle commit's delete set
+    # is tiny and per-bucket fan-out produced hundreds of 1-key files
+    # whose open overhead dominated the read path (measured 2.8 s of a
+    # 5.2 s read); the covered buckets live in the manifest entry
+    # (``bs``) instead, preserving metadata-only applicability checks.
+    # The manifest carries the live delete set under ``"deletes"`` with
+    # the same min/max/has-null stats as data files, so reads classify
+    # data files clean/dirty by pure metadata and anti-join only the
+    # dirty ones.
 
     def _delete_dir(self, version: int) -> str:
         return fs_join(self.path, "deletes", f"v{version:05d}")
 
     def _delete_path(self, entry: dict) -> str:
-        return fs_join(
-            self._delete_dir(int(entry["seq"])),
-            f"{BUCKET_COLUMN}={entry['b']}",
-            entry["n"],
-        )
+        return fs_join(self._delete_dir(int(entry["seq"])), entry["n"])
 
-    def _write_deletes(self, keys_df: DataFrame, version: int) -> None:
-        """Persist the superseded keys of one MoR commit, bucket-
-        partitioned like the data (same orphan-retry rule as
-        _write_version: an existing dir for an uncommitted version can
-        only be a previous crashed attempt)."""
+    def _write_deletes(self, keys_df: DataFrame, n_keys: int, version: int) -> None:
+        """Persist the superseded keys of one MoR commit (same
+        orphan-retry rule as _write_version: an existing dir for an
+        uncommitted version can only be a previous crashed attempt).
+        Coalesced to one file per ~5M keys — one file for every
+        realistic micro-batch."""
         target = self._delete_dir(version)
         if self._fio.exists(target):
             self._fio.delete(target, recursive=True)
-        keys_df.write.partitionBy(BUCKET_COLUMN).mode("errorifexists").parquet(
-            target
-        )
+        keys_df.select(self.key_col).coalesce(
+            max(1, n_keys // 5_000_000 + (1 if n_keys % 5_000_000 else 0))
+        ).write.mode("errorifexists").parquet(target)
 
     def _collect_delete_stats(self, version: int) -> list[dict]:
         """Manifest delete entries for a freshly written delete dir —
         same one column-pruned distributed read-back as data-file
-        stats; delete files are batch-key-sized, so this is cheap."""
+        stats; delete files are batch-key-sized, so this is cheap.
+        ``bs`` records the buckets each file's keys hash into (the
+        applicability substrate, since the layout is not
+        bucket-partitioned)."""
         ddir = self._delete_dir(version)
-        sizes: dict[tuple[int, str], int] = {}
-        for bname in self._fio.list_names(ddir):
-            if not bname.startswith(f"{BUCKET_COLUMN}="):
-                continue
-            b = int(bname.split("=", 1)[1])
-            for name, size in self._fio.list_files(fs_join(ddir, bname)):
-                if name.endswith(".parquet"):
-                    sizes[(b, name)] = size
+        sizes = {
+            name: size
+            for name, size in self._fio.list_files(ddir)
+            if name.endswith(".parquet")
+        }
         if not sizes:
             return []
         rows = (
-            self.spark.read.option("basePath", ddir)
-            .parquet(ddir)
+            self.spark.read.parquet(ddir)
             .select(
                 F.input_file_name().alias("_f"),
-                F.col(BUCKET_COLUMN).alias("_b"),
+                _bucket_expr(self.key_col, self.num_buckets).alias("_b"),
                 F.col(self.key_col).cast("string").alias("_k"),
             )
-            .groupBy("_f", "_b")
+            .groupBy("_f")
             .agg(
+                F.sort_array(F.collect_set("_b")).alias("_bs"),
                 F.min("_k").alias("_mn"),
                 F.max("_k").alias("_mx"),
                 F.max(F.col("_k").isNull()).alias("_hn"),
@@ -719,19 +722,27 @@ class ParquetMergeTarget:
         out = []
         for r in rows:
             name = r["_f"].rsplit("/", 1)[-1]
-            b = int(r["_b"])
             out.append(
                 {
                     "seq": version,
-                    "b": b,
                     "n": name,
+                    "bs": [int(x) for x in r["_bs"]],
                     "mn": r["_mn"],
                     "mx": r["_mx"],
                     "hn": bool(r["_hn"]),
-                    "sz": sizes.get((b, name), 0),
+                    "sz": sizes.get(name, 0),
                 }
             )
-        return sorted(out, key=lambda e: (e["b"], e["n"]))
+        return sorted(out, key=lambda e: e["n"])
+
+    @staticmethod
+    def _delete_buckets(d: dict) -> list[int]:
+        """Buckets a delete entry can touch (``bs``; legacy per-bucket
+        entries carry a single ``b``)."""
+        bs = d.get("bs")
+        if bs is not None:
+            return [int(x) for x in bs]
+        return [int(d["b"])]
 
     @staticmethod
     def _delete_applies(f: dict, d: dict) -> bool:
@@ -759,13 +770,9 @@ class ParquetMergeTarget:
             by_seq.setdefault(int(d["seq"]), []).append(self._delete_path(d))
         parts = []
         for seq, paths in sorted(by_seq.items()):
-            part = (
-                self.spark.read.option("basePath", self._delete_dir(seq))
-                .parquet(*sorted(paths))
-                .select(
-                    F.col(self.key_col).alias(_DEL_KEY_COL),
-                    F.lit(seq).alias(_DEL_SEQ_COL),
-                )
+            part = self.spark.read.parquet(*sorted(paths)).select(
+                F.col(self.key_col).alias(_DEL_KEY_COL),
+                F.lit(seq).alias(_DEL_SEQ_COL),
             )
             parts.append(part)
         out = parts[0]
@@ -795,7 +802,7 @@ class ParquetMergeTarget:
                 i
                 for i, d in enumerate(deletes)
                 if int(d["seq"]) > int(f["v"])
-                and int(d["b"]) == int(f["b"])
+                and int(f["b"]) in self._delete_buckets(d)
                 and self._delete_applies(f, d)
             ]
             if hits:
@@ -806,9 +813,16 @@ class ParquetMergeTarget:
         if not dirty:
             return self._read_files(files, schema)
         tagged = self._read_files(dirty, schema, tag_version=True)
-        dels = self._read_delete_files(
-            [deletes[i] for i in sorted(used_deletes)]
-        )
+        used = [deletes[i] for i in sorted(used_deletes)]
+        dels = self._read_delete_files(used)
+        # the delete set is bounded by keys upserted since the last
+        # compact() — in the trickle regime that is megabytes, so
+        # broadcast it and the dirty scan never shuffles (measured: the
+        # SMJ plan cost a 10-commit table 5.4 s/read vs 0.67 clean;
+        # sizes come free from the manifest entries).  Past the
+        # threshold (overdue compaction) fall back to a shuffled join.
+        if sum(int(d["sz"]) for d in used) <= 64 * 1024 * 1024:
+            dels = F.broadcast(dels)
         survived = tagged.join(
             dels,
             F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL))
@@ -1122,9 +1136,10 @@ class ParquetMergeTarget:
                 # table — pure inserts need no delete entry)
                 matched = winners.filter(
                     F.col(_TGT_V_COL).isNotNull()
-                ).select(BUCKET_COLUMN, self.key_col)
-                if not matched.isEmpty():
-                    self._write_deletes(matched, new_version)
+                ).select(self.key_col)
+                n_matched = matched.count()  # cheap: winners persisted
+                if n_matched:
+                    self._write_deletes(matched, n_matched, new_version)
                     new_deletes = self._collect_delete_stats(new_version)
             finally:
                 winners.unpersist()
@@ -1239,7 +1254,7 @@ class ParquetMergeTarget:
             b
             for b, n in per_bucket.items()
             if n >= max(min_files_per_bucket, 2)
-        } | {int(d["b"]) for d in deletes}
+        } | {b for d in deletes for b in self._delete_buckets(d)}
         if not frag_set:
             return 0
         rows = self._scan_with_deletes(
@@ -1256,9 +1271,13 @@ class ParquetMergeTarget:
             f for f in files if int(f["b"]) not in frag_set
         ] + self._collect_file_stats(new_version)
         # a compacted bucket holds no file older than any delete seq
-        # anymore — its delete entries are spent
+        # anymore — an entry is spent once EVERY bucket it covers is
+        # compacted (compaction always includes all delete buckets, so
+        # in practice the surviving list is empty)
         manifest["deletes"] = [
-            d for d in deletes if int(d["b"]) not in frag_set
+            d
+            for d in deletes
+            if any(bb not in frag_set for bb in self._delete_buckets(d))
         ]
         for b in frag_set:
             manifest["buckets"][str(b)] = new_version
@@ -1328,13 +1347,26 @@ class ParquetMergeTarget:
                 live_data.setdefault(int(f["v"]), set()).add(
                     (int(f["b"]), f["n"])
                 )
-            live_del: dict[int, set[tuple[int, str]]] = {}
-            for d in manifest.get("deletes") or []:
-                live_del.setdefault(int(d["seq"]), set()).add(
-                    (int(d["b"]), d["n"])
-                )
             reclaim(data_root, live_data, "")
-            reclaim(deletes_root, live_del, "deletes/")
+            # delete dirs are flat (one file per commit); reclamation is
+            # per version dir: drop versions with no live entries, and
+            # dead files inside partially-live ones (a crash-retry can
+            # leave both)
+            live_del: dict[int, set[str]] = {}
+            for d in manifest.get("deletes") or []:
+                live_del.setdefault(int(d["seq"]), set()).add(d["n"])
+            for name in fio.list_names(deletes_root):
+                version = int(name.lstrip("v"))
+                vdir = fs_join(deletes_root, name)
+                live = live_del.get(version)
+                if not live:
+                    fio.delete(vdir, recursive=True)
+                    removed.append(f"deletes/{name}")
+                    continue
+                for fname, _sz in fio.list_files(vdir):
+                    if fname.endswith(".parquet") and fname not in live:
+                        fio.delete(fs_join(vdir, fname))
+                        removed.append(f"deletes/{name}/{fname}")
         current = manifest["version"]
         for v in self.snapshot_versions():
             if v != current:

@@ -218,6 +218,11 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         length = int.from_bytes(b[pos : pos + 4], "big")
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            # chunk data cut short (r6 property-fuzz find: a truncated
+            # IHDR indexed out of range) — only a cut confined to the
+            # trailing CRC/IEND region is tolerable, data never is
+            raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
@@ -247,7 +252,13 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG has no IHDR/IDAT")
     if color_type == 3 and palette is None:
         raise ValueError("paletted PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # a truncated/corrupt IDAT must surface as the decoder's own
+        # rejection type, not a zlib internal (r6 property-fuzz find:
+        # callers contract on ValueError for malformed media)
+        raise ValueError(f"PNG IDAT does not inflate: {exc}") from None
     if interlace == 0:
         samples = _decode_png_image(raw, width, height, channels, bit_depth)
     else:

@@ -1,0 +1,234 @@
+"""Property-fuzzing for the codec lattice (r5 VERDICT item 8).
+
+The decoders are pinned by hand-computed bytes at specific geometries
+(test_codecs.py); these properties sweep RANDOM geometries/contents:
+
+- encode → decode == identity per format (BMP, PNG, GIF, WAV, MP4, and
+  constant-tile JPEG where the round trip is exact by construction);
+- EVERY payload truncation raises ValueError — never IndexError /
+  struct.error / KeyError, the r5 RLE8 bug class.
+
+No Spark involved — pure byte-level functions, so examples are cheap.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from arcane_stream_parquet_spark.operators.codecs import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    decode_jpeg_pixels,
+    encode_avi_mjpeg,
+    encode_bmp,
+    encode_gif,
+    encode_jpeg_gray_tiles,
+    encode_mp4_metadata,
+    encode_wav,
+    parse_avi,
+    parse_gif,
+    parse_mp4,
+    parse_wav,
+)
+from arcane_stream_parquet_spark.operators.multimodal import (
+    decode_png_pixels,
+    encode_png,
+)
+
+SETTINGS = dict(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _rand_bytes(seed: int, n: int) -> bytes:
+    return bytes(random.Random(seed).randrange(256) for _ in range(n))
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_any_geometry(w, h, top_down, seed):
+    rgb = _rand_bytes(seed, w * h * 3)
+    assert decode_bmp_pixels(encode_bmp(w, h, rgb, top_down=top_down)) == (
+        w,
+        h,
+        3,
+        rgb,
+    )
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_png_roundtrip_any_geometry_and_filters(w, h, ct, seed, filters):
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    samples = _rand_bytes(seed, w * h * ch)
+    b = encode_png(
+        w, h, samples, color_type=ct,
+        filter_for_row=lambda y: filters[y % len(filters)],
+    )
+    assert decode_png_pixels(b) == (w, h, ch, samples)
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    n_frames=st.integers(1, 3),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_gif_roundtrip_any_geometry_and_frames(w, h, n_frames, interlace, seed):
+    rng = random.Random(seed)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h))
+        for _ in range(n_frames)
+    ]
+    gif = encode_gif(
+        w, h, frames,
+        interlace_frame=0 if interlace else None,
+    )
+    parsed = parse_gif(gif)
+    assert len(parsed["frames"]) == n_frames
+    for idx, f in zip(frames, parsed["frames"]):
+        assert f["rgb"] == bytes(v for i in idx for v in (i, i, i))
+    gw, gh, nch, rgb = decode_gif_pixels(gif)
+    assert (gw, gh, nch) == (w, h, 3)
+
+
+@given(
+    rate=st.integers(1, 96_000),
+    n_channels=st.integers(1, 3),
+    bits=st.sampled_from([8, 16]),
+    n_frames=st.integers(0, 50),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_any_geometry(rate, n_channels, bits, n_frames, seed):
+    rng = random.Random(seed)
+    if bits == 16:
+        samples = [
+            rng.randrange(-32768, 32768) for _ in range(n_frames * n_channels)
+        ]
+        expect = samples
+    else:
+        samples = [rng.randrange(256) for _ in range(n_frames * n_channels)]
+        expect = [v - 128 for v in samples]
+    w = parse_wav(encode_wav(rate, n_channels, samples, bits=bits))
+    assert (w["sample_rate"], w["n_channels"], w["bits"]) == (
+        rate, n_channels, bits,
+    )
+    assert w["n_frames"] == n_frames and w["samples"] == expect
+
+
+@given(
+    bx=st.integers(1, 4),
+    by=st.integers(1, 4),
+    progressive=st.booleans(),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_jpeg_constant_tiles_roundtrip_exact(bx, by, progressive, restart, seed):
+    rng = random.Random(seed)
+    tiles = [[rng.randrange(256) for _ in range(bx)] for _ in range(by)]
+    b = encode_jpeg_gray_tiles(
+        bx * 8, by * 8, tiles,
+        restart_interval=0 if progressive else restart,
+        progressive=progressive,
+    )
+    w, h, nch, samples = decode_jpeg_pixels(b)
+    assert (w, h, nch) == (bx * 8, by * 8, 1)
+    for yy in range(h):
+        for xx in range(w):
+            assert samples[yy * w + xx] == tiles[yy // 8][xx // 8]
+
+
+@given(
+    duration=st.integers(0, 2**31),
+    timescale=st.integers(1, 10**6),
+    tracks=st.lists(
+        st.fixed_dictionaries(
+            {
+                "handler": st.sampled_from(["vide", "soun", "hint"]),
+                "codec": st.sampled_from(["avc1", "mp4a", "hvc1", "tx3g"]),
+                "width": st.integers(0, 8192),
+                "height": st.integers(0, 8192),
+                "timescale": st.integers(1, 10**6),
+                "duration": st.integers(0, 2**31),
+            }
+        ),
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_mp4_roundtrip_any_tracks(duration, timescale, tracks):
+    m = parse_mp4(encode_mp4_metadata(duration, timescale, tracks))
+    assert m["timescale"] == timescale and m["duration"] == duration
+    assert m["n_tracks"] == len(tracks)
+    for t_in, t_out in zip(tracks, m["tracks"]):
+        assert t_out == t_in
+
+
+def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 6), rng.randint(1, 6)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    idx = bytes(rng.randrange(256) for _ in range(w * h))
+    tiles = [[rng.randrange(256)]]
+    jpg = encode_jpeg_gray_tiles(8, 8, tiles)
+    return [
+        ("bmp", encode_bmp(w, h, rgb), decode_bmp_pixels),
+        ("png", encode_png(w, h, rgb, color_type=2), decode_png_pixels),
+        ("gif", encode_gif(w, h, [idx]), decode_gif_pixels),
+        ("jpeg", jpg, decode_jpeg_pixels),
+        ("wav", encode_wav(8000, 1, [1, -2, 3]), parse_wav),
+        (
+            "mp4",
+            encode_mp4_metadata(10, 1000, [
+                {"handler": "vide", "codec": "avc1", "width": 16,
+                 "height": 16, "timescale": 600, "duration": 6},
+            ]),
+            parse_mp4,
+        ),
+        ("avi", encode_avi_mjpeg(8, 8, [jpg]), parse_avi),
+    ]
+
+
+@given(seed=st.integers(0, 2**31), cut_frac=st.floats(0.0, 0.999))
+@settings(**{**SETTINGS, "max_examples": 150})
+def test_truncation_never_crashes_or_misreads(seed, cut_frac):
+    """Cutting ANY valid payload at ANY point must either raise
+    ValueError or return EXACTLY the full decode — never a different
+    result, and never IndexError/struct.error/zlib.error (the magic
+    still matches, so fake-mode fallbacks contract on the exception
+    type; the r5 RLE8 bug class).  Sound acceptance happens when the
+    cut only removes trailing bytes a self-terminating stream didn't
+    need (e.g. a PNG whose IDAT is complete but IEND got cut)."""
+    for name, payload, decoder in _sample_payloads(seed):
+        cut = max(1, int(len(payload) * cut_frac))
+        if cut >= len(payload):
+            continue
+        try:
+            got = decoder(payload[:cut])
+        except ValueError:
+            continue
+        assert got == decoder(payload), (
+            f"{name} cut at {cut}/{len(payload)} returned a DIFFERENT "
+            f"result than the full decode"
+        )
