@@ -164,6 +164,26 @@ class StreamSpec:
         )
 
     @property
+    def merge_mode(self) -> str:
+        """``sink.targetTableProperties.mergeMode`` → the parquet
+        target's write strategy, in Iceberg's ``write.merge.mode``
+        vocabulary (the property the reference's Iceberg v2 sink runs
+        under — IcebergMergeTarget pins ``merge-on-read``):
+        ``copy-on-write`` (default) rewrites touched files,
+        ``merge-on-read`` appends deltas + delete files (r6)."""
+        raw = (
+            self.raw.get("sink", {})
+            .get("targetTableProperties", {})
+            .get("mergeMode", "copy-on-write")
+        )
+        mapping = {"copy-on-write": "cow", "merge-on-read": "mor"}
+        if raw not in mapping:
+            raise ValueError(
+                f"mergeMode must be copy-on-write|merge-on-read, got {raw!r}"
+            )
+        return mapping[raw]
+
+    @property
     def query_retry(self):
         """``sink.mergeServiceClient.queryRetry*`` → QueryRetryPolicy
         (reference stream-context-serialized-example.json:50-56). The
@@ -279,6 +299,7 @@ def build_pipeline(spark, spec: StreamSpec, warehouse_root: str, checkpoint_root
         unified_schema=spec.is_unified_schema,
         sorted_by=spec.sorted_by,
         bloom_filter_cols=spec.bloom_filter_cols,
+        merge_mode=spec.merge_mode,
     )
     runner = StreamRunner(
         source=source,

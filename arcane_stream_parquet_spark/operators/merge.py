@@ -58,13 +58,18 @@ create-only):
 Honest cost model (100 TB posture): the merge key is a uniform sha256,
 so a batch with k distinct keys touches ~min(k, B) of B buckets; the
 rewrite cost is touched_buckets × avg_bucket_size ≈
-min(k × table_size / B, table_size) per merge. Streaming micro-batches
+min(k × table_size / B, table_size) per merge — refined by sub-bucket
+file pruning (r5) to the touched-FILE floor. Streaming micro-batches
 therefore want B large enough that k ≪ B (default 512 here; thousands
 on a real cluster — bucket count is the rewrite-granularity knob, and
-``compact()`` repacks small files it produces). An Iceberg/Delta
-MERGE-on-read target replaces this rewrite cost with delete-file
-merge-on-read cost and is the preferred production sink; this class is
-the dependency-free stand-in with the same observable semantics.
+``compact()`` repacks small files it produces). For true point-update
+workloads, ``merge_mode="mor"`` (r6) replaces the rewrite entirely
+with Iceberg-v2-style delete files: commit IO becomes O(batch) and the
+read path anti-joins pending deletes until ``compact()`` folds them in
+(measured matrix in SCALE.md). The same semantics through a real
+Iceberg/Delta runtime remain available via
+``table_format.make_merge_target``; this class no longer concedes
+anything to them but multi-writer catalog coordination.
 """
 
 from __future__ import annotations
@@ -1257,19 +1262,28 @@ class ParquetMergeTarget:
         } | {b for d in deletes for b in self._delete_buckets(d)}
         if not frag_set:
             return 0
-        rows = self._scan_with_deletes(
-            [f for f in files if int(f["b"]) in frag_set],
-            self._schema_of(manifest),
-            deletes,
-        )
+        in_scope = [f for f in files if int(f["b"]) in frag_set]
         new_version = manifest["version"] + 1
-        # coalesce within bucket: one output file per bucket partition
-        self._write_version(
-            rows.repartition(F.col(BUCKET_COLUMN)), new_version, honor_file_cap=False
-        )
+        if in_scope:
+            rows = self._scan_with_deletes(
+                in_scope, self._schema_of(manifest), deletes
+            )
+            # coalesce within bucket: one output file per bucket partition
+            self._write_version(
+                rows.repartition(F.col(BUCKET_COLUMN)),
+                new_version,
+                honor_file_cap=False,
+            )
+            new_files = self._collect_file_stats(new_version)
+        else:
+            # delete entries whose buckets hold no live files are
+            # dangling (e.g. the covered rows were all superseded and
+            # their files vacuumed) — spend them with a metadata-only
+            # commit instead of crashing on an empty scan
+            new_files = []
         manifest["files"] = [
             f for f in files if int(f["b"]) not in frag_set
-        ] + self._collect_file_stats(new_version)
+        ] + new_files
         # a compacted bucket holds no file older than any delete seq
         # anymore — an entry is spent once EVERY bucket it covers is
         # compacted (compaction always includes all delete buckets, so

@@ -1165,3 +1165,73 @@ def pipeline_facets(
             yield pd.DataFrame(rows, columns=[f.name for f in PIPELINE_FACETS_SCHEMA])
 
     return cols.mapInPandas(batches, PIPELINE_FACETS_SCHEMA)
+
+
+IMAGE_DIMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("pix_mean_micro", LongType()),
+        StructField("pix_hist16", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("vid_mean_sum_micro", LongType()),
+    ]
+)
+
+
+def image_dims_facets(
+    df: DataFrame, id_col: str = "doc_id", every_nth_frame: int = 1
+) -> DataFrame:
+    """Cross-branch fusion of the image_dims facets (r6, same move as
+    :func:`pipeline_facets`): header synth+parse, pixel synth+real
+    decode (PNG for doc_id%3==0, JPEG for ==1) and video synth+frame
+    stats (AVI for ==2) in ONE Arrow pass — replacing three separate
+    synth→decode mapInPandas chains and two joins with a single scan
+    of (doc_id).  Numerically identical to the composable
+    ``image_header_features(synth_image_payload) ⟕
+    decode_image_features(synth_pixel_payload) ⟕
+    video_frame_stats(synth_avi_payload)`` plan (asserted in tests);
+    use the composable form when intermediate payloads are needed."""
+    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        parse_avi,
+    )
+
+    cols = fan_out(df.select(F.col(id_col).alias("doc_id")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = [make_png_header, make_jpeg_header, make_gif_header]
+        for pdf in it:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                i = int(raw_id)
+                hdr = makers[i % 3](
+                    16 + (i * 7) % 640, 16 + (i * 13) % 480
+                )
+                fmt, w, h, ch = parse_image_header(hdr)
+                mean = hist = nf = vs = None
+                if i % 3 != 2:
+                    payload = (
+                        make_png_image(i) if i % 3 == 0 else make_jpeg_image(i)
+                    )
+                    _, _, _, _, mean, hist = _decode_image_one(
+                        payload, fake=False
+                    )
+                else:
+                    frames = parse_avi(make_avi_video(i))["frames"][
+                        ::every_nth_frame
+                    ]
+                    vs = 0
+                    for fb in frames:
+                        vs += _pixel_stats(decode_jpeg_pixels(fb)[3])[0]
+                    nf = len(frames)
+                rows.append((i, fmt, w, h, ch, mean, hist, nf, vs))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DIMS_SCHEMA]
+            )
+
+    return cols.mapInPandas(batches, IMAGE_DIMS_SCHEMA)

@@ -580,10 +580,15 @@ def make_merge_target(
     if fmt == "iceberg":
         if not table:
             raise ValueError("iceberg target needs a catalog-qualified `table`")
+        # merge strategy is engine-side for the real formats: the
+        # Iceberg table is created with write.merge.mode=merge-on-read
+        # (v2, see _table_properties), Delta merges copy-on-write
+        kwargs.pop("merge_mode", None)
         return IcebergMergeTarget(spark=spark, table=table, path=path, **kwargs)
     if fmt == "delta":
         if not table:
             raise ValueError("delta target needs a catalog-qualified `table`")
+        kwargs.pop("merge_mode", None)
         return DeltaMergeTarget(spark=spark, table=table, path=path, **kwargs)
     if fmt == "parquet":
         kwargs.pop("table", None)

@@ -805,32 +805,16 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.multimodal import (
-        decode_image_features,
-        image_header_features,
-        synth_avi_payload,
-        synth_image_payload,
-        synth_pixel_payload,
-        video_frame_stats,
+        image_dims_facets,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    headers = image_header_features(synth_image_payload(docs))
-    pix = decode_image_features(
-        synth_pixel_payload(docs.filter(F.col("doc_id") % 3 != 2))
-    ).select(
-        "doc_id",
-        F.col("mean_micro").alias("pix_mean_micro"),
-        F.col("hist16").alias("pix_hist16"),
-    )
-    # fused single-pass RIFF walk + per-frame JPEG decode + per-doc agg
-    # (sample_frames → decode_image_features is the composable
-    # equivalent — numerically identical, tested)
-    vstats = video_frame_stats(
-        synth_avi_payload(docs.filter(F.col("doc_id") % 3 == 2))
-    )
-    return (
-        headers.join(pix, "doc_id", "left").join(vstats, "doc_id", "left")
-    )
+    # r6: header synth+parse, pixel synth+decode and video frame stats
+    # fused into ONE Arrow pass over (doc_id) — three synth→decode
+    # chains and two joins gone; the composable plan
+    # (image_header_features ⟕ decode_image_features ⟕
+    # video_frame_stats) remains available and equivalence-tested
+    return image_dims_facets(docs)
 
 
 IVF_NUM_CENTROIDS = 8

@@ -67,10 +67,32 @@ def merge_throughput(spark, sf_dir: str) -> dict:
         .filter(F.col("l_orderkey") % 10 == 0)
         .withColumn("createdon", F.col("createdon") + F.lit(1))
     )
+    def commit_mb(version: int) -> float:
+        total = 0
+        for sub in ("data", "deletes"):
+            d = os.path.join(work, "t", sub, f"v{version:05d}")
+            for root, _dirs, names in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in names
+                )
+        return round(total / 1e6, 2)
+
     bn = batch.count()
     t0 = time.perf_counter()
     target.merge(batch)
     upsert_sec = time.perf_counter() - t0
+    upsert_mb = commit_mb(target._manifest()["version"])
+
+    # same-size batch through the merge-on-read path (r6): winners
+    # append + delete file, no rewrite of touched files — wall is
+    # comparable at bench scale (fixed per-commit costs dominate), but
+    # commit IO drops from touched-file rewrite to O(batch), which is
+    # the 100 TB story (SCALE.md matrix)
+    batch_mor = batch.withColumn("createdon", F.col("createdon") + F.lit(1))
+    t0 = time.perf_counter()
+    target.merge(batch_mor, mode="mor")
+    upsert_mor_sec = time.perf_counter() - t0
+    upsert_mor_mb = commit_mb(target._manifest()["version"])
     return {
         "backfill_rows": n,
         "backfill_sec": round(backfill_sec, 2),
@@ -78,6 +100,10 @@ def merge_throughput(spark, sf_dir: str) -> dict:
         "upsert_rows": bn,
         "upsert_sec": round(upsert_sec, 2),
         "upsert_rows_per_sec": round(bn / upsert_sec),
+        "upsert_mb_written": upsert_mb,
+        "upsert_mor_sec": round(upsert_mor_sec, 2),
+        "upsert_mor_rows_per_sec": round(bn / upsert_mor_sec),
+        "upsert_mor_mb_written": upsert_mor_mb,
     }
 
 

@@ -208,3 +208,41 @@ def test_exit_code_contract():
     assert main_exit_code(lambda: None) == EXIT_OK
     assert main_exit_code(lambda: (_ for _ in ()).throw(StreamFailError("net"))) == EXIT_RETRYABLE
     assert main_exit_code(lambda: (_ for _ in ()).throw(ValueError("bad"))) == EXIT_FATAL
+
+
+def test_merge_mode_mapping(tmp_path):
+    """sink.targetTableProperties.mergeMode (Iceberg write.merge.mode
+    vocabulary) maps to the parquet target's cow/mor strategy; default
+    is copy-on-write; unknown values raise."""
+    raw = example_spec("/data/landing")
+    spec = StreamSpec.from_json(json.dumps(raw))
+    assert spec.merge_mode == "cow"
+    raw["sink"].setdefault("targetTableProperties", {})["mergeMode"] = (
+        "merge-on-read"
+    )
+    assert StreamSpec.from_json(json.dumps(raw)).merge_mode == "mor"
+    raw["sink"]["targetTableProperties"]["mergeMode"] = "append-only"
+    with pytest.raises(ValueError, match="mergeMode"):
+        StreamSpec.from_json(json.dumps(raw)).merge_mode
+
+
+def test_merge_mode_reaches_parquet_target(spark, tmp_path):
+    from arcane_stream_parquet_spark.config import build_pipeline, StreamContext
+
+    raw = example_spec(str(tmp_path / "landing"))
+    raw["sink"].setdefault("targetTableProperties", {})["mergeMode"] = (
+        "merge-on-read"
+    )
+    ctx = StreamContext(
+        spec=StreamSpec.from_json(json.dumps(raw)),
+        backfill=False,
+        stream_id="s",
+        stream_kind="ParquetStream",
+    )
+    _src, target, _runner = build_pipeline(
+        spark,
+        ctx.spec,
+        warehouse_root=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    assert getattr(target, "merge_mode", None) == "mor"

@@ -553,3 +553,42 @@ def test_pipeline_facets_keeps_zero_frame_rows(spark):
     df = spark.createDataFrame([Row(doc_id=4, payload=bytearray(b""))])
     rows = pipeline_facets(df).collect()
     assert len(rows) == 1 and rows[0]["n_frames"] == 0
+
+
+def test_image_dims_facets_matches_composable_plan(spark):
+    """The r6 cross-branch fusion must be numerically identical to the
+    three-chain left-join plan it replaced, across all three doc_id%3
+    format branches."""
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        decode_image_features,
+        image_dims_facets,
+        image_header_features,
+        synth_avi_payload,
+        synth_image_payload,
+        synth_pixel_payload,
+        video_frame_stats,
+    )
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(3, 12)]  # ≥2 of each %3 branch
+    )
+    fused = {r["doc_id"]: r.asDict() for r in image_dims_facets(docs).collect()}
+    headers = image_header_features(synth_image_payload(docs))
+    pix = decode_image_features(
+        synth_pixel_payload(docs.filter(SF.col("doc_id") % 3 != 2))
+    ).select(
+        "doc_id",
+        SF.col("mean_micro").alias("pix_mean_micro"),
+        SF.col("hist16").alias("pix_hist16"),
+    )
+    vstats = video_frame_stats(
+        synth_avi_payload(docs.filter(SF.col("doc_id") % 3 == 2))
+    )
+    composed = {
+        r["doc_id"]: r.asDict()
+        for r in headers.join(pix, "doc_id", "left")
+        .join(vstats, "doc_id", "left")
+        .collect()
+    }
+    assert fused == composed
