@@ -192,7 +192,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         # layouts: appended after a 40-byte BITMAPINFOHEADER, or inside
         # a V2+ header (whose mask fields start at header offset 40);
         # an alpha mask exists only for V3+ headers (size >= 56)
-        if len(b) < 14 + 40 + 12:
+        if len(b) < 14 + 40 + 12 or (header_size >= 56 and len(b) < 70):
             raise ValueError("BI_BITFIELDS masks truncated")
         rmask, gmask, bmask = struct.unpack_from("<III", b, 54)
         amask = (
@@ -435,10 +435,12 @@ def parse_gif(b: bytes) -> dict:
     delay_cs = 0
     disposal = 0
     transparent: int | None = None
+    saw_trailer = False
     while pos < len(b):
         block = b[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(b):
@@ -518,6 +520,10 @@ def parse_gif(b: bytes) -> dict:
         delay_cs = 0
         disposal = 0
         transparent = None
+    if not saw_trailer:
+        # EOF without the 0x3B trailer: a truncation between blocks
+        # must not silently drop the remaining frames (r6 review find)
+        raise ValueError("truncated GIF: missing trailer")
     return {
         "width": screen_w,
         "height": screen_h,
@@ -1698,6 +1704,13 @@ def parse_avi(b: bytes) -> dict:
     JPEG, decodable by :func:`decode_jpeg_pixels`."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    # the RIFF header declares the file extent; anything shorter is a
+    # truncation and must reject rather than silently decode a partial
+    # frame list (r6 review find: a cut leaving 1-7 bytes of a chunk
+    # header used to fall out of the walk loop with frames missing)
+    riff_end = 8 + struct.unpack_from("<I", b, 4)[0]
+    if riff_end > len(b):
+        raise ValueError("truncated RIFF/AVI payload")
     width = height = us_per_frame = None
     frames: list[bytes] = []
 
@@ -1725,7 +1738,7 @@ def parse_avi(b: bytes) -> dict:
                 frames.append(b[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
-    walk(12, len(b))
+    walk(12, min(riff_end, len(b)))
     if width is None:
         raise ValueError("AVI missing avih header")
     return {
@@ -1770,6 +1783,8 @@ def parse_wav(b: bytes) -> dict:
     correctly); non-PCM formats raise."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    if 8 + struct.unpack_from("<I", b, 4)[0] > len(b):
+        raise ValueError("truncated RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
@@ -1870,6 +1885,14 @@ def _mp4_boxes(b: bytes, pos: int, end: int):
         pos = nxt
 
 
+def _mp4_need(upto: int, box_end: int, name: str) -> None:
+    """Reject a fixed-offset read past a box's own payload — an
+    under-sized inner box must raise ValueError, never struct.error or
+    a silent read of the NEXT box's bytes (r6 review find)."""
+    if upto > box_end:
+        raise ValueError(f"truncated ISO BMFF {name} box")
+
+
 def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
     track: dict = {
         "handler": None,
@@ -1881,6 +1904,7 @@ def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
     }
     for typ, body, nxt in _mp4_boxes(b, pos, end):
         if typ == b"tkhd":
+            _mp4_need(body + 1, nxt, "tkhd")
             ver = b[body]
             # past ver/flags + ctime/mtime (4 or 8 each) + track_ID +
             # reserved + duration (4 or 8)
@@ -1888,13 +1912,16 @@ def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
             # reserved(8) + layer(2)+alternate_group(2)+volume(2)+
             # reserved(2) + matrix(36)
             off += 8 + 8 + 36
+            _mp4_need(off + 8, nxt, "tkhd")
             w_fix, h_fix = struct.unpack_from(">II", b, off)
             track["width"], track["height"] = w_fix >> 16, h_fix >> 16
         elif typ == b"mdia":
             for t2, b2, n2 in _mp4_boxes(b, body, nxt):
                 if t2 == b"mdhd":
+                    _mp4_need(b2 + 1, n2, "mdhd")
                     ver = b[b2]
                     if ver == 1:
+                        _mp4_need(b2 + 32, n2, "mdhd")
                         (track["timescale"],) = struct.unpack_from(
                             ">I", b, b2 + 20
                         )
@@ -1902,21 +1929,25 @@ def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
                             ">Q", b, b2 + 24
                         )
                     else:
+                        _mp4_need(b2 + 20, n2, "mdhd")
                         track["timescale"], track["duration"] = (
                             struct.unpack_from(">II", b, b2 + 12)
                         )
                 elif t2 == b"hdlr":
+                    _mp4_need(b2 + 12, n2, "hdlr")
                     track["handler"] = b[b2 + 8 : b2 + 12].decode("latin1")
                 elif t2 == b"minf":
                     for t3, b3, n3 in _mp4_boxes(b, b2, n2):
                         if t3 != b"stbl":
                             continue
-                        for t4, b4, _n4 in _mp4_boxes(b, b3, n3):
+                        for t4, b4, n4 in _mp4_boxes(b, b3, n3):
                             if t4 == b"stsd":
+                                _mp4_need(b4 + 8, n4, "stsd")
                                 (n_entries,) = struct.unpack_from(
                                     ">I", b, b4 + 4
                                 )
                                 if n_entries >= 1:
+                                    _mp4_need(b4 + 16, n4, "stsd")
                                     track["codec"] = b[
                                         b4 + 12 : b4 + 16
                                     ].decode("latin1")
@@ -1941,16 +1972,21 @@ def parse_mp4(b: bytes) -> dict:
             continue
         for t2, b2, n2 in _mp4_boxes(b, body, nxt):
             if t2 == b"mvhd":
+                _mp4_need(b2 + 1, n2, "mvhd")
                 ver = b[b2]
                 if ver == 1:
+                    _mp4_need(b2 + 32, n2, "mvhd")
                     (timescale,) = struct.unpack_from(">I", b, b2 + 20)
                     (duration,) = struct.unpack_from(">Q", b, b2 + 24)
                 else:
+                    _mp4_need(b2 + 20, n2, "mvhd")
                     timescale, duration = struct.unpack_from(">II", b, b2 + 12)
             elif t2 == b"trak":
                 tracks.append(_mp4_parse_trak(b, b2, n2))
     if timescale is None:
         raise ValueError("ISO BMFF payload missing moov/mvhd")
+    if timescale == 0:
+        raise ValueError("ISO BMFF mvhd timescale is zero")
     return {
         "major_brand": major_brand,
         "timescale": timescale,

@@ -742,12 +742,8 @@ class ParquetMergeTarget:
 
     @staticmethod
     def _delete_buckets(d: dict) -> list[int]:
-        """Buckets a delete entry can touch (``bs``; legacy per-bucket
-        entries carry a single ``b``)."""
-        bs = d.get("bs")
-        if bs is not None:
-            return [int(x) for x in bs]
-        return [int(d["b"])]
+        """Buckets a delete entry can touch."""
+        return [int(x) for x in d["bs"]]
 
     @staticmethod
     def _delete_applies(f: dict, d: dict) -> bool:
@@ -1207,12 +1203,17 @@ class ParquetMergeTarget:
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --
 
-    def _live_files(self) -> dict[int, list[tuple[str, int]]]:
+    def _live_files(
+        self, manifest: dict | None = None
+    ) -> dict[int, list[tuple[str, int]]]:
         """bucket -> live (path, bytes) data files.  Straight from the
         manifest's file entries when present (pure metadata — no FS
         listing at all, exactly Iceberg's manifest read); pre-r5
-        manifests fall back to listing their bucket→version dirs."""
-        manifest = self._manifest()
+        manifests fall back to listing their bucket→version dirs.
+        Pass an already-read ``manifest`` to avoid a second metadata
+        round-trip."""
+        if manifest is None:
+            manifest = self._manifest()
         files = self._files_of_manifest(manifest)
         if files is not None:
             out: dict[int, list[tuple[str, int]]] = {}
@@ -1284,15 +1285,10 @@ class ParquetMergeTarget:
         manifest["files"] = [
             f for f in files if int(f["b"]) not in frag_set
         ] + new_files
-        # a compacted bucket holds no file older than any delete seq
-        # anymore — an entry is spent once EVERY bucket it covers is
-        # compacted (compaction always includes all delete buckets, so
-        # in practice the surviving list is empty)
-        manifest["deletes"] = [
-            d
-            for d in deletes
-            if any(bb not in frag_set for bb in self._delete_buckets(d))
-        ]
+        # every delete entry is spent: frag_set includes ALL delete
+        # buckets by construction, and the rewritten files' version is
+        # newer than every delete sequence
+        manifest["deletes"] = []
         for b in frag_set:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
@@ -1404,9 +1400,10 @@ class ParquetMergeTarget:
         ``row_count`` is a distributed count over live buckets only —
         pass ``with_row_count=False`` for the pure-metadata variant in
         hot maintenance loops."""
-        files = self._live_files()
+        manifest = self._manifest()
+        files = self._live_files(manifest)
         entries = [e for fs in files.values() for e in fs]
-        deletes = self._manifest().get("deletes") or []
+        deletes = manifest.get("deletes") or []
         return {
             "row_count": self.read().count() if with_row_count else None,
             "bucket_count": len(files),

@@ -232,3 +232,74 @@ def test_truncation_never_crashes_or_misreads(seed, cut_frac):
             f"{name} cut at {cut}/{len(payload)} returned a DIFFERENT "
             f"result than the full decode"
         )
+
+
+def test_review_finds_truncation_regressions():
+    """Pinned repros from the r6 review: silent partial decodes and
+    wrong-exception-type rejections, all must raise ValueError."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_jpeg_gray_tiles,
+        encode_mp4_metadata,
+        parse_avi,
+        parse_gif,
+        parse_mp4,
+    )
+
+    # AVI cut inside the movi LIST: must not return a partial frame list
+    avi = encode_avi_mjpeg(8, 8, [encode_jpeg_gray_tiles(8, 8, [[7]])] * 3)
+    for cut in range(12, len(avi)):
+        try:
+            got = parse_avi(avi[:cut])
+        except ValueError:
+            continue
+        assert got["frames"] == parse_avi(avi)["frames"], cut
+
+    # GIF cut between image descriptors: must not drop trailing frames
+    f1 = bytes([1, 2, 3, 4])
+    f2 = bytes([5, 6, 7, 8])
+    gif = encode_gif(2, 2, [f1, f2])
+    for cut in range(6, len(gif)):
+        try:
+            got = parse_gif(gif[:cut])
+        except ValueError:
+            continue
+        assert len(got["frames"]) == 2, cut
+
+    # MP4 with an under-sized mvhd: ValueError, not struct.error /
+    # a silent read of the next box's bytes
+    import struct
+
+    def box(t, p):
+        return struct.pack(">I", len(p) + 8) + t + p
+
+    short_mvhd = box(b"mvhd", b"\x00" * 8)
+    bad = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", short_mvhd)
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+    # zero timescale: ValueError, not ZeroDivisionError
+    zero_ts = encode_mp4_metadata(10, 1, [])
+    zero_ts = bytearray(zero_ts)
+    # timescale lives 12 bytes into the mvhd body; find it and zero it
+    i = bytes(zero_ts).find(b"mvhd") + 4 + 12
+    zero_ts[i : i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(zero_ts))
+
+
+def test_bmp_bitfields_v3_truncated_at_alpha_mask():
+    import struct
+
+    import pytest as _pytest
+
+    from arcane_stream_parquet_spark.operators.codecs import decode_bmp_pixels
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 56, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0
+    ) + struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    header = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 70)
+    # 66..69 bytes: masks guard passes but the alpha DWORD is short
+    for n in range(66, 70):
+        with _pytest.raises(ValueError):
+            decode_bmp_pixels((header + info)[:n])

@@ -246,3 +246,46 @@ def test_merge_mode_reaches_parquet_target(spark, tmp_path):
         checkpoint_root=str(tmp_path / "ck"),
     )
     assert getattr(target, "merge_mode", None) == "mor"
+
+
+def test_streaming_end_to_end_with_merge_on_read(spark, tmp_path):
+    """The full config-driven streaming path under
+    mergeMode=merge-on-read, with a tight maintenance cadence so
+    compact()/vacuum() fold the accumulated delete files mid-stream:
+    final contents must equal the copy-on-write run byte-for-byte."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    rng = random.Random(11)
+    for i in range(6):
+        write_fixture_file(str(src), i, rng, 1_700_000_000 + i * 60)
+
+    results = {}
+    for label, mode in (("cow", "copy-on-write"), ("mor", "merge-on-read")):
+        raw = example_spec(str(src))
+        raw["sink"].setdefault("targetTableProperties", {})["mergeMode"] = mode
+        raw["sink"]["targetTableFullName"] = f"iceberg.test.t_{label}"
+        # compact+vacuum every 2 micro-batches exercises the fold-in
+        raw["sink"]["maintenanceSettings"] = {
+            "targetOptimizeSettings": {"batchThreshold": 2},
+            "targetSnapshotExpirationSettings": {"batchThreshold": 2},
+        }
+        env = {
+            "STREAMCONTEXT__SPEC": json.dumps(raw),
+            "STREAMCONTEXT__BACKFILL": "false",
+        }
+        ctx = load_stream_context(env)
+        run_stream_context(
+            spark,
+            ctx,
+            warehouse_root=str(tmp_path / "wh"),
+            checkpoint_root=str(tmp_path / f"ckpt_{label}"),
+            available_now=True,
+        )
+        _, target, _ = build_pipeline(
+            spark, ctx.spec, str(tmp_path / "wh"), str(tmp_path / "ckpt2")
+        )
+        results[label] = sorted(
+            tuple(r) for r in target.read().drop("createdon").collect()
+        )
+    assert results["cow"] == results["mor"]
+    assert len(results["cow"]) == N_KEYS

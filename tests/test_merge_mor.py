@@ -242,3 +242,43 @@ def test_invalid_mode_raises(spark, tmp_path):
     t = make_target(spark, tmp_path / "t")
     with pytest.raises(ValueError, match="merge mode"):
         t.merge(df_of(spark, [("k1", 1, "a")]), mode="upsert")
+
+
+# -- randomized CoW/MoR parity (hypothesis) -------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.sampled_from(["k1", "k2", "k3", None])
+_row = st.tuples(_key, st.integers(0, 5), st.sampled_from(["p", "q", "r"]))
+_batches = st.lists(
+    st.lists(_row, min_size=1, max_size=4), min_size=1, max_size=4
+)
+
+
+@given(batches=_batches, compact_after=st.integers(-1, 2))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_mor_equals_cow_for_random_batch_sequences(
+    spark, tmp_path_factory, batches, compact_after
+):
+    """Property: ANY batch sequence produces identical table contents
+    through copy-on-write and merge-on-read — including duplicate keys
+    within a batch, null keys, version ties and regressions, and an
+    optional mid-sequence compact() on the MoR side only."""
+    base = tmp_path_factory.mktemp("morprop")
+    cow = make_target(spark, base / "cow")
+    mor = make_target(spark, base / "mor", merge_mode="mor")
+    for i, b in enumerate(batches):
+        df = df_of(spark, b)
+        cow.merge(df)
+        mor.merge(df)
+        if i == compact_after:
+            mor.compact()
+    assert contents(cow) == contents(mor)
