@@ -32,12 +32,17 @@ honestly, from the public specs:
   codecs, dimensions; 64-bit largesize boxes, v0/v1 headers). Public
   spec: ISO/IEC 14496-12.
 
+- **JPEG lossless** (r6): SOF3 predictor coding (T.81 Annex H) —
+  Huffman DIFF categories, all 7 predictors, point transform,
+  grayscale and as-stored 3-component color. Public spec: ITU-T T.81
+  Annex H.
+
 Animated GIF frames are returned as coded rectangles AND a full
 disposal-aware compositor is provided (``composite_gif_frames``, r5:
 none/keep/restore-background/restore-previous semantics over the
 per-frame outputs). Remaining honest stubs: coded SAMPLE decode for
 MP4-class containers (H.264/AAC bitstreams — the container metadata is
-real, above), and lossless/arithmetic JPEG.
+real, above), and arithmetic-coded JPEG (SOF9/SOF10; the QM-coder).
 
 Every decoder has a matching encoder used ONLY by tests/synthesis, and
 the test suite pins decoders against hand-computed known bytes so an
@@ -748,8 +753,14 @@ class _BitReader:
         self.bit = 0
 
     def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # entropy data cut short: reject as the decoder's own
+            # error type, never IndexError (r6 hardening)
+            raise ValueError("JPEG entropy data truncated")
         b = self.data[self.pos]
         if b == 0xFF and self.bit == 0:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:
                 raise ValueError(
@@ -773,6 +784,8 @@ class _BitReader:
         if self.bit:
             self.bit = 0
             self.pos += 1 + (1 if self.data[self.pos] == 0xFF else 0)
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG entropy data truncated")
         if self.data[self.pos] != 0xFF or not (
             0xD0 <= self.data[self.pos + 1] <= 0xD7
         ):
@@ -821,9 +834,12 @@ def _idct_block(coeffs: list[int], qtab: list[int]) -> list[int]:
 
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
-    """REAL stdlib-only baseline JPEG decode → (width, height,
-    n_channels, row-major samples: gray for 1 component, RGB for 3).
-    See module notes for scope; anything outside baseline raises."""
+    """REAL stdlib-only JPEG decode → (width, height, n_channels,
+    row-major samples: gray for 1 component, RGB for 3 — lossless
+    3-component files are emitted as-stored, no color transform).
+    Processes: sequential baseline/extended (SOF0/SOF1), progressive
+    (SOF2), and lossless (SOF3, r6).  See module notes for scope;
+    anything outside raises."""
     if not b.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     qtables: dict[int, list[int]] = {}
@@ -881,7 +897,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r6)
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -895,13 +912,30 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
-            frame = _new_jpeg_state(
-                width, height, comps, progressive=(marker == 0xC2)
-            )
-        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            if marker == 0xC3:
+                if any(h != 1 or v != 1 for _, h, v, _ in comps):
+                    raise ValueError(
+                        "subsampled lossless JPEG is not supported"
+                    )
+                frame = {
+                    "lossless": True,
+                    "width": width,
+                    "height": height,
+                    "precision": precision,
+                    "cids": [cid for cid, _, _, _ in comps],
+                    "planes": {},
+                    "pt": 0,
+                    "scanned": False,
+                }
+            else:
+                frame = _new_jpeg_state(
+                    width, height, comps, progressive=(marker == 0xC2)
+                )
+        elif 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise ValueError(
                 f"unsupported JPEG frame type 0xff{marker:02x} "
-                "(sequential SOF0/SOF1 and progressive SOF2 only)"
+                "(sequential SOF0/SOF1, progressive SOF2 and lossless "
+                "SOF3 only)"
             )
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
@@ -914,17 +948,136 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
-            i = _decode_jpeg_scan(
-                b, i + 2 + seg_len, frame, scan_comps,
-                (ss, se, ahal >> 4, ahal & 0x0F),
-                huff_dc, huff_ac, restart_interval,
-            )
+            if frame.get("lossless"):
+                i = _decode_jpeg_lossless_scan(
+                    b, i + 2 + seg_len, frame, scan_comps,
+                    ss, ahal & 0x0F, huff_dc, restart_interval,
+                )
+            else:
+                i = _decode_jpeg_scan(
+                    b, i + 2 + seg_len, frame, scan_comps,
+                    (ss, se, ahal >> 4, ahal & 0x0F),
+                    huff_dc, huff_ac, restart_interval,
+                )
             continue
         # APPn/COM and anything else: skip
         i += 2 + seg_len
     if frame is None or not frame["scanned"]:
         raise ValueError("JPEG has no scan data")
+    if frame.get("lossless"):
+        return _finish_jpeg_lossless(frame)
     return _finish_jpeg(frame, qtables)
+
+
+def _lossless_predict(
+    plane: list, x: int, y: int, width: int, predictor: int, default: int
+) -> int:
+    """T.81 Annex H.1.2 sample prediction: the first sample uses the
+    default (2^(P−Pt−1)), the rest of row 0 uses Ra (left), the first
+    column uses Rb (above), and interior samples the selected
+    predictor 1–7 (shifts are the spec's integer halving)."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return plane[x - 1]
+    if x == 0:
+        return plane[(y - 1) * width]
+    ra = plane[y * width + x - 1]
+    rb = plane[(y - 1) * width + x]
+    rc = plane[(y - 1) * width + x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless JPEG predictor {predictor}")
+
+
+def _decode_jpeg_lossless_scan(
+    b: bytes,
+    pos: int,
+    frame: dict,
+    scan_comps: list,
+    predictor: int,
+    pt: int,
+    huff_dc: dict,
+    restart_interval: int,
+) -> int:
+    """One lossless (SOF3) scan: per sample, a DC-table Huffman
+    category + magnitude bits give DIFF; the sample is (prediction +
+    DIFF) mod 2^16 (T.81 Annex H).  Components are interleaved one
+    sample each per MCU (all sampling factors are 1).  Restart
+    intervals in lossless scans are not supported (honest bound — the
+    prediction-reset semantics are untestable here without a second
+    implementation)."""
+    if restart_interval:
+        raise ValueError(
+            "restart intervals in lossless JPEG scans are not supported"
+        )
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless JPEG predictor {predictor}")
+    width, height = frame["width"], frame["height"]
+    precision = frame["precision"]
+    if pt >= precision:
+        raise ValueError(f"point transform {pt} >= precision {precision}")
+    default = 1 << (precision - pt - 1)
+    reader = _BitReader(b, pos)
+    tables = []
+    planes = []
+    for cid, td, _ta in scan_comps:
+        if cid not in frame["cids"]:
+            raise ValueError(f"lossless scan references unknown comp {cid}")
+        if td not in huff_dc:
+            raise ValueError(f"lossless scan references missing DC table {td}")
+        tables.append(huff_dc[td])
+        plane = [0] * (width * height)
+        frame["planes"][cid] = plane
+        planes.append(plane)
+    for y in range(height):
+        for x in range(width):
+            for table, plane in zip(tables, planes):
+                s = table.decode(reader)
+                if s == 16:
+                    diff = 32768
+                elif s > 16:
+                    raise ValueError(f"invalid lossless DIFF category {s}")
+                else:
+                    diff = _extend(reader.receive(s), s)
+                px = _lossless_predict(plane, x, y, width, predictor, default)
+                plane[y * width + x] = (px + diff) & 0xFFFF
+    frame["pt"] = pt
+    frame["scanned"] = True
+    return _next_marker(b, reader.pos)
+
+
+def _finish_jpeg_lossless(frame: dict) -> tuple[int, int, int, bytes]:
+    """Assemble lossless planes: samples shift back up by the point
+    transform; 3-component files interleave WITHOUT a color transform
+    (T.81 defines none for the lossless process — components are
+    stored as-is, unlike the JFIF YCbCr convention of the DCT
+    processes)."""
+    width, height = frame["width"], frame["height"]
+    pt = frame["pt"]
+    planes = []
+    for cid in frame["cids"]:
+        if cid not in frame["planes"]:
+            raise ValueError(f"lossless JPEG never scanned component {cid}")
+        planes.append(frame["planes"][cid])
+    nch = len(planes)
+    out = bytearray(width * height * nch)
+    for idx in range(width * height):
+        for ci, plane in enumerate(planes):
+            out[idx * nch + ci] = (plane[idx] << pt) & 0xFF
+    return width, height, nch, bytes(out)
 
 
 def _new_jpeg_state(width, height, comps, progressive):
@@ -2055,3 +2208,81 @@ def encode_mp4_metadata(
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
     mdat = _mp4_box(b"mdat", b"")
     return ftyp + mdat + moov
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    planes: list[list[int]],
+    predictor: int = 1,
+    pt: int = 0,
+) -> bytes:
+    """A spec-valid lossless JPEG (SOF3, T.81 Annex H) from raw sample
+    planes (row-major ints; 1 plane = grayscale, 3 = color stored
+    as-is) — the synthesis/test side of the SOF3 decode path.  Samples
+    must already be downshifted by ``pt`` (the decoder shifts back
+    up).  Huffman table: fixed-length canonical codes over the DIFF
+    categories actually used (same policy as encode_jpeg)."""
+    if len(planes) not in (1, 3):
+        raise ValueError("planes must be 1 (gray) or 3 (color)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless JPEG predictor {predictor}")
+    for p in planes:
+        if len(p) != width * height:
+            raise ValueError("plane length != width * height")
+    default = 1 << (8 - pt - 1)
+
+    # pass 1: DIFF per sample (mirrors the decoder's prediction walk)
+    diffs: list[list[int]] = []
+    cats = set()
+    for plane in planes:
+        out = []
+        recon = [0] * (width * height)
+        for y in range(height):
+            for x in range(width):
+                px = _lossless_predict(
+                    recon, x, y, width, predictor, default
+                )
+                v = plane[y * width + x] & 0xFFFF
+                d = v - px
+                # wrap into the signed 16-bit window mod 2^16 (H.1.1)
+                d = ((d + 32768) & 0xFFFF) - 32768
+                out.append(d)
+                recon[y * width + x] = v
+                cats.add(_category(d) if d != -32768 else 16)
+        diffs.append(out)
+
+    bits, vals, codes = _fixed_length_huff(sorted(cats))
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    seg(0xC4, bytes([0x00]) + bits + vals)
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC3, bytes(sof))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    seg(0xDA, bytes(sos))
+
+    w = _BitWriter()
+    n = width * height
+    for idx in range(n):
+        for plane_diffs in diffs:
+            d = plane_diffs[idx]
+            s = 16 if d == -32768 else _category(d)
+            code, ln = codes[s]
+            w.write(code, ln)
+            if s and s != 16:
+                w.write(d if d >= 0 else d + (1 << s) - 1, s)
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

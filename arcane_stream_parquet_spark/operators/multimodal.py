@@ -30,10 +30,11 @@ parquet). What is REAL here and what is STUBBED:
   decodable by ``decode_image_features``).
 - REAL as of round 6: MP4/ISO BMFF CONTAINER METADATA
   (``codecs.parse_mp4`` box-walks duration/track-count/codecs/
-  dimensions; surfaced by ``pipeline_facets``) and BMP BI_BITFIELDS
-  pixel decode.
+  dimensions; surfaced by ``pipeline_facets``), BMP BI_BITFIELDS
+  pixel decode, and LOSSLESS JPEG (SOF3 predictor coding, all 7
+  predictors — ``decode_jpeg_pixels`` handles it transparently).
 - STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
-  bitstreams) and lossless/arithmetic JPEG. This container has no
+  bitstreams) and arithmetic-coded JPEG. This container has no
   media libraries, so those paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,

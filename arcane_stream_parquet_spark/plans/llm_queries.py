@@ -799,8 +799,9 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each sampled frame as a JPEG — surfaced as n_frames plus the sum "
     "of per-frame pixel means, closed-form again. Known-bytes unit "
     "tests pin every codec independently (tests/test_codecs.py). All "
-    "facets are Arrow-batched mapInPandas; progressive JPEG and "
-    "MP4-class containers stay honest stubs.",
+    "facets are Arrow-batched mapInPandas (r6: fused into ONE pass, "
+    "image_dims_facets); MP4-class SAMPLE decode and arithmetic-coded "
+    "JPEG stay the honest stubs.",
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:

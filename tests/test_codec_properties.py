@@ -197,6 +197,14 @@ def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
         ("png", encode_png(w, h, rgb, color_type=2), decode_png_pixels),
         ("gif", encode_gif(w, h, [idx]), decode_gif_pixels),
         ("jpeg", jpg, decode_jpeg_pixels),
+        (
+            "jpeg-lossless",
+            __import__(
+                "arcane_stream_parquet_spark.operators.codecs",
+                fromlist=["encode_jpeg_lossless"],
+            ).encode_jpeg_lossless(4, 4, [list(range(16))]),
+            decode_jpeg_pixels,
+        ),
         ("wav", encode_wav(8000, 1, [1, -2, 3]), parse_wav),
         (
             "mp4",
@@ -303,3 +311,31 @@ def test_bmp_bitfields_v3_truncated_at_alpha_mask():
     for n in range(66, 70):
         with _pytest.raises(ValueError):
             decode_bmp_pixels((header + info)[:n])
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    predictor=st.integers(1, 7),
+    pt=st.integers(0, 3),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_jpeg_lossless_roundtrip_any_geometry(w, h, predictor, pt, color, seed):
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(seed)
+    nch = 3 if color else 1
+    planes = [
+        [rng.randrange(256 >> pt) for _ in range(w * h)] for _ in range(nch)
+    ]
+    gw, gh, gch, s = decode_jpeg_pixels(
+        encode_jpeg_lossless(w, h, planes, predictor=predictor, pt=pt)
+    )
+    assert (gw, gh, gch) == (w, h, nch)
+    for ci in range(nch):
+        assert list(s[ci::nch]) == [(v << pt) & 0xFF for v in planes[ci]]

@@ -492,12 +492,16 @@ def test_jpeg_16bit_dqt_and_zigzag():
     assert list(got) == exp
 
 
-def test_jpeg_rejects_lossless_and_bad_precision():
+def test_jpeg_rejects_unsupported_frames_and_bad_precision():
     b = bytearray(encode_jpeg_gray_tiles(8, 8, [[7]]))
     i = bytes(b).index(b"\xff\xc0")
-    b[i + 1] = 0xC3  # SOF3 lossless
-    with pytest.raises(ValueError, match="frame type"):
-        decode_jpeg_pixels(bytes(b))
+    # SOF3 lossless is REAL as of r6 (its own tests below); the still-
+    # unsupported processes (differential/arithmetic, SOF5..SOF7 etc.)
+    # must keep raising
+    for m in (0xC5, 0xC7, 0xC9, 0xCB, 0xCF):
+        b[i + 1] = m
+        with pytest.raises(ValueError, match="frame type"):
+            decode_jpeg_pixels(bytes(b))
     b[i + 1] = 0xC0
     b[i + 4] = 12  # 12-bit precision
     with pytest.raises(ValueError, match="precision"):
@@ -995,3 +999,96 @@ def test_bmp_bitfields_rejects_bad_masks_and_truncation():
     for cut in range(2, len(good), 5):
         with pytest.raises(ValueError):
             decode_bmp_pixels(good[:cut])
+
+
+# -- Lossless JPEG (SOF3, r6) ---------------------------------------------
+
+
+def _hand_lossless_jpeg() -> bytes:
+    """A 2x2 grayscale SOF3 file built byte-by-byte BY HAND (predictor
+    1, no point transform) so an encoder/decoder bug pair cannot
+    cancel.  Samples 100,102 / 50,51; hand-derived DIFF stream:
+    -28 (cat5 '00011'), +2 (cat2 '10'), -50 (cat6 '001101'),
+    +1 (cat1 '1'); fixed 3-bit codes for cats [1,2,5,6] = 000..011;
+    packed bits = 0x43 0x33 0x34 0x7F."""
+    dht = bytes([0xFF, 0xC4, 0x00, 0x17, 0x00])
+    counts = bytearray(16)
+    counts[2] = 4  # four codes of length 3
+    dht += bytes(counts) + bytes([1, 2, 5, 6])
+    sof3 = bytes(
+        [0xFF, 0xC3, 0x00, 0x0B, 8, 0, 2, 0, 2, 1, 0x01, 0x11, 0x00]
+    )
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 0x01, 0x00, 1, 0, 0])
+    data = bytes([0x43, 0x33, 0x34, 0x7F])
+    return b"\xff\xd8" + dht + sof3 + sos + data + b"\xff\xd9"
+
+
+def test_jpeg_lossless_hand_pinned_bytes():
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+    )
+
+    w, h, nch, samples = decode_jpeg_pixels(_hand_lossless_jpeg())
+    assert (w, h, nch) == (2, 2, 1)
+    assert list(samples) == [100, 102, 50, 51]
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(5)
+    plane = [rng.randrange(256) for _ in range(7 * 4)]
+    for pred in range(1, 8):
+        got = decode_jpeg_pixels(encode_jpeg_lossless(7, 4, [plane], pred))
+        assert got == (7, 4, 1, bytes(plane)), pred
+
+
+def test_jpeg_lossless_color_no_transform_and_point_transform():
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(6)
+    planes = [[rng.randrange(256) for _ in range(10)] for _ in range(3)]
+    w, h, nch, s = decode_jpeg_pixels(
+        encode_jpeg_lossless(5, 2, planes, predictor=7)
+    )
+    assert (w, h, nch) == (5, 2, 3)
+    for ci in range(3):
+        assert list(s[ci::3]) == planes[ci]  # stored as-is, no YCbCr
+    down = [v >> 2 for v in planes[0]]
+    _, _, _, s2 = decode_jpeg_pixels(
+        encode_jpeg_lossless(5, 2, [down], predictor=3, pt=2)
+    )
+    assert list(s2) == [(v << 2) & 0xFF for v in down]
+
+
+def test_jpeg_lossless_honest_bounds():
+    import pytest as _pytest
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    good = bytearray(encode_jpeg_lossless(2, 2, [[1, 2, 3, 4]]))
+    # predictor 0 in the SOS Ss slot is invalid for a first scan
+    i = bytes(good).find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[i + 7] = 0
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_pixels(bytes(bad))
+    # subsampled SOF3 components raise
+    j = bytes(good).find(b"\xff\xc3")
+    bad2 = bytearray(good)
+    bad2[j + 11] = 0x22
+    with _pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg_pixels(bytes(bad2))
