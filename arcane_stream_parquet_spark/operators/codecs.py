@@ -924,7 +924,10 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                     "precision": precision,
                     "cids": [cid for cid, _, _, _ in comps],
                     "planes": {},
-                    "pt": 0,
+                    # point transform is a SCAN property — record per
+                    # component (r6 review find: a single global let the
+                    # last scan's Pt silently override earlier scans')
+                    "pts": {},
                     "scanned": False,
                 }
             else:
@@ -1041,6 +1044,7 @@ def _decode_jpeg_lossless_scan(
         tables.append(huff_dc[td])
         plane = [0] * (width * height)
         frame["planes"][cid] = plane
+        frame["pts"][cid] = pt
         planes.append(plane)
     for y in range(height):
         for x in range(width):
@@ -1054,29 +1058,38 @@ def _decode_jpeg_lossless_scan(
                     diff = _extend(reader.receive(s), s)
                 px = _lossless_predict(plane, x, y, width, predictor, default)
                 plane[y * width + x] = (px + diff) & 0xFFFF
-    frame["pt"] = pt
     frame["scanned"] = True
     return _next_marker(b, reader.pos)
 
 
 def _finish_jpeg_lossless(frame: dict) -> tuple[int, int, int, bytes]:
-    """Assemble lossless planes: samples shift back up by the point
-    transform; 3-component files interleave WITHOUT a color transform
-    (T.81 defines none for the lossless process — components are
-    stored as-is, unlike the JFIF YCbCr convention of the DCT
-    processes)."""
+    """Assemble lossless planes: each plane shifts back up by ITS
+    scan's point transform; 3-component files interleave WITHOUT a
+    color transform (T.81 defines none for the lossless process —
+    components are stored as-is, unlike the JFIF YCbCr convention of
+    the DCT processes).  A shifted sample exceeding the declared
+    precision is corrupt data and raises — never wraps silently (the
+    module's decode-honestly-or-raise contract)."""
     width, height = frame["width"], frame["height"]
-    pt = frame["pt"]
+    max_val = (1 << frame["precision"]) - 1
     planes = []
+    pts = []
     for cid in frame["cids"]:
         if cid not in frame["planes"]:
             raise ValueError(f"lossless JPEG never scanned component {cid}")
         planes.append(frame["planes"][cid])
+        pts.append(frame["pts"][cid])
     nch = len(planes)
     out = bytearray(width * height * nch)
     for idx in range(width * height):
-        for ci, plane in enumerate(planes):
-            out[idx * nch + ci] = (plane[idx] << pt) & 0xFF
+        for ci, (plane, pt) in enumerate(zip(planes, pts)):
+            v = plane[idx] << pt
+            if v > max_val:
+                raise ValueError(
+                    f"lossless JPEG sample {v} exceeds "
+                    f"{frame['precision']}-bit precision"
+                )
+            out[idx * nch + ci] = v
     return width, height, nch, bytes(out)
 
 
@@ -1891,7 +1904,7 @@ def parse_avi(b: bytes) -> dict:
                 frames.append(b[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
-    walk(12, min(riff_end, len(b)))
+    walk(12, riff_end)
     if width is None:
         raise ValueError("AVI missing avih header")
     return {

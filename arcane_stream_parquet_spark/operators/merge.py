@@ -743,6 +743,16 @@ class ParquetMergeTarget:
     @staticmethod
     def _delete_buckets(d: dict) -> list[int]:
         """Buckets a delete entry can touch."""
+        if "bs" not in d:
+            # the short-lived intermediate layout wrote per-bucket
+            # entries ({"b": ...}) under bucket subdirs; it shipped in
+            # exactly one revision and is not readable here — reject
+            # loudly rather than crash with KeyError or misread paths
+            raise ValueError(
+                "unsupported legacy per-bucket delete entry (pre-flat "
+                "MoR layout); compact the table with the revision that "
+                "wrote it, then upgrade"
+            )
         return [int(x) for x in d["bs"]]
 
     @staticmethod

@@ -27,6 +27,7 @@ from arcane_stream_parquet_spark.operators.codecs import (
     encode_bmp,
     encode_gif,
     encode_jpeg_gray_tiles,
+    encode_jpeg_lossless,
     encode_mp4_metadata,
     encode_wav,
     parse_avi,
@@ -199,10 +200,7 @@ def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
         ("jpeg", jpg, decode_jpeg_pixels),
         (
             "jpeg-lossless",
-            __import__(
-                "arcane_stream_parquet_spark.operators.codecs",
-                fromlist=["encode_jpeg_lossless"],
-            ).encode_jpeg_lossless(4, 4, [list(range(16))]),
+            encode_jpeg_lossless(4, 4, [list(range(16))]),
             decode_jpeg_pixels,
         ),
         ("wav", encode_wav(8000, 1, [1, -2, 3]), parse_wav),
@@ -323,11 +321,6 @@ def test_bmp_bitfields_v3_truncated_at_alpha_mask():
 )
 @settings(**SETTINGS)
 def test_jpeg_lossless_roundtrip_any_geometry(w, h, predictor, pt, color, seed):
-    from arcane_stream_parquet_spark.operators.codecs import (
-        decode_jpeg_pixels,
-        encode_jpeg_lossless,
-    )
-
     rng = random.Random(seed)
     nch = 3 if color else 1
     planes = [
