@@ -304,3 +304,26 @@ def test_legacy_per_bucket_delete_entry_rejected_loudly(spark, tmp_path):
     t._commit_manifest(m)
     with pytest.raises(ValueError, match="legacy per-bucket delete"):
         t.read().collect()
+
+
+def test_mor_with_sorted_by_and_tiebreakers(spark, tmp_path):
+    """User sort order widens file key ranges (pruning degrades, never
+    breaks) and tiebreakers drive intra-batch dedup — both must
+    compose with MoR exactly as with CoW."""
+    kw = dict(sorted_by=("payload",), tiebreakers=("payload",))
+    cow = make_target(spark, tmp_path / "cow", **kw)
+    mor = make_target(spark, tmp_path / "mor", merge_mode="mor", **kw)
+    batches = [
+        [("k1", 1, "b"), ("k1", 1, "a"), ("k2", 1, "x")],  # tie in batch
+        [("k2", 2, "y"), ("k3", 1, "z")],
+        [("k1", 1, "c")],  # equal-version vs target: batch wins
+    ]
+    for b in batches:
+        cow.merge(df_of(spark, b))
+        mor.merge(df_of(spark, b))
+    assert contents(cow) == contents(mor)
+    # the intra-batch (k1,1) tie resolves deterministically by the
+    # tiebreaker in BOTH modes (max payload wins under the shared
+    # latest_row_agg ordering), then the later equal-version batch
+    # row replaces it
+    assert [r for r in contents(mor) if r[0] == "k1"] == [("k1", 1, "c")]
