@@ -420,9 +420,11 @@ def decode_image_features(
 # IHDR chunk with big-endian width/height; JPEG/JFIF: marker walk to an
 # SOFn segment holding precision/height/width/components; GIF87a/89a:
 # little-endian logical-screen dims at offset 6; BMP: BITMAPINFOHEADER
-# little-endian dims at offset 18) — no codec library required. Pixel
-# decoding stays stubbed; header decoding is real and tested against
-# hand-crafted known-good bytes.
+# little-endian dims at offset 18) — no codec library required. (This
+# round-2 comment predates the pixel decoders: PNG/JPEG/GIF/BMP pixel
+# decoding is REAL as of r4-r6 — see the module docstring; header
+# decoding remains the cheap metadata-only path, tested against
+# hand-crafted known-good bytes.)
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
