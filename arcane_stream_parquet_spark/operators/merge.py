@@ -805,16 +805,26 @@ class ParquetMergeTarget:
         deletes = deletes or []
         if not deletes:
             return self._read_files(files, schema)
+        # index delete entries by bucket once: classification is then
+        # O(files × deletes-per-bucket) instead of O(files × deletes) —
+        # at manifest-shard scale (10^6 file entries) the unindexed loop
+        # is minutes of driver time; at 100 TB geometry a trickle
+        # commit's entry covers few of the thousands of buckets, so the
+        # per-bucket lists stay short
+        by_bucket: dict[int, list[int]] = {}
+        for i, d in enumerate(deletes):
+            for bb in self._delete_buckets(d):
+                by_bucket.setdefault(bb, []).append(i)
         clean: list[dict] = []
         dirty: list[dict] = []
         used_deletes: set[int] = set()
         for f in files:
+            fv = int(f["v"])
             hits = [
                 i
-                for i, d in enumerate(deletes)
-                if int(d["seq"]) > int(f["v"])
-                and int(f["b"]) in self._delete_buckets(d)
-                and self._delete_applies(f, d)
+                for i in by_bucket.get(int(f["b"]), ())
+                if int(deletes[i]["seq"]) > fv
+                and self._delete_applies(f, deletes[i])
             ]
             if hits:
                 dirty.append(f)
