@@ -74,6 +74,10 @@ def build_session(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-spam to stdout; bench.py's single
+        # JSON line must survive the driver's bounded capture window
+        # (r6 VERDICT item 7: BENCH_rN.json arrived truncated).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
