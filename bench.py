@@ -163,19 +163,43 @@ def main() -> None:
         spreads[name] = round(max(samples) - min(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_spread": spreads,
+        "runs_per_query": runs_per_query,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "cpus": cpus,
+        "merge_throughput": ingest,
+    }
+    # The driver captures only the LAST ~2,000 chars of stdout; the full
+    # 50-query payload is ~3.3 KB and gets truncated (r7 VERDICT item 1).
+    # Persist the complete payload to a repo-committed file and print a
+    # compact (<1.5 KB) summary as the FINAL stdout line: totals, ingest
+    # throughput, and the top-5 slowest queries only.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_spread": spreads,
-                "runs_per_query": runs_per_query,
-                "sf": _sf_from_dir(sf_dir),
+                "queries": slowest,
+                "sf": full["sf"],
                 "n_queries": len(timings),
                 "cpus": cpus,
                 "merge_throughput": ingest,
+                "full_payload": "BENCH_FULL.json",
             }
         )
     )
