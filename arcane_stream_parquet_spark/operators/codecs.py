@@ -40,9 +40,16 @@ honestly, from the public specs:
 Animated GIF frames are returned as coded rectangles AND a full
 disposal-aware compositor is provided (``composite_gif_frames``, r5:
 none/keep/restore-background/restore-previous semantics over the
-per-frame outputs). Remaining honest stubs: coded SAMPLE decode for
-MP4-class containers (H.264/AAC bitstreams — the container metadata is
-real, above), and arithmetic-coded JPEG (SOF9/SOF10; the QM-coder).
+per-frame outputs).
+
+- **JPEG arithmetic** (r8): extended sequential SOF9 — the T.81
+  Annex D QM-coder (Table D.3 estimator, carry/stuffing byteout) with
+  the Annex F.1.4 DC/AC conditioning models and DAC parsing. Public
+  spec: ITU-T T.81 Annex D/F.
+
+Remaining honest stubs: coded SAMPLE decode for MP4-class containers
+(H.264/AAC bitstreams — the container metadata is real, above), and
+progressive arithmetic JPEG (SOF10; sequential SOF9 is real, above).
 
 Every decoder has a matching encoder used ONLY by tests/synthesis, and
 the test suite pins decoders against hand-computed known bytes so an
@@ -845,6 +852,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     restart_interval = 0
     frame = None  # (width, height, [(cid, h, v, tq)])
     i = 2
@@ -891,14 +900,37 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 counts = seg[p + 1 : p + 17]
                 n = sum(counts)
                 symbols = seg[p + 17 : p + 17 + n]
+                if len(counts) < 16 or len(symbols) < n:
+                    # corrupted counts overrunning the segment must
+                    # reject as ValueError, not IndexError out of the
+                    # Huffman-table build (r8 corruption-fuzz find)
+                    raise ValueError("truncated JPEG DHT segment")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, symbols
                 )
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r6)
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                val = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    low, up = val & 0x0F, val >> 4
+                    if not (low <= up <= 15):
+                        raise ValueError(f"bad DAC DC conditioning {val}")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not (1 <= val <= 63):
+                        raise ValueError(f"bad DAC AC conditioning Kx={val}")
+                    ac_cond[tb] = val
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r6),
+            # SOF9 extended sequential arithmetic (r8)
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -907,10 +939,29 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             n_comp = seg[5]
             if n_comp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {n_comp}")
+            if len(seg) < 6 + 3 * n_comp:
+                raise ValueError("truncated JPEG SOF segment")
+            if width == 0 or height == 0:
+                raise ValueError("zero-dimension JPEG frame")
+            if width * height > 1_000_000:
+                # decompression-bomb guard (the PIL MAX_IMAGE_PIXELS
+                # idea, scaled to a pure-Python fixtures-grade decoder):
+                # a corrupted dimension byte must reject fast, not grind
+                # a 10^6-block MCU walk fed zero bits.  Real megapixel
+                # media is out of scope for this module by design — the
+                # multimodal facet swaps in a codec library for that.
+                raise ValueError(
+                    f"JPEG frame {width}x{height} exceeds the "
+                    "1M-pixel decode bound"
+                )
             comps = []
             for c in range(n_comp):
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    # T.81 B.2.2: Hi/Vi in 1..4 — a corrupted 0 would
+                    # divide by zero in the MCU geometry (r8 fuzz find)
+                    raise ValueError(f"bad JPEG sampling factors 0x{hv:02x}")
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             if marker == 0xC3:
                 if any(h != 1 or v != 1 for _, h, v, _ in comps):
@@ -934,15 +985,21 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 frame = _new_jpeg_state(
                     width, height, comps, progressive=(marker == 0xC2)
                 )
+                frame["arith"] = marker == 0xC9
         elif 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise ValueError(
                 f"unsupported JPEG frame type 0xff{marker:02x} "
-                "(sequential SOF0/SOF1, progressive SOF2 and lossless "
-                "SOF3 only)"
+                "(sequential SOF0/SOF1/SOF9, progressive SOF2 and "
+                "lossless SOF3 only)"
             )
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                # a corrupted component count must reject as ValueError,
+                # not index past the segment into IndexError (r8
+                # corruption-fuzz find — same class as the r6 slice bug)
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
             scan_comps = []
             for c in range(ns):
@@ -955,6 +1012,16 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 i = _decode_jpeg_lossless_scan(
                     b, i + 2 + seg_len, frame, scan_comps,
                     ss, ahal & 0x0F, huff_dc, restart_interval,
+                )
+            elif frame.get("arith"):
+                if (ss, se, ahal) != (0, 63, 0):
+                    raise ValueError(
+                        "arithmetic JPEG scan must be full-band "
+                        "sequential (Ss=0 Se=63 Ah=Al=0)"
+                    )
+                i = _decode_jpeg_arith_scan(
+                    b, i + 2 + seg_len, frame, scan_comps,
+                    dc_cond, ac_cond, restart_interval,
                 )
             else:
                 i = _decode_jpeg_scan(
@@ -1150,7 +1217,22 @@ def _decode_jpeg_scan(
     (Ss/Se) and successive-approximation bits (Ah/Al) per T.81 G.1.2
     (the classic spectral-selection + refinement algorithm)."""
     ss, se, ah, al = band
+    if state["progressive"] and not (0 <= ss <= se <= 63):
+        # a corrupted Se must reject, not run the refinement loop off
+        # the end of the zigzag table (r8 corruption-fuzz find)
+        raise ValueError(f"bad JPEG spectral band Ss={ss} Se={se}")
     comps_by_id = {c["cid"]: c for c in state["comps"]}
+    # corrupted scan headers must reject as ValueError before any
+    # KeyError-ing dict access (r8 corruption-fuzz find)
+    for cid, td, ta in scan_comps:
+        if cid not in comps_by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+        needs_dc = not state["progressive"] or (ss == 0 and ah == 0)
+        needs_ac = not state["progressive"] or ss > 0
+        if needs_dc and td not in huff_dc:
+            raise ValueError(f"scan references missing DC table {td}")
+        if needs_ac and ta not in huff_ac:
+            raise ValueError(f"scan references missing AC table {ta}")
     reader = _BitReader(b, pos)
     state["scanned"] = True
 
@@ -1349,6 +1431,10 @@ def _finish_jpeg(state: dict, qtables: dict) -> tuple[int, int, int, bytes]:
     for comp in comps:
         pw, ph = comp["blocks_w"] * 8, comp["blocks_h"] * 8
         plane = bytearray(pw * ph)
+        if comp["tq"] not in qtables:
+            raise ValueError(
+                f"component references missing quant table {comp['tq']}"
+            )
         qtab = qtables[comp["tq"]]
         for bi, coeffs in enumerate(comp["store"]):
             block = _idct_block(coeffs, qtab)
@@ -1387,6 +1473,626 @@ def _finish_jpeg(state: dict, qtables: dict) -> tuple[int, int, int, bytes]:
             o = (y * width + x) * 3
             out[o : o + 3] = bytes((r, g, bl))
     return width, height, 3, bytes(out)
+
+
+# -- JPEG arithmetic coding (SOF9) — ITU-T T.81 Annex D/F (r8) --------------
+#
+# The QM-coder: an adaptive binary arithmetic coder whose probability
+# estimate lives in a finite-state machine (Table D.3 below) indexed per
+# context bin.  Statistical models per F.1.4: DC diffs condition on the
+# previous diff's category (zero/small±/large±, bounds L/U from DAC),
+# AC coefficients condition on the zigzag index k (EOB / run / magnitude
+# category decision trees, low/high spectrum split at Kx).  Scope here:
+# extended sequential SOF9, 8-bit, interleaved scans, restart markers.
+# Conformance caveat: no arithmetic-JPEG encoder exists in this sandbox
+# to cross-check against, so the pinned tests are round-trips against
+# the Annex-D *encoder* below plus golden committed bytes — unlike the
+# Huffman modes, which decode independently-generated fixtures.
+#
+# Table D.3: (Qe, next-index-after-LPS, next-index-after-MPS, switch-MPS).
+# Index 113 is the fixed (non-adapting) 50/50 bin used for AC signs.
+
+_QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+# A context bin is one byte: bit 7 = current MPS sense, bits 0-6 = the
+# estimator state index (< 128, so it fits).
+
+
+class _QMDecoder:
+    """T.81 Annex D.2 arithmetic decoder over one entropy-coded scan.
+
+    Byte feed follows the JPEG-wide convention: 0xFF 0x00 is a stuffed
+    literal 0xFF; 0xFF followed by anything else is a marker — from
+    there on ZERO bytes are fed (the encoder's FLUSH may drop trailing
+    zero bytes, D.1.8), and ``marker_pos`` records where segment
+    parsing resumes.  Never reads past the buffer (exhaustion counts as
+    a marker), so truncated payloads stay total (fuzzer contract)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.bp = pos
+        self.marker_pos: int | None = None
+        self._acc = 0  # current byte being drained bitwise
+        self._nbits = 0
+        cx = 0
+        for _ in range(16):  # the code window: floor(F · 2^16)
+            cx = (cx << 1) | self._next_bit()
+        self.cx = cx
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.marker_pos is not None:
+            return 0
+        d = self.data
+        if self.bp >= len(d):
+            self.marker_pos = len(d)
+            return 0
+        byte = d[self.bp]
+        self.bp += 1
+        if byte != 0xFF:
+            return byte
+        ff_at = self.bp - 1
+        while self.bp < len(d) and d[self.bp] == 0xFF:  # fill bytes
+            self.bp += 1
+        if self.bp >= len(d):
+            self.marker_pos = len(d)
+            return 0
+        nxt = d[self.bp]
+        self.bp += 1
+        if nxt == 0x00:
+            return 0xFF  # stuffed zero byte: datum is literal 0xFF
+        self.marker_pos = ff_at  # a real marker ends the data feed
+        return 0
+
+    def _next_bit(self) -> int:
+        if self._nbits == 0:
+            self._acc = self._next_byte()
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        mps = sv >> 7
+        qe, nlps, nmps, switch = _QM_TABLE[sv & 0x7F]
+        self.a -= qe
+        if self.cx < self.a:
+            if self.a & 0x8000:
+                return mps  # fast path: no renorm, no estimation change
+            # MPS_EXCHANGE (D.2.3)
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+        else:
+            self.cx -= self.a
+            # LPS_EXCHANGE (D.2.3)
+            if self.a < qe:
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            self.a = qe
+        while self.a < 0x8000:  # RENORMD
+            self.a <<= 1
+            self.cx = (self.cx << 1) | self._next_bit()
+        return d
+
+
+class _QMEncoder:
+    """T.81 Annex D.1 arithmetic encoder (tests/synthesis only, like
+    the other encoders in this module).  Handles carry propagation over
+    stacked 0xFF bytes, zero-byte stuffing after every emitted 0xFF,
+    and trailing-zero suppression at FLUSH (D.1.8)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # no byte pending yet
+        self.sc = 0  # stacked 0xFF-candidate bytes
+        self.zc = 0  # deferred 0x00 bytes (dropped if trailing at flush)
+        self.out = bytearray()
+
+    def _emit(self, byte: int) -> None:
+        self.out.append(byte)
+
+    def _flush_zeros(self) -> None:
+        self.out.extend(b"\x00" * self.zc)
+        self.zc = 0
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry ripples into the pending byte; stacked 0xFF bytes
+            # become 0x00 (and join the deferred-zero run)
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # may still be incremented by a later carry
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                self.out.extend(b"\xff\x00" * self.sc)
+                self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, st: bytearray, i: int, d: int) -> None:
+        sv = st[i]
+        mps = sv >> 7
+        qe, nlps, nmps, switch = _QM_TABLE[sv & 0x7F]
+        self.a -= qe
+        if d != mps:
+            # CODELPS (D.1.4): LPS normally takes the upper subinterval
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            if switch:
+                mps = 1 - mps
+            st[i] = (mps << 7) | nlps
+        else:
+            # CODEMPS: lower subinterval; renorm (and possible
+            # conditional exchange) only when A dropped below 0x8000
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (mps << 7) | nmps
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8: pick the in-interval code value with the most trailing
+        zeros, push out the remaining bytes, drop trailing zeros (the
+        decoder re-synthesizes them after the next marker)."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                self.out.extend(b"\xff\x00" * self.sc)
+                self.sc = 0
+        if self.c & 0x7FFF800:
+            self._flush_zeros()
+            b1 = (self.c >> 19) & 0xFF
+            self._emit(b1)
+            if b1 == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b2 = (self.c >> 11) & 0xFF
+                self._emit(b2)
+                if b2 == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+# default conditioning (T.81 F.1.4.4.1.2 / F.1.4.4.2: DAC overrides)
+_ARITH_DC_COND = (0, 1)  # (L, U)
+_ARITH_AC_COND = 5  # Kx
+
+
+def _arith_dc_diff(dec, st, ctx, cond) -> tuple[int, int]:
+    """Decode one DC difference (F.2.4.1); returns (diff, next context
+    index for this component)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    i = ctx + 2 + sign
+    m = dec.decode(st, i)
+    if m:
+        i = 20  # X1 (Table F.4)
+        while dec.decode(st, i):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            i += 1
+    low, up = cond
+    if m < (1 << low) >> 1:
+        nxt = 0
+    elif m > (1 << up) >> 1:
+        nxt = 12 + 4 * sign
+    else:
+        nxt = 4 + 4 * sign
+    v = m
+    i += 14  # magnitude-bit bin (one shared bin per category position)
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, i):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_ac_block(dec, st, fixed, block, kx) -> None:
+    """Decode AC coefficients 1..63 of one block (F.2.4.2)."""
+    k = 1
+    while k <= 63:
+        i = 3 * (k - 1)
+        if dec.decode(st, i):
+            return  # EOB
+        while dec.decode(st, i + 1) == 0:
+            i += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG arithmetic AC run overflow")
+        sign = dec.decode(fixed, 0)
+        i += 2
+        m = dec.decode(st, i)
+        if m and dec.decode(st, i):
+            m = 2
+            i = 189 if k <= kx else 217  # low/high-spectrum X chains
+            while dec.decode(st, i):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic AC magnitude overflow"
+                    )
+                i += 1
+        v = m
+        i += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, i):
+                v |= m
+        v += 1
+        block[_ZIGZAG[k]] = -v if sign else v
+        k += 1
+
+
+def _decode_jpeg_arith_scan(
+    b: bytes,
+    pos: int,
+    state: dict,
+    scan_comps: list,
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one SOF9 (extended sequential, arithmetic) scan into the
+    coefficient store; returns the position of the next marker.  Same
+    interleaved MCU walk as the Huffman sequential path; the entropy
+    layer is the QM-coder with the F.1.4 statistical models.  Restart
+    markers reinitialize coder, statistics, DC predictors and contexts
+    (F.1.4.2)."""
+    if len(scan_comps) != len(state["comps"]):
+        raise ValueError(
+            "non-interleaved sequential JPEG scans are not supported"
+        )
+    comps_by_id = {c["cid"]: c for c in state["comps"]}
+    for cid, _td, _ta in scan_comps:
+        if cid not in comps_by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+    state["scanned"] = True
+    dec = _QMDecoder(b, pos)
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    last_dc = {cid: 0 for cid, _, _ in scan_comps}
+    dc_ctx = {cid: 0 for cid, _, _ in scan_comps}
+
+    def reset_stats() -> None:
+        for arr in dc_stats.values():
+            arr[:] = bytes(len(arr))
+        for arr in ac_stats.values():
+            arr[:] = bytes(len(arr))
+        fixed[0] = 113
+        for cid in last_dc:
+            last_dc[cid] = 0
+            dc_ctx[cid] = 0
+
+    unit = 0
+    for my in range(state["mcus_y"]):
+        for mx in range(state["mcus_x"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                dec = _QMDecoder(b, _skip_rst(b, dec))
+                reset_stats()
+            unit += 1
+            for cid, td, ta in scan_comps:
+                comp = comps_by_id[cid]
+                dst = dc_stats.setdefault(td, bytearray(64))
+                ast = ac_stats.setdefault(ta, bytearray(256))
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        block = comp["store"][
+                            (my * comp["v"] + by) * comp["blocks_w"]
+                            + mx * comp["h"] + bx
+                        ]
+                        diff, dc_ctx[cid] = _arith_dc_diff(
+                            dec, dst, dc_ctx[cid],
+                            dc_cond.get(td, _ARITH_DC_COND),
+                        )
+                        last_dc[cid] += diff
+                        block[0] = last_dc[cid]
+                        _arith_ac_block(
+                            dec, ast, fixed, block,
+                            ac_cond.get(ta, _ARITH_AC_COND),
+                        )
+    end = dec.marker_pos if dec.marker_pos is not None else dec.bp
+    return _next_marker(b, min(end, len(b)))
+
+
+def _skip_rst(b: bytes, dec: _QMDecoder) -> int:
+    """Position just past the RSTn marker terminating the current
+    restart interval (the QM decoder stops AT markers, never consumes
+    them)."""
+    p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                return p + 2
+            raise ValueError(
+                f"expected JPEG restart marker, found 0xff{b[p + 1]:02x}"
+            )
+        p += 1
+    raise ValueError("JPEG scan data ran off the end (no restart marker)")
+
+
+def _arith_encode_dc_diff(enc, st, ctx, diff, cond) -> int:
+    """Encode one DC difference (F.1.4.1); returns the next context."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 0 if diff > 0 else 1
+    v = abs(diff)
+    enc.encode(st, ctx + 1, sign)
+    i = ctx + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, i, 1)
+        m = 1
+        i = 20
+        v2 = v
+        while v2 > 1:
+            v2 >>= 1
+            enc.encode(st, i, 1)
+            m <<= 1
+            i += 1
+    enc.encode(st, i, 0)
+    low, up = cond
+    if m < (1 << low) >> 1:
+        nxt = 0
+    elif m > (1 << up) >> 1:
+        nxt = 12 + 4 * sign
+    else:
+        nxt = 4 + 4 * sign
+    i += 14
+    while m > 1:
+        m >>= 1
+        enc.encode(st, i, 1 if (m & v) else 0)
+    return nxt
+
+
+def _arith_encode_ac_block(enc, st, fixed, coeffs, kx) -> None:
+    """Encode AC coefficients 1..63 of one block (F.1.4.3)."""
+    zz = [coeffs[_ZIGZAG[k]] for k in range(64)]
+    ke = 63
+    while ke >= 1 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        i = 3 * (k - 1)
+        enc.encode(st, i, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(st, i + 1, 0)
+            i += 3
+            k += 1
+        enc.encode(st, i + 1, 1)
+        v = zz[k]
+        sign = 0 if v > 0 else 1
+        enc.encode(fixed, 0, sign)
+        v = abs(v)
+        i += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, i, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                v2 >>= 1
+                enc.encode(st, i, 1)
+                m = 2
+                i = 189 if k <= kx else 217
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(st, i, 1)
+                    m <<= 1
+                    i += 1
+        enc.encode(st, i, 0)
+        i += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(st, i, 1 if (m & v) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_arith(
+    width: int,
+    height: int,
+    components: list[dict],
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = _ARITH_DC_COND,
+    ac_cond: int = _ARITH_AC_COND,
+) -> bytes:
+    """A spec-valid SOF9 (extended sequential, arithmetic-coded) JPEG
+    from the same pre-quantized block grids ``encode_jpeg`` takes
+    (tests/synthesis encoder).  Emits an explicit DAC segment so the
+    decoder's conditioning parse is exercised even at the default
+    (L=0, U=1, Kx=5) values."""
+    max_h = max(c["h"] for c in components)
+    max_v = max(c["v"] for c in components)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    for c in components:
+        if len(c["blocks"]) != mcus_y * c["v"] or any(
+            len(row) != mcus_x * c["h"] for row in c["blocks"]
+        ):
+            raise ValueError("component block grid does not match MCU grid")
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for ti, c in enumerate(components):
+        c["_tq"] = ti if ti < 2 else 1
+        if ti >= 2 and c["qtable"] != components[1]["qtable"]:
+            raise ValueError(
+                "component 3+ reuses quant slot 1: its qtable must equal "
+                "component 2's (this encoder emits at most two DQTs)"
+            )
+    emitted = set()
+    for c in components:
+        tq = c["_tq"]
+        if tq in emitted:
+            continue
+        emitted.add(tq)
+        zz = bytes(c["qtable"][_ZIGZAG[k]] for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(len(components))
+    for c in components:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["_tq"]])
+    seg(0xC9, bytes(sof))
+    low, up = dc_cond
+    seg(0xCC, bytes([0x00, (up << 4) | low, 0x10, ac_cond]))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(components)])
+    for c in components:
+        sos += bytes([c["id"], 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    enc = _QMEncoder()
+    dc_st = bytearray(64)
+    ac_st = bytearray(256)
+    fixed = bytearray([113])
+    preds = [0] * len(components)
+    ctxs = [0] * len(components)
+    rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                out.extend(enc.flush())
+                out.extend(b"\xff" + bytes([0xD0 + rst]))
+                rst = (rst + 1) & 7
+                enc = _QMEncoder()
+                dc_st[:] = bytes(64)
+                ac_st[:] = bytes(256)
+                fixed[0] = 113
+                preds = [0] * len(components)
+                ctxs = [0] * len(components)
+            mcu_count += 1
+            for ci, c in enumerate(components):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = c["blocks"][my * c["v"] + by][
+                            mx * c["h"] + bx
+                        ]
+                        diff = coeffs[0] - preds[ci]
+                        preds[ci] = coeffs[0]
+                        ctxs[ci] = _arith_encode_dc_diff(
+                            enc, dc_st, ctxs[ci], diff, dc_cond
+                        )
+                        _arith_encode_ac_block(
+                            enc, ac_st, fixed, coeffs, ac_cond
+                        )
+    out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 # -- JPEG encoder (tests/synthesis only, same policy as encode_png) ---------
@@ -1799,6 +2505,7 @@ def encode_jpeg_progressive(
 def encode_jpeg_gray_tiles(
     width: int, height: int, tile_values: list[list[int]],
     restart_interval: int = 0, progressive: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """Grayscale JPEG whose 8×8 blocks are CONSTANT tiles (value grid
     ``tile_values[by][bx]``) under an all-ones quant table — every tile
@@ -1812,6 +2519,10 @@ def encode_jpeg_gray_tiles(
     comps = [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}]
     if progressive:
         return encode_jpeg_progressive(width, height, comps)
+    if arithmetic:
+        return encode_jpeg_arith(
+            width, height, comps, restart_interval=restart_interval
+        )
     return encode_jpeg(width, height, comps, restart_interval=restart_interval)
 
 

@@ -33,9 +33,12 @@ parquet). What is REAL here and what is STUBBED:
   dimensions; surfaced by ``pipeline_facets``), BMP BI_BITFIELDS
   pixel decode, and LOSSLESS JPEG (SOF3 predictor coding, all 7
   predictors — ``decode_jpeg_pixels`` handles it transparently).
+- REAL as of round 8: arithmetic-coded sequential JPEG (SOF9 — the
+  T.81 Annex D QM-coder; ``decode_jpeg_pixels`` handles it
+  transparently).
 - STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
-  bitstreams) and arithmetic-coded JPEG. This container has no
-  media libraries, so those paths raise
+  bitstreams) and progressive arithmetic JPEG (SOF10). This container
+  has no media libraries, so those paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,
   in which case a DETERMINISTIC FAKE derives plausible features from
@@ -225,6 +228,11 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             # trailing CRC/IEND region is tolerable, data never is
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) < 13:
+                # a CORRUPTED length field can declare a short IHDR that
+                # passes the truncation check above yet still indexes
+                # out of range (r8 corruption-fuzz find)
+                raise ValueError("short PNG IHDR chunk")
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, interlace = data[8], data[9], data[12]

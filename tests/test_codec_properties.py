@@ -140,18 +140,19 @@ def test_wav_roundtrip_any_geometry(rate, n_channels, bits, n_frames, seed):
 @given(
     bx=st.integers(1, 4),
     by=st.integers(1, 4),
-    progressive=st.booleans(),
+    mode=st.sampled_from(["sequential", "progressive", "arithmetic"]),
     restart=st.integers(0, 3),
     seed=st.integers(0, 2**31),
 )
 @settings(**SETTINGS)
-def test_jpeg_constant_tiles_roundtrip_exact(bx, by, progressive, restart, seed):
+def test_jpeg_constant_tiles_roundtrip_exact(bx, by, mode, restart, seed):
     rng = random.Random(seed)
     tiles = [[rng.randrange(256) for _ in range(bx)] for _ in range(by)]
     b = encode_jpeg_gray_tiles(
         bx * 8, by * 8, tiles,
-        restart_interval=0 if progressive else restart,
-        progressive=progressive,
+        restart_interval=0 if mode == "progressive" else restart,
+        progressive=mode == "progressive",
+        arithmetic=mode == "arithmetic",
     )
     w, h, nch, samples = decode_jpeg_pixels(b)
     assert (w, h, nch) == (bx * 8, by * 8, 1)
@@ -199,6 +200,11 @@ def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
         ("gif", encode_gif(w, h, [idx]), decode_gif_pixels),
         ("jpeg", jpg, decode_jpeg_pixels),
         (
+            "jpeg-arith",
+            encode_jpeg_gray_tiles(8, 8, tiles, arithmetic=True),
+            decode_jpeg_pixels,
+        ),
+        (
             "jpeg-lossless",
             encode_jpeg_lossless(4, 4, [list(range(16))]),
             decode_jpeg_pixels,
@@ -238,6 +244,27 @@ def test_truncation_never_crashes_or_misreads(seed, cut_frac):
             f"{name} cut at {cut}/{len(payload)} returned a DIFFERENT "
             f"result than the full decode"
         )
+
+
+@given(seed=st.integers(0, 2**31), n_flips=st.integers(1, 6))
+@settings(**{**SETTINGS, "max_examples": 60})
+def test_byte_corruption_only_raises_valueerror(seed, n_flips):
+    """Flipping ANY bytes of a valid payload (not just truncating it)
+    must either decode or raise ValueError — never IndexError /
+    KeyError / ZeroDivisionError out of a parser's guts (r8 sweep
+    found five such sites: SOS/SOF/DHT bounds, sampling factors,
+    missing table refs, PNG IHDR under a corrupted length field).
+    Decompression-bomb dims are rejected by the 1M-pixel JPEG bound
+    rather than ground through."""
+    rng = random.Random(seed)
+    for name, payload, decoder in _sample_payloads(seed):
+        b = bytearray(payload)
+        for _ in range(n_flips):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decoder(bytes(b))
+        except ValueError:
+            pass
 
 
 def test_review_finds_truncation_regressions():

@@ -495,10 +495,11 @@ def test_jpeg_16bit_dqt_and_zigzag():
 def test_jpeg_rejects_unsupported_frames_and_bad_precision():
     b = bytearray(encode_jpeg_gray_tiles(8, 8, [[7]]))
     i = bytes(b).index(b"\xff\xc0")
-    # SOF3 lossless is REAL as of r6 (its own tests below); the still-
-    # unsupported processes (differential/arithmetic, SOF5..SOF7 etc.)
+    # SOF3 lossless is REAL as of r6, sequential arithmetic SOF9 as of
+    # r8 (their own tests elsewhere); the still-unsupported processes
+    # (differential, SOF5..SOF7, progressive arithmetic SOF10 etc.)
     # must keep raising
-    for m in (0xC5, 0xC7, 0xC9, 0xCB, 0xCF):
+    for m in (0xC5, 0xC7, 0xCA, 0xCB, 0xCF):
         b[i + 1] = m
         with pytest.raises(ValueError, match="frame type"):
             decode_jpeg_pixels(bytes(b))
@@ -508,6 +509,213 @@ def test_jpeg_rejects_unsupported_frames_and_bad_precision():
         decode_jpeg_pixels(bytes(b))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_pixels(b"\x00\x01")
+
+
+# ---------------------------------------------------------------------------
+# JPEG arithmetic coding — SOF9, T.81 Annex D/F (r8).
+#
+# No arithmetic-JPEG encoder exists in this sandbox (no cjpeg/PIL), so
+# unlike the Huffman modes these tests cannot decode an independently
+# generated fixture.  The compensating structure: (1) golden BYTES are
+# pinned literally (format freeze — a coder regression on either side
+# breaks it), (2) every decode is cross-checked against the *Huffman*
+# decode of the same coefficient blocks, so the arithmetic entropy
+# layer must reproduce bit-exact coefficients through a completely
+# disjoint code path, and (3) the QM-coder core is exercised directly
+# over random/biased decision streams including carry and stuffing.
+
+
+def test_qm_coder_random_roundtrip_with_carries_and_stuffing():
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    for trial in range(40):
+        rng = random.Random(trial)
+        n_ctx = rng.randrange(1, 8)
+        # extreme biases drive long renorm-free MPS runs → 0xFF bytes,
+        # stuffing, and carry propagation over stacked bytes
+        bias = rng.choice([0.5, 0.9, 0.999, 0.001, 1.0, 0.0])
+        bits = [
+            (rng.randrange(n_ctx), 1 if rng.random() < bias else 0)
+            for _ in range(rng.randrange(1, 4000))
+        ]
+        enc = _QMEncoder()
+        est = bytearray(n_ctx)
+        for c, d in bits:
+            enc.encode(est, c, d)
+        data = enc.flush() + b"\xff\xd9"
+        body = data[:-2]
+        for i in range(len(body) - 1):  # stuffing invariant
+            assert body[i] != 0xFF or body[i + 1] == 0x00
+        dec = _QMDecoder(data, 0)
+        dst = bytearray(n_ctx)
+        for j, (c, d) in enumerate(bits):
+            assert dec.decode(dst, c) == d, f"trial {trial}, bit {j}"
+
+
+def test_jpeg_arith_golden_pinned_bytes():
+    """The exact SOF9 stream for a 2-tile gray image, pinned byte for
+    byte: DQT(all-1) + SOF9 + DAC(default L=0/U=1/Kx=5) + SOS + QM
+    entropy data.  Freezes marker layout AND coder output."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith,
+    )
+
+    golden = (
+        b"\xff\xd8\xff\xdb\x00C\x00" + b"\x01" * 64
+        + b"\xff\xc9\x00\x0b\x08\x00\x08\x00\x10\x01\x01\x11\x00"
+        + b"\xff\xcc\x00\x06\x00\x10\x10\x05"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00?\x00"
+        + b"\xff\x00\xe8c\x89f"
+        + b"\xff\xd9"
+    )
+    blocks = [[[8 * (100 - 128)] + [0] * 63, [8 * (200 - 128)] + [0] * 63]]
+    got = encode_jpeg_arith(
+        16, 8,
+        [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}],
+    )
+    assert got == golden
+    w, h, nch, s = decode_jpeg_pixels(golden)
+    assert (w, h, nch) == (16, 8, 1)
+    assert s[0] == 100 and s[8] == 200
+    # the entropy payload starts with a stuffed 0xFF: the decoder's
+    # stuffing strip is on the golden path, not just the fuzz path
+    assert b"\xff\x00" in golden[:-2]
+
+
+def test_jpeg_arith_constant_tiles_roundtrip_exact():
+    tiles = [[10, 128, 250], [90, 180, 0]]
+    b = encode_jpeg_gray_tiles(24, 16, tiles, arithmetic=True)
+    w, h, nch, s = decode_jpeg_pixels(b)
+    assert (w, h, nch) == (24, 16, 1)
+    for y in range(16):
+        for x in range(24):
+            assert s[y * 24 + x] == tiles[y // 8][x // 8]
+
+
+def test_jpeg_arith_matches_huffman_decode_random_blocks():
+    """The arithmetic and Huffman entropy layers must reconstruct
+    IDENTICAL coefficients from the same block grids — cross-codec
+    equality through two disjoint decode paths."""
+    import copy
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith,
+    )
+
+    rng = random.Random(7)
+    for trial in range(8):
+        bx, by = rng.randint(1, 3), rng.randint(1, 3)
+        blocks = []
+        for _ in range(by):
+            row = []
+            for _ in range(bx):
+                c = [0] * 64
+                c[0] = rng.randint(-1000, 1000)
+                for _ in range(rng.randint(0, 20)):
+                    c[rng.randrange(1, 64)] = rng.randint(-255, 255)
+                row.append(c)
+            blocks.append(row)
+        comp = [{
+            "id": 1, "h": 1, "v": 1,
+            "qtable": [rng.randint(1, 16)] * 64, "blocks": blocks,
+        }]
+        hb = encode_jpeg(bx * 8, by * 8, copy.deepcopy(comp))
+        ab = encode_jpeg_arith(
+            bx * 8, by * 8, copy.deepcopy(comp),
+            restart_interval=rng.choice([0, 0, 1, 2]),
+        )
+        assert decode_jpeg_pixels(hb) == decode_jpeg_pixels(ab), trial
+
+
+def test_jpeg_arith_color_subsampled_matches_huffman():
+    """4:2:0 color + restart markers through the arithmetic path equals
+    the Huffman decode (restarts reset QM state, statistics, DC
+    predictors and contexts — F.1.4.2)."""
+    import copy
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith,
+    )
+
+    rng = random.Random(99)
+
+    def mkblocks(bw, bh):
+        out = []
+        for _ in range(bh):
+            row = []
+            for _ in range(bw):
+                c = [0] * 64
+                c[0] = rng.randint(-800, 800)
+                for _ in range(8):
+                    c[rng.randrange(1, 64)] = rng.randint(-120, 120)
+                row.append(c)
+            out.append(row)
+        return out
+
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "qtable": [2] * 64, "blocks": mkblocks(4, 4)},
+        {"id": 2, "h": 1, "v": 1, "qtable": [3] * 64, "blocks": mkblocks(2, 2)},
+        {"id": 3, "h": 1, "v": 1, "qtable": [3] * 64, "blocks": mkblocks(2, 2)},
+    ]
+    hb = encode_jpeg(32, 32, copy.deepcopy(comps))
+    ab = encode_jpeg_arith(32, 32, copy.deepcopy(comps), restart_interval=1)
+    assert decode_jpeg_pixels(hb) == decode_jpeg_pixels(ab)
+
+
+def test_jpeg_arith_dac_conditioning_variants():
+    """Non-default DAC conditioning (L/U bounds widen the DC context
+    classes, Kx moves the AC low/high-spectrum split) must change the
+    STREAM but not the decode."""
+    import copy
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith,
+    )
+
+    blocks = [
+        [[(-1) ** i * 900 + 50 * i] + [0] * 62 + [30] for i in range(4)]
+        for _ in range(2)
+    ]
+
+    def fresh():
+        return [{
+            "id": 1, "h": 1, "v": 1, "qtable": [1] * 64,
+            "blocks": copy.deepcopy(blocks),
+        }]
+
+    ref = decode_jpeg_pixels(encode_jpeg(32, 16, fresh()))
+    streams = set()
+    for dc_cond, ac_cond in [((0, 1), 5), ((1, 3), 1), ((2, 8), 63), ((0, 15), 31)]:
+        ab = encode_jpeg_arith(
+            32, 16, fresh(), dc_cond=dc_cond, ac_cond=ac_cond
+        )
+        streams.add(ab)
+        assert decode_jpeg_pixels(ab) == ref, (dc_cond, ac_cond)
+    assert len(streams) == 4  # conditioning genuinely reaches the coder
+
+
+def test_jpeg_arith_magnitudes_beyond_huffman_ceiling():
+    """SOF9 has no 11-bit category ceiling: coefficients far past the
+    Huffman DC/AC limits must round-trip (magnitude decision chains +
+    the 0x8000 overflow guard beneath them)."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith,
+    )
+
+    big = [[[5000] + [0] * 62 + [3000]]]
+    b = encode_jpeg_arith(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": big}]
+    )
+    w, h, nch, s = decode_jpeg_pixels(b)
+    assert (w, h, nch) == (8, 8, 1)
+    assert all(0 <= v <= 255 for v in s)  # clamped, not corrupted
 
 
 # ---------------------------------------------------------------------------
