@@ -42,14 +42,15 @@ disposal-aware compositor is provided (``composite_gif_frames``, r5:
 none/keep/restore-background/restore-previous semantics over the
 per-frame outputs).
 
-- **JPEG arithmetic** (r8): extended sequential SOF9 — the T.81
-  Annex D QM-coder (Table D.3 estimator, carry/stuffing byteout) with
-  the Annex F.1.4 DC/AC conditioning models and DAC parsing. Public
-  spec: ITU-T T.81 Annex D/F.
+- **JPEG arithmetic** (r8): extended sequential SOF9 AND progressive
+  SOF10 — the T.81 Annex D QM-coder (Table D.3 estimator,
+  carry/stuffing byteout) with the Annex F.1.4 DC/AC conditioning
+  models, the G.1.3 progressive decision classes (DC refine fixed-bin,
+  AC first/refine with EOBx), and DAC parsing. Public spec: ITU-T T.81
+  Annex D/F/G.
 
-Remaining honest stubs: coded SAMPLE decode for MP4-class containers
-(H.264/AAC bitstreams — the container metadata is real, above), and
-progressive arithmetic JPEG (SOF10; sequential SOF9 is real, above).
+Remaining honest stub: coded SAMPLE decode for MP4-class containers
+(H.264/AAC bitstreams — the container metadata is real, above).
 
 Every decoder has a matching encoder used ONLY by tests/synthesis, and
 the test suite pins decoders against hand-computed known bytes so an
@@ -857,15 +858,19 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (width, height, [(cid, h, v, tq)])
     i = 2
-    while i + 4 <= len(b):
+    saw_eoi = False
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         if seg_len < 2 or i + 2 + seg_len > len(b):
             # a declared segment overrunning the buffer must reject as
@@ -926,9 +931,9 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                     if not (1 <= val <= 63):
                         raise ValueError(f"bad DAC AC conditioning Kx={val}")
                     ac_cond[tb] = val
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r6),
-            # SOF9 extended sequential arithmetic (r8)
+            # SOF9/SOF10 sequential/progressive arithmetic (r8)
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             precision = seg[0]
@@ -983,14 +988,15 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 }
             else:
                 frame = _new_jpeg_state(
-                    width, height, comps, progressive=(marker == 0xC2)
+                    width, height, comps,
+                    progressive=marker in (0xC2, 0xCA),
                 )
-                frame["arith"] = marker == 0xC9
+                frame["arith"] = marker in (0xC9, 0xCA)
         elif 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise ValueError(
                 f"unsupported JPEG frame type 0xff{marker:02x} "
-                "(sequential SOF0/SOF1/SOF9, progressive SOF2 and "
-                "lossless SOF3 only)"
+                "(sequential SOF0/SOF1/SOF9, progressive SOF2/SOF10 "
+                "and lossless SOF3 only)"
             )
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
@@ -1014,15 +1020,22 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                     ss, ahal & 0x0F, huff_dc, restart_interval,
                 )
             elif frame.get("arith"):
-                if (ss, se, ahal) != (0, 63, 0):
-                    raise ValueError(
-                        "arithmetic JPEG scan must be full-band "
-                        "sequential (Ss=0 Se=63 Ah=Al=0)"
+                if frame["progressive"]:
+                    i = _decode_jpeg_arith_prog_scan(
+                        b, i + 2 + seg_len, frame, scan_comps,
+                        (ss, se, ahal >> 4, ahal & 0x0F),
+                        dc_cond, ac_cond, restart_interval,
                     )
-                i = _decode_jpeg_arith_scan(
-                    b, i + 2 + seg_len, frame, scan_comps,
-                    dc_cond, ac_cond, restart_interval,
-                )
+                else:
+                    if (ss, se, ahal) != (0, 63, 0):
+                        raise ValueError(
+                            "arithmetic sequential JPEG scan must be "
+                            "full-band (Ss=0 Se=63 Ah=Al=0)"
+                        )
+                    i = _decode_jpeg_arith_scan(
+                        b, i + 2 + seg_len, frame, scan_comps,
+                        dc_cond, ac_cond, restart_interval,
+                    )
             else:
                 i = _decode_jpeg_scan(
                     b, i + 2 + seg_len, frame, scan_comps,
@@ -1034,6 +1047,12 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         i += 2 + seg_len
     if frame is None or not frame["scanned"]:
         raise ValueError("JPEG has no scan data")
+    if not saw_eoi:
+        # a cut landing exactly on a scan boundary would otherwise
+        # render a silently PARTIAL multi-scan (progressive) image —
+        # the r8 exhaustive truncation sweep's find; requiring the EOI
+        # marker turns every such prefix into a clean reject
+        raise ValueError("truncated JPEG (no EOI marker)")
     if frame.get("lossless"):
         return _finish_jpeg_lossless(frame)
     return _finish_jpeg(frame, qtables)
@@ -1892,6 +1911,187 @@ def _decode_jpeg_arith_scan(
     return _next_marker(b, min(end, len(b)))
 
 
+def _arith_ac_first_block(dec, st, fixed, block, ss, se, al, kx) -> None:
+    """Decode one block of a progressive-arithmetic AC FIRST scan
+    (G.1.3.2): the sequential AC model band-limited to Ss..Se, values
+    point-transformed up by Al."""
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if dec.decode(st, i):
+            return  # EOB
+        while dec.decode(st, i + 1) == 0:
+            i += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC run overflow")
+        sign = dec.decode(fixed, 0)
+        i += 2
+        m = dec.decode(st, i)
+        if m and dec.decode(st, i):
+            m = 2
+            i = 189 if k <= kx else 217
+            while dec.decode(st, i):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("JPEG arithmetic AC magnitude overflow")
+                i += 1
+        v = m
+        i += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, i):
+                v |= m
+        v += 1
+        block[_ZIGZAG[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine_block(dec, st, fixed, block, ss, se, al) -> None:
+    """Decode one block of a progressive-arithmetic AC REFINEMENT scan
+    (G.1.3.3): per coefficient, a correction bit (context SC = EOB+2)
+    for history-nonzero positions, a newly-significant flag (+ fixed-bin
+    sign) otherwise; the EOB decision is coded only past EOBx, the last
+    position significant from PRIOR scans."""
+    p1 = 1 << al
+    kex = ss - 1
+    for k in range(se, ss - 1, -1):
+        if block[_ZIGZAG[k]] != 0:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if k > kex and dec.decode(st, i):
+            return  # EOB
+        while True:
+            z = _ZIGZAG[k]
+            v = block[z]
+            if v:
+                if dec.decode(st, i + 2):
+                    block[z] = v + (p1 if v > 0 else -p1)
+                break
+            if dec.decode(st, i + 1):
+                block[z] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            i += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refinement overflow")
+        k += 1
+
+
+def _decode_jpeg_arith_prog_scan(
+    b: bytes,
+    pos: int,
+    state: dict,
+    scan_comps: list,
+    band: tuple,
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one SOF10 (progressive, arithmetic) scan into the
+    coefficient store; returns the position of the next marker.  Scan
+    taxonomy matches the Huffman progressive path (T.81 G.1.1): DC
+    first / DC refine (one fixed-bin decision per block) over the MCU
+    or non-interleaved grid, AC first / AC refine single-component.
+    Restart markers reinitialize coder, statistics, DC predictors and
+    contexts."""
+    ss, se, ah, al = band
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"bad JPEG spectral band Ss={ss} Se={se}")
+    comps_by_id = {c["cid"]: c for c in state["comps"]}
+    for cid, _td, _ta in scan_comps:
+        if cid not in comps_by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+    state["scanned"] = True
+    dec = _QMDecoder(b, pos)
+    fixed = bytearray([113])
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        dc_stats: dict[int, bytearray] = {}
+        last_dc = {cid: 0 for cid, _, _ in scan_comps}
+        dc_ctx = {cid: 0 for cid, _, _ in scan_comps}
+
+        def handle_dc(cid: int, td: int, block: list) -> None:
+            if ah == 0:
+                st = dc_stats.setdefault(td, bytearray(64))
+                diff, dc_ctx[cid] = _arith_dc_diff(
+                    dec, st, dc_ctx[cid], dc_cond.get(td, _ARITH_DC_COND)
+                )
+                last_dc[cid] += diff
+                block[0] = last_dc[cid] << al
+            elif dec.decode(fixed, 0):
+                block[0] |= 1 << al
+
+        def reset_dc() -> None:
+            nonlocal dec
+            dec = _QMDecoder(b, _skip_rst(b, dec))
+            for arr in dc_stats.values():
+                arr[:] = bytes(len(arr))
+            fixed[0] = 113
+            for cid in last_dc:
+                last_dc[cid] = 0
+                dc_ctx[cid] = 0
+
+        unit = 0
+        if len(scan_comps) > 1:  # interleaved DC scan, MCU order
+            for my in range(state["mcus_y"]):
+                for mx in range(state["mcus_x"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reset_dc()
+                    unit += 1
+                    for cid, td, _ta in scan_comps:
+                        comp = comps_by_id[cid]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                handle_dc(
+                                    cid, td,
+                                    comp["store"][
+                                        (my * comp["v"] + by)
+                                        * comp["blocks_w"]
+                                        + mx * comp["h"] + bx
+                                    ],
+                                )
+        else:
+            cid, td, _ta = scan_comps[0]
+            comp = comps_by_id[cid]
+            for by in range(comp["ni_h"]):
+                for bx in range(comp["ni_w"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reset_dc()
+                    unit += 1
+                    handle_dc(cid, td, comp["store"][by * comp["blocks_w"] + bx])
+        end = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        return _next_marker(b, min(end, len(b)))
+
+    # AC scan: always a single component (T.81 G.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scan_comps[0]
+    comp = comps_by_id[cid]
+    kx = ac_cond.get(ta, _ARITH_AC_COND)
+    st = bytearray(256)
+    unit = 0
+    for by in range(comp["ni_h"]):
+        for bx in range(comp["ni_w"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                dec = _QMDecoder(b, _skip_rst(b, dec))
+                st[:] = bytes(256)
+                fixed[0] = 113
+            unit += 1
+            block = comp["store"][by * comp["blocks_w"] + bx]
+            if ah == 0:
+                _arith_ac_first_block(dec, st, fixed, block, ss, se, al, kx)
+            else:
+                _arith_ac_refine_block(dec, st, fixed, block, ss, se, al)
+    end = dec.marker_pos if dec.marker_pos is not None else dec.bp
+    return _next_marker(b, min(end, len(b)))
+
+
 def _skip_rst(b: bytes, dec: _QMDecoder) -> int:
     """Position just past the RSTn marker terminating the current
     restart interval (the QM decoder stops AT markers, never consumes
@@ -2091,6 +2291,217 @@ def encode_jpeg_arith(
                             enc, ac_st, fixed, coeffs, ac_cond
                         )
     out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _arith_encode_ac_first_block(enc, st, fixed, coeffs, ss, se, al, kx):
+    """Encoder mirror of :func:`_arith_ac_first_block` (toward-zero
+    point transform, G.1.2.2)."""
+    zz = {}
+    ke = ss - 1
+    for k in range(ss, se + 1):
+        v = coeffs[_ZIGZAG[k]]
+        t = abs(v) >> al
+        zz[k] = t if v >= 0 else -t
+        if zz[k]:
+            ke = k
+    k = ss
+    while k <= ke:
+        i = 3 * (k - 1)
+        enc.encode(st, i, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(st, i + 1, 0)
+            i += 3
+            k += 1
+        enc.encode(st, i + 1, 1)
+        v = zz[k]
+        sign = 0 if v > 0 else 1
+        enc.encode(fixed, 0, sign)
+        v = abs(v)
+        i += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, i, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                v2 >>= 1
+                enc.encode(st, i, 1)
+                m = 2
+                i = 189 if k <= kx else 217
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(st, i, 1)
+                    m <<= 1
+                    i += 1
+        enc.encode(st, i, 0)
+        i += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(st, i, 1 if (m & v) else 0)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_encode_ac_refine_block(enc, st, fixed, coeffs, ss, se, al):
+    """Encoder mirror of :func:`_arith_ac_refine_block`."""
+
+    def t_at(k):
+        return abs(coeffs[_ZIGZAG[k]]) >> al
+
+    def prior(k):
+        return abs(coeffs[_ZIGZAG[k]]) >> (al + 1)
+
+    ke = kex = ss - 1
+    for k in range(ss, se + 1):
+        if t_at(k):
+            ke = k
+        if prior(k):
+            kex = k
+    k = ss
+    while k <= ke:
+        i = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, i, 0)  # not EOB yet
+        while True:
+            t = t_at(k)
+            if prior(k):  # history-nonzero: one correction bit
+                enc.encode(st, i + 2, t & 1)
+                break
+            if t:  # newly significant (t == 1) + fixed-bin sign
+                enc.encode(st, i + 1, 1)
+                enc.encode(fixed, 0, 0 if coeffs[_ZIGZAG[k]] > 0 else 1)
+                break
+            enc.encode(st, i + 1, 0)
+            i += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB for the remainder
+
+
+def encode_jpeg_arith_progressive(
+    width: int,
+    height: int,
+    components: list[dict],
+    dc_cond: tuple[int, int] = _ARITH_DC_COND,
+    ac_cond: int = _ARITH_AC_COND,
+) -> bytes:
+    """A spec-valid SOF10 (progressive, arithmetic-coded) JPEG from the
+    same pre-quantized block grids (tests/synthesis encoder).  Scan
+    plan mirrors :func:`encode_jpeg_progressive`: interleaved DC first
+    at Al=1, DC refinement to Al=0, then per component an AC first
+    scan of band 1..63 at Al=1 and its refinement to Al=0 — exercising
+    every progressive-arithmetic decision class (G.1.2/G.1.3)."""
+    max_h = max(c["h"] for c in components)
+    max_v = max(c["v"] for c in components)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    for c in components:
+        if len(c["blocks"]) != mcus_y * c["v"] or any(
+            len(row) != mcus_x * c["h"] for row in c["blocks"]
+        ):
+            raise ValueError("component block grid does not match MCU grid")
+        comp_w = (width * c["h"] + max_h - 1) // max_h
+        comp_h = (height * c["v"] + max_v - 1) // max_v
+        c["_ni_w"], c["_ni_h"] = (comp_w + 7) // 8, (comp_h + 7) // 8
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for ti, c in enumerate(components):
+        c["_tq"] = ti if ti < 2 else 1
+        if ti >= 2 and c["qtable"] != components[1]["qtable"]:
+            raise ValueError(
+                "component 3+ reuses quant slot 1: its qtable must equal "
+                "component 2's (this encoder emits at most two DQTs)"
+            )
+    emitted = set()
+    for c in components:
+        tq = c["_tq"]
+        if tq in emitted:
+            continue
+        emitted.add(tq)
+        seg(0xDB, bytes([tq]) + bytes(c["qtable"][_ZIGZAG[k]] for k in range(64)))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(len(components))
+    for c in components:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["_tq"]])
+    seg(0xCA, bytes(sof))
+    low, up = dc_cond
+    seg(0xCC, bytes([0x00, (up << 4) | low, 0x10, ac_cond]))
+
+    def sos(scan_comps: list[dict], ss: int, se: int, ah: int, al: int) -> None:
+        hdr = bytearray([len(scan_comps)])
+        for c in scan_comps:
+            hdr += bytes([c["id"], 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(hdr))
+
+    # scan 1: interleaved DC first, Al=1 (diffs in the shifted domain)
+    sos(components, 0, 0, 0, 1)
+    enc = _QMEncoder()
+    dc_st = bytearray(64)
+    fixed = bytearray([113])
+    preds = [0] * len(components)
+    ctxs = [0] * len(components)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(components):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = c["blocks"][my * c["v"] + by][mx * c["h"] + bx][0] >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        ctxs[ci] = _arith_encode_dc_diff(
+                            enc, dc_st, ctxs[ci], diff, dc_cond
+                        )
+    out.extend(enc.flush())
+
+    # scan 2: DC refinement to Al=0 — one fixed-bin decision per block
+    sos(components, 0, 0, 1, 0)
+    enc = _QMEncoder()
+    fixed = bytearray([113])
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in components:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = c["blocks"][my * c["v"] + by][mx * c["h"] + bx][0]
+                        enc.encode(fixed, 0, dc & 1)
+    out.extend(enc.flush())
+
+    # per component: AC first (band 1..63, Al=1) then its refinement
+    for c in components:
+        sos([c], 1, 63, 0, 1)
+        enc = _QMEncoder()
+        ac_st = bytearray(256)
+        fixed = bytearray([113])
+        for by in range(c["_ni_h"]):
+            for bx in range(c["_ni_w"]):
+                _arith_encode_ac_first_block(
+                    enc, ac_st, fixed, c["blocks"][by][bx], 1, 63, 1, ac_cond
+                )
+        out.extend(enc.flush())
+
+        sos([c], 1, 63, 1, 0)
+        enc = _QMEncoder()
+        ac_st = bytearray(256)
+        fixed = bytearray([113])
+        for by in range(c["_ni_h"]):
+            for bx in range(c["_ni_w"]):
+                _arith_encode_ac_refine_block(
+                    enc, ac_st, fixed, c["blocks"][by][bx], 1, 63, 0
+                )
+        out.extend(enc.flush())
+
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -2517,6 +2928,8 @@ def encode_jpeg_gray_tiles(
         [[8 * (v - 128)] + [0] * 63 for v in row] for row in tile_values
     ]
     comps = [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}]
+    if progressive and arithmetic:
+        return encode_jpeg_arith_progressive(width, height, comps)
     if progressive:
         return encode_jpeg_progressive(width, height, comps)
     if arithmetic:

@@ -33,11 +33,11 @@ parquet). What is REAL here and what is STUBBED:
   dimensions; surfaced by ``pipeline_facets``), BMP BI_BITFIELDS
   pixel decode, and LOSSLESS JPEG (SOF3 predictor coding, all 7
   predictors — ``decode_jpeg_pixels`` handles it transparently).
-- REAL as of round 8: arithmetic-coded sequential JPEG (SOF9 — the
-  T.81 Annex D QM-coder; ``decode_jpeg_pixels`` handles it
-  transparently).
+- REAL as of round 8: arithmetic-coded JPEG, sequential AND
+  progressive (SOF9/SOF10 — the T.81 Annex D QM-coder;
+  ``decode_jpeg_pixels`` handles both transparently).
 - STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
-  bitstreams) and progressive arithmetic JPEG (SOF10). This container
+  bitstreams). This container
   has no media libraries, so those paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,

@@ -140,7 +140,9 @@ def test_wav_roundtrip_any_geometry(rate, n_channels, bits, n_frames, seed):
 @given(
     bx=st.integers(1, 4),
     by=st.integers(1, 4),
-    mode=st.sampled_from(["sequential", "progressive", "arithmetic"]),
+    mode=st.sampled_from(
+        ["sequential", "progressive", "arithmetic", "arith-progressive"]
+    ),
     restart=st.integers(0, 3),
     seed=st.integers(0, 2**31),
 )
@@ -150,9 +152,9 @@ def test_jpeg_constant_tiles_roundtrip_exact(bx, by, mode, restart, seed):
     tiles = [[rng.randrange(256) for _ in range(bx)] for _ in range(by)]
     b = encode_jpeg_gray_tiles(
         bx * 8, by * 8, tiles,
-        restart_interval=0 if mode == "progressive" else restart,
-        progressive=mode == "progressive",
-        arithmetic=mode == "arithmetic",
+        restart_interval=restart if mode in ("sequential", "arithmetic") else 0,
+        progressive="progressive" in mode,
+        arithmetic="arith" in mode,
     )
     w, h, nch, samples = decode_jpeg_pixels(b)
     assert (w, h, nch) == (bx * 8, by * 8, 1)
@@ -202,6 +204,11 @@ def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
         (
             "jpeg-arith",
             encode_jpeg_gray_tiles(8, 8, tiles, arithmetic=True),
+            decode_jpeg_pixels,
+        ),
+        (
+            "jpeg-arith-prog",
+            encode_jpeg_gray_tiles(8, 8, tiles, arithmetic=True, progressive=True),
             decode_jpeg_pixels,
         ),
         (

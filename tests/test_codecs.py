@@ -495,11 +495,11 @@ def test_jpeg_16bit_dqt_and_zigzag():
 def test_jpeg_rejects_unsupported_frames_and_bad_precision():
     b = bytearray(encode_jpeg_gray_tiles(8, 8, [[7]]))
     i = bytes(b).index(b"\xff\xc0")
-    # SOF3 lossless is REAL as of r6, sequential arithmetic SOF9 as of
-    # r8 (their own tests elsewhere); the still-unsupported processes
-    # (differential, SOF5..SOF7, progressive arithmetic SOF10 etc.)
-    # must keep raising
-    for m in (0xC5, 0xC7, 0xCA, 0xCB, 0xCF):
+    # SOF3 lossless is REAL as of r6, arithmetic SOF9/SOF10 as of r8
+    # (their own tests elsewhere); the still-unsupported processes
+    # (differential SOF5..SOF7/SOF13..SOF15, SOF11 etc.) must keep
+    # raising
+    for m in (0xC5, 0xC7, 0xCB, 0xCD, 0xCF):
         b[i + 1] = m
         with pytest.raises(ValueError, match="frame type"):
             decode_jpeg_pixels(bytes(b))
@@ -699,6 +699,96 @@ def test_jpeg_arith_dac_conditioning_variants():
         streams.add(ab)
         assert decode_jpeg_pixels(ab) == ref, (dc_cond, ac_cond)
     assert len(streams) == 4  # conditioning genuinely reaches the coder
+
+
+def test_jpeg_arith_progressive_golden_pinned_bytes():
+    """The exact SOF10 stream for a 2-tile image (one AC coefficient so
+    the AC-first/refine scans carry real content), pinned byte for
+    byte: 4 scans — DC first Al=1, DC refine, AC first band 1..63
+    Al=1, AC refine."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith_progressive,
+    )
+
+    golden = (
+        b"\xff\xd8\xff\xdb\x00C\x00" + b"\x01" * 64
+        + b"\xff\xca\x00\x0b\x08\x00\x08\x00\x10\x01\x01\x11\x00"
+        + b"\xff\xcc\x00\x06\x00\x10\x10\x05"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x01"
+        + b"\xff\x00\xd0!P\x90"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x10"
+        + b"\x80"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x01?\x01"
+        + b"K\xc6\x00\x00\x00\x00\x00\x02\x10"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x01?\x10"
+        + b"K\xc6\x00\x00\x00\x00\x00\x05"
+        + b"\xff\xd9"
+    )
+    blocks = [[[8 * (100 - 128)] + [0] * 62 + [5],
+               [8 * (200 - 128)] + [0] * 63]]
+    got = encode_jpeg_arith_progressive(
+        16, 8,
+        [{"id": 1, "h": 1, "v": 1, "qtable": [1] * 64, "blocks": blocks}],
+    )
+    assert got == golden
+    w, h, nch, s = decode_jpeg_pixels(golden)
+    assert (w, h, nch) == (16, 8, 1)
+    assert s[8] == 200  # right tile is flat; left carries the AC ripple
+
+
+def test_jpeg_arith_progressive_matches_huffman_decode():
+    """SOF10's four-scan reassembly must reconstruct bit-exact
+    coefficients: decode equality vs the single-scan Huffman baseline
+    of the same blocks, gray and 4:2:0 color."""
+    import copy
+    import random
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = random.Random(42)
+    for trial in range(6):
+        bx, by = rng.randint(1, 3), rng.randint(1, 3)
+        blocks = []
+        for _ in range(by):
+            row = []
+            for _ in range(bx):
+                c = [0] * 64
+                c[0] = rng.randint(-900, 900)
+                for _ in range(rng.randint(0, 25)):
+                    c[rng.randrange(1, 64)] = rng.randint(-200, 200)
+                row.append(c)
+            blocks.append(row)
+        comp = [{
+            "id": 1, "h": 1, "v": 1,
+            "qtable": [rng.randint(1, 8)] * 64, "blocks": blocks,
+        }]
+        hb = encode_jpeg(bx * 8, by * 8, copy.deepcopy(comp))
+        ab = encode_jpeg_arith_progressive(bx * 8, by * 8, copy.deepcopy(comp))
+        assert decode_jpeg_pixels(hb) == decode_jpeg_pixels(ab), trial
+
+    def mkblocks(bw, bh):
+        out = []
+        for _ in range(bh):
+            row = []
+            for _ in range(bw):
+                c = [0] * 64
+                c[0] = rng.randint(-800, 800)
+                for _ in range(8):
+                    c[rng.randrange(1, 64)] = rng.randint(-120, 120)
+                row.append(c)
+            out.append(row)
+        return out
+
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "qtable": [2] * 64, "blocks": mkblocks(4, 4)},
+        {"id": 2, "h": 1, "v": 1, "qtable": [3] * 64, "blocks": mkblocks(2, 2)},
+        {"id": 3, "h": 1, "v": 1, "qtable": [3] * 64, "blocks": mkblocks(2, 2)},
+    ]
+    hb = encode_jpeg(32, 32, copy.deepcopy(comps))
+    ab = encode_jpeg_arith_progressive(32, 32, copy.deepcopy(comps))
+    assert decode_jpeg_pixels(hb) == decode_jpeg_pixels(ab)
 
 
 def test_jpeg_arith_magnitudes_beyond_huffman_ceiling():
