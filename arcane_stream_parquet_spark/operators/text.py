@@ -154,3 +154,75 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
     out = df.select("*", *[scores[lang].cast("bigint").alias(f"langscore_{lang}") for lang in LANG_PRECEDENCE])
     return out.withColumn("lang_pred", pred)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — the
+    standard pre-training curation signals the reference's users would
+    compute downstream): per document, the duplicate-line fraction,
+    the fraction of CHARACTERS sitting in duplicated lines, line-length
+    extremes, and the most-frequent-word-bigram fraction.
+
+    Everything is a row-local projection over array higher-order
+    functions — no shuffle, no UDF; the per-row cost is O(L²)/O(B²) in
+    the line/bigram counts, fine for document-sized rows and a free
+    rider on any full scan at 100 TB.  Ratios are left as raw IEEE
+    quotients for the micro-unit flooring at the query boundary."""
+    col = F.col(text_col)
+    lines = F.filter(
+        F.split(col, "\n"), lambda ln: F.length(ln) > F.lit(0)
+    )
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        F.transform(lines, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # chars inside lines that occur more than once (count × length)
+    dup_chars = F.aggregate(
+        F.transform(
+            dlines,
+            lambda ln: F.when(
+                F.size(F.filter(lines, lambda x: x == ln)) > 1,
+                F.size(F.filter(lines, lambda x: x == ln)) * F.length(ln),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    toks = tokens_column(text_col)
+    n_toks = F.size(toks)
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    out = df.select(
+        "*",
+        F.size(lines).cast("bigint").alias("rep_n_lines"),
+        F.size(dlines).cast("bigint").alias("rep_n_distinct_lines"),
+        (
+            F.lit(1.0)
+            - _ratio(F.size(dlines).cast("double"), F.size(lines))
+        ).alias("rep_dup_line_frac"),
+        _ratio(dup_chars.cast("double"), line_chars).alias(
+            "rep_dup_line_char_frac"
+        ),
+        F.coalesce(
+            F.array_max(F.transform(lines, F.length)), F.lit(0)
+        ).cast("bigint").alias("rep_max_line_len"),
+        _ratio(top_bigram.cast("double"), F.size(bigrams)).alias(
+            "rep_top_bigram_frac"
+        ),
+    )
+    return out

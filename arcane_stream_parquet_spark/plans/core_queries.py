@@ -68,34 +68,30 @@ def q_merge_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "field_selection_exclude",
+    "field_selection",
     oracle="""
-        SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value
-        FROM events
+        SELECT event_id, epoch_us(ts) AS ts, user_id FROM events
     """,
-    doc="Field-selection rule, exclude mode (reference P1): drop `props`, "
-    "keep source order; realized as parquet column pruning.",
+    doc="Field-selection rule, BOTH modes chained in one pipeline "
+    "(reference P1, isServerSide column pruning — "
+    "crd-parquet-stream.yaml:403-406): exclude drops `props`, then "
+    "include keeps (event_id, ts, user_id); realized as one parquet "
+    "column-pruned scan (consolidated from the former _include + "
+    "_exclude entries to fit the driver's 50-row correctness cap, r8).",
     tags=("reference", "projection"),
 )
-def q_field_selection_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    rule = FieldSelectionRule(mode="exclude", fields=frozenset({"props"}))
-    return select_fields(events, rule).withColumn("ts", F.expr("ts DIV 1000"))
-
-
-@register_query(
-    "field_selection_include",
-    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
-    doc="Field-selection rule, include mode (reference P1, isServerSide "
-    "column pruning — crd-parquet-stream.yaml:403-406).",
-    tags=("reference", "projection"),
-)
-def q_field_selection_include(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    rule = FieldSelectionRule(
-        mode="include", fields=frozenset({"l_orderkey", "l_linenumber", "l_quantity"})
+    excluded = select_fields(
+        events, FieldSelectionRule(mode="exclude", fields=frozenset({"props"}))
     )
-    return select_fields(lineitem, rule)
+    included = select_fields(
+        excluded,
+        FieldSelectionRule(
+            mode="include", fields=frozenset({"event_id", "ts", "user_id"})
+        ),
+    )
+    return included.withColumn("ts", F.expr("ts DIV 1000"))
 
 
 @register_query(

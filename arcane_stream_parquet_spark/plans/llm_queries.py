@@ -41,6 +41,10 @@ from arcane_stream_parquet_spark.operators.simhash import (
     SIMHASH_CHUNKS,
     simhash_near_duplicates,
 )
+from arcane_stream_parquet_spark.operators.packing import (
+    PACK_WINDOW,
+    sequence_packing,
+)
 from arcane_stream_parquet_spark.operators.text import (
     LANG_MARKERS,
     LANG_PRECEDENCE,
@@ -48,6 +52,7 @@ from arcane_stream_parquet_spark.operators.text import (
     BPE_TOKEN_RE,
     language_id,
     quality_score,
+    repetition_signals,
     text_stats,
 )
 from arcane_stream_parquet_spark.plans.registry import register_query
@@ -59,6 +64,13 @@ from arcane_stream_parquet_spark.sources.tables import load_table
 
 # tokens: lower → trim → split on whitespace runs → drop empties
 _TOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"
+# non-empty lines / word bigrams (repetition signals, r8)
+_LINES = r"list_filter(string_split(text, chr(10)), l -> length(l) > 0)"
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) "
+    "ELSE [] END"
+)
 
 
 def _micro(expr: str) -> str:
@@ -217,8 +229,32 @@ _QUALITY_SCORE_SQL = (
                    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
                    length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS n_digit
             FROM documents
+        ),
+        rep_mid AS (
+            SELECT doc_id, lines, list_distinct(lines) AS dlines, bg
+            FROM (
+                SELECT doc_id, {_LINES} AS lines, {_BIGRAMS} AS bg
+                FROM base
+            )
+        ),
+        rep AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(dlines) AS n_distinct_lines,
+                   coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+                       AS line_chars,
+                   coalesce(list_sum(list_transform(dlines, l ->
+                       CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                            THEN len(list_filter(lines, x -> x = l)) * length(l)
+                            ELSE 0 END)), 0) AS dup_chars,
+                   coalesce(list_max(list_transform(lines, l -> length(l))), 0)
+                       AS max_line_len,
+                   list_max(list_transform(list_distinct(bg),
+                       b -> len(list_filter(bg, x -> x = b)))) AS top_bg,
+                   len(bg) AS n_bg
+            FROM rep_mid
         )
-        SELECT doc_id,
+        SELECT base.doc_id,
                CAST(length(text) AS BIGINT) AS stat_n_chars,
                CAST(len(toks) AS BIGINT) AS stat_n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS stat_n_distinct_tokens,
@@ -236,20 +272,36 @@ _QUALITY_SCORE_SQL = (
                        + ", t))) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0)")}
                    AS stopword_ratio_micro,
                {_micro(_QUALITY_SCORE_SQL)} AS quality_score_micro,
-               ({_QUALITY_SCORE_SQL}) >= 0.5 AS quality_keep
-        FROM base
+               ({_QUALITY_SCORE_SQL}) >= 0.5 AS quality_keep,
+               CAST(n_lines AS BIGINT) AS rep_n_lines,
+               CAST(n_distinct_lines AS BIGINT) AS rep_n_distinct_lines,
+               {_micro("1.0 - CAST(n_distinct_lines AS DOUBLE)"
+                       " / nullif(CAST(n_lines AS DOUBLE), 0.0)")}
+                   AS dup_line_frac_micro,
+               {_micro("CAST(dup_chars AS DOUBLE)"
+                       " / nullif(CAST(line_chars AS DOUBLE), 0.0)")}
+                   AS dup_line_char_frac_micro,
+               CAST(max_line_len AS BIGINT) AS rep_max_line_len,
+               {_micro("CAST(top_bg AS DOUBLE)"
+                       " / nullif(CAST(n_bg AS DOUBLE), 0.0)")}
+                   AS top_bigram_frac_micro
+        FROM base JOIN rep ON base.doc_id = rep.doc_id
     """,
-    doc="Per-document text profile + C4/Gopher-style quality score in "
-    "ONE pass (consolidated from the former text_stats + text_quality "
-    "entries — same operators, one registry row): char/token/BPE-token "
-    "counts, alpha/digit/stopword ratios (micro-units), quality score + "
-    "keep flag. Narrow projection, codegen-only — free rider on any "
-    "100 TB scan; quality_score composes text_stats without a join.",
+    doc="Per-document text profile + C4/Gopher-style quality score + "
+    "Gopher repetition signals (duplicate-line fraction, "
+    "chars-in-duplicate-lines fraction, max line length, most-frequent-"
+    "bigram fraction — Rae et al. 2021 §A1.1) in ONE pass (consolidated "
+    "entries — same operators, one registry row under the driver's "
+    "50-row cap): char/token/BPE-token counts, alpha/digit/stopword "
+    "ratios (micro-units), quality score + keep flag, repetition "
+    "columns. Shuffle-free row-local array HOF projection — free rider "
+    "on any 100 TB scan.",
     tags=("llm", "text"),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    st = quality_score(docs)  # text_stats columns + quality columns, one projection
+    # text_stats + quality + repetition columns: one projection, no join
+    st = repetition_signals(quality_score(docs))
     return st.select(
         "doc_id",
         "stat_n_chars",
@@ -262,6 +314,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro_col(F.col("stat_stopword_ratio")).alias("stopword_ratio_micro"),
         micro_col(F.col("quality_score")).alias("quality_score_micro"),
         "quality_keep",
+        "rep_n_lines",
+        "rep_n_distinct_lines",
+        micro_col(F.col("rep_dup_line_frac")).alias("dup_line_frac_micro"),
+        micro_col(F.col("rep_dup_line_char_frac")).alias(
+            "dup_line_char_frac_micro"
+        ),
+        "rep_max_line_len",
+        micro_col(F.col("rep_top_bigram_frac")).alias(
+            "top_bigram_frac_micro"
+        ),
     )
 
 
@@ -1595,3 +1657,47 @@ def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_corpus"), F.lit(False)).alias("in_corpus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (r8 — training-pipeline facet; the repetition
+# signals ride inside the text_stats entry to respect the driver's
+# 50-row correctness cap)
+
+
+@register_query(
+    "sequence_packing",
+    oracle=f"""
+        WITH toksed AS (
+            SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        offs AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS end_offset
+            FROM toksed
+        )
+        SELECT source, doc_id, n_tokens,
+               end_offset - n_tokens AS start_offset,
+               end_offset,
+               CAST(floor((end_offset - n_tokens) / {float(PACK_WINDOW)})
+                    AS BIGINT) AS first_window,
+               CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((end_offset - 1) / {float(PACK_WINDOW)})
+                         - floor((end_offset - n_tokens) / {float(PACK_WINDOW)})
+                         + 1 AS BIGINT)
+               END AS windows_spanned
+        FROM offs
+    """,
+    doc="Concat-and-chunk sequence packing: per document, its running "
+    "token offset within the per-source pack stream and the context "
+    "windows it occupies. One partitioned window aggregation (shuffle "
+    "on source, sort within) — streams pack in parallel at 100 TB.",
+    tags=("llm", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_packing(docs)

@@ -23,15 +23,16 @@ def _scan_lines(plan: str) -> list[str]:
 
 
 def test_projection_prunes_scan_columns(spark):
-    """field_selection_include projects 3 of lineitem's 16 columns; the
-    scan must read exactly those (ReadSchema pruning — reading all
-    columns for a narrow projection is wrong at any scale)."""
-    scans = _scan_lines(_plan(spark, "field_selection_include"))
+    """field_selection (exclude→include chained) keeps 3 of events'
+    columns; the scan must read exactly those (ReadSchema pruning —
+    reading all columns for a narrow projection is wrong at any
+    scale)."""
+    scans = _scan_lines(_plan(spark, "field_selection"))
     assert scans
     for ln in scans:
         cols = ln.split("FileScan parquet [", 1)[1].split("]", 1)[0]
         names = {c.split("#")[0] for c in cols.split(",")}
-        assert names == {"l_orderkey", "l_linenumber", "l_quantity"}, names
+        assert names == {"event_id", "ts", "user_id"}, names
 
 
 def test_small_dimension_is_broadcast(spark):
