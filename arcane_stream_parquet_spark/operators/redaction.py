@@ -1,0 +1,61 @@
+"""PII redaction for training-data curation (beyond-reference LLM
+facet, r8): scrub emails, SSN-shaped ids, IPv4 addresses and phone
+numbers from a text column, with per-kind match counts.
+
+Pure row-local ``regexp_replace`` / ``regexp_count`` projections —
+JVM-side, codegen, no shuffle, no UDF — so at 100 TB this is a free
+rider on whatever scan the pipeline already does (the same posture as
+text_stats / repetition_signals).  Not registered as a driver query:
+the correctness harness caps at 50 rows; coverage lives in
+tests/test_llm_ops.py against hand-built expectations.
+
+Pattern order is specificity-first and deliberate: an SSN or IPv4 also
+matches the looser phone pattern, so those kinds must consume their
+text before the phone pass runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (kind, Java regex) in application order — most specific first.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\-\s()]{7,}\d"),
+)
+
+
+def _token(kind: str) -> str:
+    return f"[{kind.upper()}]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    out_col: str = "redacted_text",
+) -> DataFrame:
+    """Append ``out_col`` (the scrubbed text), one ``pii_n_<kind>``
+    count per pattern, and ``pii_n_total``.  Counts are measured on the
+    text as each pass sees it, so overlapping kinds are attributed to
+    the most specific pattern (application order above).  Idempotent:
+    replacement tokens contain no digits or ``@``, so re-running the
+    scrub is a no-op."""
+    redacted: Column = F.col(text_col)
+    counts = []
+    for kind, pat in patterns:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat))
+            .cast("bigint")
+            .alias(f"pii_n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, _token(kind))
+    out = df.select("*", *counts, redacted.alias(out_col))
+    total = None
+    for kind, _ in patterns:
+        c = F.col(f"pii_n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_n_total", total.cast("bigint"))

@@ -52,6 +52,14 @@ class StreamingCurationPipeline:
     # harnesses shrink it — at tiny scale per-file overhead dominates,
     # 64 buckets × tables × batches of near-empty parquet files).
     num_buckets: int = 64
+    # Adaptive maintenance for the per-batch merge targets (the r8
+    # StreamRunner gate, same thresholds semantics): a long-running
+    # curation stream appends corpus/audit fragments every micro-batch;
+    # when a target's manifest-only metrics cross a threshold, run the
+    # cheap compact_minor + vacuum pass. None disables a dimension.
+    compact_on_delete_files: int | None = 16
+    compact_on_small_files: int | None = 512
+    minor_small_file_bytes: int = 8 * 1024 * 1024
     corpus: ParquetMergeTarget = field(init=False)
     audit: ParquetMergeTarget = field(init=False)
     index: LshDedupIndex = field(init=False)
@@ -121,6 +129,25 @@ class StreamingCurationPipeline:
         )
         self.corpus.merge(accepted)
         self.audit.merge(audit_rows)
+        for target in (self.corpus, self.audit):
+            self._maybe_compact_minor(target)
+
+    def _maybe_compact_minor(self, target: ParquetMergeTarget) -> None:
+        """Metric-driven minor maintenance (one manifest read)."""
+        if not (self.compact_on_delete_files or self.compact_on_small_files):
+            return
+        if not target.exists():
+            return  # e.g. nothing accepted yet: no corpus manifest
+        m = target.maintenance_metrics(self.minor_small_file_bytes)
+        if (
+            self.compact_on_delete_files
+            and m["delete_file_count"] >= self.compact_on_delete_files
+        ) or (
+            self.compact_on_small_files
+            and m["small_file_count"] >= self.compact_on_small_files
+        ):
+            target.compact_minor(small_file_bytes=self.minor_small_file_bytes)
+            target.vacuum()
 
     # -- stream assembly -----------------------------------------------------
 

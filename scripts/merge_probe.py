@@ -52,7 +52,7 @@ def commit_bytes(table_path: str, version: int) -> int:
     return total
 
 
-def soak(sf_dir: str, n_commits: int = 100) -> int:
+def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
     """Sustained-trickle soak (r8 — VERDICT r7 item 1): ``n_commits``
     sequential 0.01%-key MoR upserts against a 1x sf table, with the
     PRODUCTION adaptive maintenance gate
@@ -76,6 +76,22 @@ def soak(sf_dir: str, n_commits: int = 100) -> int:
         primary_keys=["l_orderkey", "l_linenumber"],
     )
     rows = source.read_batch(spark)
+    if scale > 1:  # replicate with key offsets (the skew/geometry shape)
+        from arcane_stream_parquet_spark.functions.keys import with_merge_key
+
+        max_ok = rows.agg(F.max("l_orderkey")).collect()[0][0]
+        parts = [
+            rows.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * (max_ok + 1))
+            )
+            for i in range(scale)
+        ]
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+        rows = with_merge_key(
+            rows.drop("arcane_merge_key"), ["l_orderkey", "l_linenumber"]
+        )
     base_path = os.path.join(work, "base")
     base = ParquetMergeTarget(
         spark=spark,
@@ -271,6 +287,7 @@ def main() -> int:
         return soak(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 100,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1,
         )
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         return skew(

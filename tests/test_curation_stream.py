@@ -123,3 +123,40 @@ def test_replayed_batch_converges_after_index_commit_crash(pipeline):
         "2": ("kept", None),
         "3": ("rejected:quality", None),
     }
+
+
+def test_adaptive_minor_maintenance_bounds_fragments(spark, tmp_path):
+    """r8: the curation stream's per-batch corpus/audit appends must not
+    accumulate unbounded fragments — with aggressive thresholds the
+    metric-driven compact_minor pass keeps the live file count bounded
+    while leaving every verdict identical."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # stopword-rich scaffold (passes the quality gate) with unique
+    # content words in every shingle (no cross-doc near-dups)
+    texts = [
+        (i, " ".join(f"the tok{i}x{j} is a word{i}y{j} and" for j in range(12)))
+        for i in range(12)
+    ]
+    for i, (doc_id, text) in enumerate(texts):
+        _write_docs(str(landing), f"b{i:02d}.parquet", [(doc_id, text)])
+
+    p = StreamingCurationPipeline(
+        spark=spark,
+        source_path=str(landing),
+        work_path=str(tmp_path / "work"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        compact_on_small_files=6,  # fire the minor pass mid-stream
+        minor_small_file_bytes=1 << 20,
+    )
+    p.run_available_now(max_files_per_trigger=1)  # 12 micro-batches
+
+    kept = {r["doc_id"] for r in p.corpus.read().collect()}
+    assert kept == {doc_id for doc_id, _ in texts}
+    audit = {r["doc_key"]: r["status"] for r in p.audit.read().collect()}
+    assert all(s == "kept" for s in audit.values()) and len(audit) == 12
+    # maintenance actually ran and bounded the debris: far fewer live
+    # files than the 12-commits-x-per-batch-fragments unmaintained pile
+    m = p.corpus.maintenance_metrics(small_file_bytes=1 << 20)
+    assert m["file_count"] <= 12, m

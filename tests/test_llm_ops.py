@@ -405,3 +405,67 @@ def test_rolling_near_duplicates_identical_and_disjoint(spark):
     )
     out = rolling_near_duplicates(df, min_jaccard=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r8)
+
+
+def test_redact_pii_hand_built(spark):
+    from arcane_stream_parquet_spark.operators.redaction import redact_pii
+
+    rows = [
+        (1, "mail me at a.user+x@example.co.uk or call +1 (555) 123-4567."),
+        (2, "ssn 123-45-6789 from host 192.168.1.100 done"),
+        (3, "clean text, no pii at all"),
+        (4, "two mails: a@b.io c@d.org; ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in redact_pii(df).collect()
+    }
+    assert got[1]["pii_n_email"] == 1 and got[1]["pii_n_phone"] == 1
+    assert got[1]["redacted_text"] == "mail me at [EMAIL] or call [PHONE]."
+    # SSN and IPv4 must be claimed by their specific kinds, NOT phone
+    assert got[2]["pii_n_ssn"] == 1 and got[2]["pii_n_ipv4"] == 1
+    assert got[2]["pii_n_phone"] == 0
+    assert got[2]["redacted_text"] == "ssn [SSN] from host [IPV4] done"
+    assert got[3]["pii_n_total"] == 0
+    assert got[3]["redacted_text"] == rows[2][1]
+    assert got[4]["pii_n_email"] == 2 and got[4]["pii_n_ipv4"] == 1
+    assert got[4]["pii_n_total"] == 3
+
+
+def test_redact_pii_idempotent_and_clean(spark, sf_dir):
+    """After one pass no pattern matches remain, and a second pass is
+    a byte-identical no-op."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.redaction import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me: user@example.com / 555-123-9876 / 8.8.8.8"),
+        ),
+    )
+    once = redact_pii(salted)
+    for kind, pat in PII_PATTERNS:
+        residue = once.filter(
+            F.regexp_count(F.col("redacted_text"), F.lit(pat)) > 0
+        ).count()
+        assert residue == 0, f"{kind} pattern still matches after redaction"
+    twice = redact_pii(
+        once.select("doc_id", F.col("redacted_text").alias("text"))
+    )
+    diff = (
+        twice.filter(F.col("redacted_text") != F.col("text")).count()
+    )
+    assert diff == 0
+    assert twice.agg(F.sum("pii_n_total")).collect()[0][0] == 0

@@ -300,6 +300,68 @@ def test_compact_minor_noop_below_thresholds(spark, tmp_path):
     assert t._manifest()["version"] == v  # no commit, no version bump
 
 
+def test_compact_minor_crash_before_manifest_flip_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """compact_minor shares the create-only commit contract: a crash
+    after writing the consolidated delete file / coalesced data files
+    but BEFORE the manifest flip must leave the table exactly as
+    before, and a bare retry must converge (orphan dirs recycled)."""
+    import pytest
+
+    t = make_target(
+        spark, tmp_path / "t", merge_mode="mor",
+        num_buckets=2, max_records_per_file=2,
+    )
+    run_batches(t)
+    before = contents(t)
+    dels_before = t._manifest()["deletes"]
+
+    boom = RuntimeError("simulated crash at commit point")
+    monkeypatch.setattr(
+        ParquetMergeTarget,
+        "_commit_manifest",
+        lambda self, m: (_ for _ in ()).throw(boom),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.compact_minor(small_file_bytes=1 << 20)
+    monkeypatch.undo()
+
+    assert contents(t) == before == EXPECTED
+    assert t._manifest()["deletes"] == dels_before  # old deletes live
+    out = t.compact_minor(small_file_bytes=1 << 20)  # bare retry
+    assert out["delete_files_merged"] == len(dels_before)
+    assert contents(t) == EXPECTED
+    t.vacuum()
+    assert contents(t) == EXPECTED
+
+
+def test_compact_minor_after_column_drift(spark, tmp_path):
+    """Minor compaction over a table whose older files miss columns
+    added later (MoR column drift): the rewrite reads with the
+    manifest's unified schema (null-filling), so coalesced files carry
+    the full schema and contents stay identical."""
+    t = make_target(
+        spark, tmp_path / "t", merge_mode="mor",
+        num_buckets=2, max_records_per_file=2,
+    )
+    run_batches(t)
+    drifted = spark.createDataFrame(
+        [("k9", 1, "z", 42)],
+        "arcane_merge_key string, createdon bigint, payload string, extra bigint",
+    )
+    t.merge(drifted)
+    before = sorted(
+        map(tuple, t.read().collect()), key=lambda r: ("" if r[0] is None else r[0])
+    )
+    t.compact_minor(small_file_bytes=1 << 20)
+    after = sorted(
+        map(tuple, t.read().collect()), key=lambda r: ("" if r[0] is None else r[0])
+    )
+    assert after == before
+    assert "extra" in t.read().columns
+
+
 def test_maintenance_metrics_match_manifest(spark, tmp_path):
     t = make_target(spark, tmp_path / "t", merge_mode="mor")
     run_batches(t)
