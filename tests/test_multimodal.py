@@ -242,6 +242,11 @@ def test_decode_image_features_routes_all_real_formats(spark):
         (1, encode_jpeg_gray_tiles(8, 8, [[77]])),
         (2, encode_gif(2, 2, [bytes([5, 5, 5, 5])])),
         (3, encode_bmp(2, 1, bytes([10, 10, 10, 10, 10, 10]))),
+        # r8: arithmetic-coded JPEGs (sequential SOF9 + progressive
+        # SOF10) through the same Arrow mapInPandas path
+        (4, encode_jpeg_gray_tiles(8, 8, [[42]], arithmetic=True)),
+        (5, encode_jpeg_gray_tiles(
+            8, 8, [[199]], arithmetic=True, progressive=True)),
     ]
     df = spark.createDataFrame(
         [Row(doc_id=i, payload=bytearray(p)) for i, p in payloads]
@@ -253,6 +258,9 @@ def test_decode_image_features_routes_all_real_formats(spark):
     assert out[2]["mean_micro"] == 5_000_000
     assert (out[3]["width"], out[3]["height"]) == (2, 1)
     assert out[3]["mean_micro"] == 10_000_000
+    assert (out[4]["width"], out[4]["n_channels"]) == (8, 1)
+    assert out[4]["mean_micro"] == 42_000_000
+    assert out[5]["mean_micro"] == 199_000_000
 
 
 def test_sample_frames_real_avi_and_gif(spark):
