@@ -368,9 +368,23 @@ class ParquetMergeTarget:
         is unchanged because only the root creation is the commit."""
         manifest = dict(manifest)
         manifest.pop("file_shards", None)  # never carry a stale list over
+        manifest.pop("n_files", None)
+        manifest.pop("size_hist", None)
         files = manifest.get("files")
         version = manifest["version"]
         if files is not None and len(files) > self.manifest_shard_entries:
+            # Root-level summary so per-batch maintenance polling never
+            # has to read the shards (a 10^6-entry table's shard set is
+            # ~100 MB of JSON; maintenance_metrics runs after EVERY
+            # micro-batch): file count + a power-of-two size histogram
+            # keyed by bit_length(sz) — small-file counts for any
+            # threshold resolve from ~40 ints.
+            hist: dict[str, int] = {}
+            for f in files:
+                k = int(f["sz"]).bit_length()
+                hist[str(k)] = hist.get(str(k), 0) + 1
+            manifest["n_files"] = len(files)
+            manifest["size_hist"] = hist
             shard_names = []
             for i in range(0, len(files), self.manifest_shard_entries):
                 name = self._shard_name(version, i // self.manifest_shard_entries)
@@ -1341,27 +1355,48 @@ class ParquetMergeTarget:
 
     def maintenance_metrics(self, small_file_bytes: int = 8 << 20) -> dict:
         """Metadata-only maintenance signals (no data scan, no FS
-        walk beyond the manifest read): live/small data file counts and
-        pending MoR delete volume.  This is what an adaptive
-        maintenance trigger should poll per batch — the counter-only
-        cadence reacts to time, these react to the actual read-path
-        pressure (r7 VERDICT item 1; reference batches maintenance the
-        same way but on a real table format where the engine reads the
-        snapshot summary, docs/crd.md:150-182)."""
+        walk beyond the ROOT manifest read): live/small data file
+        counts and pending MoR delete volume.  This is what an
+        adaptive maintenance trigger should poll per batch — the
+        counter-only cadence reacts to time, these react to the actual
+        read-path pressure (r7 VERDICT item 1; reference batches
+        maintenance the same way but on a real table format where the
+        engine reads the snapshot summary, docs/crd.md:150-182).
+
+        Sharded manifests answer from the root's ``n_files`` +
+        ``size_hist`` summary (written at commit) — per-batch polling
+        of a 10^6-file table must not re-read ~100 MB of shard JSON.
+        The histogram is power-of-two bucketed, so the small-file count
+        is the exact count of files whose size bucket fits entirely
+        under the threshold (a ≤2× conservative rounding, fine for a
+        trigger)."""
         manifest = self._manifest()
-        files = self._files_of_manifest(manifest)
-        if files is None:  # pre-r5 manifest: no per-file sizes recorded
-            files = []
         deletes = manifest.get("deletes") or []
-        return {
+        out = {
             "version": int(manifest["version"]),
-            "file_count": len(files),
-            "small_file_count": sum(
-                1 for f in files if int(f["sz"]) < small_file_bytes
-            ),
             "delete_file_count": len(deletes),
             "delete_bytes": sum(int(d["sz"]) for d in deletes),
         }
+        if (
+            manifest.get("file_shards") is not None
+            and manifest.get("n_files") is not None
+        ):
+            hist = manifest.get("size_hist") or {}
+            out["file_count"] = int(manifest["n_files"])
+            out["small_file_count"] = sum(
+                int(c)
+                for k, c in hist.items()
+                if (1 << int(k)) - 1 <= small_file_bytes
+            )
+            return out
+        files = self._files_of_manifest(manifest)
+        if files is None:  # pre-r5 manifest: no per-file sizes recorded
+            files = []
+        out["file_count"] = len(files)
+        out["small_file_count"] = sum(
+            1 for f in files if int(f["sz"]) < small_file_bytes
+        )
+        return out
 
     def compact_minor(
         self,

@@ -163,65 +163,109 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     the fraction of CHARACTERS sitting in duplicated lines, line-length
     extremes, and the most-frequent-word-bigram fraction.
 
-    Everything is a row-local projection over array higher-order
-    functions — no shuffle, no UDF; the per-row cost is O(L²)/O(B²) in
-    the line/bigram counts, fine for document-sized rows and a free
-    rider on any full scan at 100 TB.  Ratios are left as raw IEEE
-    quotients for the micro-unit flooring at the query boundary."""
+    Shape matters here (r8 hard lesson): higher-order-function lambdas
+    are INTERPRETED and re-evaluate any outer subtree they reference
+    once per element — a filter(lines, ...) nested inside a
+    transform(distinct(lines), ...) compounds to O(n²) re-evaluations
+    of the whole line-construction tree and took a 2,000-row scan from
+    milliseconds to minutes.  So every count here is ONE pass: sort
+    the array, then a single aggregate() whose run-length accumulator
+    yields count/distinct/dup-chars/max in O(n log n), with each array
+    referenced by exactly one consumer.  Still shuffle-free, UDF-free
+    and row-local — a free rider on any 100 TB scan."""
     col = F.col(text_col)
-    lines = F.filter(
-        F.split(col, "\n"), lambda ln: F.length(ln) > F.lit(0)
-    )
-    dlines = F.array_distinct(lines)
-    line_chars = F.aggregate(
-        F.transform(lines, F.length),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    # chars inside lines that occur more than once (count × length)
-    dup_chars = F.aggregate(
-        F.transform(
-            dlines,
-            lambda ln: F.when(
-                F.size(F.filter(lines, lambda x: x == ln)) > 1,
-                F.size(F.filter(lines, lambda x: x == ln)) * F.length(ln),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    lines = F.array_sort(
+        F.filter(F.split(col, "\n"), lambda ln: F.length(ln) > F.lit(0))
     )
     toks = tokens_column(text_col)
     n_toks = F.size(toks)
     bigrams = F.when(
         n_toks >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_toks - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        # zip_with over two slices: lambda vars only — no outer-tree
+        # references inside the lambda body
+        F.zip_with(
+            F.slice(toks, F.lit(1), n_toks - 1),
+            F.slice(toks, F.lit(2), n_toks - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    bg = F.array_sort(bigrams)
+
+    def _close_dup(a):
+        # chars contributed by the run just ended, if it was duplicated
+        return (
+            F.when(a["run"] >= 2, a["run"] * F.length(a["prev"]))
+            .otherwise(F.lit(0))
         )
+
+    line_acc = F.aggregate(
+        lines,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("n"),
+            F.lit(0).alias("distinct"),
+            F.lit(0).alias("chars"),
+            F.lit(0).alias("dup"),
+            F.lit(0).alias("maxlen"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (a["n"] + 1).alias("n"),
+            F.when(x == a["prev"], a["distinct"])
+            .otherwise(a["distinct"] + 1)
+            .alias("distinct"),
+            (a["chars"] + F.length(x)).alias("chars"),
+            F.when(x == a["prev"], a["dup"])
+            .otherwise(a["dup"] + _close_dup(a))
+            .alias("dup"),
+            F.greatest(a["maxlen"], F.length(x)).alias("maxlen"),
+        ),
+        lambda a: F.struct(
+            a["n"].alias("n"),
+            a["distinct"].alias("distinct"),
+            a["chars"].alias("chars"),
+            (a["dup"] + _close_dup(a)).alias("dup"),
+            a["maxlen"].alias("maxlen"),
+        ),
     )
-    out = df.select(
-        "*",
-        F.size(lines).cast("bigint").alias("rep_n_lines"),
-        F.size(dlines).cast("bigint").alias("rep_n_distinct_lines"),
+    bg_acc = F.aggregate(
+        bg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("n"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            (a["n"] + 1).alias("n"),
+        ),
+        lambda a: F.struct(a["best"].alias("best"), a["n"].alias("n")),
+    )
+    # materialize each accumulator ONCE; field extraction afterwards is
+    # cheap (CollapseProject keeps non-cheap aliases referenced more
+    # than once un-inlined)
+    mid = df.withColumn("__rep_l", line_acc).withColumn("__rep_b", bg_acc)
+    out = mid.select(
+        *df.columns,
+        F.col("__rep_l.n").cast("bigint").alias("rep_n_lines"),
+        F.col("__rep_l.distinct").cast("bigint").alias("rep_n_distinct_lines"),
         (
             F.lit(1.0)
-            - _ratio(F.size(dlines).cast("double"), F.size(lines))
+            - _ratio(F.col("__rep_l.distinct").cast("double"), F.col("__rep_l.n"))
         ).alias("rep_dup_line_frac"),
-        _ratio(dup_chars.cast("double"), line_chars).alias(
+        _ratio(F.col("__rep_l.dup").cast("double"), F.col("__rep_l.chars")).alias(
             "rep_dup_line_char_frac"
         ),
-        F.coalesce(
-            F.array_max(F.transform(lines, F.length)), F.lit(0)
-        ).cast("bigint").alias("rep_max_line_len"),
-        _ratio(top_bigram.cast("double"), F.size(bigrams)).alias(
+        F.col("__rep_l.maxlen").cast("bigint").alias("rep_max_line_len"),
+        _ratio(F.col("__rep_b.best").cast("double"), F.col("__rep_b.n")).alias(
             "rep_top_bigram_frac"
         ),
     )

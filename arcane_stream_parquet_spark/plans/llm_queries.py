@@ -231,28 +231,46 @@ _QUALITY_SCORE_SQL = (
             FROM documents
         ),
         rep_mid AS (
-            SELECT doc_id, lines, list_distinct(lines) AS dlines, bg
-            FROM (
-                SELECT doc_id, {_LINES} AS lines, {_BIGRAMS} AS bg
-                FROM base
-            )
+            SELECT doc_id, {_LINES} AS lines, {_BIGRAMS} AS bg
+            FROM base
+        ),
+        line_counts AS (
+            SELECT doc_id, l AS line, count(*) AS c
+            FROM rep_mid, unnest(lines) AS t(l)
+            GROUP BY doc_id, l
+        ),
+        line_agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+                   CAST(sum(CASE WHEN c > 1 THEN c * length(line)
+                            ELSE 0 END) AS BIGINT) AS dup_chars,
+                   CAST(max(length(line)) AS BIGINT) AS max_line_len
+            FROM line_counts GROUP BY doc_id
+        ),
+        bg_counts AS (
+            SELECT doc_id, b, count(*) AS c
+            FROM rep_mid, unnest(bg) AS t(b)
+            GROUP BY doc_id, b
+        ),
+        bg_agg AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+                   CAST(sum(c) AS BIGINT) AS n_bg
+            FROM bg_counts GROUP BY doc_id
         ),
         rep AS (
-            SELECT doc_id,
-                   len(lines) AS n_lines,
-                   len(dlines) AS n_distinct_lines,
-                   coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
-                       AS line_chars,
-                   coalesce(list_sum(list_transform(dlines, l ->
-                       CASE WHEN len(list_filter(lines, x -> x = l)) > 1
-                            THEN len(list_filter(lines, x -> x = l)) * length(l)
-                            ELSE 0 END)), 0) AS dup_chars,
-                   coalesce(list_max(list_transform(lines, l -> length(l))), 0)
-                       AS max_line_len,
-                   list_max(list_transform(list_distinct(bg),
-                       b -> len(list_filter(bg, x -> x = b)))) AS top_bg,
-                   len(bg) AS n_bg
-            FROM rep_mid
+            SELECT rm.doc_id,
+                   coalesce(n_lines, 0) AS n_lines,
+                   coalesce(n_distinct_lines, 0) AS n_distinct_lines,
+                   coalesce(line_chars, 0) AS line_chars,
+                   coalesce(dup_chars, 0) AS dup_chars,
+                   coalesce(max_line_len, 0) AS max_line_len,
+                   coalesce(top_bg, 0) AS top_bg,
+                   coalesce(n_bg, 0) AS n_bg
+            FROM rep_mid rm
+            LEFT JOIN line_agg USING (doc_id)
+            LEFT JOIN bg_agg USING (doc_id)
         )
         SELECT base.doc_id,
                CAST(length(text) AS BIGINT) AS stat_n_chars,

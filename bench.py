@@ -62,10 +62,17 @@ def merge_throughput(spark, sf_dir: str) -> dict:
     run_backfill(spark, source, target, behavior="Merge")
     backfill_sec = time.perf_counter() - t0
 
+    # Pin the batch exactly as the production runner does before merge
+    # (StreamRunner._merge_batch localCheckpoints every micro-batch):
+    # merge() runs ~8 actions over the batch plan, and without the pin
+    # each one re-scans and re-filters the source — measured 1.8x wall
+    # on the CoW upsert at sf0.1 (r8).  The bench measures the shipped
+    # path, not a worst-case caller.
     batch = (
         source.read_batch(spark)
         .filter(F.col("l_orderkey") % 10 == 0)
         .withColumn("createdon", F.col("createdon") + F.lit(1))
+        .localCheckpoint(eager=True)
     )
     def commit_mb(version: int) -> float:
         total = 0

@@ -374,6 +374,38 @@ def test_maintenance_metrics_match_manifest(spark, tmp_path):
     assert m["small_file_count"] == m["file_count"]
 
 
+def test_maintenance_metrics_from_sharded_manifest_summary(spark, tmp_path):
+    """A sharded manifest answers maintenance polling from the root's
+    n_files + power-of-two size histogram — per-batch metrics must not
+    depend on reading the shard files (10^6-entry tables poll after
+    every micro-batch).  Counts must agree with the real entry list."""
+    t = make_target(
+        spark,
+        tmp_path / "t",
+        merge_mode="mor",
+        num_buckets=4,
+        max_records_per_file=1,
+        manifest_shard_entries=4,  # force sharding at toy scale
+    )
+    run_batches(t)
+    manifest = t._manifest()
+    assert manifest.get("file_shards"), "expected a sharded manifest"
+    assert "files" not in manifest
+    assert manifest["n_files"] == len(t._files_of_manifest(manifest))
+    assert sum(manifest["size_hist"].values()) == manifest["n_files"]
+    m = t.maintenance_metrics(small_file_bytes=1 << 20)
+    assert m["file_count"] == manifest["n_files"]
+    # every toy file is tiny: all of them sit in buckets under 1 MB
+    assert m["small_file_count"] == m["file_count"]
+    assert m["delete_file_count"] == len(manifest["deletes"])
+    # metrics stay correct after a minor pass rewrites the layout
+    t.compact_minor(small_file_bytes=1 << 20)
+    m2 = t.maintenance_metrics(small_file_bytes=1 << 20)
+    assert m2["file_count"] < m["file_count"]
+    assert m2["delete_file_count"] <= 1
+    assert contents(t) == EXPECTED
+
+
 def test_vacuum_reclaims_spent_delete_dirs(spark, tmp_path):
     t = make_target(spark, tmp_path / "t", merge_mode="mor")
     run_batches(t)
