@@ -1804,40 +1804,12 @@ def _arith_dc_diff(dec, st, ctx, cond) -> tuple[int, int]:
 
 
 def _arith_ac_block(dec, st, fixed, block, kx) -> None:
-    """Decode AC coefficients 1..63 of one block (F.2.4.2)."""
-    k = 1
-    while k <= 63:
-        i = 3 * (k - 1)
-        if dec.decode(st, i):
-            return  # EOB
-        while dec.decode(st, i + 1) == 0:
-            i += 3
-            k += 1
-            if k > 63:
-                raise ValueError("JPEG arithmetic AC run overflow")
-        sign = dec.decode(fixed, 0)
-        i += 2
-        m = dec.decode(st, i)
-        if m and dec.decode(st, i):
-            m = 2
-            i = 189 if k <= kx else 217  # low/high-spectrum X chains
-            while dec.decode(st, i):
-                m <<= 1
-                if m == 0x8000:
-                    raise ValueError(
-                        "JPEG arithmetic AC magnitude overflow"
-                    )
-                i += 1
-        v = m
-        i += 14
-        while m > 1:
-            m >>= 1
-            if dec.decode(st, i):
-                v |= m
-        v += 1
-        block[_ZIGZAG[k]] = -v if sign else v
-        k += 1
-
+    """Decode AC coefficients 1..63 of one block (F.2.4.2) — the
+    sequential case is exactly the progressive AC-first model over the
+    full band at Al=0 (one shared implementation; the r8 review found
+    the copy-pasted pair and a future context-index fix must not have
+    two places to miss)."""
+    _arith_ac_first_block(dec, st, fixed, block, 1, 63, 0, kx)
 
 def _decode_jpeg_arith_scan(
     b: bytes,
@@ -2099,6 +2071,10 @@ def _skip_rst(b: bytes, dec: _QMDecoder) -> int:
     p = dec.marker_pos if dec.marker_pos is not None else dec.bp
     while p + 1 < len(b):
         if b[p] == 0xFF and b[p + 1] != 0x00:
+            while p + 1 < len(b) and b[p + 1] == 0xFF:
+                p += 1  # T.81 B.1.1.2: 0xFF fill bytes precede a marker
+            if p + 1 >= len(b):
+                break
             if 0xD0 <= b[p + 1] <= 0xD7:
                 return p + 2
             raise ValueError(
@@ -2146,50 +2122,9 @@ def _arith_encode_dc_diff(enc, st, ctx, diff, cond) -> int:
 
 
 def _arith_encode_ac_block(enc, st, fixed, coeffs, kx) -> None:
-    """Encode AC coefficients 1..63 of one block (F.1.4.3)."""
-    zz = [coeffs[_ZIGZAG[k]] for k in range(64)]
-    ke = 63
-    while ke >= 1 and zz[ke] == 0:
-        ke -= 1
-    k = 1
-    while k <= ke:
-        i = 3 * (k - 1)
-        enc.encode(st, i, 0)  # not EOB yet
-        while zz[k] == 0:
-            enc.encode(st, i + 1, 0)
-            i += 3
-            k += 1
-        enc.encode(st, i + 1, 1)
-        v = zz[k]
-        sign = 0 if v > 0 else 1
-        enc.encode(fixed, 0, sign)
-        v = abs(v)
-        i += 2
-        m = 0
-        v -= 1
-        if v:
-            enc.encode(st, i, 1)
-            m = 1
-            v2 = v
-            if v2 > 1:
-                v2 >>= 1
-                enc.encode(st, i, 1)
-                m = 2
-                i = 189 if k <= kx else 217
-                while v2 > 1:
-                    v2 >>= 1
-                    enc.encode(st, i, 1)
-                    m <<= 1
-                    i += 1
-        enc.encode(st, i, 0)
-        i += 14
-        while m > 1:
-            m >>= 1
-            enc.encode(st, i, 1 if (m & v) else 0)
-        k += 1
-    if k <= 63:
-        enc.encode(st, 3 * (k - 1), 1)  # EOB
-
+    """Encode AC coefficients 1..63 of one block (F.1.4.3) — see
+    :func:`_arith_ac_block`: one shared band implementation."""
+    _arith_encode_ac_first_block(enc, st, fixed, coeffs, 1, 63, 0, kx)
 
 def encode_jpeg_arith(
     width: int,

@@ -1388,6 +1388,11 @@ class ParquetMergeTarget:
                 for k, c in hist.items()
                 if (1 << int(k)) - 1 <= small_file_bytes
             )
+            # the histogram carries no bucket info, so approximate the
+            # coalescable count with the small count — sound at sharded
+            # scale: ≥100k files over ≤ a few thousand buckets means
+            # every bucket is multi-file, so the two counts coincide
+            out["coalescable_small_files"] = out["small_file_count"]
             return out
         files = self._files_of_manifest(manifest)
         if files is None:  # pre-r5 manifest: no per-file sizes recorded
@@ -1396,7 +1401,72 @@ class ParquetMergeTarget:
         out["small_file_count"] = sum(
             1 for f in files if int(f["sz"]) < small_file_bytes
         )
+        # small files compact_minor can actually merge: those sharing a
+        # bucket with another small file.  Gating on THIS count (not
+        # the raw small count) is what makes the adaptive loop
+        # convergent — a table of many 1-per-bucket small files is just
+        # a small table, and a trigger minor compaction cannot satisfy
+        # would otherwise fire forever (r8 review find)
+        per_bucket: dict[int, int] = {}
+        for f in files:
+            if int(f["sz"]) < small_file_bytes:
+                per_bucket[int(f["b"])] = per_bucket.get(int(f["b"]), 0) + 1
+        out["coalescable_small_files"] = sum(
+            n for n in per_bucket.values() if n >= 2
+        )
         return out
+
+    def run_adaptive_maintenance(
+        self,
+        small_file_bytes: int = 8 << 20,
+        on_delete_files: int | None = 16,
+        on_delete_bytes: int | None = 256 * 1024 * 1024,
+        on_small_files: int | None = 512,
+    ) -> dict:
+        """THE metric-driven maintenance gate (shared by the stream
+        runner and the curation pipeline — one implementation, r8
+        review find): poll :meth:`maintenance_metrics` (one root
+        manifest read); when a threshold is crossed run the cheap
+        :meth:`compact_minor` pass, and if the pressure survives it,
+        escalate ONCE to the full :meth:`compact` deep-clean.
+
+        Convergence argument (no dimension can stay stuck and re-fire
+        every batch, the r8 review's failure mode): minor compaction
+        drives ``delete_file_count`` to ≤1 and
+        ``coalescable_small_files`` to ~0 by construction; the only
+        pressure it may leave is ``delete_bytes`` (one consolidated
+        file still over the bound), and the full compact clears ALL
+        pending deletes.  The small-file dimension gates on the
+        COALESCABLE count — small files sharing a bucket — so a table
+        of 1-per-bucket small files (which no compaction can shrink)
+        never triggers.  ``None`` disables a dimension; returns what
+        ran."""
+        def due(m: dict) -> bool:
+            return bool(
+                (
+                    on_delete_files
+                    and m["delete_file_count"] >= on_delete_files
+                )
+                or (on_delete_bytes and m["delete_bytes"] >= on_delete_bytes)
+                or (
+                    on_small_files
+                    and m["coalescable_small_files"] >= on_small_files
+                )
+            )
+
+        if not (on_delete_files or on_delete_bytes or on_small_files):
+            return {"ran": False, "escalated": False}
+        if not self.exists():
+            return {"ran": False, "escalated": False}
+        if not due(self.maintenance_metrics(small_file_bytes)):
+            return {"ran": False, "escalated": False}
+        self.compact_minor(small_file_bytes=small_file_bytes)
+        escalated = False
+        if due(self.maintenance_metrics(small_file_bytes)):
+            self.compact()
+            escalated = True
+        self.vacuum()
+        return {"ran": True, "escalated": escalated}
 
     def compact_minor(
         self,

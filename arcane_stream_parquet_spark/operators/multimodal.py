@@ -35,7 +35,10 @@ parquet). What is REAL here and what is STUBBED:
   predictors — ``decode_jpeg_pixels`` handles it transparently).
 - REAL as of round 8: arithmetic-coded JPEG, sequential AND
   progressive (SOF9/SOF10 — the T.81 Annex D QM-coder;
-  ``decode_jpeg_pixels`` handles both transparently).
+  ``decode_jpeg_pixels`` handles both transparently).  All REAL JPEG
+  decode is bounded at 1M pixels per frame (a deliberate envelope for
+  a pure-Python fixtures-scale decoder — doubles as the
+  decompression-bomb guard); larger frames reject as ValueError.
 - STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
   bitstreams). This container
   has no media libraries, so those paths raise
@@ -381,10 +384,16 @@ def decode_image_features(
     """Decode image payloads to (width, height, channels, feature hash,
     pixel stats) via Arrow-batched mapInPandas.
 
-    PNG, baseline JPEG, GIF, and BMP payloads take the REAL stdlib-only
-    path regardless of ``fake`` (``decode_png_pixels`` here;
-    ``decode_jpeg_pixels`` / ``decode_gif_pixels`` / ``decode_bmp_pixels``
-    in ``operators.codecs``) and yield true pixel statistics.
+    PNG, JPEG (all supported processes), GIF, and BMP payloads take the
+    REAL stdlib-only path regardless of ``fake`` (``decode_png_pixels``
+    here; ``decode_jpeg_pixels`` / ``decode_gif_pixels`` /
+    ``decode_bmp_pixels`` in ``operators.codecs``) and yield true pixel
+    statistics WITHIN the decoders' fixtures-scale envelope — notably
+    JPEG frames past the documented 1M-pixel decompression-bomb bound
+    reject (ValueError), which under ``fake=True`` falls through to the
+    deterministic double like any other malformed payload (r8: the
+    bound is a deliberate limit of a pure-Python decoder, swap in a
+    codec library for real megapixel media).
     Unrecognized payloads raise NotImplementedError per batch — there is
     no codec library in this environment for anything else (STUB,
     clearly marked) — unless ``fake=True``, which derives deterministic

@@ -129,25 +129,16 @@ class StreamingCurationPipeline:
         )
         self.corpus.merge(accepted)
         self.audit.merge(audit_rows)
+        # the shared convergent maintenance gate (merge.py
+        # run_adaptive_maintenance — same implementation as the stream
+        # runner's, r8 review find: no divergent second copy)
         for target in (self.corpus, self.audit):
-            self._maybe_compact_minor(target)
-
-    def _maybe_compact_minor(self, target: ParquetMergeTarget) -> None:
-        """Metric-driven minor maintenance (one manifest read)."""
-        if not (self.compact_on_delete_files or self.compact_on_small_files):
-            return
-        if not target.exists():
-            return  # e.g. nothing accepted yet: no corpus manifest
-        m = target.maintenance_metrics(self.minor_small_file_bytes)
-        if (
-            self.compact_on_delete_files
-            and m["delete_file_count"] >= self.compact_on_delete_files
-        ) or (
-            self.compact_on_small_files
-            and m["small_file_count"] >= self.compact_on_small_files
-        ):
-            target.compact_minor(small_file_bytes=self.minor_small_file_bytes)
-            target.vacuum()
+            target.run_adaptive_maintenance(
+                small_file_bytes=self.minor_small_file_bytes,
+                on_delete_files=self.compact_on_delete_files,
+                on_delete_bytes=None,
+                on_small_files=self.compact_on_small_files,
+            )
 
     # -- stream assembly -----------------------------------------------------
 

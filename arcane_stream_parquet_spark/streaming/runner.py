@@ -103,38 +103,18 @@ class StreamRunner:
             self._batches_since_maintenance = 0
             self.target.compact()
             self.target.vacuum()
-        elif self._adaptive_maintenance_due():
-            self.target.compact_minor(
-                small_file_bytes=self.minor_small_file_bytes
+        else:
+            # shared convergent gate (merge.py run_adaptive_maintenance):
+            # one manifest read when idle; minor pass + one-shot full-
+            # compact escalation when read-path pressure crosses a bound
+            self.target.run_adaptive_maintenance(
+                small_file_bytes=self.minor_small_file_bytes,
+                on_delete_files=self.compact_on_delete_files,
+                on_delete_bytes=self.compact_on_delete_bytes,
+                on_small_files=self.compact_on_small_files,
             )
-            self.target.vacuum()
         for hook in self.on_batch:
             hook(batch_id, batch)
-
-    def _adaptive_maintenance_due(self) -> bool:
-        """Metric-driven minor-compaction gate: one manifest read, no
-        data scan (merge.py maintenance_metrics)."""
-        if not (
-            self.compact_on_delete_files
-            or self.compact_on_delete_bytes
-            or self.compact_on_small_files
-        ):
-            return False
-        m = self.target.maintenance_metrics(self.minor_small_file_bytes)
-        return bool(
-            (
-                self.compact_on_delete_files
-                and m["delete_file_count"] >= self.compact_on_delete_files
-            )
-            or (
-                self.compact_on_delete_bytes
-                and m["delete_bytes"] >= self.compact_on_delete_bytes
-            )
-            or (
-                self.compact_on_small_files
-                and m["small_file_count"] >= self.compact_on_small_files
-            )
-        )
 
     def _writer(self, spark: SparkSession, available_now: bool):
         stream = self.source.read_stream(

@@ -69,8 +69,6 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="asp_soak_")
 
-    from arcane_stream_parquet_spark.streaming.runner import StreamRunner
-
     source = BlobParquetSource(
         path=os.path.join(sf_dir, "lineitem.parquet"),
         primary_keys=["l_orderkey", "l_linenumber"],
@@ -132,14 +130,6 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
         t = ParquetMergeTarget(
             spark=spark, path=path, num_buckets=64, max_records_per_file=20000
         )
-        gate = StreamRunner(
-            source=source,
-            target=t,
-            checkpoint_dir=os.path.join(work, "unused_ckpt"),
-            compact_on_delete_files=16,
-            compact_on_small_files=128,
-            minor_small_file_bytes=1 << 20,
-        )
         clean = read_sec(t, samples=3)  # median: single reads jitter ±30%
         curve = [(0, clean)]
         minor_runs = 0
@@ -147,12 +137,18 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
         t0 = time.perf_counter()
         for i in range(n_arm):
             t.merge(trickle(i), mode="mor")
-            if adaptive and gate._adaptive_maintenance_due():
+            if adaptive:
                 m0 = time.perf_counter()
-                t.compact_minor(small_file_bytes=gate.minor_small_file_bytes)
-                t.vacuum()
-                maint_sec += time.perf_counter() - m0
-                minor_runs += 1
+                # the production gate (same call the stream runner makes)
+                r = t.run_adaptive_maintenance(
+                    small_file_bytes=1 << 20,
+                    on_delete_files=16,
+                    on_delete_bytes=None,
+                    on_small_files=128,
+                )
+                if r["ran"]:
+                    maint_sec += time.perf_counter() - m0
+                    minor_runs += 1
             if (i + 1) % 10 == 0:
                 curve.append((i + 1, read_sec(t)))
         wall = time.perf_counter() - t0

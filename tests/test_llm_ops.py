@@ -437,6 +437,27 @@ def test_redact_pii_hand_built(spark):
     assert got[4]["pii_n_total"] == 3
 
 
+def test_redact_pii_preserves_ordinary_prose(spark):
+    """The phone pattern must not consume dates, year ranges, or long
+    ids (r8 review find: a loose length-based pattern redacted every
+    ISO date as [PHONE])."""
+    from arcane_stream_parquet_spark.operators.redaction import redact_pii
+
+    rows = [
+        (1, "meeting on 2024-01-02 at 15:30 moved to 2025-12-31"),
+        (2, "order 1755170000 spans 2019-2025 2026-2030 fine"),
+        (3, "call (555) 123-4567 or +44 20 7946 0958 today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["pii_n_total"] == 0
+    assert got[1]["redacted_text"] == rows[0][1]
+    assert got[2]["pii_n_total"] == 0
+    assert got[2]["redacted_text"] == rows[1][1]
+    assert got[3]["pii_n_phone"] == 2
+    assert got[3]["redacted_text"] == "call [PHONE] or [PHONE] today"
+
+
 def test_redact_pii_idempotent_and_clean(spark, sf_dir):
     """After one pass no pattern matches remain, and a second pass is
     a byte-identical no-op."""

@@ -374,6 +374,51 @@ def test_maintenance_metrics_match_manifest(spark, tmp_path):
     assert m["small_file_count"] == m["file_count"]
 
 
+def test_adaptive_maintenance_escalates_and_converges(spark, tmp_path):
+    """The r8 review's stuck-gate scenario #1: pressure minor
+    compaction cannot relieve (a delete-bytes bound even one
+    consolidated file exceeds) must escalate ONCE to the full compact —
+    which clears all pending deletes — and then stop firing."""
+    t = make_target(spark, tmp_path / "t", merge_mode="mor")
+    run_batches(t)
+    assert len(t._manifest()["deletes"]) >= 2
+    r = t.run_adaptive_maintenance(
+        small_file_bytes=0,
+        on_delete_files=None,
+        on_delete_bytes=1,  # unsatisfiable by consolidation alone
+        on_small_files=None,
+    )
+    assert r == {"ran": True, "escalated": True}
+    m = t.maintenance_metrics()
+    assert m["delete_file_count"] == 0 and m["delete_bytes"] == 0
+    assert contents(t) == EXPECTED
+    r2 = t.run_adaptive_maintenance(
+        small_file_bytes=0,
+        on_delete_files=None,
+        on_delete_bytes=1,
+        on_small_files=None,
+    )
+    assert r2 == {"ran": False, "escalated": False}  # converged
+
+
+def test_adaptive_maintenance_ignores_uncoalescable_smalls(spark, tmp_path):
+    """Stuck-gate scenario #2: one small file per bucket is just a
+    small table — no compaction can merge anything, so the small-file
+    trigger (which gates on the COALESCABLE count) must not fire."""
+    t = make_target(spark, tmp_path / "t", num_buckets=8)
+    t.merge(df_of(spark, [(f"k{i}", 1, "p") for i in range(64)]))
+    m = t.maintenance_metrics(small_file_bytes=1 << 20)
+    assert m["small_file_count"] >= 1
+    assert m["coalescable_small_files"] == 0
+    r = t.run_adaptive_maintenance(
+        small_file_bytes=1 << 20,
+        on_delete_files=None,
+        on_delete_bytes=None,
+        on_small_files=1,
+    )
+    assert r == {"ran": False, "escalated": False}
+
+
 def test_maintenance_metrics_from_sharded_manifest_summary(spark, tmp_path):
     """A sharded manifest answers maintenance polling from the root's
     n_files + power-of-two size histogram — per-batch metrics must not
