@@ -788,10 +788,18 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Byte-align and consume the expected RSTn marker (T.81 E.2.4)."""
+        """Byte-align and consume the expected RSTn marker (T.81 E.2.4);
+        0xFF fill bytes before the marker are spec-legal padding
+        (B.1.1.2, r8 review find)."""
         if self.bit:
             self.bit = 0
             self.pos += 1 + (1 if self.data[self.pos] == 0xFF else 0)
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if self.pos + 2 > len(self.data):
             raise ValueError("JPEG entropy data truncated")
         if self.data[self.pos] != 0xFF or not (
@@ -862,6 +870,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
+        while i + 2 < len(b) and b[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: 0xFF fill bytes before any marker
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             saw_eoi = True

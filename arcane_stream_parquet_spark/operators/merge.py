@@ -1388,11 +1388,15 @@ class ParquetMergeTarget:
                 for k, c in hist.items()
                 if (1 << int(k)) - 1 <= small_file_bytes
             )
-            # the histogram carries no bucket info, so approximate the
-            # coalescable count with the small count — sound at sharded
-            # scale: ≥100k files over ≤ a few thousand buckets means
-            # every bucket is multi-file, so the two counts coincide
-            out["coalescable_small_files"] = out["small_file_count"]
+            # the histogram carries no bucket info, so the coalescable
+            # count is UNKNOWABLE without reading the shards — and the
+            # adaptive gate must never gamble on it (the r8 second
+            # review showed the small≈coalescable approximation can
+            # drive a futile full-table compact when the smalls are
+            # 1-per-bucket).  Report 0: sharded (≥100k-file) tables get
+            # small-file hygiene from the delete-dimension triggers and
+            # the counter-gated full compact, both of which stay exact.
+            out["coalescable_small_files"] = 0
             return out
         files = self._files_of_manifest(manifest)
         if files is None:  # pre-r5 manifest: no per-file sizes recorded
@@ -1441,17 +1445,19 @@ class ParquetMergeTarget:
         of 1-per-bucket small files (which no compaction can shrink)
         never triggers.  ``None`` disables a dimension; returns what
         ran."""
-        def due(m: dict) -> bool:
+        def delete_due(m: dict) -> bool:
             return bool(
                 (
                     on_delete_files
                     and m["delete_file_count"] >= on_delete_files
                 )
                 or (on_delete_bytes and m["delete_bytes"] >= on_delete_bytes)
-                or (
-                    on_small_files
-                    and m["coalescable_small_files"] >= on_small_files
-                )
+            )
+
+        def due(m: dict) -> bool:
+            return delete_due(m) or bool(
+                on_small_files
+                and m["coalescable_small_files"] >= on_small_files
             )
 
         if not (on_delete_files or on_delete_bytes or on_small_files):
@@ -1462,7 +1468,12 @@ class ParquetMergeTarget:
             return {"ran": False, "escalated": False}
         self.compact_minor(small_file_bytes=small_file_bytes)
         escalated = False
-        if due(self.maintenance_metrics(small_file_bytes)):
+        # escalate ONLY on surviving DELETE pressure: the full compact
+        # provably clears all pending deletes, so the escalation always
+        # makes progress; it has no such guarantee for small files
+        # (1-per-bucket layouts survive it), so a surviving small-file
+        # reading must never buy an O(table) rewrite (r8 second review)
+        if delete_due(self.maintenance_metrics(small_file_bytes)):
             self.compact()
             escalated = True
         self.vacuum()

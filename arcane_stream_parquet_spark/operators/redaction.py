@@ -21,20 +21,26 @@ from pyspark.sql import functions as F
 
 #: (kind, Java regex) in application order — most specific first.
 #: The phone pattern is deliberately ANCHORED to phone-like shapes —
-#: either an international +prefix run or separated 3-3-4 groups — so
-#: ordinary prose survives: an earlier loose variant
-#: (``\+?\d[\d\-\s()]{7,}\d``) redacted every ISO date (2024-01-02),
-#: year range and 9+-digit id as [PHONE] (r8 review find).  A 3-3-4
-#: group never collides with dates (4-2-2) or SSNs (3-2-4, claimed
-#: earlier anyway).
+#: an international +prefix run (year-range lookahead rejects
+#: ``+2019-2025``-style spans) or 3-3-4 groups with or without an area
+#: code in parentheses — so ordinary prose survives: an earlier loose
+#: variant (``\+?\d[\d\-\s()]{7,}\d``) redacted every ISO date
+#: (2024-01-02), year range and 9+-digit id as [PHONE] (r8 review
+#: find).  A 3-3-4 group never collides with dates (4-2-2) or SSNs
+#: (3-2-4, claimed earlier anyway).  DELIBERATE precision/recall
+#: decision (r8 second review): a bare separator-less 10-digit run
+#: (``5551234567``) is left alone — it is indistinguishable from order
+#: ids / epoch timestamps, and mangling those at corpus scale costs
+#: more than the rare unformatted number leaks.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
     (
         "phone",
-        r"(?:\+\d{1,3}(?:[-.\s()]{0,2}\d){6,12}"
-        r"|\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4})\b",
+        r"(?:\+(?!\d{1,4}-\d{4}\b)\d{1,3}(?:[-.\s()]{0,2}\d){6,12}"
+        r"|\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"
+        r"|\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
     ),
 )
 

@@ -52,11 +52,14 @@ class StreamingCurationPipeline:
     # harnesses shrink it — at tiny scale per-file overhead dominates,
     # 64 buckets × tables × batches of near-empty parquet files).
     num_buckets: int = 64
-    # Adaptive maintenance for the per-batch merge targets (the r8
-    # StreamRunner gate, same thresholds semantics): a long-running
-    # curation stream appends corpus/audit fragments every micro-batch;
-    # when a target's manifest-only metrics cross a threshold, run the
-    # cheap compact_minor + vacuum pass. None disables a dimension.
+    # Adaptive maintenance for the per-batch merge targets (the shared
+    # ParquetMergeTarget.run_adaptive_maintenance gate, same thresholds
+    # semantics as the stream runner's): a long-running curation stream
+    # appends corpus/audit fragments every micro-batch; when a target's
+    # manifest-only metrics cross a threshold the cheap compact_minor +
+    # vacuum pass runs, ESCALATING once to a full compact() if delete
+    # pressure survives it (a latency cliff to size thresholds around).
+    # None disables a dimension.
     compact_on_delete_files: int | None = 16
     compact_on_small_files: int | None = 512
     minor_small_file_bytes: int = 8 * 1024 * 1024

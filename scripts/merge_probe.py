@@ -56,8 +56,10 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
     """Sustained-trickle soak (r8 — VERDICT r7 item 1): ``n_commits``
     sequential 0.01%-key MoR upserts against a 1x sf table, with the
     PRODUCTION adaptive maintenance gate
-    (StreamRunner._adaptive_maintenance_due → compact_minor + vacuum)
-    polled after every commit, exactly as the streaming runner does.
+    (ParquetMergeTarget.run_adaptive_maintenance: metrics poll →
+    compact_minor → one-shot full-compact escalation on surviving
+    delete pressure → vacuum) invoked after every commit, exactly as
+    the streaming runner does.
     Records read latency every 10 commits; the done-criterion is a
     bounded curve (≤ ~2× the clean read) instead of the unmaintained
     drift (0.79 s clean → ~3 s after just 10 commits, SCALE.md r6).
@@ -132,7 +134,7 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
         )
         clean = read_sec(t, samples=3)  # median: single reads jitter ±30%
         curve = [(0, clean)]
-        minor_runs = 0
+        maint_runs = 0
         maint_sec = 0.0
         t0 = time.perf_counter()
         for i in range(n_arm):
@@ -148,7 +150,7 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
                 )
                 if r["ran"]:
                     maint_sec += time.perf_counter() - m0
-                    minor_runs += 1
+                    maint_runs += 1
             if (i + 1) % 10 == 0:
                 curve.append((i + 1, read_sec(t)))
         wall = time.perf_counter() - t0
@@ -156,7 +158,7 @@ def soak(sf_dir: str, n_commits: int = 100, scale: int = 1) -> int:
         worst = max(s for _, s in curve[1:])
         print(
             f"[{arm}] {n_arm} commits in {wall:.1f} s "
-            f"({minor_runs} minor compactions, {maint_sec:.1f} s), "
+            f"({maint_runs} maintenance passes, {maint_sec:.1f} s), "
             f"end state: {m['file_count']} files / "
             f"{m['delete_file_count']} delete files; read clean "
             f"{clean:.2f} s, worst {worst:.2f} s ({worst / clean:.1f}x)",

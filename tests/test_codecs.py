@@ -791,22 +791,27 @@ def test_jpeg_arith_progressive_matches_huffman_decode():
     assert decode_jpeg_pixels(hb) == decode_jpeg_pixels(ab)
 
 
-def test_jpeg_arith_restart_with_fill_bytes():
-    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; a
-    conformant third-party encoder padding before RSTn must decode
-    identically (r8 review find: _skip_rst rejected the padding)."""
-    b = encode_jpeg_gray_tiles(
-        24, 8, [[10, 128, 250]], arithmetic=True, restart_interval=1
-    )
-    ref = decode_jpeg_pixels(b)
-    out = bytearray()
-    for i, byte in enumerate(b):
-        if byte == 0xFF and i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
-            out.append(0xFF)  # fill byte before the restart marker
-        out.append(byte)
-    padded = bytes(out)
-    assert padded != b
-    assert decode_jpeg_pixels(padded) == ref
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before ANY marker; a
+    conformant third-party encoder padding before RSTn or EOI must
+    decode identically through the arithmetic AND Huffman paths (r8
+    review finds: _skip_rst, _BitReader.restart and the top-level
+    marker walk all rejected the padding)."""
+    for arith in (True, False):
+        b = encode_jpeg_gray_tiles(
+            24, 8, [[10, 128, 250]], arithmetic=arith, restart_interval=1
+        )
+        ref = decode_jpeg_pixels(b)
+        out = bytearray()
+        for i, byte in enumerate(b):
+            if byte == 0xFF and i + 1 < len(b) and (
+                0xD0 <= b[i + 1] <= 0xD7 or b[i + 1] == 0xD9
+            ):
+                out.append(0xFF)  # fill byte before RSTn / EOI
+            out.append(byte)
+        padded = bytes(out)
+        assert padded != b
+        assert decode_jpeg_pixels(padded) == ref, f"arith={arith}"
 
 
 def test_jpeg_arith_magnitudes_beyond_huffman_ceiling():

@@ -447,6 +447,8 @@ def test_redact_pii_preserves_ordinary_prose(spark):
         (1, "meeting on 2024-01-02 at 15:30 moved to 2025-12-31"),
         (2, "order 1755170000 spans 2019-2025 2026-2030 fine"),
         (3, "call (555) 123-4567 or +44 20 7946 0958 today"),
+        (4, "spans +2019-2025 2026-2030 fine"),
+        (5, "call (555)123-4567 then +1 (555) 123-4567."),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r["doc_id"]: r for r in redact_pii(df).collect()}
@@ -456,6 +458,12 @@ def test_redact_pii_preserves_ordinary_prose(spark):
     assert got[2]["redacted_text"] == rows[1][1]
     assert got[3]["pii_n_phone"] == 2
     assert got[3]["redacted_text"] == "call [PHONE] or [PHONE] today"
+    assert got[4]["pii_n_total"] == 0  # +year-range spans stay intact
+    assert got[4]["redacted_text"] == rows[3][1]
+    # paren form without separator + full international form: no
+    # trailing digit leak (r8 second-review finds)
+    assert got[5]["pii_n_phone"] == 2
+    assert got[5]["redacted_text"] == "call [PHONE] then [PHONE]."
 
 
 def test_redact_pii_idempotent_and_clean(spark, sf_dir):
