@@ -52,9 +52,12 @@ def sequence_packing(
     start = (end - F.col("n_tokens")).alias("start_offset")
 
     def win_of(col):
-        # offsets are non-negative: floor(double div) is exact below
-        # 2^53 tokens per stream — far past any single pack stream
-        return F.floor(col / F.lit(float(window))).cast("bigint")
+        # pure integer arithmetic (r8 ADVICE): double division is exact
+        # on the OPERANDS below 2^53 but the QUOTIENT can round up
+        # across the floor boundary for non-power-of-two windows; the
+        # subtract-modulo form never leaves the integers
+        c = col.cast("bigint")
+        return ((c - c % F.lit(window)) / F.lit(window)).cast("bigint")
 
     return with_n.select(
         part_col,

@@ -59,7 +59,8 @@ class StreamRunner:
     # ST8 maintenance cadence (reference TargetMaintenanceProcessor,
     # main.scala:46,117: OPTIMIZE/expire/remove_orphans/ANALYZE every
     # batchThreshold batches, defaults 60/60/60/180,
-    # crd-parquet-stream.yaml:235-296). 0 disables.
+    # crd-parquet-stream.yaml:235-296). 0 disables ALL maintenance,
+    # including the adaptive gate below (full opt-out contract).
     maintenance_every_n_batches: int = 60
     # Adaptive (metric-driven) maintenance: after each batch, poll the
     # target's manifest-only maintenance_metrics() and run the cheap
@@ -96,10 +97,13 @@ class StreamRunner:
             watermark_value(batch, self.target.version_col)
         )
         self._batches_since_maintenance += 1
-        if (
-            self.maintenance_every_n_batches
-            and self._batches_since_maintenance >= self.maintenance_every_n_batches
-        ):
+        if self.maintenance_every_n_batches == 0:
+            # full opt-out (r8 ADVICE): "0 disables" means NO maintenance
+            # at all — counter-gated AND adaptive — so deployments that
+            # opted out never see a surprise compact/vacuum. Adaptive-only
+            # operation is spelled maintenance_every_n_batches=<huge>.
+            pass
+        elif self._batches_since_maintenance >= self.maintenance_every_n_batches:
             self._batches_since_maintenance = 0
             self.target.compact()
             self.target.vacuum()

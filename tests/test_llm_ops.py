@@ -498,3 +498,34 @@ def test_redact_pii_idempotent_and_clean(spark, sf_dir):
     )
     assert diff == 0
     assert twice.agg(F.sum("pii_n_total")).collect()[0][0] == 0
+
+
+def test_sequence_packing_window_boundaries_integer_exact(spark):
+    """Window assignment is pure integer arithmetic (r8 ADVICE): exact
+    at window boundaries for non-power-of-two windows.  A doc ending
+    exactly on a boundary spans only up to that boundary; a doc
+    starting exactly on one starts in that window."""
+    from arcane_stream_parquet_spark.operators.packing import sequence_packing
+
+    # windows of 3 tokens; docs of 3/3/2/4 tokens in one stream:
+    # offsets [0,3) [3,6) [6,8) [8,12)
+    rows = [
+        Row(doc_id="a", source="s", text="t1 t2 t3"),
+        Row(doc_id="b", source="s", text="t1 t2 t3"),
+        Row(doc_id="c", source="s", text="t1 t2"),
+        Row(doc_id="d", source="s", text="t1 t2 t3 t4"),
+        Row(doc_id="e", source="s", text=""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(
+            spark.createDataFrame(rows), window=3
+        ).collect()
+    }
+    assert (out["a"]["first_window"], out["a"]["windows_spanned"]) == (0, 1)
+    assert (out["b"]["first_window"], out["b"]["windows_spanned"]) == (1, 1)
+    assert (out["c"]["first_window"], out["c"]["windows_spanned"]) == (2, 1)
+    # doc d: tokens at offsets 8..11 → windows 2 (8) and 3 (9..11)
+    assert (out["d"]["first_window"], out["d"]["windows_spanned"]) == (2, 2)
+    # doc e is empty at offset 12: lands "at" window 4, spans none
+    assert (out["e"]["first_window"], out["e"]["windows_spanned"]) == (4, 0)

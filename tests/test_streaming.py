@@ -282,3 +282,42 @@ def test_csv_and_json_sources_stream_and_merge(spark, tmp_path):
         BlobParquetSource(
             path=str(tmp_path), primary_keys=["col0"], format="csv"
         ).read_batch(spark)
+
+
+def test_maintenance_zero_disables_all(spark, tmp_path, fixture_dir):
+    """maintenance_every_n_batches=0 is a FULL opt-out (r8 ADVICE): the
+    adaptive gate must not run either, even with thresholds that would
+    trivially fire — existing deployments that disabled maintenance
+    must never see a surprise compact/vacuum."""
+    import unittest.mock as mock
+
+    source = BlobParquetSource(path=str(fixture_dir), primary_keys=["col0"])
+    target = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "tgt_z"),
+        num_buckets=4,
+        max_records_per_file=10,
+        merge_mode="mor",  # accumulates delete files → real pressure
+    )
+    runner = StreamRunner(
+        source=source,
+        target=target,
+        checkpoint_dir=str(tmp_path / "ckpt_z"),
+        max_files_per_trigger=2,
+        maintenance_every_n_batches=0,
+        compact_on_delete_files=1,  # would fire on the first poll
+        compact_on_small_files=1,
+        minor_small_file_bytes=1 << 30,
+    )
+    with (
+        mock.patch.object(
+            ParquetMergeTarget, "run_adaptive_maintenance"
+        ) as adaptive,
+        mock.patch.object(ParquetMergeTarget, "compact") as compact,
+        mock.patch.object(ParquetMergeTarget, "compact_minor") as minor,
+        mock.patch.object(ParquetMergeTarget, "vacuum") as vacuum,
+    ):
+        runner.run_available_now(spark)
+    assert not adaptive.called and not compact.called
+    assert not minor.called and not vacuum.called
+    assert target.read().count() == N_KEYS  # the stream itself still ran
