@@ -354,9 +354,15 @@ def test_manifest_shards_roundtrip_and_prune(spark, tmp_path):
     files = t._files_of_manifest(m)
     assert len(files) >= 4 and all(f["mn"] is not None for f in files)
     assert t.read().count() == 60
+    # r9 roots carry bucket-ranged shard DESCRIPTORS with summaries
+    assert all(
+        {"n", "b0", "b1", "nf", "hist", "coal"} <= set(s)
+        for s in m["file_shards"]
+    )
+    assert sum(s["nf"] for s in m["file_shards"]) == m["n_files"] == len(files)
     # shards on disk are immutable commits named for their version
     names = t._fio.list_names(t._meta_path)
-    assert all(s in names for s in m["file_shards"])
+    assert all(s["n"] in names for s in m["file_shards"])
     # snapshot listing must not trip over shard names
     assert t.snapshot_versions() == [1]
     # merge on top of a sharded manifest: resolves shards, prunes, and
@@ -405,10 +411,183 @@ def test_manifest_shard_crash_retry_and_vacuum(spark, tmp_path):
     ] == "new"
     # vacuum: only the current version's shards survive
     t.vacuum()
-    live = set(t._manifest().get("file_shards") or [])
+    live = set(t._shard_names(t._manifest()))
     on_disk = {
         n for n in t._fio.list_names(t._meta_path) if "-shard-" in n
     }
     assert on_disk == live and live
     # and the table still reads
     assert t.read().count() == 60
+
+
+# ---------------------------------------------------------------------------
+# r9: bucket-ranged reusable shards — small-file hygiene at 10^6-file scale
+
+
+def _shard_reads(fio_cls):
+    """Patch context recording which manifest shard files get read."""
+    import contextlib
+    import unittest.mock as mock
+
+    @contextlib.contextmanager
+    def ctx():
+        real = fio_cls.read_text
+        reads = []
+
+        def counting(self, path):
+            if "-shard-" in path:
+                reads.append(path.rsplit("/", 1)[-1])
+            return real(self, path)
+
+        with mock.patch.object(fio_cls, "read_text", counting):
+            yield reads
+
+    return ctx()
+
+
+def test_sharded_manifest_shard_reuse_on_narrow_merge(spark, tmp_path):
+    """A narrow upsert on a bucket-ranged sharded manifest reads ONLY
+    the shards whose bucket range intersects the touched buckets and
+    reuses every other shard by name — commit metadata IO is O(touched
+    shards), not O(table)."""
+    t = _sharded_target(spark, tmp_path, num_buckets=8, max_records_per_file=4)
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(80)]))
+    m1 = t._manifest()
+    names1 = set(t._shard_names(m1))
+    assert len(names1) >= 4, "need several shards for a reuse story"
+
+    with _shard_reads(t._fio.__class__) as reads:
+        t.merge(df_of(spark, [("k000", 2, "updated")]))
+    m2 = t._manifest()
+    names2 = set(t._shard_names(m2))
+    # the touched bucket lives in few shards: most v1 shards are reused
+    # by NAME (no rewrite), and only intersecting shards were read
+    reused = names1 & names2
+    assert len(reused) >= len(names1) - 2
+    assert set(reads) <= (names1 - reused) | set(
+        s for s in names1 if s not in names2
+    ) or set(reads) < names1, "read shards must be a strict subset"
+    assert len(set(reads)) < len(names1)
+    # contents correct
+    out = {r["arcane_merge_key"]: r["payload"] for r in t.read().collect()}
+    assert out["k000"] == "updated" and len(out) == 80
+    # a full read touches every live shard and returns everything
+    assert t.read(at_version=m1["version"]).count() == 80
+
+
+def test_sharded_adaptive_gate_fires_on_small_files_candidate_reads_only(
+    spark, tmp_path
+):
+    """The r8 honesty hole, closed: on a sharded manifest the adaptive
+    gate sees the EXACT coalescable small-file count from the root
+    alone (zero shard reads), and the minor pass it buys reads only
+    the shards whose descriptor shows coalescable debris."""
+    # one file per bucket at base (no file cap): a lone small file is
+    # NOT coalescable, so the base table is clean — debris then lands
+    # only where the MoR trickle appends it
+    t = _sharded_target(
+        spark, tmp_path, num_buckets=8, max_records_per_file=None
+    )
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(80)]))
+    # MoR trickle upserts: same key → same bucket accumulates 1-row
+    # appended files (every file at toy scale is under any threshold)
+    for v in range(2, 6):
+        t.merge(df_of(spark, [("k000", v, f"p{v}")]), mode="mor")
+    m = t._manifest()
+    assert t._is_shard_descs(m["file_shards"]), "expected r9 descriptors"
+
+    with _shard_reads(t._fio.__class__) as reads:
+        metrics = t.maintenance_metrics()
+    assert reads == [], "metrics must answer from the root alone"
+    # exact count: k000's bucket holds >= 2 coalescable small files
+    assert metrics["coalescable_small_files"] >= 2
+    # exactness cross-check vs the full file list
+    files = t._files_of_manifest(t._manifest())
+    per_bucket: dict = {}
+    for f in files:
+        per_bucket.setdefault(f["b"], []).append(f)
+    k = t._size_class_at(8 << 20)
+    expect = sum(
+        len([f for f in fs if int(f["sz"]).bit_length() <= k])
+        for fs in per_bucket.values()
+        if len([f for f in fs if int(f["sz"]).bit_length() <= k]) >= 2
+    )
+    assert metrics["coalescable_small_files"] == expect
+
+    before = sorted(map(tuple, t.read().collect()))
+    shards_before = m["file_shards"]
+    cand = {
+        s["n"]
+        for s in shards_before
+        if t._step_at(s["coal"], t._size_class_at(8 << 20)) > 0
+    }
+    assert cand and len(cand) < len(shards_before), (
+        "debris must be localized for the probe to mean anything"
+    )
+    with _shard_reads(t._fio.__class__) as reads:
+        ran = t.run_adaptive_maintenance(
+            on_small_files=2, on_delete_files=None, on_delete_bytes=None
+        )
+    assert ran["ran"] and not ran["escalated"]
+    # the minor pass read ONLY candidate shards; the follow-up metrics
+    # poll reads none, and a minor-only fire never vacuums (vacuum is
+    # O(table) — it rides escalations and the counter-gated deep clean)
+    assert set(reads) <= cand
+    # pressure cleared, contents unchanged
+    after = t.maintenance_metrics()
+    assert after["coalescable_small_files"] < metrics["coalescable_small_files"]
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_sharded_manifest_legacy_name_list_back_compat(spark, tmp_path):
+    """Pre-r9 roots carry bare shard-name lists: reads still work, the
+    coalescable metric reports None ("unknowable", r8 ADVICE) instead
+    of a silently wrong 0, the adaptive gate treats that dimension as
+    disabled, and the next commit upgrades the root to descriptors."""
+    import json as _json
+
+    t = _sharded_target(spark, tmp_path, num_buckets=8, max_records_per_file=4)
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(80)]))
+    for v in range(2, 5):  # real coalescable debris
+        t.merge(df_of(spark, [("k000", v, f"p{v}")]))
+    m = t._manifest()
+    # hand-downgrade: next root version with the pre-r9 name list
+    legacy = dict(m)
+    legacy["file_shards"] = t._shard_names(m)
+    legacy["version"] = m["version"] + 1
+    t._fio.create_text(
+        t._manifest_file(legacy["version"]), _json.dumps(legacy)
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    metrics = t.maintenance_metrics()
+    assert metrics["coalescable_small_files"] is None
+    assert metrics["file_count"] == m["n_files"]
+    # the gate must NOT fire on the unknowable dimension
+    ran = t.run_adaptive_maintenance(
+        on_small_files=1, on_delete_files=None, on_delete_bytes=None
+    )
+    assert not ran["ran"]
+    assert sorted(map(tuple, t.read().collect())) == before
+    # next commit upgrades in place to descriptors
+    t.merge(df_of(spark, [("k001", 9, "up")]))
+    m2 = t._manifest()
+    assert t._is_shard_descs(m2["file_shards"])
+    assert t.maintenance_metrics()["coalescable_small_files"] is not None
+
+
+def test_sharded_manifest_fragmentation_bound_reshards(spark, tmp_path):
+    """Shard reuse cannot fragment the root without bound: once kept +
+    new shards exceed ~2x the ideal count, the commit reshards the
+    whole list (amortized O(1) per commit)."""
+    t = _sharded_target(spark, tmp_path, num_buckets=8, max_records_per_file=4)
+    t.merge(df_of(spark, [(f"k{i:03d}", 1, f"p{i}") for i in range(80)]))
+    for v in range(2, 30):  # many narrow commits across buckets
+        t.merge(df_of(spark, [(f"k{v:03d}", v, f"x{v}")]))
+        m = t._manifest()
+        files = t._files_of_manifest(m)
+        ideal = len(files) // t.manifest_shard_entries + 1
+        assert len(m["file_shards"]) <= 2 * ideal + 1, (
+            f"shard count must stay bounded, got {len(m['file_shards'])} "
+            f"vs ideal {ideal} at v{m['version']}"
+        )
+    assert t.read().count() == 80
