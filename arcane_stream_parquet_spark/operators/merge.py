@@ -91,6 +91,13 @@ from arcane_stream_parquet_spark.functions.keys import (
 BUCKET_COLUMN = "__bucket"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this target version first.  The losing
+    commit touched nothing the winner references; retrying the whole
+    operation (which re-reads the manifest) converges.  See the
+    single-writer contract in :meth:`ParquetMergeTarget._manifest`."""
+
+
 def _strip_nullability(dt):
     """The type with every nullability flag (column, array element,
     map value, struct field — recursively) normalized to nullable.
@@ -339,7 +346,18 @@ class ParquetMergeTarget:
         reference's model (one stream job owns one target table). The
         create-only commit makes crashes safe, not concurrent writers;
         multi-writer coordination is the job of a real table format's
-        catalog (swap in Iceberg for that)."""
+        catalog (swap in Iceberg for that).  The create-only root does
+        act as a best-effort CAS fence (r9): a writer that raced a
+        stale manifest read LOSES cleanly with
+        :class:`ConcurrentWriteError` — raised before it clears any
+        "orphan" dir the winner's commit actually references, and
+        again at the root create — and a plain retry (which re-reads
+        the manifest) converges.  What the fence cannot cover is two
+        IN-FLIGHT writers interleaving before either commits (one can
+        clear the other's uncommitted staging as a crash orphan);
+        operating two writers against one target stays out of
+        contract, the same way the reference drops leftover staging at
+        start (docs/crd.md:134-136)."""
         versions = self.snapshot_versions()
         for v in reversed(versions):
             try:
@@ -506,6 +524,10 @@ class ParquetMergeTarget:
         manifest.pop("size_hist", None)
         files = manifest.get("files")
         version = manifest["version"]
+        # CAS fence (r9): if this root already exists another writer
+        # won the race from the same base version — lose cleanly
+        # BEFORE replacing any shard the winner's root may reference
+        self._raise_if_version_committed(version)
         if files is None and not keep:
             # pre-r5 bucket-granularity manifest: root only
             self._fio.create_text(
@@ -566,9 +588,27 @@ class ParquetMergeTarget:
             manifest.pop("files", None)
         else:
             manifest["files"] = files
-        self._fio.create_text(
-            self._manifest_file(version), json.dumps(manifest)
-        )
+        try:
+            self._fio.create_text(
+                self._manifest_file(version), json.dumps(manifest)
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"manifest v{version} was committed by another writer "
+                f"between this commit's fence check and its root create "
+                f"at {self.path}; retry the operation"
+            ) from None
+
+    def _raise_if_version_committed(self, version: int) -> None:
+        """CAS-fence helper: a root manifest for ``version`` on disk
+        means another writer already committed it — everything this
+        writer was about to clear as a "crash orphan" is actually live.
+        One cheap existence probe per write/commit step."""
+        if self._fio.exists(self._manifest_file(version)):
+            raise ConcurrentWriteError(
+                f"manifest v{version} already committed by another "
+                f"writer at {self.path}; retry the operation"
+            )
 
     # -- schema ------------------------------------------------------------
 
@@ -702,6 +742,7 @@ class ParquetMergeTarget:
         # be a crash orphan (the flip is the commit point) — clear it so
         # a retry doesn't trip over its own previous attempt
         if self._fio.exists(target):
+            self._raise_if_version_committed(version)
             self._fio.delete(target, recursive=True)
         writer.mode("errorifexists").parquet(target)
 
@@ -875,6 +916,7 @@ class ParquetMergeTarget:
         realistic micro-batch."""
         target = self._delete_dir(version)
         if self._fio.exists(target):
+            self._raise_if_version_committed(version)
             self._fio.delete(target, recursive=True)
         keys_df.select(self.key_col).coalesce(
             max(1, n_keys // 5_000_000 + (1 if n_keys % 5_000_000 else 0))

@@ -293,3 +293,282 @@ def test_time_travel_reads_and_expiry(spark, tmp_path):
         t.read(at_version=1)
     # live table unaffected
     assert {(r["arcane_merge_key"], r["payload"]) for r in t.read().collect()} == now
+
+
+# ---------------------------------------------------------------------------
+# r9: model-based crash/replay fuzz of the merge/compact/vacuum state
+# machine (VERDICT r8 item 2).  Random op sequences with crashes
+# injected at every metadata create/delete point; the invariant is the
+# pure-python latest-wins fold over the batches that actually
+# COMMITTED (manifest version advanced — the create-only protocol's
+# only commit point), plus watermark monotonicity.  The target object
+# is stateless (all state on disk), so every op is also a "reopen".
+
+import contextlib
+import unittest.mock as mock
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from arcane_stream_parquet_spark.fsio import HadoopFileIO
+
+
+class _SimCrash(BaseException):
+    """Not an Exception: nothing in the engine may swallow it."""
+
+
+@contextlib.contextmanager
+def _crash_at(create_n: int = -1, delete_n: int = -1):
+    """Raise _SimCrash at the Nth metadata create_text / delete call
+    inside the window (-1 = never)."""
+    real_create, real_delete = HadoopFileIO.create_text, HadoopFileIO.delete
+    seen = {"c": 0, "d": 0}
+
+    def create(self, path, text):
+        if seen["c"] == create_n:
+            raise _SimCrash(f"create #{create_n}: {path}")
+        seen["c"] += 1
+        return real_create(self, path, text)
+
+    def delete(self, path, recursive=False):
+        if seen["d"] == delete_n:
+            raise _SimCrash(f"delete #{delete_n}: {path}")
+        seen["d"] += 1
+        return real_delete(self, path, recursive=recursive)
+
+    with (
+        mock.patch.object(HadoopFileIO, "create_text", create),
+        mock.patch.object(HadoopFileIO, "delete", delete),
+    ):
+        yield
+
+
+_fuzz_key = st.sampled_from(["a", "b", "c", None])
+_fuzz_row = st.tuples(
+    _fuzz_key, st.integers(0, 4), st.sampled_from(["p", "q"])
+)
+_fuzz_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.sampled_from(["cow", "mor"]),
+        st.lists(_fuzz_row, min_size=1, max_size=3),
+        st.integers(-1, 3),  # crash at Nth metadata create (-1 never)
+    ),
+    st.tuples(st.just("compact"), st.integers(-1, 2)),
+    st.tuples(st.just("minor"), st.integers(-1, 2)),
+    st.tuples(st.just("vacuum"), st.integers(-1, 2)),  # crash at delete
+    st.tuples(
+        st.just("wm"),
+        st.integers(0, 9),
+        st.sampled_from(["none", "create", "delete"]),
+    ),
+)
+
+
+def _fuzz_df(spark, rows):
+    # explicit schema: an all-null key column defeats Row inference
+    return spark.createDataFrame(
+        [(k, v, p) for k, v, p in rows],
+        "arcane_merge_key string, createdon bigint, payload string",
+    )
+
+
+def _model_fold(committed_batches):
+    """Pure-python latest-wins over committed batches: within a batch
+    max (version, payload) per key; across batches the batch wins on
+    version >= target (precedence before tiebreakers)."""
+    state: dict = {}
+    for batch in committed_batches:
+        best: dict = {}
+        for k, v, p in batch:
+            if k not in best or (v, p) > best[k]:
+                best[k] = (v, p)
+        for k, (v, p) in best.items():
+            if k not in state or v >= state[k][0]:
+                state[k] = (v, p)
+    return sorted(
+        ((k, v, p) for k, (v, p) in state.items()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+
+
+@given(ops=st.lists(_fuzz_op, min_size=2, max_size=6))
+@settings(
+    max_examples=int(os.environ.get("ASP_FUZZ_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
+    """ANY interleaving of merge(cow|mor) / compact_minor / compact /
+    vacuum / watermark commits, with a crash injected at any metadata
+    create or delete, leaves a table whose live rows are EXACTLY the
+    latest-wins fold of the batches whose commit point was reached —
+    and the watermark never regresses.  Tiny manifest_shard_entries
+    pushes sequences through the sharded (shard-reuse) commit path
+    too.  Set ASP_FUZZ_EXAMPLES to scale the run (CI default 12; the
+    round-9 probe ran 200 green)."""
+    base = tmp_path_factory.mktemp("crashfuzz")
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(base / "t"),
+        num_buckets=4,
+        tiebreakers=("payload",),
+        manifest_shard_entries=5,
+    )
+    committed: list = []
+    expected_wm = None
+    for op in ops:
+        v_before = t._manifest()["version"] if t.exists() else 0
+        kind = op[0]
+        try:
+            if kind == "merge":
+                _, mode, rows, cn = op
+                with _crash_at(create_n=cn):
+                    t.merge(_fuzz_df(spark, rows), mode=mode)
+            elif kind == "compact":
+                if t.exists():
+                    with _crash_at(create_n=op[1]):
+                        t.compact()
+            elif kind == "minor":
+                if t.exists():
+                    with _crash_at(create_n=op[1]):
+                        t.compact_minor(small_file_bytes=1 << 20)
+            elif kind == "vacuum":
+                if t.exists():
+                    with _crash_at(delete_n=op[1]):
+                        t.vacuum()
+            elif kind == "wm":
+                _, v, mode = op
+                if t.exists():
+                    with _crash_at(
+                        create_n=0 if mode == "create" else -1,
+                        delete_n=0 if mode == "delete" else -1,
+                    ):
+                        t.commit_watermark(v)
+                    if expected_wm is None or v > expected_wm:
+                        expected_wm = v
+        except _SimCrash:
+            if kind == "merge":
+                # the commit point is the root manifest creation: the
+                # batch is in iff the version advanced
+                v_after = t._manifest()["version"] if t.exists() else 0
+                if v_after > v_before:
+                    committed.append(op[2])
+            elif kind == "wm" and op[2] == "delete":
+                # crash AFTER the create: the watermark is committed
+                # (readers take the listing max; stale files are inert)
+                v = op[1]
+                if expected_wm is None or v > expected_wm:
+                    expected_wm = v
+            continue
+        if kind == "merge":
+            v_after = t._manifest()["version"] if t.exists() else 0
+            if v_after > v_before:
+                committed.append(op[2])
+    if not t.exists():
+        assert not committed
+        return
+    actual = sorted(
+        ((r[0], r[1], r[2]) for r in t.read().collect()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    assert actual == _model_fold(committed)
+    assert t.watermark() == expected_wm
+    # final uncrashed maintenance converges and preserves contents
+    t.compact_minor(small_file_bytes=1 << 20)
+    t.vacuum()
+    actual2 = sorted(
+        ((r[0], r[1], r[2]) for r in t.read().collect()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    assert actual2 == actual
+
+
+# ---------------------------------------------------------------------------
+# r9: concurrent-writer conflict semantics (VERDICT r8 item 3)
+
+
+def test_concurrent_writer_loses_cleanly_and_retry_converges(
+    spark, tmp_path
+):
+    """Two writers racing one target (streaming + overlapping backfill
+    — an operator error under the single-writer contract): the loser
+    must fail with ConcurrentWriteError BEFORE clearing anything the
+    winner's commit references, the winner's table must stay fully
+    intact, and a plain retry by the loser must converge."""
+    import copy
+
+    from arcane_stream_parquet_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "tgt")
+    a = ParquetMergeTarget(
+        spark=spark, path=path, num_buckets=4, manifest_shard_entries=3,
+        max_records_per_file=5,
+    )
+    b = ParquetMergeTarget(
+        spark=spark, path=path, num_buckets=4, manifest_shard_entries=3,
+        max_records_per_file=5,
+    )
+    a.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(30)]))
+
+    # writer B reads the manifest ... and stalls; writer A commits
+    m_stale = copy.deepcopy(b._manifest())
+    b._manifest = lambda: copy.deepcopy(m_stale)  # pin the stale read
+    a.merge(df_of(spark, [("k0", 2, "winner")]))
+    winner_rows = sorted(map(tuple, a.read().collect()))
+    meta_before = sorted(a._fio.list_names(a._meta_path))
+
+    for mode in ("cow", "mor"):
+        with pytest.raises(ConcurrentWriteError, match="retry"):
+            b.merge(df_of(spark, [("k1", 2, f"loser-{mode}")]), mode=mode)
+        # the winner's commit is byte-for-byte intact: same metadata
+        # set, same contents
+        assert sorted(a._fio.list_names(a._meta_path)) == meta_before
+        assert sorted(map(tuple, a.read().collect())) == winner_rows
+
+    # the loser retries normally (fresh manifest read) and converges
+    del b.__dict__["_manifest"]
+    b.merge(df_of(spark, [("k1", 2, "retried")]))
+    out = {r["arcane_merge_key"]: r["payload"] for r in a.read().collect()}
+    assert out["k0"] == "winner" and out["k1"] == "retried"
+    assert len(out) == 30
+    # any staging the loser left behind is reclaimable garbage only
+    a.vacuum()
+    assert sorted(map(tuple, a.read().collect())) == sorted(
+        map(tuple, b.read().collect())
+    )
+
+
+def test_concurrent_compaction_race_loses_cleanly(spark, tmp_path):
+    """Maintenance racing a merge from the same base version: the
+    compaction loser must not tear the merge winner's commit."""
+    import copy
+
+    from arcane_stream_parquet_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "tgt")
+    a = ParquetMergeTarget(spark=spark, path=path, num_buckets=4,
+                           max_records_per_file=5)
+    b = ParquetMergeTarget(spark=spark, path=path, num_buckets=4,
+                           max_records_per_file=5)
+    a.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(30)]))
+    m_stale = copy.deepcopy(b._manifest())
+    b._manifest = lambda: copy.deepcopy(m_stale)
+    a.merge(df_of(spark, [("k0", 2, "winner")]))
+    winner_rows = sorted(map(tuple, a.read().collect()))
+
+    with pytest.raises(ConcurrentWriteError):
+        b.compact(min_files_per_bucket=2)
+    assert sorted(map(tuple, a.read().collect())) == winner_rows
+
+    del b.__dict__["_manifest"]
+    assert b.compact(min_files_per_bucket=2) >= 0  # clean retry
+    assert sorted(map(tuple, a.read().collect())) == winner_rows
