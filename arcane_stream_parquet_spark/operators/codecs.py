@@ -3136,6 +3136,7 @@ def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
         "height": None,
         "timescale": None,
         "duration": None,
+        "stbl": {},  # raw sample tables (stts/stsc/stsz/stco/stss, r9)
     }
     for typ, body, nxt in _mp4_boxes(b, pos, end):
         if typ == b"tkhd":
@@ -3186,7 +3187,144 @@ def _mp4_parse_trak(b: bytes, pos: int, end: int) -> dict:
                                     track["codec"] = b[
                                         b4 + 12 : b4 + 16
                                     ].decode("latin1")
+                            else:
+                                _mp4_parse_stbl_table(
+                                    b, t4, b4, n4, track["stbl"]
+                                )
     return track
+
+
+def _mp4_parse_stbl_table(
+    b: bytes, typ: bytes, body: int, end: int, stbl: dict
+) -> None:
+    """Sample-table boxes (ISO/IEC 14496-12 §8.5-8.7) → raw entry
+    lists on ``stbl``.  Every entry count is validated against the
+    box's own length BEFORE any list is built, so a forged count can
+    never read a neighbor box or balloon memory (same bound discipline
+    as the rest of the walk)."""
+    if typ == b"stts":  # decoding time-to-sample: (count, delta)*
+        _mp4_need(body + 8, end, "stts")
+        (n,) = struct.unpack_from(">I", b, body + 4)
+        _mp4_need(body + 8 + 8 * n, end, "stts")
+        stbl["stts"] = [
+            struct.unpack_from(">II", b, body + 8 + 8 * i) for i in range(n)
+        ]
+    elif typ == b"stsc":  # sample-to-chunk: (first_chunk, per_chunk, sdi)*
+        _mp4_need(body + 8, end, "stsc")
+        (n,) = struct.unpack_from(">I", b, body + 4)
+        _mp4_need(body + 8 + 12 * n, end, "stsc")
+        stbl["stsc"] = [
+            struct.unpack_from(">III", b, body + 8 + 12 * i)
+            for i in range(n)
+        ]
+    elif typ == b"stsz":  # sample sizes: uniform or per-sample
+        _mp4_need(body + 12, end, "stsz")
+        uniform, count = struct.unpack_from(">II", b, body + 4)
+        sizes = None
+        if uniform == 0:
+            _mp4_need(body + 12 + 4 * count, end, "stsz")
+            sizes = list(
+                struct.unpack_from(f">{count}I", b, body + 12)
+            ) if count else []
+        stbl["stsz"] = (uniform, count, sizes)
+    elif typ in (b"stco", b"co64"):  # chunk offsets (32/64-bit)
+        wide = typ == b"co64"
+        step, fmt = (8, ">Q") if wide else (4, ">I")
+        _mp4_need(body + 8, end, typ.decode("latin1"))
+        (n,) = struct.unpack_from(">I", b, body + 4)
+        _mp4_need(body + 8 + step * n, end, typ.decode("latin1"))
+        stbl["stco"] = [
+            struct.unpack_from(fmt, b, body + 8 + step * i)[0]
+            for i in range(n)
+        ]
+    elif typ == b"stss":  # sync samples; ABSENT means all keyframes
+        _mp4_need(body + 8, end, "stss")
+        (n,) = struct.unpack_from(">I", b, body + 4)
+        _mp4_need(body + 8 + 4 * n, end, "stss")
+        stbl["stss"] = [
+            struct.unpack_from(">I", b, body + 8 + 4 * i)[0]
+            for i in range(n)
+        ]
+
+
+def mp4_samples(b: bytes) -> list[dict]:
+    """Per-sample metadata rows resolved from each track's sample
+    tables (the stsd/stts/stsc/stsz/stco ``stbl`` walk, ISO/IEC
+    14496-12 §8.5-8.7): for every sample its byte ``offset`` and
+    ``size`` in the file, decode timestamp (track-timescale ``dts``
+    and ``time_micro``), and ``keyframe`` flag (stss membership;
+    absent stss = every sample is sync, per spec).  This narrows the
+    honest media stub to CODED-PAYLOAD decode only: sample-accurate
+    layout, duration and keyframe structure are real metadata decode.
+    Tracks without sample tables (metadata-only files) yield no rows.
+    Inconsistent tables (chunk map or timing shorter than the declared
+    sample count) raise ValueError."""
+    meta = parse_mp4(b)
+    out: list[dict] = []
+    for ti, tr in enumerate(meta["tracks"], start=1):
+        st = tr.get("stbl") or {}
+        if st.get("stsz") is None or st.get("stco") is None:
+            continue
+        uniform, count, sizes = st["stsz"]
+        sizes = sizes if sizes is not None else [uniform] * count
+        stco = st["stco"]
+        stsc = st.get("stsc") or []
+        if count and not stsc:
+            raise ValueError("stsz declares samples but stsc is missing")
+        # chunk ci (1-based) uses the last stsc entry with
+        # first_chunk <= ci (entries are ascending per spec)
+        spc_by_chunk = []
+        for ci in range(1, len(stco) + 1):
+            spc = 0
+            for fc, spc_e, _sdi in stsc:
+                if fc <= ci:
+                    spc = spc_e
+                else:
+                    break
+            spc_by_chunk.append(spc)
+        # dts deltas; expansion bounded by the declared sample count
+        # (entry counts were already length-validated at parse)
+        deltas: list[int] = []
+        for cnt, delta in st.get("stts") or []:
+            take = min(cnt, count - len(deltas))
+            deltas.extend([delta] * take)
+            if len(deltas) >= count:
+                break
+        if len(deltas) < count:
+            raise ValueError(
+                f"stts covers {len(deltas)} of {count} samples"
+            )
+        sync = st.get("stss")
+        sync_set = set(sync) if sync is not None else None
+        ts = tr.get("timescale") or meta["timescale"]
+        if not ts:
+            raise ValueError("track timescale is zero")
+        si, dts = 0, 0
+        for ci, chunk_off in enumerate(stco):
+            off = chunk_off
+            for _ in range(spc_by_chunk[ci]):
+                if si >= count:
+                    break
+                size = sizes[si]
+                out.append(
+                    {
+                        "track": ti,
+                        "sample": si + 1,
+                        "offset": off,
+                        "size": size,
+                        "dts": dts,
+                        "time_micro": dts * 1_000_000 // ts,
+                        "keyframe": sync_set is None or (si + 1) in sync_set,
+                    }
+                )
+                off += size
+                dts += deltas[si]
+                si += 1
+        if si != count:
+            raise ValueError(
+                f"chunk map covers {si} of {count} declared samples"
+            )
+    return out
 
 
 def parse_mp4(b: bytes) -> dict:
@@ -3241,12 +3379,34 @@ def encode_mp4_metadata(
     timescale: int = 1000,
     tracks: list[dict] | None = None,
 ) -> bytes:
-    """A minimal spec-valid ISO BMFF file (ftyp + empty mdat + moov)
-    for the given movie header and track list — the synthesis side of
-    :func:`parse_mp4`, used only by tests and deterministic fixtures.
-    Each track dict: handler ('vide'/'soun'), codec 4cc, width, height,
-    timescale, duration."""
+    """A minimal spec-valid ISO BMFF file (ftyp + mdat + moov) for the
+    given movie header and track list — the synthesis side of
+    :func:`parse_mp4` / :func:`mp4_samples`, used only by tests and
+    deterministic fixtures.  Each track dict: handler ('vide'/'soun'),
+    codec 4cc, width, height, timescale, duration — plus optionally
+    ``samples``: a list of ``{"size", "delta", "keyframe"}`` dicts; a
+    track carrying them gets real stts/stsc/stsz/stco(/stss) tables,
+    its sample bytes land in mdat (deterministic filler), chunked in
+    groups of 3 so the stsc expansion is non-trivial, and stco holds
+    the true file offsets.  stss is emitted only when not every sample
+    is a keyframe (absent = all sync, per spec)."""
     tracks = tracks or []
+    # mdat layout first: ftyp is fixed-size, so absolute chunk offsets
+    # are computable before moov is built (moov trails mdat)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat_payload = bytearray()
+    track_chunk_offsets: list[list[int]] = []
+    for i, t in enumerate(tracks):
+        samples = t.get("samples") or []
+        offsets = []
+        for c0 in range(0, len(samples), 3):
+            offsets.append(len(ftyp) + 8 + len(mdat_payload))
+            for j, s in enumerate(samples[c0 : c0 + 3]):
+                mdat_payload += bytes(
+                    (7 * i + 31 * (c0 + j) + k) & 0xFF
+                    for k in range(int(s["size"]))
+                )
+        track_chunk_offsets.append(offsets)
     mvhd = _mp4_box(
         b"mvhd",
         struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
@@ -3282,13 +3442,74 @@ def encode_mp4_metadata(
         )
         entry = struct.pack(">I", 16) + t["codec"].encode("latin1") + b"\x00" * 8
         stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
-        stbl = _mp4_box(b"stbl", stsd)
+        stbl_payload = stsd
+        samples = t.get("samples") or []
+        if samples:
+            # stts: run-length encode consecutive equal deltas
+            runs: list[list[int]] = []
+            for s in samples:
+                if runs and runs[-1][1] == int(s["delta"]):
+                    runs[-1][0] += 1
+                else:
+                    runs.append([1, int(s["delta"])])
+            stts = _mp4_box(
+                b"stts",
+                b"\x00" * 4
+                + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">II", c, d) for c, d in runs),
+            )
+            # chunks of 3: one stsc entry, plus a second for a short
+            # trailing chunk (exercises the last-entry-wins expansion)
+            n_chunks = len(track_chunk_offsets[i])
+            rem = len(samples) - 3 * (n_chunks - 1)
+            stsc_entries = [(1, 3, 1)]
+            if rem != 3 and n_chunks > 1:
+                stsc_entries.append((n_chunks, rem, 1))
+            elif n_chunks == 1:
+                stsc_entries = [(1, len(samples), 1)]
+            stsc = _mp4_box(
+                b"stsc",
+                b"\x00" * 4
+                + struct.pack(">I", len(stsc_entries))
+                + b"".join(
+                    struct.pack(">III", *e) for e in stsc_entries
+                ),
+            )
+            stsz = _mp4_box(
+                b"stsz",
+                b"\x00" * 4
+                + struct.pack(">II", 0, len(samples))
+                + b"".join(
+                    struct.pack(">I", int(s["size"])) for s in samples
+                ),
+            )
+            stco = _mp4_box(
+                b"stco",
+                b"\x00" * 4
+                + struct.pack(">I", n_chunks)
+                + b"".join(
+                    struct.pack(">I", o) for o in track_chunk_offsets[i]
+                ),
+            )
+            stbl_payload += stts + stsc + stsz + stco
+            if not all(s.get("keyframe", True) for s in samples):
+                sync = [
+                    j + 1
+                    for j, s in enumerate(samples)
+                    if s.get("keyframe", True)
+                ]
+                stbl_payload += _mp4_box(
+                    b"stss",
+                    b"\x00" * 4
+                    + struct.pack(">I", len(sync))
+                    + b"".join(struct.pack(">I", n) for n in sync),
+                )
+        stbl = _mp4_box(b"stbl", stbl_payload)
         minf = _mp4_box(b"minf", stbl)
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
         trak_boxes.append(_mp4_box(b"trak", tkhd + mdia))
     moov = _mp4_box(b"moov", mvhd + b"".join(trak_boxes))
-    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
-    mdat = _mp4_box(b"mdat", b"")
+    mdat = _mp4_box(b"mdat", bytes(mdat_payload))
     return ftyp + mdat + moov
 
 

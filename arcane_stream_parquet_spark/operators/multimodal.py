@@ -39,9 +39,12 @@ parquet). What is REAL here and what is STUBBED:
   decode is bounded at 1M pixels per frame (a deliberate envelope for
   a pure-Python fixtures-scale decoder — doubles as the
   decompression-bomb guard); larger frames reject as ValueError.
-- STUBBED: coded-sample decode for MP4-class containers (H.264/AAC
-  bitstreams). This container
-  has no media libraries, so those paths raise
+- STUBBED: coded-PAYLOAD decode for MP4-class containers (the
+  H.264/AAC bitstreams themselves).  The container metadata around
+  them is fully real — box walk (``codecs.parse_mp4``) AND the
+  per-sample stbl layout (``codecs.mp4_samples`` → offsets, sizes,
+  timestamps, keyframes; r9).  This environment
+  has no media libraries, so the payload paths raise
   (``ValueError`` from the codecs' honest bounds, or
   ``NotImplementedError`` from ``sample_frames`` unless ``fake=True``,
   in which case a DETERMINISTIC FAKE derives plausible features from
@@ -66,6 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -1056,12 +1060,23 @@ def MP4_DURATION_MS(doc_id: int) -> int:
     return 500 + (doc_id * 37) % 4000
 
 
+def MP4_N_SAMPLES(doc_id: int) -> int:
+    return 5 + doc_id % 7
+
+
+def MP4_SAMPLE_SIZE(doc_id: int, i: int) -> int:
+    return 96 + (doc_id * 17 + i * 31) % 160
+
+
 def make_mp4_video(doc_id: int) -> bytes:
-    """Deterministic spec-valid ISO BMFF metadata file for ``doc_id``:
-    one avc1 video track (closed-form dims) plus ``doc_id % 3`` mp4a
-    audio tracks — input side of the REAL :func:`codecs.parse_mp4`
-    box-walk (r6; the coded samples stay stubbed, the container
-    metadata does not)."""
+    """Deterministic spec-valid ISO BMFF file for ``doc_id``: one avc1
+    video track (closed-form dims) plus ``doc_id % 3`` mp4a audio
+    tracks — input side of the REAL :func:`codecs.parse_mp4` box-walk
+    (r6).  The video track carries a REAL sample table (r9):
+    ``MP4_N_SAMPLES`` coded frames of ``MP4_SAMPLE_SIZE`` bytes at
+    40 ms cadence (90k timescale), keyframe every 4th, resolvable to
+    exact mdat offsets via :func:`codecs.mp4_samples`.  The honest
+    stub is now ONLY the coded-payload (H.264/AAC) decode itself."""
     from arcane_stream_parquet_spark.operators.codecs import (
         encode_mp4_metadata,
     )
@@ -1075,6 +1090,14 @@ def make_mp4_video(doc_id: int) -> bytes:
             "height": 120 + (doc_id * 13) % 240,
             "timescale": 90000,
             "duration": dur * 90,
+            "samples": [
+                {
+                    "size": MP4_SAMPLE_SIZE(doc_id, i),
+                    "delta": 3600,  # 40 ms at the 90 kHz timescale
+                    "keyframe": i % 4 == 0,
+                }
+                for i in range(MP4_N_SAMPLES(doc_id))
+            ],
         }
     ]
     for _ in range(doc_id % 3):
@@ -1089,6 +1112,50 @@ def make_mp4_video(doc_id: int) -> bytes:
             }
         )
     return encode_mp4_metadata(dur, MP4_TIMESCALE, tracks)
+
+
+MP4_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("sample_i", LongType()),
+        StructField("byte_offset", LongType()),
+        StructField("byte_size", LongType()),
+        StructField("time_micro", LongType()),
+        StructField("keyframe", BooleanType()),
+    ]
+)
+
+
+def video_sample_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-sample explode of ISO BMFF payloads (r9 — narrows the media
+    stub to coded-payload decode only): one Arrow pass walks each
+    container's stbl tables (``codecs.mp4_samples``: stts/stsc/stsz/
+    stco/stss) and emits a row per coded sample with its exact byte
+    offset/size in the file, decode timestamp, and keyframe flag —
+    the substrate for sample-accurate duration/bitrate stats, keyframe
+    seeking, and byte-range fetch planning at 100 TB (rows explode
+    row-locally; no shuffle — any downstream aggregate rides partial
+    aggregation like every other facet)."""
+    from arcane_stream_parquet_spark.operators.codecs import mp4_samples
+
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(PAYLOAD_COL))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in MP4_SAMPLE_SCHEMA.fields}
+            for did, p in zip(pdf["doc_id"], pdf[PAYLOAD_COL]):
+                for s in mp4_samples(bytes(p)):
+                    rows["doc_id"].append(did)
+                    rows["track_id"].append(s["track"])
+                    rows["sample_i"].append(s["sample"])
+                    rows["byte_offset"].append(s["offset"])
+                    rows["byte_size"].append(s["size"])
+                    rows["time_micro"].append(s["time_micro"])
+                    rows["keyframe"].append(s["keyframe"])
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(batches, MP4_SAMPLE_SCHEMA)
 
 
 PIPELINE_FACETS_SCHEMA = StructType(

@@ -45,6 +45,25 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+#: Dialect-portable subset (r9): identical semantics under Java regex
+#: (Spark) and RE2 (DuckDB) — drops ONLY the international ``+prefix``
+#: phone branch, whose year-range rejection needs a negative lookahead
+#: RE2 cannot express.  This is what the oracle-checked driver query
+#: uses; production defaults stay :data:`PII_PATTERNS`.  (Residual
+#: dialect delta: Java ``\\s`` includes U+000B, RE2's does not —
+#: irrelevant for any text without vertical tabs.)
+PII_PATTERNS_PORTABLE: tuple[tuple[str, str], ...] = (
+    PII_PATTERNS[0],
+    PII_PATTERNS[1],
+    PII_PATTERNS[2],
+    (
+        "phone",
+        r"(?:\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"
+        r"|\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
+    ),
+)
+
+
 def _token(kind: str) -> str:
     return f"[{kind.upper()}]"
 

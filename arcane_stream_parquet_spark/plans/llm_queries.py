@@ -45,6 +45,10 @@ from arcane_stream_parquet_spark.operators.packing import (
     PACK_WINDOW,
     sequence_packing,
 )
+from arcane_stream_parquet_spark.operators.redaction import (
+    PII_PATTERNS_PORTABLE,
+    redact_pii,
+)
 from arcane_stream_parquet_spark.operators.text import (
     LANG_MARKERS,
     LANG_PRECEDENCE,
@@ -601,31 +605,11 @@ def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id").isin(list(ANN_QUERY_IDS)))
 
 
-@register_query(
-    "cosine_topk_bruteforce",
-    oracle=f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, {_sql_vec()} AS qv FROM embeddings
-            WHERE vec_id IN {ANN_QUERY_IDS}
-        ),
-        c AS (SELECT vec_id AS neighbor_id, {_sql_vec()} AS cv FROM embeddings),
-        scored AS (
-            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS sim
-            FROM c CROSS JOIN q WHERE neighbor_id <> query_id
-        ),
-        ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, {_micro("sim")} AS cosine_micro
-        FROM ranked WHERE rn <= {ANN_K}
-    """,
-    doc=f"Exact cosine top-{ANN_K} per query ({len(ANN_QUERY_IDS)} "
-    "queries, broadcast) — the ANN ground-truth baseline. Corpus never "
-    "shuffles; one window for top-k.",
-    tags=("llm", "similarity"),
-)
+# NOT registered since r9: the exact brute-force baseline stayed the
+# ANN ground truth in tests (test_llm_ops asserts both ANN rows are
+# subsets of it) but duplicated the two registered ANN entries in the
+# 50-row driver budget; its slot went to redact_pii (VERDICT r8 item
+# 6), which is more load-bearing for the LLM-pipeline brief.
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, _queries_subset(spark, sf_dir), k=ANN_K)
@@ -1719,3 +1703,131 @@ def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sequence_packing(docs)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r9 — promoted from pytest-only to a driver row,
+# VERDICT r8 item 6).  The synthetic documents table contains no
+# PII-shaped text, so both sides first overlay DETERMINISTIC
+# closed-form PII (an email per doc; an SSN shape every 3rd doc, an
+# IPv4 every 4th, a NANP phone every 5th) — the regexes then do real
+# matching/consuming work and the counts vary per row.  Patterns are
+# the dialect-portable subset (redaction.py PII_PATTERNS_PORTABLE):
+# identical under Java regex and RE2; production keeps the full set
+# whose international-phone branch needs a lookahead RE2 lacks.
+
+_PII_SQL_OVERLAY = """
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@mail-' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com'
+               || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
+                    || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                    || CAST((doc_id * 3) % 256 AS VARCHAR)
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' call ('
+                    || CAST(200 + doc_id % 700 AS VARCHAR) || ') 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               AS text
+        FROM documents
+"""
+
+
+def _pii_sql_passes() -> str:
+    """Chained regexp_replace CTEs mirroring redact_pii's pass order,
+    with the EXACT pattern strings the Spark side applies."""
+    parts = [f"aug AS ({_PII_SQL_OVERLAY})"]
+    prev = "aug"
+    carried: list[str] = []
+    for i, (kind, pat) in enumerate(PII_PATTERNS_PORTABLE, start=1):
+        cols = ", ".join(["doc_id", *carried]) if carried else "doc_id"
+        parts.append(
+            f"r{i} AS (SELECT {cols}, "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) "
+            f"AS pii_n_{kind}, "
+            f"regexp_replace(t, '{pat}', '[{kind.upper()}]', 'g') AS t "
+            f"FROM {prev})"
+            if prev != "aug"
+            else f"r{i} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+            f"AS pii_n_{kind}, "
+            f"regexp_replace(text, '{pat}', '[{kind.upper()}]', 'g') AS t "
+            f"FROM aug)"
+        )
+        carried.append(f"pii_n_{kind}")
+        prev = f"r{i}"
+    totals = " + ".join(f"pii_n_{k}" for k, _ in PII_PATTERNS_PORTABLE)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT doc_id, {', '.join(carried)},
+               CAST({totals} AS BIGINT) AS pii_n_total,
+               t AS redacted_text
+        FROM {prev}
+    """
+    )
+
+
+def _pii_overlay(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+
+    def s(c) -> F.Column:
+        return c.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), s(d), F.lit("@mail-"), s(d % 7),
+        F.lit(".example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad(s((d * 7) % 1000), 3, "0"), F.lit("-"),
+                F.lpad(s(d % 100), 2, "0"), F.lit("-"),
+                F.lpad(s((d * 13) % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" ip 10."), s(d % 256), F.lit(".0."),
+                s((d * 3) % 256),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call ("), s(200 + d % 700), F.lit(") 555-"),
+                F.lpad(s(d % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+@register_query(
+    "redact_pii",
+    oracle=_pii_sql_passes(),
+    doc="PII redaction over a deterministic PII overlay: "
+    "specificity-ordered regexp_replace passes (email -> ssn -> ipv4 "
+    "-> phone) with per-kind regexp_count, all row-local codegen "
+    "projections — no shuffle, no UDF; a free rider on any scan at "
+    "100 TB. Oracle runs the IDENTICAL pattern strings through "
+    "DuckDB's RE2 (portable subset; the intl-phone lookahead branch "
+    "stays Spark/pytest-only).",
+    tags=("llm", "curation", "redaction"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = redact_pii(_pii_overlay(docs), patterns=PII_PATTERNS_PORTABLE)
+    return out.select(
+        "doc_id", "pii_n_email", "pii_n_ssn", "pii_n_ipv4",
+        "pii_n_phone", "pii_n_total", "redacted_text",
+    )

@@ -7,7 +7,8 @@ candidate-based dedup/ANN should grow near-linearly in corpus size (the
 quadratic work is confined to LSH-bounded buckets). Results are
 recorded in SCALE.md.
 
-Usage: python scripts/scale_probe.py [sf_dir]
+Usage: python scripts/scale_probe.py [sf_dir] [copies ...]
+(default copies: 1 2 4; the r9 run added 16 — 80k docs)
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ def replicate(df, id_col: str, copies: int, offset: int = 10_000_000):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies_list = tuple(int(a) for a in sys.argv[2:]) or (1, 2, 4)
     spark = build_session(app_name="asp-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -50,7 +52,7 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {}
     counts: dict[str, dict[int, int]] = {}
-    for copies in (1, 2, 4):
+    for copies in copies_list:
         docs = replicate(docs0, "doc_id", copies)
         emb = replicate(emb0, "vec_id", copies)
         queries = emb.filter(F.col("vec_id") < 5)

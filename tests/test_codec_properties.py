@@ -32,6 +32,7 @@ from arcane_stream_parquet_spark.operators.codecs import (
     encode_wav,
     parse_avi,
     parse_gif,
+    mp4_samples,
     parse_mp4,
     parse_wav,
 )
@@ -186,7 +187,9 @@ def test_mp4_roundtrip_any_tracks(duration, timescale, tracks):
     assert m["timescale"] == timescale and m["duration"] == duration
     assert m["n_tracks"] == len(tracks)
     for t_in, t_out in zip(tracks, m["tracks"]):
-        assert t_out == t_in
+        # r9: parsed tracks additionally carry the raw stbl tables
+        assert {k: t_out[k] for k in t_in} == t_in
+        assert t_out["stbl"] == {}  # no sample tables were encoded
 
 
 def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
@@ -226,6 +229,19 @@ def _sample_payloads(seed: int) -> list[tuple[str, bytes, object]]:
             parse_mp4,
         ),
         ("avi", encode_avi_mjpeg(8, 8, [jpg]), parse_avi),
+        (
+            "mp4-stbl",
+            encode_mp4_metadata(10, 1000, [
+                {"handler": "vide", "codec": "avc1", "width": 16,
+                 "height": 16, "timescale": 600, "duration": 6,
+                 "samples": [
+                     {"size": 1 + rng.randrange(64), "delta": 100,
+                      "keyframe": rng.random() < 0.5}
+                     for _ in range(rng.randrange(1, 8))
+                 ]},
+            ]),
+            mp4_samples,
+        ),
     ]
 
 

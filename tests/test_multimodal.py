@@ -600,3 +600,103 @@ def test_image_dims_facets_matches_composable_plan(spark):
         .collect()
     }
     assert fused == composed
+
+
+# ---------------------------------------------------------------------------
+# r9: MP4 sample-table (stbl) walk — the stub narrows to coded-payload
+# decode only
+
+
+def test_mp4_samples_pinned_bytes():
+    """Hand-derivable sample table: offsets/sizes/timestamps/keyframes
+    pinned against the ISO/IEC 14496-12 stbl layout, and every sample
+    range verified to fall inside the file's mdat payload."""
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_mp4_metadata,
+        mp4_samples,
+    )
+
+    b = encode_mp4_metadata(
+        1000,
+        1000,
+        [
+            {
+                "handler": "vide", "codec": "avc1", "width": 64,
+                "height": 48, "timescale": 90000, "duration": 90000,
+                "samples": [
+                    {"size": 100 + 13 * i, "delta": 3600,
+                     "keyframe": i % 4 == 0}
+                    for i in range(7)
+                ],
+            },
+            # metadata-only track: contributes no sample rows
+            {"handler": "soun", "codec": "mp4a", "width": 0, "height": 0,
+             "timescale": 48000, "duration": 48000},
+        ],
+    )
+    rows = mp4_samples(b)
+    assert len(rows) == 7 and all(r["track"] == 1 for r in rows)
+    # ftyp is 24 bytes + 8-byte mdat header → first chunk at 32;
+    # samples within a chunk are contiguous; chunk 2 starts sample 4,
+    # chunk 3 starts sample 7 (3-sample chunking)
+    assert [r["offset"] for r in rows] == [32, 132, 245, 371, 510, 662, 827]
+    assert [r["size"] for r in rows] == [100 + 13 * i for i in range(7)]
+    assert [r["dts"] for r in rows] == [3600 * i for i in range(7)]
+    assert [r["time_micro"] for r in rows] == [40000 * i for i in range(7)]
+    assert [r["keyframe"] for r in rows] == [
+        True, False, False, False, True, False, False
+    ]
+    # every sample's byte range lies inside the file
+    for r in rows:
+        assert r["offset"] + r["size"] <= len(b)
+    # inconsistent table: stts shorter than stsz must raise
+    import pytest as _pytest
+    import struct as _struct
+
+    idx = b.index(b"stts")
+    cnt_off = idx + 4 + 4  # past type + ver/flags → entry_count
+    bad = bytearray(b)
+    bad[cnt_off : cnt_off + 4] = _struct.pack(">I", 0)
+    with _pytest.raises(ValueError, match="stts covers 0 of 7"):
+        mp4_samples(bytes(bad))
+
+
+def test_video_sample_table_spark_facet(spark):
+    """The mapInPandas explode: per-sample rows for every synthesized
+    doc match the driver-side mp4_samples walk exactly, with the
+    closed-form count/keyframe structure of make_mp4_video."""
+    from arcane_stream_parquet_spark.operators.codecs import mp4_samples
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        MP4_N_SAMPLES,
+        make_mp4_video,
+        video_sample_table,
+    )
+
+    ids = [0, 3, 7, 12]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, payload=bytearray(make_mp4_video(i)))
+            for i in ids
+        ]
+    )
+    out = video_sample_table(df).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(ids)
+    for i in ids:
+        rows = sorted(by_doc[i], key=lambda r: r["sample_i"])
+        expect = mp4_samples(make_mp4_video(i))
+        assert len(rows) == MP4_N_SAMPLES(i) == len(expect)
+        for got, exp in zip(rows, expect):
+            assert (
+                got["track_id"], got["sample_i"], got["byte_offset"],
+                got["byte_size"], got["time_micro"], got["keyframe"],
+            ) == (
+                exp["track"], exp["sample"], exp["offset"],
+                exp["size"], exp["time_micro"], exp["keyframe"],
+            )
+        # keyframe cadence: every 4th
+        assert [r["keyframe"] for r in rows] == [
+            j % 4 == 0 for j in range(len(rows))
+        ]

@@ -92,9 +92,9 @@ _NLJ_ALLOWLIST = {
     # see test_ivf_centroid_expansion_is_broadcast_only for the
     # BuildRight assertion (similarity.py ivf_topk)
     "ann_ivf_topk": 2,
-    # the documented exact O(n·q) baseline the ANN entries are measured
-    # against (similarity.py cosine_topk, broadcast query side)
-    "cosine_topk_bruteforce": 1,
+    # (cosine_topk_bruteforce left the registry in r9 — slot went to
+    # redact_pii; the baseline and its broadcast plan stay covered in
+    # test_llm_ops)
     # two 1-row global-aggregate attaches (avg revenue + total count)
     # joined onto the grouped output (sql_queries.py event_analytics)
     "event_analytics": 2,
