@@ -3226,6 +3226,15 @@ def _mp4_parse_stbl_table(
             sizes = list(
                 struct.unpack_from(f">{count}I", b, body + 12)
             ) if count else []
+        elif count > len(b):
+            # the uniform branch carries no per-entry payload to bound
+            # the count against, but every (≥1-byte) sample must fit in
+            # the file — a forged 32-bit count must not balloon the
+            # [uniform] * count expansion downstream (r9 review)
+            raise ValueError(
+                f"stsz declares {count} uniform-size samples in a "
+                f"{len(b)}-byte file"
+            )
         stbl["stsz"] = (uniform, count, sizes)
     elif typ in (b"stco", b"co64"):  # chunk offsets (32/64-bit)
         wide = typ == b"co64"
@@ -3272,16 +3281,19 @@ def mp4_samples(b: bytes) -> list[dict]:
         if count and not stsc:
             raise ValueError("stsz declares samples but stsc is missing")
         # chunk ci (1-based) uses the last stsc entry with
-        # first_chunk <= ci (entries are ascending per spec)
+        # first_chunk <= ci.  Entries must ascend (the spec requires
+        # it, and the single forward two-pointer walk below — O(chunks
+        # + entries), not the quadratic rescan the r9 review flagged —
+        # relies on it); reject non-ascending tables loudly.
+        for j in range(1, len(stsc)):
+            if stsc[j][0] <= stsc[j - 1][0]:
+                raise ValueError("stsc first_chunk entries must ascend")
         spc_by_chunk = []
+        ei = -1
         for ci in range(1, len(stco) + 1):
-            spc = 0
-            for fc, spc_e, _sdi in stsc:
-                if fc <= ci:
-                    spc = spc_e
-                else:
-                    break
-            spc_by_chunk.append(spc)
+            while ei + 1 < len(stsc) and stsc[ei + 1][0] <= ci:
+                ei += 1
+            spc_by_chunk.append(stsc[ei][1] if ei >= 0 else 0)
         # dts deltas; expansion bounded by the declared sample count
         # (entry counts were already length-validated at parse)
         deltas: list[int] = []

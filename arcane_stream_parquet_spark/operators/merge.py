@@ -169,6 +169,13 @@ _DEL_SEQ_COL = "__asp_del_seq"
 _DEL_SEQ_STORE = "__asp_seq"
 _TGT_KEY_COL = "__asp_tgt_key"
 _TGT_V_COL = "__asp_tgt_v"
+# CDC changelog columns (read_changes output; Delta CDF naming so a
+# consumer written against `table_changes()` ports over unchanged)
+CHANGE_TYPE_COLUMN = "_change_type"
+COMMIT_VERSION_COLUMN = "_commit_version"
+# internal prefixes for the snapshot-reconciliation join
+_CDC_OLD = "__asp_cdc_o_"
+_CDC_NEW = "__asp_cdc_n_"
 
 
 def _bucket_expr(key_col: str, num_buckets: int):
@@ -701,6 +708,296 @@ class ParquetMergeTarget:
         """Current table contents (bucket column dropped); pass
         ``at_version`` for a time-travel read of an archived snapshot."""
         return self._read_raw(at_version).drop(BUCKET_COLUMN)
+
+    # -- incremental / CDC read --------------------------------------------
+
+    @staticmethod
+    def _rows_equal_pred(schema) -> "F.Column":
+        """Null-safe whole-row equality between the ``_CDC_OLD`` and
+        ``_CDC_NEW`` prefixed column sets.  Map-containing types are
+        compared via ``to_json`` (Spark defines no equality for maps);
+        everything else uses ``<=>`` directly."""
+        pred = F.lit(True)
+        for f in schema.fields:
+            o = F.col(_CDC_OLD + f.name)
+            n = F.col(_CDC_NEW + f.name)
+            if "map<" in f.dataType.simpleString():
+                o, n = F.to_json(o), F.to_json(n)
+            pred = pred & o.eqNullSafe(n)
+        return pred
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental/CDC changelog: every row-level change committed
+        AFTER snapshot ``from_version``, up to and including
+        ``to_version`` (default: the live version) — the table columns
+        (current schema; post-drift columns null-filled in history,
+        same rule as time travel) plus ``_change_type`` (``insert`` |
+        ``update_postimage`` | ``delete``) and ``_commit_version``.
+        ``from_version=0`` replays the table from creation.  The
+        incremental-consumption loop the reference drives from blob
+        change capture (``docs/crd.md:145-182`` merge semantics;
+        S3/ST1 polling) becomes composable downstream of the target:
+        remember the last version you saw, call
+        ``read_changes(last_v)``, advance.
+
+        The stream is post-image-only (Delta CDF column naming, minus
+        pre-images): latest-wins MERGE never deletes, so ``delete``
+        rows (carrying the final pre-image) arise only from
+        ``overwrite()`` dropping keys.  A key changed in several
+        commits of the range yields one row per commit; the live row is
+        the max-``_commit_version`` one.
+
+        Cost at scale: a ``merge-mor`` commit is read **O(delta)** —
+        its appended data files ARE the post-images and its delete file
+        IS the update key set; no table scan, no join wider than the
+        batch.  ``merge-cow`` / ``overwrite`` / untagged (pre-CDC)
+        commits reconcile the two adjacent snapshots restricted to the
+        buckets the commit touched (partition-pruned, bucket-local
+        key join).  Maintenance commits (``compact``/``compact-minor``)
+        are logically empty by construction and skipped for free via
+        the manifest ``op`` tag.  Snapshots must still exist:
+        :meth:`vacuum` reclaims history, so a consumer that falls
+        behind the vacuum horizon must resume from a full ``read()``
+        (Iceberg incremental-scan-after-expire_snapshots contract)."""
+        current = self._manifest()
+        cur_v = int(current["version"])
+        if to_version is None:
+            to_version = cur_v
+        if not 0 <= from_version <= to_version <= cur_v:
+            raise ValueError(
+                f"invalid change range ({from_version}, {to_version}] "
+                f"for table at v{cur_v}"
+            )
+        schema = self._schema_of(current)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        avail = set(self.snapshot_versions())
+        # v_from itself need not exist (only its BOUNDARY matters) —
+        # except as the old side of a snapshot diff, checked per-commit
+        missing = sorted(
+            v for v in range(from_version + 1, to_version + 1) if v not in avail
+        )
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} already vacuumed — resume this "
+                f"consumer from a full read() instead"
+            )
+        cols = [f.name for f in schema.fields]
+        ct = F.col(CHANGE_TYPE_COLUMN)
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            m_new = json.loads(self._fio.read_text(self._manifest_file(v)))
+            op = m_new.get("op")
+            if op in ("compact", "compact-minor"):
+                continue  # pure repack: contents proven unchanged
+            part: DataFrame | None
+            if op in ("merge-mor", "append"):
+                part = self._changes_from_delta(m_new, v, schema, cols)
+            else:  # merge-cow / overwrite / untagged pre-CDC manifest
+                part = self._changes_from_diff(m_new, v, schema, cols, avail)
+            if part is not None:
+                parts.append(
+                    part.withColumn(
+                        COMMIT_VERSION_COLUMN, F.lit(v).cast("long")
+                    )
+                )
+        if not parts:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            empty = StructType(
+                list(schema.fields)
+                + [
+                    StructField(CHANGE_TYPE_COLUMN, StringType()),
+                    StructField(COMMIT_VERSION_COLUMN, LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _changes_from_delta(
+        self, m_new: dict, v: int, schema, cols: list[str]
+    ) -> DataFrame | None:
+        """O(delta) changelog of one merge-on-read (or initial append)
+        commit: the files it added are the post-images; the delete
+        file it wrote (keys that HAD a live target row) is exactly the
+        insert/update classifier."""
+        files_v = [
+            f
+            for f in (self._files_of_manifest(m_new) or [])
+            if int(f["v"]) == v
+        ]
+        if not files_v:
+            return None
+        rows = self._read_files(files_v, schema)
+        dels_v = [
+            d
+            for d in (m_new.get("deletes") or [])
+            if not d.get("sc") and int(d["seq"]) == v
+        ]
+        if not dels_v:
+            return rows.select(
+                *cols, F.lit("insert").alias(CHANGE_TYPE_COLUMN)
+            )
+        # the match marker must be a non-null literal, NOT the key
+        # column — a null-key update matches via eqNullSafe yet leaves
+        # the joined key column null
+        upd = self._read_delete_files(dels_v).select(
+            _DEL_KEY_COL, F.lit(True).alias(_CDC_OLD + "present")
+        )
+        # one delete key per upserted key (winners are key-deduped), and
+        # the set is O(batch) — broadcast under the same bound the MoR
+        # scan path uses
+        if sum(int(d["sz"]) for d in dels_v) <= self.broadcast_delete_bytes:
+            upd = F.broadcast(upd)
+        return rows.join(
+            upd,
+            F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL)),
+            "left",
+        ).select(
+            *cols,
+            F.when(
+                F.col(_CDC_OLD + "present").isNotNull(),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.lit("insert"))
+            .alias(CHANGE_TYPE_COLUMN),
+        )
+
+    def _changes_from_diff(
+        self, m_new: dict, v: int, schema, cols: list[str], avail: set[int]
+    ) -> DataFrame | None:
+        """Changelog of one commit by reconciling its snapshot with the
+        previous one, restricted to the buckets the commit touched —
+        exact for ANY commit kind (rows a rewrite carried over unchanged
+        compare equal and drop out), partition-pruned on both sides."""
+        changed = {
+            int(b) for b, ver in m_new["buckets"].items() if int(ver) == v
+        }
+        for d in m_new.get("deletes") or []:
+            # untagged MoR-shaped commit: new delete entries change row
+            # visibility in buckets the file map may not attribute to v
+            if not d.get("sc") and int(d["seq"]) == v:
+                changed.update(self._delete_buckets(d))
+        prev = v - 1
+        old: DataFrame | None = None
+        if prev >= 1:
+            if prev not in avail:
+                raise ValueError(
+                    f"snapshot v{prev} (diff base for v{v}) already "
+                    f"vacuumed — resume from a full read() instead"
+                )
+            m_old = json.loads(
+                self._fio.read_text(self._manifest_file(prev))
+            )
+            # overwrite()/truncate can DROP buckets: their rows are
+            # deletes, so the old side must still scan them
+            changed.update(
+                int(b)
+                for b in m_old.get("buckets", {})
+                if int(b) not in {
+                    int(bb) for bb in m_new.get("buckets", {})
+                }
+            )
+            old = self._read_raw(at_version=prev)
+        if not changed:
+            return None
+        bucket_list = sorted(changed)
+        new = self._read_raw(at_version=v).filter(
+            F.col(BUCKET_COLUMN).isin(bucket_list)
+        )
+        if old is None:
+            return new.select(
+                *cols, F.lit("insert").alias(CHANGE_TYPE_COLUMN)
+            )
+        old = old.filter(F.col(BUCKET_COLUMN).isin(bucket_list))
+        o = old.select(
+            *[F.col(c).alias(_CDC_OLD + c) for c in cols],
+            F.lit(True).alias(_CDC_OLD + "present"),
+        )
+        n = new.select(
+            *[F.col(c).alias(_CDC_NEW + c) for c in cols],
+            F.lit(True).alias(_CDC_NEW + "present"),
+        )
+        j = n.join(
+            o,
+            F.col(_CDC_NEW + self.key_col).eqNullSafe(
+                F.col(_CDC_OLD + self.key_col)
+            ),
+            "full_outer",
+        )
+        o_present = F.col(_CDC_OLD + "present").isNotNull()
+        n_present = F.col(_CDC_NEW + "present").isNotNull()
+        j = j.filter(
+            ~o_present | ~n_present | ~self._rows_equal_pred(schema)
+        )
+        out_cols = [
+            F.when(n_present, F.col(_CDC_NEW + c))
+            .otherwise(F.col(_CDC_OLD + c))
+            .alias(c)
+            for c in cols
+        ]
+        kind = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+        )
+        return j.select(*out_cols, kind.alias(CHANGE_TYPE_COLUMN))
+
+    def lookup(self, keys: Sequence) -> DataFrame:
+        """Point-lookup read: exactly ``read().filter(key IN keys)``
+        but served from the manifest — each key prunes to its hash
+        bucket, then to the files whose recorded [mn, mx] key range can
+        hold it, so a lookup against a 10⁶-file table scans O(#keys)
+        data files instead of the table (the key-sorted data files
+        ``_write_version`` produces make each file a tight contiguous
+        range).  Pending MoR deletes apply as in any read.  ``keys`` is
+        a small driver-side list — that is the point-lookup contract;
+        for bulk key sets use a join against :meth:`read`."""
+        manifest = self._manifest()
+        schema = self._schema_of(manifest)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        if not len(keys):
+            return self.spark.createDataFrame([], schema)
+        from pyspark.sql.types import StructField, StructType
+
+        key_type = schema[self.key_col].dataType
+        kdf = self._with_bucket(
+            self.spark.createDataFrame(
+                [(k,) for k in keys],
+                StructType([StructField(self.key_col, key_type)]),
+            )
+        )
+        buckets = [
+            r[BUCKET_COLUMN]
+            for r in kdf.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        files = self._files_of_manifest(manifest)
+        if files is None:
+            files = self._legacy_files(manifest)
+        touched, _kept = self._prune_touched_files(files, kdf, buckets)
+        if not touched:
+            return self.spark.createDataFrame([], schema)
+        scan = self._scan_with_deletes(
+            touched, schema, manifest.get("deletes") or []
+        )
+        non_null = [k for k in keys if k is not None]
+        pred = (
+            F.col(self.key_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(k is None for k in keys):
+            pred = pred | F.col(self.key_col).isNull()
+        return scan.filter(pred).drop(BUCKET_COLUMN)
 
     # -- write path --------------------------------------------------------
 
@@ -1318,6 +1615,7 @@ class ParquetMergeTarget:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
         manifest["schema"] = merged.schema.jsonValue()
+        manifest["op"] = "merge-cow"  # commit kind: read_changes contract
         self._commit_manifest(manifest)
 
     def _merge_mor(self, batch: DataFrame) -> None:
@@ -1428,6 +1726,7 @@ class ParquetMergeTarget:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
         manifest["schema"] = new_schema.jsonValue()
+        manifest["op"] = "merge-mor"  # enables the O(delta) CDC fast path
         self._commit_manifest(manifest)
 
     def _commit_initial(self, bucketed: DataFrame) -> None:
@@ -1447,6 +1746,7 @@ class ParquetMergeTarget:
                 "buckets": {str(b): 1 for b in buckets},
                 "schema": bucketed.schema.jsonValue(),
                 "files": self._collect_file_stats(1),
+                "op": "append",  # CDC: initial commit = pure inserts
             }
         )
 
@@ -1471,6 +1771,7 @@ class ParquetMergeTarget:
                 "buckets": {str(b): new_version for b in buckets},
                 "schema": snapshot.schema.jsonValue(),
                 "files": self._collect_file_stats(new_version) if buckets else [],
+                "op": "overwrite",  # CDC: snapshot diff, deletes possible
             }
         )
 
@@ -1566,6 +1867,7 @@ class ParquetMergeTarget:
         for b in frag_set:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
+        manifest["op"] = "compact"  # CDC: logically empty, skipped
         self._commit_manifest(manifest)  # schema unchanged: carried over
         return len(frag_set)
 
@@ -1586,10 +1888,27 @@ class ParquetMergeTarget:
         is the exact count of files whose size bucket fits entirely
         under the threshold (a ≤2× conservative rounding, fine for a
         trigger)."""
-        manifest = self._manifest()
+        # one listing serves both the current-manifest walk and the
+        # snapshot-pressure signal (every commit strands a root until
+        # vacuum; the count is the vacuum-debt meter, r9 review)
+        versions = self.snapshot_versions()
+        manifest = None
+        for v in reversed(versions):
+            try:
+                manifest = json.loads(
+                    self._fio.read_text(self._manifest_file(v))
+                )
+                break
+            except FileNotFoundError:
+                continue
+        if manifest is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {self._meta_path}"
+            )
         deletes = manifest.get("deletes") or []
         out = {
             "version": int(manifest["version"]),
+            "snapshot_count": len(versions),
             "delete_file_count": len(deletes),
             "delete_bytes": sum(int(d["sz"]) for d in deletes),
         }
@@ -1626,8 +1945,15 @@ class ParquetMergeTarget:
         if files is None:  # pre-r5 manifest: no per-file sizes recorded
             files = []
         out["file_count"] = len(files)
+        # ONE definition of "small" across layouts (r9 review): a file
+        # whose power-of-two size class fits entirely under the
+        # threshold — the only rule a sharded root's histogram can
+        # answer, so the inline path uses it too (otherwise a table
+        # crossing the shard threshold silently narrows the criterion
+        # by up to 2x)
+        k = self._size_class_at(small_file_bytes)
         out["small_file_count"] = sum(
-            1 for f in files if int(f["sz"]) < small_file_bytes
+            1 for f in files if int(f["sz"]).bit_length() <= k
         )
         # small files compact_minor can actually merge: those sharing a
         # bucket with another small file.  Gating on THIS count (not
@@ -1637,7 +1963,7 @@ class ParquetMergeTarget:
         # would otherwise fire forever (r8 review find)
         per_bucket: dict[int, int] = {}
         for f in files:
-            if int(f["sz"]) < small_file_bytes:
+            if int(f["sz"]).bit_length() <= k:
                 per_bucket[int(f["b"])] = per_bucket.get(int(f["b"]), 0) + 1
         out["coalescable_small_files"] = sum(
             n for n in per_bucket.values() if n >= 2
@@ -1650,6 +1976,7 @@ class ParquetMergeTarget:
         on_delete_files: int | None = 16,
         on_delete_bytes: int | None = 256 * 1024 * 1024,
         on_small_files: int | None = 512,
+        on_snapshots: int | None = 64,
     ) -> dict:
         """THE metric-driven maintenance gate (shared by the stream
         runner and the curation pipeline — one implementation, r8
@@ -1668,7 +1995,17 @@ class ParquetMergeTarget:
         COALESCABLE count — small files sharing a bucket — so a table
         of 1-per-bucket small files (which no compaction can shrink)
         never triggers.  ``None`` disables a dimension; returns what
-        ran."""
+        ran.
+
+        ``on_snapshots`` is the vacuum-debt dimension (r9 review):
+        every commit strands one expired root manifest (plus any
+        superseded data/shards) until :meth:`vacuum` — which is
+        O(table) and therefore must not ride every minor fire.  When
+        the stranded-snapshot count crosses the bound, the gate runs a
+        vacuum (with or without any compaction), so reclamation is
+        amortized 1/``on_snapshots`` per commit even in adaptive-only
+        deployments where the counter-gated deep clean never runs.
+        Vacuum drives the count back to 1 — convergent like the rest."""
         def delete_due(m: dict) -> bool:
             return bool(
                 (
@@ -1685,11 +2022,23 @@ class ParquetMergeTarget:
                 on_small_files and c is not None and c >= on_small_files
             )
 
-        if not (on_delete_files or on_delete_bytes or on_small_files):
+        if not (
+            on_delete_files
+            or on_delete_bytes
+            or on_small_files
+            or on_snapshots
+        ):
             return {"ran": False, "escalated": False}
         if not self.exists():
             return {"ran": False, "escalated": False}
-        if not due(self.maintenance_metrics(small_file_bytes)):
+        m0 = self.maintenance_metrics(small_file_bytes)
+        vacuum_due = bool(
+            on_snapshots and m0["snapshot_count"] >= on_snapshots
+        )
+        if not due(m0):
+            if vacuum_due:
+                self.vacuum()
+                return {"ran": True, "escalated": False}
             return {"ran": False, "escalated": False}
         self.compact_minor(small_file_bytes=small_file_bytes)
         escalated = False
@@ -1701,11 +2050,11 @@ class ParquetMergeTarget:
         if delete_due(self.maintenance_metrics(small_file_bytes)):
             self.compact()
             escalated = True
-            # vacuum only rides the escalation: it walks the full file
-            # list + data dirs (O(table)), which a minor-only fire must
-            # never pay at the 10^6-file scale this gate exists for.
-            # The superseded files a minor pass strands are O(debris)
-            # and reclaimed by the next counter-gated compact+vacuum.
+        if escalated or vacuum_due:
+            # vacuum rides escalations and snapshot-debt crossings, not
+            # every minor fire: it walks the full file list + data dirs
+            # (O(table)), which a minor-only fire must never pay at the
+            # 10^6-file scale this gate exists for
             self.vacuum()
         return {"ran": True, "escalated": escalated}
 
@@ -1768,9 +2117,14 @@ class ParquetMergeTarget:
         deletes = manifest.get("deletes") or []
         schema = self._schema_of(manifest)
 
+        # "small" = size class fully under the threshold — the SAME
+        # rule the metrics and the sharded candidate filter use (r9
+        # review: a raw-threshold rewrite criterion here would silently
+        # narrow by up to 2x the moment a table's manifest shards)
+        k_small = self._size_class_at(small_file_bytes)
         per_bucket: dict[int, list[dict]] = {}
         for f in files:
-            if int(f["sz"]) < small_file_bytes:
+            if int(f["sz"]).bit_length() <= k_small:
                 per_bucket.setdefault(int(f["b"]), []).append(f)
         small = [
             f
@@ -1805,7 +2159,11 @@ class ParquetMergeTarget:
                 )
             )
             ddir = self._delete_dir(new_version)
-            if self._fio.exists(ddir):  # crashed previous attempt
+            if self._fio.exists(ddir):  # crashed previous attempt —
+                # unless another writer committed this version (CAS
+                # fence, r9 review: a stale maintenance run must not
+                # wipe the winner's live delete files)
+                self._raise_if_version_committed(new_version)
                 self._fio.delete(ddir, recursive=True)
             # size the file count from pending bytes (consolidation
             # only shrinks) — no extra count() action
@@ -1832,6 +2190,7 @@ class ParquetMergeTarget:
         for f in new_files:
             manifest["buckets"][str(int(f["b"]))] = new_version
         manifest["version"] = new_version
+        manifest["op"] = "compact-minor"  # CDC: logically empty, skipped
         self._commit_manifest(manifest)  # schema unchanged: carried over
         return {
             "delete_files_merged": len(deletes) if do_deletes else 0,

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 #: decision (r8 second review): a bare separator-less 10-digit run
 #: (``5551234567``) is left alone — it is indistinguishable from order
 #: ids / epoch timestamps, and mangling those at corpus scale costs
-#: more than the rare unformatted number leaks.
+#: more than the rare unformatted number leaks.  The 3-3-4 branch is
+#: \b-anchored on BOTH sides (r9 review): without the leading \b it
+#: redacted the digit-run SUFFIX of longer ids ("invoice
+#: 2024-555-1234" -> "invoice 2[PHONE]").
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
@@ -40,7 +43,7 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
         "phone",
         r"(?:\+(?!\d{1,4}-\d{4}\b)\d{1,3}(?:[-.\s()]{0,2}\d){6,12}"
         r"|\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"
-        r"|\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
+        r"|\b\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
     ),
 )
 
@@ -59,7 +62,7 @@ PII_PATTERNS_PORTABLE: tuple[tuple[str, str], ...] = (
     (
         "phone",
         r"(?:\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"
-        r"|\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
+        r"|\b\d{3}[-.\s]\d{3}[-.\s]\d{4})\b",
     ),
 )
 

@@ -32,7 +32,6 @@ from arcane_stream_parquet_spark.operators.multimodal import (
 )
 from arcane_stream_parquet_spark.operators.similarity import (
     ann_lsh_topk,
-    cosine_topk,
     embedding_near_duplicates,
     random_planes,
 )
@@ -605,17 +604,10 @@ def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id").isin(list(ANN_QUERY_IDS)))
 
 
-# NOT registered since r9: the exact brute-force baseline stayed the
-# ANN ground truth in tests (test_llm_ops asserts both ANN rows are
-# subsets of it) but duplicated the two registered ANN entries in the
-# 50-row driver budget; its slot went to redact_pii (VERDICT r8 item
-# 6), which is more load-bearing for the LLM-pipeline brief.
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, _queries_subset(spark, sf_dir), k=ANN_K)
-    return out.select(
-        "query_id", "neighbor_id", micro_col(F.col("cosine")).alias("cosine_micro")
-    )
+# cosine_topk_bruteforce left the registry in r9 (its slot went to
+# redact_pii — VERDICT r8 item 6); the exact baseline operator
+# (similarity.cosine_topk) remains the ANN ground truth in
+# tests/test_llm_ops.py, which calls it directly.
 
 
 @register_query(

@@ -62,6 +62,7 @@ class StreamingCurationPipeline:
     # None disables a dimension.
     compact_on_delete_files: int | None = 16
     compact_on_small_files: int | None = 512
+    vacuum_on_snapshots: int | None = 64  # vacuum-debt bound (r9)
     minor_small_file_bytes: int = 8 * 1024 * 1024
     corpus: ParquetMergeTarget = field(init=False)
     audit: ParquetMergeTarget = field(init=False)
@@ -141,6 +142,7 @@ class StreamingCurationPipeline:
                 on_delete_files=self.compact_on_delete_files,
                 on_delete_bytes=None,
                 on_small_files=self.compact_on_small_files,
+                on_snapshots=self.vacuum_on_snapshots,
             )
 
     # -- stream assembly -----------------------------------------------------

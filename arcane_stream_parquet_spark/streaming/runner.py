@@ -75,6 +75,10 @@ class StreamRunner:
     compact_on_delete_files: int | None = 16
     compact_on_delete_bytes: int | None = 256 * 1024 * 1024
     compact_on_small_files: int | None = 512
+    # vacuum-debt dimension (r9): reclaim expired snapshots/orphans
+    # when this many roots have accumulated — amortized O(table)/N
+    # even when the counter-gated deep clean never runs
+    vacuum_on_snapshots: int | None = 64
     minor_small_file_bytes: int = 8 * 1024 * 1024
     # reference S6 queryRetry*: in-process merge retry with backoff +
     # retryable-message matching (streaming/retry.py); default "never"
@@ -116,6 +120,7 @@ class StreamRunner:
                 on_delete_files=self.compact_on_delete_files,
                 on_delete_bytes=self.compact_on_delete_bytes,
                 on_small_files=self.compact_on_small_files,
+                on_snapshots=self.vacuum_on_snapshots,
             )
         for hook in self.on_batch:
             hook(batch_id, batch)

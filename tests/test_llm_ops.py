@@ -529,3 +529,30 @@ def test_sequence_packing_window_boundaries_integer_exact(spark):
     assert (out["d"]["first_window"], out["d"]["windows_spanned"]) == (2, 2)
     # doc e is empty at offset 12: lands "at" window 4, spans none
     assert (out["e"]["first_window"], out["e"]["windows_spanned"]) == (4, 0)
+
+
+def test_phone_pattern_anchored_both_sides(spark):
+    """r9 review find: the 3-3-4 phone branch must not redact the
+    suffix of a longer digit run ('invoice 2024-555-1234' is an id,
+    not a phone) — in BOTH the full and the dialect-portable sets."""
+    from arcane_stream_parquet_spark.operators.redaction import (
+        PII_PATTERNS,
+        PII_PATTERNS_PORTABLE,
+        redact_pii,
+    )
+
+    rows = [
+        Row(doc_id=1, text="invoice 2024-555-1234 attached"),
+        Row(doc_id=2, text="call 555-123-4567 now"),
+    ]
+    for pats in (PII_PATTERNS, PII_PATTERNS_PORTABLE):
+        out = {
+            r["doc_id"]: r
+            for r in redact_pii(
+                spark.createDataFrame(rows), patterns=pats
+            ).collect()
+        }
+        assert out[1]["redacted_text"] == "invoice 2024-555-1234 attached"
+        assert out[1]["pii_n_total"] == 0
+        assert out[2]["redacted_text"] == "call [PHONE] now"
+        assert out[2]["pii_n_phone"] == 1

@@ -572,3 +572,74 @@ def test_concurrent_compaction_race_loses_cleanly(spark, tmp_path):
     del b.__dict__["_manifest"]
     assert b.compact(min_files_per_bucket=2) >= 0  # clean retry
     assert sorted(map(tuple, a.read().collect())) == winner_rows
+
+
+def test_concurrent_minor_compaction_never_wipes_winner_deletes(
+    spark, tmp_path
+):
+    """r9 review find: a stale maintenance run whose only pressure is
+    DELETE files must not clear the winner's committed delete dir —
+    the fence fires before the first FS mutation of that path."""
+    import copy
+
+    from arcane_stream_parquet_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "tgt")
+    a = ParquetMergeTarget(spark=spark, path=path, num_buckets=4,
+                           merge_mode="mor")
+    b = ParquetMergeTarget(spark=spark, path=path, num_buckets=4,
+                           merge_mode="mor")
+    a.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(20)]))
+    a.merge(df_of(spark, [("k0", 2, "x")]))  # two pending delete
+    a.merge(df_of(spark, [("k2", 2, "y")]))  # files: consolidation arms
+    m_stale = copy.deepcopy(b._manifest())
+    b._manifest = lambda: copy.deepcopy(m_stale)
+    # winner commits version N+1 WITH delete files
+    a.merge(df_of(spark, [("k1", 2, "winner")]))
+    winner_rows = sorted(map(tuple, a.read().collect()))
+    assert a._manifest()["deletes"], "winner must have live delete files"
+
+    # loser: pure delete-pressure minor pass from the stale manifest
+    # (min thresholds force the consolidation branch, no small files
+    # involved at huge small_file_bytes... they are all small at toy
+    # scale, so force deletes-only by making smalls uncoalescable)
+    with pytest.raises(ConcurrentWriteError):
+        b.compact_minor(small_file_bytes=0, min_delete_files=2)
+    # the winner's table reads intact, including its delete semantics
+    assert sorted(map(tuple, a.read().collect())) == winner_rows
+
+
+def test_adaptive_vacuum_on_snapshot_debt(spark, tmp_path):
+    """r9 review find: in an adaptive-only deployment (counter path
+    never reached) vacuum must still run once stranded snapshots cross
+    ``on_snapshots`` — otherwise roots and superseded files accumulate
+    forever.  The gate fires a vacuum-only pass, drops the snapshot
+    count back to 1, and leaves contents untouched."""
+    t = make_target(spark, tmp_path)
+    for v in range(1, 7):
+        t.merge(df_of(spark, [("k1", v, f"p{v}")]))
+    before = sorted(map(tuple, t.read().collect()))
+    assert len(t.snapshot_versions()) >= 6
+    # below the bound: nothing runs
+    r = t.run_adaptive_maintenance(
+        on_delete_files=None, on_delete_bytes=None, on_small_files=None,
+        on_snapshots=100,
+    )
+    assert r == {"ran": False, "escalated": False}
+    assert len(t.snapshot_versions()) >= 6
+    # at the bound: vacuum-only pass reclaims
+    r = t.run_adaptive_maintenance(
+        on_delete_files=None, on_delete_bytes=None, on_small_files=None,
+        on_snapshots=5,
+    )
+    assert r == {"ran": True, "escalated": False}
+    assert len(t.snapshot_versions()) == 1
+    assert sorted(map(tuple, t.read().collect())) == before
+    # converged: a second poll is idle
+    r = t.run_adaptive_maintenance(
+        on_delete_files=None, on_delete_bytes=None, on_small_files=None,
+        on_snapshots=5,
+    )
+    assert r == {"ran": False, "escalated": False}

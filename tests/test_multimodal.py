@@ -700,3 +700,42 @@ def test_video_sample_table_spark_facet(spark):
         assert [r["keyframe"] for r in rows] == [
             j % 4 == 0 for j in range(len(rows))
         ]
+
+
+def test_mp4_samples_forged_counts_rejected():
+    """r9 review finds: a forged uniform-stsz count must raise (never
+    materialize [uniform] * 2^32), and non-ascending stsc tables are
+    rejected rather than silently misresolved by the two-pointer walk."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from arcane_stream_parquet_spark.operators.codecs import (
+        encode_mp4_metadata,
+        mp4_samples,
+    )
+
+    b = encode_mp4_metadata(
+        1000, 1000,
+        [{"handler": "vide", "codec": "avc1", "width": 4, "height": 4,
+          "timescale": 600, "duration": 600,
+          "samples": [{"size": 10, "delta": 100} for _ in range(4)]}],
+    )
+    # forge: uniform stsz with a 2^31 count in a few-hundred-byte file
+    idx = b.index(b"stsz")
+    bad = bytearray(b)
+    bad[idx + 4 : idx + 16] = (
+        b"\x00" * 4 + _struct.pack(">II", 10, 1 << 31)
+    )
+    with _pytest.raises(ValueError, match="uniform-size samples"):
+        mp4_samples(bytes(bad))
+    # forge: stsc entries out of ascending order
+    idx = b.index(b"stsc")
+    bad = bytearray(b)
+    # entry area starts at idx+4(ver/flags)+4... layout: type at idx,
+    # payload = ver/flags(4) + count(4) + entries; entries at idx+12
+    (n_entries,) = _struct.unpack_from(">I", bad, idx + 8)
+    if n_entries >= 2:
+        bad[idx + 12 : idx + 16] = _struct.pack(">I", 99)  # first_chunk
+        with _pytest.raises(ValueError, match="ascend"):
+            mp4_samples(bytes(bad))
