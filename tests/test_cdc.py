@@ -212,6 +212,15 @@ def test_untagged_manifests_fall_back_to_snapshot_diff(spark, tmp_path):
         if m.pop("op", None) is not None:
             with open(mf, "w") as fh:
                 json.dump(m, fh)
+            # Committed manifests are immutable in the engine (create-only
+            # via Hadoop FileSystem); this in-place edit simulates a
+            # pre-CDC-era table.  Drop Hadoop's local-FS checksum sidecar
+            # so the edited file is readable through HadoopFileIO.
+            crc = os.path.join(
+                os.path.dirname(mf), "." + os.path.basename(mf) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
     t2 = make_target(spark, tmp_path, merge_mode="mor")
     assert changelog(t2) == tagged
 
