@@ -1176,43 +1176,42 @@ def _sql_hash_bucket(id_expr: str, salt: str) -> str:
 
 
 @register_query(
-    "train_test_split",
+    "split_and_sample",
     oracle=f"""
-        SELECT doc_id,
+        SELECT doc_id, lang,
                CASE WHEN {_sql_hash_bucket("doc_id", "split")} < 8000 THEN 'train'
                     WHEN {_sql_hash_bucket("doc_id", "split")} < 9000 THEN 'val'
-                    ELSE 'test' END AS split
+                    ELSE 'test' END AS split,
+               ({_sql_hash_bucket("doc_id", "sample")} < 2000) AS in_sample
         FROM documents
     """,
-    doc="Deterministic hash-based train/val/test split (80/10/10): "
-    "same row → same split on every run, engine, and partitioning — "
-    "pure projection, no RNG state, no shuffle "
-    "(operators/sampling.py).",
+    doc="Deterministic hash split AND stratified sample in one row "
+    "(consolidated from the former train_test_split + stratified_sample "
+    "entries to free a slot under the driver's 50-row cap, r10): "
+    "train/val/test 80/10/10 via train_test_split(), plus the ~20% "
+    "stratified_sample membership surfaced as a flag (the operator's "
+    "filter predicate, hash_bucket < fraction·10000 — per-row uniform "
+    "hash keeps ~the fraction within every lang stratum). Same row → "
+    "same split/sample on every run, engine, and partitioning: pure "
+    "projections, no RNG state, no shuffle (operators/sampling.py).",
     tags=("llm", "sampling"),
 )
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.sampling import train_test_split
+def q_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.sampling import (
+        HASH_BUCKETS,
+        hash_bucket_expr,
+        train_test_split,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return train_test_split(docs, "doc_id").select("doc_id", "split")
-
-
-@register_query(
-    "stratified_sample",
-    oracle=f"""
-        SELECT doc_id, lang FROM documents
-        WHERE {_sql_hash_bucket("doc_id", "sample")} < 2000
-    """,
-    doc="Hash-deterministic ~20% sample: per-row uniform hash keeps "
-    "~the fraction within EVERY stratum (lang) without per-stratum "
-    "state — reproducible under any repartitioning.",
-    tags=("llm", "sampling"),
-)
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.sampling import stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(docs, "doc_id", fraction=0.2).select("doc_id", "lang")
+    return train_test_split(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "split",
+        (hash_bucket_expr("doc_id", "sample") < int(0.2 * HASH_BUCKETS)).alias(
+            "in_sample"
+        ),
+    )
 
 
 @register_query(
