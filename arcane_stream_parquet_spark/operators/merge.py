@@ -16,7 +16,10 @@ storage layer for Iceberg's ``MERGE INTO`` is a config change):
 Layout (every metadata file IMMUTABLE — create-only, round-4 redesign
 closing the round-3 S3A mutable-commit findings)::
 
-    <path>/data/v00001/__bucket=N/*.parquet    immutable version dirs
+    <path>/data/vNNNNN-<nonce>/__bucket=N/*.parquet  immutable version dirs
+                                               (nonce per write attempt,
+                                               r10; manifest entries
+                                               record the dirname)
     <path>/_asp_meta/manifest-vNNNNN.json      one per commit; the CURRENT
                                                manifest is the max version
                                                ({bucket -> version} map +
@@ -75,6 +78,7 @@ anything to them but multi-writer catalog coordination.
 from __future__ import annotations
 
 import json
+import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -331,7 +335,38 @@ class ParquetMergeTarget:
         return fs_join(self._meta_path, f"manifest-v{version:05d}.json")
 
     def _version_dir(self, version: int) -> str:
+        """Legacy (pre-r10) fixed dir for ``version`` — still the
+        resolution target for manifest entries without a ``"d"``
+        dirname, and for pre-r5 bucket-granularity manifests."""
         return fs_join(self.path, "data", f"v{version:05d}")
+
+    # -- nonce-namespaced staging (r10) ------------------------------------
+    #
+    # Every write attempt lands in a FRESH unique dir
+    # ``v{version}-{nonce}`` and the committed manifest records the
+    # dirname per file entry (``"d"``).  No writer ever deletes
+    # another's in-flight dir (the pre-r10 "clear the orphan and
+    # retry" rule was the last torn-state path under two interleaved
+    # in-flight writers: one could clear the other's uncommitted
+    # staging, then the other committed a manifest referencing deleted
+    # files).  Crashed/lost attempts become unreferenced dirs that
+    # :meth:`vacuum` reclaims.  Commit atomicity is unchanged — the
+    # create-only root manifest stays the single commit point and CAS
+    # fence.  Entries without ``"d"`` (pre-r10 tables) resolve to the
+    # legacy fixed dir; mixed manifests are fine.
+
+    @staticmethod
+    def _new_dirname(version: int) -> str:
+        return f"v{version:05d}-{uuid.uuid4().hex[:8]}"
+
+    def _data_dir(self, dirname: str) -> str:
+        return fs_join(self.path, "data", dirname)
+
+    @staticmethod
+    def _dirname_of(entry: dict) -> str:
+        """Physical dirname of a data file entry (nonce-era ``"d"`` or
+        the legacy fixed name derived from its commit version)."""
+        return entry.get("d") or f"v{int(entry['v']):05d}"
 
     def exists(self) -> bool:
         """True iff at least one committed manifest exists. Create-only
@@ -356,15 +391,19 @@ class ParquetMergeTarget:
         catalog (swap in Iceberg for that).  The create-only root does
         act as a best-effort CAS fence (r9): a writer that raced a
         stale manifest read LOSES cleanly with
-        :class:`ConcurrentWriteError` — raised before it clears any
-        "orphan" dir the winner's commit actually references, and
-        again at the root create — and a plain retry (which re-reads
-        the manifest) converges.  What the fence cannot cover is two
-        IN-FLIGHT writers interleaving before either commits (one can
-        clear the other's uncommitted staging as a crash orphan);
-        operating two writers against one target stays out of
-        contract, the same way the reference drops leftover staging at
-        start (docs/crd.md:134-136)."""
+        :class:`ConcurrentWriteError` at the root create, and a plain
+        retry (which re-reads the manifest) converges.  Since r10 every
+        write attempt stages into a fresh nonce-named dir recorded in
+        the manifest entries (``"d"``), so two IN-FLIGHT writers can
+        interleave arbitrarily without touching each other's files —
+        the loser's staging becomes an unreferenced orphan that
+        :meth:`vacuum` reclaims; no torn state remains even without a
+        catalog.  The residual out-of-contract surface is
+        :meth:`vacuum` racing an in-flight writer (vacuum reclaims any
+        dir the current manifest doesn't reference, including a
+        not-yet-committed attempt) — run maintenance from the single
+        stream owner, as the reference does (docs/crd.md:134-136,
+        235-296)."""
         versions = self.snapshot_versions()
         for v in reversed(versions):
             try:
@@ -1003,10 +1042,10 @@ class ParquetMergeTarget:
 
     def _write_version(
         self, df: DataFrame, version: int, honor_file_cap: bool = True
-    ) -> None:
-        """Write rows (with bucket column) into a FRESH version dir —
-        never overwrites live data; no overwrite-mode configuration of
-        any scope is involved. ``honor_file_cap=False`` is the
+    ) -> str:
+        """Write rows (with bucket column) into a FRESH nonce-named
+        version dir (returned) — never overwrites live data; no
+        overwrite-mode configuration of any scope is involved. ``honor_file_cap=False`` is the
         compaction path: it packs per-bucket regardless of the
         streaming ``max_records_per_file`` policy (mirroring Iceberg's
         rewrite_data_files having its own target size)."""
@@ -1034,14 +1073,14 @@ class ParquetMergeTarget:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
         for col in self.bloom_filter_cols:
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
-        target = self._version_dir(version)
-        # a dir numbered above the committed manifest version can only
-        # be a crash orphan (the flip is the commit point) — clear it so
-        # a retry doesn't trip over its own previous attempt
-        if self._fio.exists(target):
-            self._raise_if_version_committed(version)
-            self._fio.delete(target, recursive=True)
-        writer.mode("errorifexists").parquet(target)
+        # nonce-namespaced staging (r10): a fresh unique dir per
+        # attempt — nothing to clear, nothing another in-flight writer
+        # could mistake for a crash orphan.  Fail fast (cheap probe) if
+        # a concurrent winner already committed this version.
+        self._raise_if_version_committed(version)
+        dirname = self._new_dirname(version)
+        writer.mode("errorifexists").parquet(self._data_dir(dirname))
+        return dirname
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
@@ -1057,18 +1096,18 @@ class ParquetMergeTarget:
 
     def _file_path(self, entry: dict) -> str:
         return fs_join(
-            self._version_dir(int(entry["v"])),
+            self._data_dir(self._dirname_of(entry)),
             f"{BUCKET_COLUMN}={entry['b']}",
             entry["n"],
         )
 
-    def _collect_file_stats(self, version: int) -> list[dict]:
+    def _collect_file_stats(self, version: int, dirname: str) -> list[dict]:
         """Manifest entries for every data file of a freshly written
         version dir: min/max merge key from ONE column-pruned
         distributed read-back of the new files (the key column only —
         Iceberg gets the same stats from write-time footers), sizes
         from the directory listing."""
-        vdir = self._version_dir(version)
+        vdir = self._data_dir(dirname)
         sizes: dict[tuple[int, str], int] = {}
         for bname in self._fio.list_names(vdir):
             if not bname.startswith(f"{BUCKET_COLUMN}="):
@@ -1081,7 +1120,15 @@ class ParquetMergeTarget:
             return []
         if not self.file_stats:
             return [
-                {"v": version, "b": b, "n": n, "mn": None, "mx": None, "sz": sz}
+                {
+                    "v": version,
+                    "d": dirname,
+                    "b": b,
+                    "n": n,
+                    "mn": None,
+                    "mx": None,
+                    "sz": sz,
+                }
                 for (b, n), sz in sorted(sizes.items())
             ]
         rows = (
@@ -1110,6 +1157,7 @@ class ParquetMergeTarget:
             out.append(
                 {
                     "v": version,
+                    "d": dirname,
                     "b": b,
                     "n": name,
                     "mn": r["_mn"],
@@ -1139,13 +1187,15 @@ class ParquetMergeTarget:
         dir so partition-column recovery gets its basePath).
         ``tag_version`` adds ``_FILE_V_COL`` = each row's file commit
         version — the delete-applicability key of the MoR read path."""
-        by_version: dict[int, list[str]] = {}
+        by_dir: dict[tuple[int, str], list[str]] = {}
         for f in entries:
-            by_version.setdefault(int(f["v"]), []).append(self._file_path(f))
+            by_dir.setdefault(
+                (int(f["v"]), self._dirname_of(f)), []
+            ).append(self._file_path(f))
         parts = []
-        for version, paths in sorted(by_version.items()):
+        for (version, dirname), paths in sorted(by_dir.items()):
             reader = self.spark.read.option(
-                "basePath", self._version_dir(version)
+                "basePath", self._data_dir(dirname)
             )
             if schema is not None:
                 reader = reader.schema(schema)
@@ -1200,33 +1250,38 @@ class ParquetMergeTarget:
     # dirty ones.
 
     def _delete_dir(self, version: int) -> str:
+        """Legacy fixed delete dir (pre-r10 entries without ``"d"``)."""
         return fs_join(self.path, "deletes", f"v{version:05d}")
 
-    def _delete_path(self, entry: dict) -> str:
-        return fs_join(self._delete_dir(int(entry["seq"])), entry["n"])
+    def _delete_data_dir(self, dirname: str) -> str:
+        return fs_join(self.path, "deletes", dirname)
 
-    def _write_deletes(self, keys_df: DataFrame, n_keys: int, version: int) -> None:
-        """Persist the superseded keys of one MoR commit (same
-        orphan-retry rule as _write_version: an existing dir for an
-        uncommitted version can only be a previous crashed attempt).
-        Coalesced to one file per ~5M keys — one file for every
-        realistic micro-batch."""
-        target = self._delete_dir(version)
-        if self._fio.exists(target):
-            self._raise_if_version_committed(version)
-            self._fio.delete(target, recursive=True)
+    def _delete_path(self, entry: dict) -> str:
+        dirname = entry.get("d") or f"v{int(entry['seq']):05d}"
+        return fs_join(self._delete_data_dir(dirname), entry["n"])
+
+    def _write_deletes(
+        self, keys_df: DataFrame, n_keys: int, version: int
+    ) -> str:
+        """Persist the superseded keys of one MoR commit into a fresh
+        nonce-named dir (returned; same r10 no-clear staging rule as
+        _write_version). Coalesced to one file per ~5M keys — one file
+        for every realistic micro-batch."""
+        self._raise_if_version_committed(version)
+        dirname = self._new_dirname(version)
         keys_df.select(self.key_col).coalesce(
             max(1, n_keys // 5_000_000 + (1 if n_keys % 5_000_000 else 0))
-        ).write.mode("errorifexists").parquet(target)
+        ).write.mode("errorifexists").parquet(self._delete_data_dir(dirname))
+        return dirname
 
-    def _collect_delete_stats(self, version: int) -> list[dict]:
+    def _collect_delete_stats(self, version: int, dirname: str) -> list[dict]:
         """Manifest delete entries for a freshly written delete dir —
         same one column-pruned distributed read-back as data-file
         stats; delete files are batch-key-sized, so this is cheap.
         ``bs`` records the buckets each file's keys hash into (the
         applicability substrate, since the layout is not
         bucket-partitioned)."""
-        ddir = self._delete_dir(version)
+        ddir = self._delete_data_dir(dirname)
         sizes = {
             name: size
             for name, size in self._fio.list_files(ddir)
@@ -1256,6 +1311,7 @@ class ParquetMergeTarget:
             out.append(
                 {
                     "seq": version,
+                    "d": dirname,
                     "n": name,
                     "bs": [int(x) for x in r["_bs"]],
                     "mn": r["_mn"],
@@ -1604,11 +1660,13 @@ class ParquetMergeTarget:
         )
 
         new_version = manifest["version"] + 1
-        self._write_version(merged, new_version)
+        new_dir = self._write_version(merged, new_version)
         # schema + file map commit in ONE create-only manifest write:
         # a crash before it leaves the old table (and old schema) fully
         # intact — clean rollback, no half-visible drift
-        manifest["files"] = surviving + self._collect_file_stats(new_version)
+        manifest["files"] = surviving + self._collect_file_stats(
+            new_version, new_dir
+        )
         if keep is not None:
             manifest["keep_shards"] = keep
         for b in buckets:
@@ -1698,7 +1756,7 @@ class ParquetMergeTarget:
             try:
                 if winners.isEmpty():
                     return  # whole batch stale: discarded (ST3), no commit
-                self._write_version(
+                new_dir = self._write_version(
                     winners.drop(_TGT_KEY_COL, _TGT_V_COL), new_version
                 )
                 # delete coverage only for keys that HAD a live target
@@ -1710,15 +1768,21 @@ class ParquetMergeTarget:
                 ).select(self.key_col)
                 n_matched = matched.count()  # cheap: winners persisted
                 if n_matched:
-                    self._write_deletes(matched, n_matched, new_version)
-                    new_deletes = self._collect_delete_stats(new_version)
+                    del_dir = self._write_deletes(
+                        matched, n_matched, new_version
+                    )
+                    new_deletes = self._collect_delete_stats(
+                        new_version, del_dir
+                    )
             finally:
                 winners.unpersist()
         else:
             # no candidate file can hold any batch key: pure insert
-            self._write_version(batch2, new_version)
+            new_dir = self._write_version(batch2, new_version)
 
-        manifest["files"] = region + self._collect_file_stats(new_version)
+        manifest["files"] = region + self._collect_file_stats(
+            new_version, new_dir
+        )
         if keep is not None:
             manifest["keep_shards"] = keep
         manifest["deletes"] = (manifest.get("deletes") or []) + new_deletes
@@ -1739,13 +1803,13 @@ class ParquetMergeTarget:
         ]
         if not buckets:
             return
-        self._write_version(bucketed, 1)
+        new_dir = self._write_version(bucketed, 1)
         self._commit_manifest(
             {
                 "version": 1,
                 "buckets": {str(b): 1 for b in buckets},
                 "schema": bucketed.schema.jsonValue(),
-                "files": self._collect_file_stats(1),
+                "files": self._collect_file_stats(1, new_dir),
                 "op": "append",  # CDC: initial commit = pure inserts
             }
         )
@@ -1761,8 +1825,7 @@ class ParquetMergeTarget:
             r[BUCKET_COLUMN]
             for r in snapshot.select(BUCKET_COLUMN).distinct().collect()
         ]
-        if buckets:
-            self._write_version(snapshot, new_version)
+        new_dir = self._write_version(snapshot, new_version) if buckets else None
         # empty source → truncate: zero-bucket manifest (carrying the
         # schema), no data write; reads back as zero rows (_read_raw)
         self._commit_manifest(
@@ -1770,7 +1833,9 @@ class ParquetMergeTarget:
                 "version": new_version,
                 "buckets": {str(b): new_version for b in buckets},
                 "schema": snapshot.schema.jsonValue(),
-                "files": self._collect_file_stats(new_version) if buckets else [],
+                "files": self._collect_file_stats(new_version, new_dir)
+                if buckets
+                else [],
                 "op": "overwrite",  # CDC: snapshot diff, deletes possible
             }
         )
@@ -1845,12 +1910,12 @@ class ParquetMergeTarget:
                 in_scope, self._schema_of(manifest), deletes
             )
             # coalesce within bucket: one output file per bucket partition
-            self._write_version(
+            new_dir = self._write_version(
                 rows.repartition(F.col(BUCKET_COLUMN)),
                 new_version,
                 honor_file_cap=False,
             )
-            new_files = self._collect_file_stats(new_version)
+            new_files = self._collect_file_stats(new_version, new_dir)
         else:
             # delete entries whose buckets hold no live files are
             # dangling (e.g. the covered rows were all superseded and
@@ -2140,12 +2205,12 @@ class ParquetMergeTarget:
         new_files: list[dict] = []
         if small:
             rows = self._scan_with_deletes(small, schema, deletes)
-            self._write_version(
+            new_dir = self._write_version(
                 rows.repartition(F.col(BUCKET_COLUMN)),
                 new_version,
                 honor_file_cap=False,
             )
-            new_files = self._collect_file_stats(new_version)
+            new_files = self._collect_file_stats(new_version, new_dir)
 
         new_deletes = deletes
         if do_deletes:
@@ -2158,13 +2223,10 @@ class ParquetMergeTarget:
                     F.col(_DEL_SEQ_COL).alias(_DEL_SEQ_STORE),
                 )
             )
-            ddir = self._delete_dir(new_version)
-            if self._fio.exists(ddir):  # crashed previous attempt —
-                # unless another writer committed this version (CAS
-                # fence, r9 review: a stale maintenance run must not
-                # wipe the winner's live delete files)
-                self._raise_if_version_committed(new_version)
-                self._fio.delete(ddir, recursive=True)
+            # nonce-namespaced (r10): fresh dir per attempt, no clear
+            # of anything a concurrent winner might reference
+            self._raise_if_version_committed(new_version)
+            del_dirname = self._new_dirname(new_version)
             # size the file count from pending bytes (consolidation
             # only shrinks) — no extra count() action
             n_out = max(
@@ -2172,10 +2234,10 @@ class ParquetMergeTarget:
             )
             consolidated.coalesce(n_out).write.mode(
                 "errorifexists"
-            ).parquet(ddir)
+            ).parquet(self._delete_data_dir(del_dirname))
             new_deletes = [
                 {**e, "sc": True}
-                for e in self._collect_delete_stats(new_version)
+                for e in self._collect_delete_stats(new_version, del_dirname)
             ]
 
         small_set = {(int(f["v"]), int(f["b"]), f["n"]) for f in small}
@@ -2213,9 +2275,13 @@ class ParquetMergeTarget:
         fio = self._fio
         removed = []
         if files is None:
-            live_versions = {int(v) for v in manifest["buckets"].values()}
+            # pre-r5 bucket-granularity manifests only reference legacy
+            # fixed dirs; anything else (incl. r10 nonce orphans) is dead
+            live_dirs = {
+                f"v{int(v):05d}" for v in manifest["buckets"].values()
+            }
             for name in fio.list_names(data_root):
-                if int(name.lstrip("v")) not in live_versions:
+                if name not in live_dirs:
                     fio.delete(fs_join(data_root, name), recursive=True)
                     removed.append(name)
             # a bucket-granularity manifest cannot reference deletes
@@ -2226,11 +2292,13 @@ class ParquetMergeTarget:
                 removed.append(f"deletes/{name}")
         else:
 
-            def reclaim(root: str, live_by_version: dict, prefix: str) -> None:
+            def reclaim(root: str, live_by_dir: dict, prefix: str) -> None:
+                # keyed by PHYSICAL dirname (r10): nonce-named attempt
+                # dirs never referenced by the manifest — crashed or
+                # concurrency-losing writers — reclaim whole
                 for name in fio.list_names(root):
-                    version = int(name.lstrip("v"))
                     vdir = fs_join(root, name)
-                    live = live_by_version.get(version)
+                    live = live_by_dir.get(name)
                     if not live:
                         fio.delete(vdir, recursive=True)
                         removed.append(f"{prefix}{name}")
@@ -2254,23 +2322,22 @@ class ParquetMergeTarget:
                                 fio.delete(fs_join(bdir, n))
                                 removed.append(f"{prefix}{name}/{bname}/{n}")
 
-            live_data: dict[int, set[tuple[int, str]]] = {}
+            live_data: dict[str, set[tuple[int, str]]] = {}
             for f in files:
-                live_data.setdefault(int(f["v"]), set()).add(
+                live_data.setdefault(self._dirname_of(f), set()).add(
                     (int(f["b"]), f["n"])
                 )
             reclaim(data_root, live_data, "")
             # delete dirs are flat (one file per commit); reclamation is
-            # per version dir: drop versions with no live entries, and
-            # dead files inside partially-live ones (a crash-retry can
-            # leave both)
-            live_del: dict[int, set[str]] = {}
+            # per dir: drop dirs with no live entries, and dead files
+            # inside partially-live ones (a crash-retry can leave both)
+            live_del: dict[str, set[str]] = {}
             for d in manifest.get("deletes") or []:
-                live_del.setdefault(int(d["seq"]), set()).add(d["n"])
+                dirname = d.get("d") or f"v{int(d['seq']):05d}"
+                live_del.setdefault(dirname, set()).add(d["n"])
             for name in fio.list_names(deletes_root):
-                version = int(name.lstrip("v"))
                 vdir = fs_join(deletes_root, name)
-                live = live_del.get(version)
+                live = live_del.get(name)
                 if not live:
                     fio.delete(vdir, recursive=True)
                     removed.append(f"deletes/{name}")

@@ -44,11 +44,17 @@ def dir_bytes(path: str) -> int:
 
 
 def commit_bytes(table_path: str, version: int) -> int:
+    # r10 nonce staging: the commit's dir is v{version:05d}-<nonce>
+    # (legacy fixed name matched too)
     total = 0
+    prefix = f"v{version:05d}"
     for sub in ("data", "deletes"):
-        d = os.path.join(table_path, sub, f"v{version:05d}")
-        if os.path.isdir(d):
-            total += dir_bytes(d)
+        root = os.path.join(table_path, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if name == prefix or name.startswith(prefix + "-"):
+                total += dir_bytes(os.path.join(root, name))
     return total
 
 

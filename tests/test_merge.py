@@ -264,6 +264,8 @@ def test_legacy_manifest_upgrades_in_place(spark, tmp_path):
     fallback and the next merge persists real file entries."""
     import json
 
+    from arcane_stream_parquet_spark.fsio import fs_join
+
     t = ParquetMergeTarget(spark=spark, path=str(tmp_path / "t"), num_buckets=4)
     t.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(20)]))
     # rewrite the manifest as a legacy one (next version, files stripped)
@@ -272,6 +274,14 @@ def test_legacy_manifest_upgrades_in_place(spark, tmp_path):
     legacy["version"] = m["version"]  # same data, files-less view
     t._fio.delete(t._manifest_file(m["version"]))
     t._fio.create_text(t._manifest_file(m["version"]), json.dumps(legacy))
+    # legacy tables used the FIXED dir layout (pre-r10, no nonce):
+    # relocate the freshly written nonce dir to where a pre-r5 table
+    # would actually have its data
+    data_root = fs_join(str(tmp_path / "t"), "data")
+    (nonce_dir,) = t._fio.list_names(data_root)
+    t._fio.move(
+        fs_join(data_root, nonce_dir), fs_join(data_root, "v00001")
+    )
     assert t._files_of_manifest(t._manifest()) is None
     assert t.read().count() == 20  # bucket-granular fallback read
     t.merge(df_of(spark, [("k1", 2, "new")]))

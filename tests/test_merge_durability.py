@@ -47,15 +47,18 @@ def test_crash_before_manifest_flip_loses_nothing(spark, tmp_path, monkeypatch):
 
     # table untouched: old manifest still live
     assert sorted(map(tuple, t.read().collect())) == before
-    # retry WITHOUT any cleanup converges (the orphaned version dir
-    # from the failed attempt is cleared by the writer itself)
+    # retry WITHOUT any cleanup converges (r10: the retry stages into
+    # its own fresh nonce dir; the crashed attempt's dir is left as an
+    # unreferenced orphan)
     t.merge(df_of(spark, [("k1", 2, "new")]))
-    # the retry recycled the orphaned dir into the real commit; the only
-    # reclaimable garbage is the superseded v1 copy of k1's bucket
-    # (file-level vacuum, r5 sub-bucket manifests) — and vacuuming it
-    # must not touch the live table
+    # reclaimable garbage: the crashed attempt's whole orphan dir plus
+    # the superseded v1 copy of k1's bucket (file-level vacuum, r5
+    # sub-bucket manifests) — and vacuuming must not touch the live table
     removed = t.vacuum()
-    assert all(r.startswith("v00001/") for r in removed), removed
+    assert removed, "expected the orphan attempt dir and superseded v1 file"
+    assert all(r.startswith(("v00001", "v00002")) for r in removed), removed
+    # the crashed v2 attempt dir is among them (nonce-named, whole-dir)
+    assert any(r.startswith("v00002-") for r in removed), removed
     assert t.vacuum() == []  # idempotent: nothing left
     assert t.read().filter(F.col("arcane_merge_key") == "k1").collect()[0][
         "payload"
@@ -190,8 +193,9 @@ def test_compact_reduces_files_preserves_contents(spark, tmp_path):
         os.path.basename(os.path.dirname(os.path.dirname(p)))
         for p in glob.glob(str(tmp_path / "tgt" / "data" / "*" / "*" / "*.parquet"))
     }
+    manifest = t._manifest()
     manifest_live = {
-        f"v{v:05d}" for v in set(t._manifest()["buckets"].values())
+        t._dirname_of(f) for f in t._files_of_manifest(manifest)
     }
     assert live_dirs == manifest_live
 
@@ -543,6 +547,87 @@ def test_concurrent_writer_loses_cleanly_and_retry_converges(
     assert sorted(map(tuple, a.read().collect())) == sorted(
         map(tuple, b.read().collect())
     )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_two_inflight_writers_interleave_without_torn_state(
+    spark, tmp_path, mode
+):
+    """r10 (VERDICT r9 item 4): TWO writers in flight at once — both
+    stage data for the same next version before either commits.  The
+    pre-r10 fixed version dirs made this the last torn-state path (one
+    writer could clear the other's uncommitted staging as a "crash
+    orphan", then the other committed a manifest referencing deleted
+    files); nonce-namespaced staging removes it — the loser's attempt
+    lands in its own dir, loses cleanly at the root create, and its
+    garbage is vacuum-reclaimable without touching the winner."""
+    from arcane_stream_parquet_spark.fsio import fs_join
+    from arcane_stream_parquet_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "tgt")
+
+    def mk():
+        return ParquetMergeTarget(
+            spark=spark, path=path, num_buckets=4, merge_mode=mode
+        )
+
+    a, b = mk(), mk()
+    a.merge(df_of(spark, [(f"k{i}", 1, f"p{i}") for i in range(20)]))
+
+    # b stages everything for v2 and, exactly at its commit point, a's
+    # whole v2 merge (stage + commit) interleaves in — the tightest
+    # both-in-flight schedule expressible deterministically
+    real_commit = ParquetMergeTarget._commit_manifest
+    fired = []
+
+    def hooked(manifest):
+        fired.append(True)
+        a.merge(df_of(spark, [("k0", 2, "winner")]))
+        return real_commit(b, manifest)
+
+    b._commit_manifest = hooked
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(df_of(spark, [("k1", 2, "loser")]))
+    assert fired, "interleave hook never reached the commit point"
+    del b.__dict__["_commit_manifest"]
+
+    # the winner's commit is fully intact; the loser's rows invisible
+    out = {r["arcane_merge_key"]: r["payload"] for r in a.read().collect()}
+    assert out["k0"] == "winner" and out["k1"] == "p1" and len(out) == 20
+
+    # the loser's staging is on disk but UNREFERENCED — identify it
+    fio = a._fio
+    manifest = a._manifest()
+    files = a._files_of_manifest(manifest)
+    referenced = {a._dirname_of(f) for f in files}
+    data_root = fs_join(path, "data")
+    orphans = set(fio.list_names(data_root)) - referenced
+    assert orphans, "loser's staged dir should remain as an orphan"
+    assert all(o.startswith("v00002-") for o in orphans), orphans
+
+    # plain retry converges — both batches land, no data loss
+    b.merge(df_of(spark, [("k1", 2, "loser-retry")]))
+    out = {r["arcane_merge_key"]: r["payload"] for r in b.read().collect()}
+    assert out["k0"] == "winner" and out["k1"] == "loser-retry"
+    assert len(out) == 20
+
+    # vacuum reclaims exactly the garbage; the table reads identically
+    before = sorted(map(tuple, a.read().collect()))
+    removed = a.vacuum()
+    assert {o for o in orphans if any(r.startswith(o) for r in removed)} == orphans
+    assert not set(fio.list_names(data_root)) & orphans
+    if mode == "mor":
+        # the loser also staged a delete dir; it must be gone too
+        del_dirs = set(fio.list_names(fs_join(path, "deletes")))
+        live_del = {
+            d.get("d") or f"v{int(d['seq']):05d}"
+            for d in (a._manifest().get("deletes") or [])
+        }
+        assert del_dirs <= live_del, (del_dirs, live_del)
+    assert sorted(map(tuple, a.read().collect())) == before
+    assert a.vacuum() == []  # idempotent
 
 
 def test_concurrent_compaction_race_loses_cleanly(spark, tmp_path):

@@ -181,8 +181,11 @@ def test_maintenance_gated_every_n_batches(spark, tmp_path, fixture_dir):
     import os
 
     data_root = tmp_path / "tgt_m" / "data"
-    live = {int(v) for v in target._manifest()["buckets"].values()}
-    on_disk = {int(d.lstrip("v")) for d in os.listdir(data_root)}
+    manifest = target._manifest()
+    live = {
+        target._dirname_of(f) for f in target._files_of_manifest(manifest)
+    }
+    on_disk = set(os.listdir(data_root))
     assert on_disk == live, "vacuum should have removed superseded versions"
 
     # golden outcome unchanged (same as the no-maintenance runner)
