@@ -466,6 +466,96 @@ def test_redact_pii_preserves_ordinary_prose(spark):
     assert got[5]["redacted_text"] == "call [PHONE] then [PHONE]."
 
 
+def test_redact_pii_portable_dialect_agrees_with_duckdb(spark):
+    """r10 (VERDICT r9 item 6): the portable-subset equivalence rested
+    on a comment's "Java \\s ⊇ RE2 \\s" reasoning — pin it with data.
+    Runs PII_PATTERNS_PORTABLE over a corpus loaded with the edge
+    characters (vertical tab U+000B, NBSP U+00A0, CRLF, TAB) through
+    BOTH Spark's Java regex and DuckDB's RE2 and asserts byte-identical
+    redaction + counts everywhere except the ONE documented delta: a
+    vertical tab inside a phone shape, where Java's \\s matches U+000B
+    and RE2's does not.  That row is pinned in BOTH dialects so any
+    engine upgrade that moves the boundary fails loudly."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.operators.redaction import (
+        PII_PATTERNS_PORTABLE,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b@x.io\r\nthen (555) 123-4567 ok"),  # CRLF between
+        (2, "tab\tssn 123-45-6789\tip 10.0.0.1"),  # tabs around matches
+        (3, "call (555) 123-4567 nbsp"),  # NBSP: \s matches in NEITHER
+        (4, "call 555 123 4567 nbsp seps"),  # NBSP as 3-3-4 sep
+        (5, "end of line 555-123-4567\r\n"),  # CRLF right after a match
+        (6, "a@b.comore"),  # VT adjacent to an email (consumed by
+        #    neither: VT is not in the email charset in either dialect)
+        (7, "call (555)123-4567 vt"),  # THE delta row
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in redact_pii(df, patterns=PII_PATTERNS_PORTABLE).collect()
+    }
+
+    # Same chained semantics as redact_pii: each pass counts on the
+    # text it sees, then replaces; ? params bind in appearance order.
+    kinds = [k for k, _ in PII_PATTERNS_PORTABLE]
+    ctes = ["r0 AS (SELECT doc_id, text AS t FROM corpus)"]
+    q_params: list[str] = []
+    prev = "r0"
+    for i, (kind, pat) in enumerate(PII_PATTERNS_PORTABLE, start=1):
+        carried = "".join(f", pii_n_{k}" for k in kinds[: i - 1])
+        ctes.append(
+            f"r{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all(t, ?)) AS BIGINT) AS pii_n_{kind}, "
+            f"regexp_replace(t, ?, '[{kind.upper()}]', 'g') AS t "
+            f"FROM {prev})"
+        )
+        q_params.extend([pat, pat])
+        prev = f"r{i}"
+    sql = (
+        "WITH " + ", ".join(ctes)
+        + " SELECT doc_id, "
+        + ", ".join(f"pii_n_{k}" for k in kinds)
+        + f", t AS redacted_text FROM {prev} ORDER BY doc_id"
+    )
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {int(r[0]): r for r in con.execute(sql, q_params).fetchall()}
+
+    for doc_id, *_ in rows:
+        s, d = got[doc_id], duck[doc_id]
+        d_counts = dict(zip(["doc_id", *[f"pii_n_{k}" for k in kinds], "redacted_text"], d))
+        if doc_id == 7:
+            continue  # the pinned delta row, asserted below
+        for k in kinds:
+            assert s[f"pii_n_{k}"] == d_counts[f"pii_n_{k}"], (
+                doc_id, k, s[f"pii_n_{k}"], d_counts[f"pii_n_{k}"]
+            )
+        assert s["redacted_text"] == d_counts["redacted_text"], doc_id
+
+    # sanity on the agreeing rows: the redactions really happened
+    assert got[1]["pii_n_email"] == 1 and got[1]["pii_n_phone"] == 1
+    assert got[2]["pii_n_ssn"] == 1 and got[2]["pii_n_ipv4"] == 1
+    assert got[3]["pii_n_phone"] == 0  # NBSP blocks \s? in BOTH dialects
+    assert got[4]["pii_n_phone"] == 0  # NBSP is no 3-3-4 separator either
+    assert got[5]["pii_n_phone"] == 1
+    assert got[6]["pii_n_email"] == 1
+
+    # THE documented dialect delta, pinned from both sides: VT inside
+    # the paren phone shape — Java \s matches U+000B, RE2's does not
+    d7 = dict(zip(["doc_id", *[f"pii_n_{k}" for k in kinds], "redacted_text"], duck[7]))
+    assert got[7]["pii_n_phone"] == 1  # Spark/Java redacts
+    assert got[7]["redacted_text"] == "call [PHONE] vt"
+    assert d7["pii_n_phone"] == 0  # DuckDB/RE2 does not
+    assert d7["redacted_text"] == rows[6][1]
+    con.close()
+
+
 def test_redact_pii_idempotent_and_clean(spark, sf_dir):
     """After one pass no pattern matches remain, and a second pass is
     a byte-identical no-op."""
