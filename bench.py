@@ -75,13 +75,21 @@ def merge_throughput(spark, sf_dir: str) -> dict:
         .localCheckpoint(eager=True)
     )
     def commit_mb(version: int) -> float:
+        # r10 nonce staging: the commit's dirs are v{N:05d}-<nonce>
         total = 0
+        prefix = f"v{version:05d}"
         for sub in ("data", "deletes"):
-            d = os.path.join(work, "t", sub, f"v{version:05d}")
-            for root, _dirs, names in os.walk(d):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in names
-                )
+            sub_root = os.path.join(work, "t", sub)
+            if not os.path.isdir(sub_root):
+                continue
+            for name in os.listdir(sub_root):
+                if name != prefix and not name.startswith(prefix + "-"):
+                    continue
+                d = os.path.join(sub_root, name)
+                for root, _dirs, names in os.walk(d):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in names
+                    )
         return round(total / 1e6, 2)
 
     bn = batch.count()
