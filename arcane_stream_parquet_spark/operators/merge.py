@@ -755,9 +755,13 @@ class ParquetMergeTarget:
         """Null-safe whole-row equality between the ``_CDC_OLD`` and
         ``_CDC_NEW`` prefixed column sets.  Map-containing types are
         compared via ``to_json`` (Spark defines no equality for maps);
-        everything else uses ``<=>`` directly."""
+        everything else uses ``<=>`` directly.  The internal bucket
+        column is skipped: the diff projections exclude it and it is a
+        pure function of the key the join already matched on."""
         pred = F.lit(True)
         for f in schema.fields:
+            if f.name == BUCKET_COLUMN:
+                continue
             o = F.col(_CDC_OLD + f.name)
             n = F.col(_CDC_NEW + f.name)
             if "map<" in f.dataType.simpleString():
@@ -823,7 +827,10 @@ class ParquetMergeTarget:
                 f"snapshots {missing} already vacuumed — resume this "
                 f"consumer from a full read() instead"
             )
-        cols = [f.name for f in schema.fields]
+        # the physical bucket column stays internal, as in read() /
+        # lookup() — it is a pure function of the key, so dropping it
+        # loses nothing and keeps the changelog schema == read() schema
+        cols = [f.name for f in schema.fields if f.name != BUCKET_COLUMN]
         ct = F.col(CHANGE_TYPE_COLUMN)
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
@@ -851,7 +858,7 @@ class ParquetMergeTarget:
             )
 
             empty = StructType(
-                list(schema.fields)
+                [f for f in schema.fields if f.name != BUCKET_COLUMN]
                 + [
                     StructField(CHANGE_TYPE_COLUMN, StringType()),
                     StructField(COMMIT_VERSION_COLUMN, LongType()),
@@ -1685,10 +1692,15 @@ class ParquetMergeTarget:
 
         Winner rule (``s.version >= t.version``) is decided against a
         column-pruned (key, version) scan of the range-pruned candidate
-        files only.  Reading those files WITHOUT applying pending
-        deletes is sound: under the ``>=`` condition every suppressed
-        row's version is ≤ its replacement's, so MAX(version) per key
-        over all stored rows equals the live row's version exactly.
+        files only, WITH pending equality-deletes applied.  Before
+        ``delete_keys`` existed the raw scan was sound (every
+        suppressed row's version was ≤ its replacement's, so the raw
+        MAX(version) equaled the live version), but a row-level DELETE
+        suppresses a key with NO replacement — its dead stored version
+        must not outvote a lower-version re-insert (the batch would be
+        judged stale and silently dropped).  The delete anti-join's
+        build side is bounded by deletes since the last compact, same
+        as any read.
 
         Type-widening drift falls back to copy-on-write for the batch
         (old files cannot change type without a rewrite); column-only
@@ -1734,7 +1746,9 @@ class ParquetMergeTarget:
         if touched:
             from pyspark import StorageLevel
 
-            kv = self._read_files(touched, schema).select(
+            kv = self._scan_with_deletes(
+                touched, schema, manifest.get("deletes") or []
+            ).select(
                 F.col(self.key_col).alias(_TGT_KEY_COL),
                 F.col(self.version_col).alias(_TGT_V_COL),
             )
@@ -1839,6 +1853,107 @@ class ParquetMergeTarget:
                 "op": "overwrite",  # CDC: snapshot diff, deletes possible
             }
         )
+
+    def delete_keys(self, keys: "DataFrame | Sequence") -> int:
+        """Row-level DELETE by merge key without rewriting any data
+        file: one equality-delete file + one manifest flip (the
+        Iceberg v2 equality-delete ``DELETE WHERE key IN (...)``
+        analogue of the MoR MERGE the reference delegates to its
+        engine, docs/crd.md:145-182).  ``keys`` is a DataFrame whose
+        ``key_col`` (or single) column holds the keys, or a driver-side
+        sequence.  Returns the number of keys that had a live row
+        (0 → nothing was live → NO commit, mirroring the whole-batch
+        -stale rule) — deleting an absent or already-deleted key is a
+        no-op, so redelivery is idempotent (the changelog-replication
+        contract, streaming/changelog.py).
+
+        Cost at scale mirrors a MoR upsert: the liveness probe prunes
+        to the keys' hash buckets then to files whose [mn, mx] range
+        can hold them (O(#keys) files on a key-sorted table), metadata
+        IO is O(touched shards), and no data file is rewritten.  CDC
+        (:meth:`read_changes`) emits the pre-images as ``delete`` rows
+        via the bucket-pruned snapshot diff (the commit is tagged
+        ``op="delete"``, which routes to the diff branch)."""
+        if not self.exists():
+            return 0
+        manifest = self._manifest()
+        schema = self._schema_of(manifest)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        if isinstance(keys, DataFrame):
+            kdf = keys
+            if self.key_col not in kdf.columns:
+                if len(kdf.columns) != 1:
+                    raise ValueError(
+                        f"keys DataFrame must have a '{self.key_col}' "
+                        f"column or exactly one column, got {kdf.columns}"
+                    )
+                kdf = kdf.withColumnRenamed(kdf.columns[0], self.key_col)
+            kdf = kdf.select(
+                F.col(self.key_col).cast(schema[self.key_col].dataType)
+            )
+        else:
+            from pyspark.sql.types import StructField, StructType
+
+            if not len(keys):
+                return 0
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                StructType(
+                    [StructField(self.key_col, schema[self.key_col].dataType)]
+                ),
+            )
+        kdf = self._with_bucket(kdf.distinct())
+        buckets = [
+            r[BUCKET_COLUMN]
+            for r in kdf.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        if not buckets:
+            return 0
+        region, keep = self._files_for_buckets(manifest, set(buckets))
+        if region is None:
+            region = self._legacy_files(manifest)  # in-place upgrade
+        touched, _kept = self._prune_touched_files(region, kdf, buckets)
+        if not touched:
+            return 0  # no candidate file can hold any key: nothing live
+        from pyspark import StorageLevel
+
+        # liveness probe: column-pruned MoR-aware scan of the candidate
+        # files only — a key already suppressed by a pending delete
+        # must not re-commit (idempotence) nor re-count
+        live = self._scan_with_deletes(
+            touched, schema, manifest.get("deletes") or []
+        ).select(F.col(self.key_col).alias(_DEL_KEY_COL))
+        matched = (
+            kdf.join(
+                live,
+                F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL)),
+                "leftsemi",
+            )
+            .select(self.key_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            n_matched = matched.count()
+            if not n_matched:
+                return 0
+            new_version = manifest["version"] + 1
+            del_dir = self._write_deletes(matched, n_matched, new_version)
+            new_deletes = self._collect_delete_stats(new_version, del_dir)
+        finally:
+            matched.unpersist()
+        manifest["files"] = region
+        if keep is not None:
+            manifest["keep_shards"] = keep
+        manifest["deletes"] = (manifest.get("deletes") or []) + new_deletes
+        # bucket→version map intentionally NOT bumped: there is no
+        # v{new} data dir for a legacy-path reader to open; CDC finds
+        # the touched buckets through the delete entries' "bs" lists
+        manifest["version"] = new_version
+        manifest["schema"] = schema.jsonValue()
+        manifest["op"] = "delete"  # CDC: snapshot diff, deletes certain
+        self._commit_manifest(manifest)
+        return n_matched
 
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --

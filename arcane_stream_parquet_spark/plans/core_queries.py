@@ -335,3 +335,121 @@ def q_cdc_changelog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------------------------------------
+# Incremental changelog replication parity (r10): the full CDC chain —
+# source merge target → read_changes → net-change fold → delete-first
+# apply into a SECOND target (streaming/changelog.replicate_incremental)
+# — checked against a declarative replay of the scripted history.
+#
+# The history is chosen to hit every apply hazard:
+#   v1 CoW merge:   doc_id % 2 == 0, createdon=1, payload a||id
+#   v2 MoR merge:   doc_id % 3 == 0, createdon=2, payload b||id
+#     → tick 1 replicates the [1..2] slice
+#   v3 delete_keys: every live doc_id % 4 == 0 (row-level DELETE)
+#   v4 MoR merge:   doc_id % 8 == 0, createdon=1, payload c||id — the
+#     >=-trap: these keys were deleted at v3 and come back with a
+#     LOWER version than they ever had; a bare latest-wins apply in the
+#     replica would drop them, and a raw (delete-blind) MoR winner scan
+#     in the source would too
+#     → tick 2 replicates the folded [3..4] slice in ONE net pass
+#
+# Both sides' final read() go into one value hash tagged by side, so
+# src-vs-oracle, dst-vs-oracle, and src-vs-dst all bind.  The oracle is
+# the closed-form final state: live = ((%2 ∪ %3) \ (%4 \ %8)) ∪ %8 with
+# payload/createdon from the winning batch.
+
+_REPL_KEY_CAP = 400
+
+
+@register_query(
+    "incremental_replication_parity",
+    oracle=f"""
+        WITH keys AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id < {_REPL_KEY_CAP}
+        ),
+        final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 8 = 0
+                            THEN 'c' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 0
+                            THEN 'b' || CAST(doc_id AS VARCHAR)
+                        ELSE 'a' || CAST(doc_id AS VARCHAR)
+                   END AS payload,
+                   CAST(CASE WHEN doc_id % 8 = 0 THEN 1
+                             WHEN doc_id % 3 = 0 THEN 2
+                             ELSE 1 END AS BIGINT) AS createdon
+            FROM keys
+            WHERE ((doc_id % 2 = 0 OR doc_id % 3 = 0)
+                   AND NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0))
+               OR doc_id % 8 = 0
+        )
+        SELECT s.side, f.doc_id, f.createdon, f.payload
+        FROM final f
+        CROSS JOIN (VALUES ('src'), ('dst')) AS s(side)
+    """,
+    doc="End-to-end incremental replication: a scripted 4-commit "
+    "history (CoW insert, MoR update, row-level delete_keys, MoR "
+    "re-insert at a LOWER version) on a source target, replicated in "
+    "two changelog ticks into a second target via the delete-first "
+    "apply (streaming/changelog.py). Returns both tables' final "
+    "read() tagged by side against a closed-form oracle — source "
+    "semantics, changelog classification, the net-change fold, and "
+    "replica convergence all inside one hash.",
+    tags=("reference", "merge", "cdc", "streaming"),
+)
+def q_incremental_replication_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+    from arcane_stream_parquet_spark.streaming.changelog import (
+        replicate_incremental,
+    )
+
+    keys = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < _REPL_KEY_CAP)
+    )
+
+    def batch(modulus: int, created: int, pfx: str) -> DataFrame:
+        return keys.filter(F.col("doc_id") % modulus == 0).select(
+            F.col("doc_id").cast("string").alias("arcane_merge_key"),
+            F.lit(created).cast("long").alias("createdon"),
+            F.concat(F.lit(pfx), F.col("doc_id").cast("string")).alias(
+                "payload"
+            ),
+        )
+
+    run = uuid.uuid4().hex
+    src = ParquetMergeTarget(
+        spark=spark, path=f"file:///tmp/asp_repl_src_{run}", num_buckets=4
+    )
+    dst = ParquetMergeTarget(
+        spark=spark, path=f"file:///tmp/asp_repl_dst_{run}", num_buckets=4
+    )
+    cursor = f"/tmp/asp_repl_cur_{run}"
+    src.merge(batch(2, 1, "a"))
+    src.merge(batch(3, 2, "b"), mode="mor")
+    replicate_incremental(src, dst, cursor)  # tick 1: slice [1..2]
+    src.delete_keys(
+        src.read()
+        .filter(F.col("arcane_merge_key").cast("long") % 4 == 0)
+        .select("arcane_merge_key")
+    )
+    src.merge(batch(8, 1, "c"), mode="mor")
+    replicate_incremental(src, dst, cursor)  # tick 2: folded [3..4]
+
+    def side(t: ParquetMergeTarget, tag: str) -> DataFrame:
+        return t.read().select(
+            F.lit(tag).alias("side"),
+            F.col("arcane_merge_key").cast("long").alias("doc_id"),
+            "createdon",
+            "payload",
+        )
+
+    return side(src, "src").unionByName(side(dst, "dst"))

@@ -23,7 +23,6 @@ from arcane_stream_parquet_spark.operators.minhash import (
     NUM_BANDS,
     NUM_HASHES,
     SHINGLE_K,
-    minhash_signature,
     near_duplicates,
 )
 from arcane_stream_parquet_spark.operators.multimodal import (
@@ -435,22 +434,11 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH near-dup dedup
 
 
-@register_query(
-    "minhash_signature",
-    oracle=_sql_sig_cte()
-    + f"""
-        SELECT doc_id, {", ".join(f"mh_{s}" for s in range(NUM_HASHES))}
-        FROM sig
-    """,
-    doc=f"MinHash signature ({NUM_HASHES} hashes over {SHINGLE_K}-word "
-    "shingles; hex-string min — order-isomorphic to integer minhash). "
-    "Narrow per-row projection.",
-    tags=("llm", "dedup", "minhash"),
-)
-def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs.select("doc_id", "text"))
-    return sig.select("doc_id", *[f"mh_{s}" for s in range(NUM_HASHES)])
+# (the former ``minhash_signature`` registry row was retired in r10 —
+# its computation is strictly a sub-CTE of ``minhash_near_duplicates``'s
+# oracle, so it bought no independent coverage; the signature function
+# keeps its direct pin in tests/test_llm_ops.py.  The freed slot went
+# to ``incremental_replication_parity`` in core_queries.py.)
 
 
 @register_query(
