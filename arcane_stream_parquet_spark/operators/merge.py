@@ -1955,6 +1955,21 @@ class ParquetMergeTarget:
         self._commit_manifest(manifest)
         return n_matched
 
+    def delete_where(self, condition) -> int:
+        """DELETE WHERE: row-level delete of every live row matching
+        ``condition`` (a Column or SQL string), as one equality-delete
+        commit via :meth:`delete_keys`.  The qualifying scan is a
+        normal pruned read (predicate pushdown applies), so cost is
+        O(files the predicate's columns can't prune) + the O(#matched)
+        delete commit — for pure key predicates prefer
+        :meth:`delete_keys` directly, which skips the table scan."""
+        if not self.exists():
+            return 0
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self.delete_keys(
+            self.read().filter(cond).select(self.key_col)
+        )
+
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --
 

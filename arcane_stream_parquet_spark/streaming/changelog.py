@@ -112,6 +112,15 @@ class ChangelogConsumer:
     def cursor(self) -> int:
         return self._cursor.value()
 
+    def lag(self) -> int:
+        """Commits at the source not yet consumed (head − cursor); the
+        replication-lag gauge an operator alerts on.  One root
+        manifest read — O(1) regardless of table size."""
+        if not self.target.exists():
+            return 0
+        head = int(self.target._manifest()["version"])
+        return max(0, head - self._cursor.value())
+
     def poll(self) -> "tuple[DataFrame, int] | None":
         """(changes DataFrame, head version) for everything committed
         past the cursor, or ``None`` when there is no news.  Raises the

@@ -300,3 +300,51 @@ def test_replicate_chained_two_hops(spark, tmp_path):
     replicate_incremental(b, c, cur_bc)
     assert_mirrors(a, b)
     assert_mirrors(a, c)
+
+
+def test_delete_where_predicate(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(df_of(spark, [(f"k{i}", i, f"p{i}") for i in range(10)]))
+    # SQL-string predicate over non-key columns
+    assert t.delete_where("createdon >= 7") == 3
+    assert t.delete_where("payload = 'p0'") == 1
+    # Column predicate; nothing matches → no commit
+    v = t._manifest()["version"]
+    assert t.delete_where(F.col("createdon") > 100) == 0
+    assert t._manifest()["version"] == v
+    assert contents(t) == sorted(
+        (f"k{i}", i, f"p{i}") for i in range(1, 7)
+    )
+
+
+def test_consumer_lag_gauge(spark, tmp_path):
+    src = make_target(spark, tmp_path / "src")
+    cons = ChangelogConsumer(src, str(tmp_path / "cur"))
+    assert cons.lag() == 0  # no table yet
+    src.merge(df_of(spark, [("a", 1, "p")]))
+    src.merge(df_of(spark, [("b", 2, "p")]), mode="mor")
+    assert cons.lag() == 2
+    assert cons.process(lambda df: None)
+    assert cons.lag() == 0
+
+
+def test_replicate_through_schema_drift(spark, tmp_path):
+    """Column-add drift at the source flows through the changelog
+    (history rows null-fill the new column, the read_changes rule)
+    and the replica's own drift handling absorbs it."""
+    src = make_target(spark, tmp_path / "src")
+    dst = make_target(spark, tmp_path / "dst")
+    cur = str(tmp_path / "cur")
+    src.merge(df_of(spark, [("a", 1, "p1"), ("b", 1, "p2")]))
+    replicate_incremental(src, dst, cur)
+    drifted = spark.createDataFrame(
+        [("c", 2, "p3", "extra")],
+        "arcane_merge_key string, createdon bigint, payload string, "
+        "note string",
+    )
+    src.merge(drifted, mode="mor")
+    replicate_incremental(src, dst, cur)
+    assert sorted(map(tuple, dst.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    assert "note" in dst.read().columns

@@ -361,6 +361,11 @@ _fuzz_op = st.one_of(
     st.tuples(st.just("compact"), st.integers(-1, 2)),
     st.tuples(st.just("minor"), st.integers(-1, 2)),
     st.tuples(st.just("vacuum"), st.integers(-1, 2)),  # crash at delete
+    st.tuples(  # r10: row-level delete_keys commits join the alphabet
+        st.just("delete"),
+        st.lists(_fuzz_key, min_size=1, max_size=2, unique=True),
+        st.integers(-1, 2),  # crash at Nth metadata create
+    ),
     st.tuples(
         st.just("wm"),
         st.integers(0, 9),
@@ -377,14 +382,22 @@ def _fuzz_df(spark, rows):
     )
 
 
-def _model_fold(committed_batches):
-    """Pure-python latest-wins over committed batches: within a batch
-    max (version, payload) per key; across batches the batch wins on
-    version >= target (precedence before tiebreakers)."""
+def _model_fold(committed_events):
+    """Pure-python replay of committed events, in commit order.
+    ``("merge", batch)``: within a batch max (version, payload) per
+    key; across batches the batch wins on version >= target
+    (precedence before tiebreakers).  ``("delete", keys)``: the keys
+    simply leave the state — and a later merge of a deleted key wins
+    UNCONDITIONALLY (there is no target version to lose against),
+    which is exactly the delete-aware MoR winner-scan semantics."""
     state: dict = {}
-    for batch in committed_batches:
+    for ev in committed_events:
+        if ev[0] == "delete":
+            for k in ev[1]:
+                state.pop(k, None)
+            continue
         best: dict = {}
-        for k, v, p in batch:
+        for k, v, p in ev[1]:
             if k not in best or (v, p) > best[k]:
                 best[k] = (v, p)
         for k, (v, p) in best.items():
@@ -407,11 +420,11 @@ def _model_fold(committed_batches):
     ],
 )
 def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
-    """ANY interleaving of merge(cow|mor) / compact_minor / compact /
-    vacuum / watermark commits, with a crash injected at any metadata
-    create or delete, leaves a table whose live rows are EXACTLY the
-    latest-wins fold of the batches whose commit point was reached —
-    and the watermark never regresses.  Tiny manifest_shard_entries
+    """ANY interleaving of merge(cow|mor) / delete_keys /
+    compact_minor / compact / vacuum / watermark commits, with a crash
+    injected at any metadata create or delete, leaves a table whose
+    live rows are EXACTLY the in-order replay of the events whose
+    commit point was reached — and the watermark never regresses.  Tiny manifest_shard_entries
     pushes sequences through the sharded (shard-reuse) commit path
     too.  Set ASP_FUZZ_EXAMPLES to scale the run (CI default 12; the
     round-9 probe ran 200 green)."""
@@ -433,6 +446,11 @@ def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
                 _, mode, rows, cn = op
                 with _crash_at(create_n=cn):
                     t.merge(_fuzz_df(spark, rows), mode=mode)
+            elif kind == "delete":
+                _, keys, cn = op
+                if t.exists():
+                    with _crash_at(create_n=cn):
+                        t.delete_keys(keys)
             elif kind == "compact":
                 if t.exists():
                     with _crash_at(create_n=op[1]):
@@ -456,12 +474,12 @@ def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
                     if expected_wm is None or v > expected_wm:
                         expected_wm = v
         except _SimCrash:
-            if kind == "merge":
+            if kind in ("merge", "delete"):
                 # the commit point is the root manifest creation: the
-                # batch is in iff the version advanced
+                # event is in iff the version advanced
                 v_after = t._manifest()["version"] if t.exists() else 0
                 if v_after > v_before:
-                    committed.append(op[2])
+                    committed.append((kind, op[2] if kind == "merge" else op[1]))
             elif kind == "wm" and op[2] == "delete":
                 # crash AFTER the create: the watermark is committed
                 # (readers take the listing max; stale files are inert)
@@ -469,10 +487,10 @@ def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
                 if expected_wm is None or v > expected_wm:
                     expected_wm = v
             continue
-        if kind == "merge":
+        if kind in ("merge", "delete"):
             v_after = t._manifest()["version"] if t.exists() else 0
             if v_after > v_before:
-                committed.append(op[2])
+                committed.append((kind, op[2] if kind == "merge" else op[1]))
     if not t.exists():
         assert not committed
         return
