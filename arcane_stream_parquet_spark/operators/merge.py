@@ -770,7 +770,10 @@ class ParquetMergeTarget:
         return pred
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Incremental/CDC changelog: every row-level change committed
         AFTER snapshot ``from_version``, up to and including
@@ -785,12 +788,17 @@ class ParquetMergeTarget:
         remember the last version you saw, call
         ``read_changes(last_v)``, advance.
 
-        The stream is post-image-only (Delta CDF column naming, minus
-        pre-images): latest-wins MERGE never deletes, so ``delete``
-        rows (carrying the final pre-image) arise only from
-        ``overwrite()`` dropping keys.  A key changed in several
-        commits of the range yields one row per commit; the live row is
-        the max-``_commit_version`` one.
+        The stream is post-image-only by default (``delete`` rows carry
+        the final pre-image; they arise from ``delete_keys`` /
+        ``delete_where`` and from ``overwrite()`` dropping keys).  With
+        ``include_preimages=True`` every update additionally emits an
+        ``update_preimage`` row (full Delta CDF change-type set) — the
+        retraction substrate for incremental aggregate maintenance:
+        subtract the pre-image's contribution, add the post-image's
+        (streaming/changelog.maintain_aggregate).  A key changed in
+        several commits of the range yields one (or two) rows per
+        commit; the live row is the max-``_commit_version``
+        non-preimage one.
 
         Cost at scale: a ``merge-mor`` commit is read **O(delta)** —
         its appended data files ARE the post-images and its delete file
@@ -840,9 +848,13 @@ class ParquetMergeTarget:
                 continue  # pure repack: contents proven unchanged
             part: DataFrame | None
             if op in ("merge-mor", "append"):
-                part = self._changes_from_delta(m_new, v, schema, cols)
+                part = self._changes_from_delta(
+                    m_new, v, schema, cols, include_preimages
+                )
             else:  # merge-cow / overwrite / untagged pre-CDC manifest
-                part = self._changes_from_diff(m_new, v, schema, cols, avail)
+                part = self._changes_from_diff(
+                    m_new, v, schema, cols, avail, include_preimages
+                )
             if part is not None:
                 parts.append(
                     part.withColumn(
@@ -871,17 +883,24 @@ class ParquetMergeTarget:
         return out
 
     def _changes_from_delta(
-        self, m_new: dict, v: int, schema, cols: list[str]
+        self,
+        m_new: dict,
+        v: int,
+        schema,
+        cols: list[str],
+        include_preimages: bool = False,
     ) -> DataFrame | None:
         """O(delta) changelog of one merge-on-read (or initial append)
         commit: the files it added are the post-images; the delete
         file it wrote (keys that HAD a live target row) is exactly the
-        insert/update classifier."""
-        files_v = [
-            f
-            for f in (self._files_of_manifest(m_new) or [])
-            if int(f["v"]) == v
-        ]
+        insert/update classifier.  ``include_preimages`` additionally
+        reconstructs the updated keys' pre-images from the PRIOR file
+        set (everything in this manifest except the commit's own
+        additions, with the deletes pending BEFORE it applied) — a
+        key-range-pruned scan of the same candidate files the MoR
+        commit itself probed, so still O(delta), never O(table)."""
+        all_files = self._files_of_manifest(m_new) or []
+        files_v = [f for f in all_files if int(f["v"]) == v]
         if not files_v:
             return None
         rows = self._read_files(files_v, schema)
@@ -905,7 +924,7 @@ class ParquetMergeTarget:
         # scan path uses
         if sum(int(d["sz"]) for d in dels_v) <= self.broadcast_delete_bytes:
             upd = F.broadcast(upd)
-        return rows.join(
+        post = rows.join(
             upd,
             F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL)),
             "left",
@@ -918,14 +937,53 @@ class ParquetMergeTarget:
             .otherwise(F.lit("insert"))
             .alias(CHANGE_TYPE_COLUMN),
         )
+        if not include_preimages:
+            return post
+        # pre-images: the updated keys' live rows as of v-1 — prior
+        # file set (everything but this commit's additions), prior
+        # pending deletes (everything but this commit's delete file),
+        # key-range-pruned to the update key set
+        kdf = self._with_bucket(
+            self._read_delete_files(dels_v).select(
+                F.col(_DEL_KEY_COL).alias(self.key_col)
+            )
+        )
+        buckets = sorted({b for d in dels_v for b in self._delete_buckets(d)})
+        files_prev = [
+            f
+            for f in all_files
+            if int(f["v"]) != v and int(f["b"]) in set(buckets)
+        ]
+        touched, _ = self._prune_touched_files(files_prev, kdf, buckets)
+        deletes_prev = [
+            d
+            for d in (m_new.get("deletes") or [])
+            if d.get("sc") or int(d["seq"]) != v
+        ]
+        prev_live = self._scan_with_deletes(touched, schema, deletes_prev)
+        pre = prev_live.join(
+            upd,
+            F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL)),
+            "leftsemi",
+        ).select(*cols, F.lit("update_preimage").alias(CHANGE_TYPE_COLUMN))
+        return post.unionByName(pre)
 
     def _changes_from_diff(
-        self, m_new: dict, v: int, schema, cols: list[str], avail: set[int]
+        self,
+        m_new: dict,
+        v: int,
+        schema,
+        cols: list[str],
+        avail: set[int],
+        include_preimages: bool = False,
     ) -> DataFrame | None:
         """Changelog of one commit by reconciling its snapshot with the
         previous one, restricted to the buckets the commit touched —
         exact for ANY commit kind (rows a rewrite carried over unchanged
-        compare equal and drop out), partition-pruned on both sides."""
+        compare equal and drop out), partition-pruned on both sides.
+        ``include_preimages`` turns each update into a pre/post pair
+        via a single ``inline`` over 1-or-2-element struct arrays — no
+        second pass over the diff join."""
         changed = {
             int(b) for b, ver in m_new["buckets"].items() if int(ver) == v
         }
@@ -986,6 +1044,25 @@ class ParquetMergeTarget:
         j = j.filter(
             ~o_present | ~n_present | ~self._rows_equal_pred(schema)
         )
+        if include_preimages:
+
+            def entry(prefix: str, kind_lit: str):
+                return F.struct(
+                    *[F.col(prefix + c).alias(c) for c in cols],
+                    F.lit(kind_lit).alias(CHANGE_TYPE_COLUMN),
+                )
+
+            entries = (
+                F.when(~o_present, F.array(entry(_CDC_NEW, "insert")))
+                .when(~n_present, F.array(entry(_CDC_OLD, "delete")))
+                .otherwise(
+                    F.array(
+                        entry(_CDC_OLD, "update_preimage"),
+                        entry(_CDC_NEW, "update_postimage"),
+                    )
+                )
+            )
+            return j.select(F.inline(entries))
         out_cols = [
             F.when(n_present, F.col(_CDC_NEW + c))
             .otherwise(F.col(_CDC_OLD + c))
@@ -1044,6 +1121,58 @@ class ParquetMergeTarget:
         if any(k is None for k in keys):
             pred = pred | F.col(self.key_col).isNull()
         return scan.filter(pred).drop(BUCKET_COLUMN)
+
+    def lookup_keys(self, keys: DataFrame) -> DataFrame:
+        """Bulk point-lookup: ``read()`` semi-joined to a DataFrame of
+        keys, served from the manifest with the same bucket + key-range
+        pruning as :meth:`lookup` — only the distinct BUCKET list (≤
+        ``num_buckets`` ints) is collected to the driver, so the key
+        set itself can be arbitrarily large.  ``keys`` is a DataFrame
+        with a ``key_col`` (or single) column.  Scans O(#candidate
+        files of the key set), not the table."""
+        from pyspark.sql.types import StructType
+
+        manifest = self._manifest()
+        schema = self._schema_of(manifest)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        kdf = keys
+        if self.key_col not in kdf.columns:
+            if len(kdf.columns) != 1:
+                raise ValueError(
+                    f"keys DataFrame must have a '{self.key_col}' column "
+                    f"or exactly one column, got {kdf.columns}"
+                )
+            kdf = kdf.withColumnRenamed(kdf.columns[0], self.key_col)
+        kdf = self._with_bucket(
+            kdf.select(
+                F.col(self.key_col).cast(schema[self.key_col].dataType)
+            ).distinct()
+        )
+        buckets = [
+            r[BUCKET_COLUMN]
+            for r in kdf.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        if not buckets:
+            return self.spark.createDataFrame(
+                [], StructType([f for f in schema.fields if f.name != BUCKET_COLUMN])
+            )
+        files = self._files_of_manifest(manifest)
+        if files is None:
+            files = self._legacy_files(manifest)
+        touched, _ = self._prune_touched_files(files, kdf, buckets)
+        if not touched:
+            return self.spark.createDataFrame(
+                [], StructType([f for f in schema.fields if f.name != BUCKET_COLUMN])
+            )
+        scan = self._scan_with_deletes(
+            touched, schema, manifest.get("deletes") or []
+        )
+        return scan.join(
+            kdf.select(F.col(self.key_col).alias(_DEL_KEY_COL)),
+            F.col(self.key_col).eqNullSafe(F.col(_DEL_KEY_COL)),
+            "leftsemi",
+        ).drop(BUCKET_COLUMN)
 
     # -- write path --------------------------------------------------------
 
