@@ -1,0 +1,171 @@
+"""Domain-mixture sampling — deterministic downsampling of a labeled
+corpus to target domain proportions under a token budget.
+
+The missing piece between dedup/quality filtering (operators/sampling,
+text, minhash) and training export: pretraining corpora are mixed from
+heterogeneous sources to TARGET weights (web 50%, code 30%, wiki 20%,
+…), not consumed at their natural proportions.  The reference engine
+stops at per-table ingestion (docs/crd.md:145-182 — one stream, one
+table); mixing is the first thing a consumer of those tables does, so
+it belongs in the same deterministic, engine-portable family as
+train_test_split / stratified_sample.
+
+Semantics (downsample-only, exact integer arithmetic):
+
+* ``parts`` gives integer weight parts per domain (``{"web": 5,
+  "code": 3, "wiki": 2}`` → 50/30/20).  Domains absent from ``parts``
+  are dropped (weight 0).
+* Each domain's token total ``T_d`` caps the feasible corpus size: a
+  domain can only be downsampled, so the max budget honoring the
+  weights is ``B_max = min_d floor(T_d * W / p_d)`` (W = sum of
+  parts).  The effective budget is ``min(B_max, budget_tokens)``.
+* Domain keep-rate ``r_d = p_d * B / (W * T_d) ≤ 1``, quantized to the
+  10k-bucket grid of ``hash_bucket_expr``: keep a row iff
+  ``hash_bucket(id, salt) < floor(10000 * p_d * B / (W * T_d))``.
+
+Every step is BIGINT arithmetic (``div``, not ``/``) so Spark and any
+SQL oracle compute bit-identical thresholds — no float boundary where
+two engines disagree about a borderline document.  Overflow headroom:
+``10000 * p_d * B`` stays under 2^63 for corpora up to ~10^13 tokens
+per domain at double-digit parts — beyond any current training corpus;
+the guard below raises before wrapping.
+
+Scale shape (100 TB): one map-side-combined aggregate over #domains
+keys (tiny), a single-row min attached to that tiny frame, a broadcast
+join of #domains rates back to the corpus, then a pure filter
+projection — the corpus itself never shuffles and is scanned once.
+
+Expected-value note: hash quantization keeps ~r_d of each domain's
+ROWS; realized token counts match the target in expectation (token
+mass is independent of the id hash).  Exact-token packing is a
+different operator (operators/packing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.sampling import (
+    HASH_BUCKETS,
+    hash_bucket_expr,
+)
+
+# 10000 * p * B must stay inside int64 (module docstring)
+_OVERFLOW_GUARD = (2**63 - 1) // HASH_BUCKETS
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    id_col: str,
+    token_col: str,
+    budget_tokens: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Filter ``df`` to the target domain mixture (module docstring).
+
+    Returns the surviving rows plus ``_mix_threshold`` (the domain's
+    keep-threshold on the 10k hash grid, for audit/replay).  Rows in
+    domains not named in ``parts`` are dropped.
+    """
+    if not parts:
+        raise ValueError("parts must name at least one domain")
+    bad = {d: p for d, p in parts.items() if p <= 0 or p != int(p)}
+    if bad:
+        raise ValueError(f"weight parts must be positive integers: {bad}")
+    w_total = int(sum(parts.values()))
+
+    # tiny aggregate: per-domain token totals (map-side combined)
+    totals = (
+        df.select(F.col(domain_col).alias("_mix_domain"), F.col(token_col))
+        .filter(F.col(domain_col).isin(*parts.keys()))
+        .groupBy("_mix_domain")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_mix_tokens"))
+        .withColumn(
+            "_mix_parts",
+            F.coalesce(
+                *[
+                    F.when(F.col("_mix_domain") == d, F.lit(int(p)))
+                    for d, p in sorted(parts.items())
+                ]
+            ).cast("bigint"),
+        )
+    )
+    # feasible budget: 1-row aggregate attached to the tiny frame (the
+    # pinned 1-row-attach crossJoin pattern, plan-gate allowlisted)
+    feasible = totals.agg(
+        F.min(
+            F.expr(f"_mix_tokens * {w_total} div _mix_parts")
+        ).alias("_mix_budget")
+    )
+    if budget_tokens is not None:
+        feasible = feasible.select(
+            F.least(
+                F.col("_mix_budget"), F.lit(int(budget_tokens)).cast("bigint")
+            ).alias("_mix_budget")
+        )
+    rates = totals.crossJoin(feasible).withColumn(
+        "_mix_threshold",
+        F.when(
+            F.col("_mix_parts") * F.col("_mix_budget") > _OVERFLOW_GUARD,
+            F.raise_error(
+                F.lit(
+                    "domain_mixture_sample: parts*budget exceeds int64 "
+                    "threshold headroom — rescale parts or cap budget_tokens"
+                )
+            ).cast("bigint"),
+        ).otherwise(
+            F.expr(
+                f"least(cast({HASH_BUCKETS} as bigint), "
+                f"({HASH_BUCKETS} * _mix_parts * _mix_budget) "
+                f"div ({w_total} * _mix_tokens))"
+            )
+        ),
+    )
+
+    out = (
+        df.join(
+            F.broadcast(
+                rates.select("_mix_domain", "_mix_threshold", "_mix_budget")
+            ),
+            df[domain_col] == F.col("_mix_domain"),
+            "inner",
+        )
+        .filter(hash_bucket_expr(id_col, salt) < F.col("_mix_threshold"))
+        .drop("_mix_domain", "_mix_budget")
+    )
+    return out
+
+
+def mixture_report(
+    df: DataFrame,
+    sampled: DataFrame,
+    domain_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Audit frame: per-domain kept/total docs and tokens plus the
+    applied threshold — the realized mixture vs the corpus.  Two tiny
+    aggregates joined on domain; all-BIGINT output, oracle-exact."""
+    tot = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("total_tokens"),
+    )
+    kept = sampled.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("kept_tokens"),
+        F.min("_mix_threshold").alias("threshold"),
+    )
+    return tot.join(kept, "domain", "left").select(
+        "domain",
+        "total_docs",
+        "total_tokens",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias(
+            "kept_tokens"
+        ),
+        F.coalesce(F.col("threshold"), F.lit(0).cast("bigint")).alias(
+            "threshold"
+        ),
+    )

@@ -1203,6 +1203,80 @@ def q_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "domain_mixture",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS cost
+            FROM events
+        ),
+        parts AS (SELECT * FROM (VALUES ('click', 4), ('view', 3),
+                                        ('purchase', 2), ('signup', 1))
+                  t(domain, p)),
+        totals AS (
+            SELECT e.event_type AS domain,
+                   CAST(SUM(e.cost) AS BIGINT) AS T, p.p
+            FROM ev e JOIN parts p ON e.event_type = p.domain
+            GROUP BY 1, 3
+        ),
+        feasible AS (SELECT MIN(T * 10 // p) AS B FROM totals),
+        rates AS (
+            SELECT domain,
+                   least(10000, (10000 * p * B) // (10 * T)) AS thr
+            FROM totals, feasible
+        ),
+        kept AS (
+            SELECT e.event_type AS domain,
+                   CAST(count(*) AS BIGINT) AS k_docs,
+                   CAST(SUM(e.cost) AS BIGINT) AS k_tokens,
+                   MIN(r.thr) AS thr
+            FROM ev e JOIN rates r ON e.event_type = r.domain
+            WHERE {_sql_hash_bucket("e.event_id", "mix")} < r.thr
+            GROUP BY 1
+        )
+        SELECT e.event_type AS domain,
+               CAST(count(*) AS BIGINT) AS total_docs,
+               CAST(SUM(e.cost) AS BIGINT) AS total_tokens,
+               CAST(coalesce(MIN(k.k_docs), 0) AS BIGINT) AS kept_docs,
+               CAST(coalesce(MIN(k.k_tokens), 0) AS BIGINT) AS kept_tokens,
+               CAST(coalesce(MIN(k.thr), 0) AS BIGINT) AS threshold
+        FROM ev e LEFT JOIN kept k ON e.event_type = k.domain
+        GROUP BY 1
+    """,
+    doc="Domain-mixture sampling (operators/mixing.py, r10): "
+    "deterministically downsample a labeled corpus to target domain "
+    "weights (click/view/purchase/signup at 4/3/2/1; 'error' dropped "
+    "as weight-0) under the max feasible token budget — the step "
+    "between curation and training export. ALL threshold arithmetic "
+    "is BIGINT (div, not /), so Spark and DuckDB compute "
+    "bit-identical data-dependent keep-thresholds on the 10k hash "
+    "grid — the audit frame (per-domain kept/total docs+tokens, "
+    "threshold) hash-matches exactly. The cost column is extracted "
+    "from events.props via get_json_object, absorbing the former "
+    "json_scalar row's SURVEY §2.8 json coverage. Scale shape: one "
+    "tiny per-domain aggregate, a 1-row budget attach, a broadcast "
+    "rate join, then a pure filter — the corpus never shuffles.",
+    tags=("llm", "sampling", "mixing", "json"),
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.mixing import (
+        domain_mixture_sample,
+        mixture_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("cost"),
+    )
+    parts = {"click": 4, "view": 3, "purchase": 2, "signup": 1}
+    sampled = domain_mixture_sample(
+        ev, "event_type", parts, "event_id", "cost", salt="mix"
+    )
+    return mixture_report(ev, sampled, "event_type", "cost")
+
+
+@register_query(
     "contamination_flags",
     oracle=f"""
         WITH base AS (

@@ -443,23 +443,11 @@ def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "json_scalar",
-    oracle="""
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-        FROM events
-    """,
-    doc="JSON path extraction from a string column "
-    "(get_json_object — SURVEY §2.8 json category).",
-    tags=("sql", "scalar"),
-)
-def q_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
-    )
+# (the former json_scalar row was consolidated into the r10
+# domain_mixture entry — plans/llm_queries.py — which extracts its cost
+# column from the same events.props JSON via get_json_object, keeping
+# SURVEY §2.8's json category oracle-proven while freeing a slot under
+# the driver's 50-row cap)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Unit tests for domain-mixture sampling (operators/mixing.py):
+exact integer threshold arithmetic, budget semantics, determinism,
+and cross-engine (DuckDB) agreement of the data-dependent thresholds
+— the property the oracle row then re-proves at sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.mixing import (
+    domain_mixture_sample,
+    mixture_report,
+)
+from arcane_stream_parquet_spark.operators.sampling import HASH_BUCKETS
+
+PARTS = {"web": 5, "code": 3, "wiki": 2}
+W = 10
+
+
+def corpus(spark, n_per=200):
+    rows = []
+    for i in range(n_per * 3):
+        dom = ("web", "code", "wiki", "junk")[i % 4]
+        rows.append((i, dom, 50 + (i * 37) % 200))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, domain string, n_tokens bigint"
+    )
+
+
+def expected_thresholds(df):
+    """Hand-computed integer thresholds (the module-docstring formula)."""
+    totals = {
+        r["domain"]: r["t"]
+        for r in df.groupBy("domain").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    b = min(totals[d] * W // p for d, p in PARTS.items())
+    return {
+        d: min(HASH_BUCKETS, HASH_BUCKETS * p * b // (W * totals[d]))
+        for d, p in PARTS.items()
+    }, b
+
+
+def test_thresholds_integer_exact(spark):
+    df = corpus(spark)
+    out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    got = {
+        r["domain"]: r["_mix_threshold"]
+        for r in out.select("domain", "_mix_threshold").distinct().collect()
+    }
+    want, _ = expected_thresholds(df)
+    # every surviving domain carries exactly the hand-computed threshold
+    assert all(got[d] == want[d] for d in got)
+    # the binding domain (min T*W/p) keeps everything: threshold == 10000
+    assert max(want.values()) == HASH_BUCKETS == max(got.values())
+
+
+def test_unlisted_domain_dropped_and_deterministic(spark):
+    df = corpus(spark)
+    out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    assert out.filter(F.col("domain") == "junk").count() == 0
+    ids1 = sorted(r[0] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r[0]
+        for r in domain_mixture_sample(
+            df.repartition(7), "domain", PARTS, "doc_id", "n_tokens"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_budget_cap_scales_all_domains(spark):
+    df = corpus(spark)
+    _, b_max = expected_thresholds(df)
+    budget = b_max // 3
+    out = domain_mixture_sample(
+        df, "domain", PARTS, "doc_id", "n_tokens", budget_tokens=budget
+    )
+    rep = {
+        r["domain"]: r
+        for r in mixture_report(df, out, "domain", "n_tokens").collect()
+    }
+    for d, p in PARTS.items():
+        target = p * budget / W
+        got = rep[d]["kept_tokens"]
+        # hash quantization: realized mass within ±35% of target at n=150
+        assert got == pytest.approx(target, rel=0.35), (d, got, target)
+    # and strictly less than the uncapped run
+    full = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    assert out.count() < full.count()
+
+
+def test_mixture_report_accounts_everything(spark):
+    df = corpus(spark)
+    out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    rep = {r["domain"]: r for r in mixture_report(df, out, "domain", "n_tokens").collect()}
+    assert set(rep) == {"web", "code", "wiki", "junk"}
+    assert rep["junk"]["kept_docs"] == 0 and rep["junk"]["threshold"] == 0
+    for d in PARTS:
+        assert 0 < rep[d]["kept_docs"] <= rep[d]["total_docs"]
+
+
+def test_invalid_parts_raise(spark):
+    df = corpus(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        domain_mixture_sample(df, "domain", {}, "doc_id", "n_tokens")
+    with pytest.raises(ValueError, match="positive integers"):
+        domain_mixture_sample(df, "domain", {"web": 0}, "doc_id", "n_tokens")
+    with pytest.raises(ValueError, match="positive integers"):
+        domain_mixture_sample(df, "domain", {"web": -2}, "doc_id", "n_tokens")
+
+
+def test_duckdb_agrees_on_kept_ids(spark):
+    """Cross-engine proof: DuckDB computing the same integer-threshold
+    pipeline (same sha256 hash grid, same ``//`` arithmetic) keeps the
+    IDENTICAL document set — no float boundary, no dialect drift."""
+    df = corpus(spark)
+    spark_ids = sorted(
+        r[0]
+        for r in domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("corpus", df.toPandas())
+    parts_values = ", ".join(f"('{d}', {p})" for d, p in PARTS.items())
+    from arcane_stream_parquet_spark.plans.llm_queries import _sql_hash_bucket
+
+    bucket = _sql_hash_bucket("doc_id", "mix")
+    duck_ids = [
+        r[0]
+        for r in con.sql(
+            f"""
+            WITH parts AS (SELECT * FROM (VALUES {parts_values}) t(domain, p)),
+            totals AS (
+                SELECT c.domain, CAST(SUM(c.n_tokens) AS BIGINT) AS T, p.p
+                FROM corpus c JOIN parts p USING (domain) GROUP BY 1, 3
+            ),
+            feasible AS (SELECT MIN(T * {W} // p) AS B FROM totals),
+            rates AS (
+                SELECT domain,
+                       least({HASH_BUCKETS},
+                             ({HASH_BUCKETS} * p * B) // ({W} * T)) AS thr
+                FROM totals, feasible
+            )
+            SELECT c.doc_id FROM corpus c JOIN rates r USING (domain)
+            WHERE {bucket} < r.thr ORDER BY c.doc_id
+            """
+        ).fetchall()
+    ]
+    assert duck_ids == spark_ids

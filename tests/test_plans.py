@@ -101,6 +101,9 @@ _NLJ_ALLOWLIST = {
     # 1-row corpus-doc-count broadcast for the IDF term
     # (llm_queries.py tfidf_top_terms)
     "tfidf_top_terms": 1,
+    # 1-row feasible-budget attach onto the #domains-row totals frame
+    # (mixing.py domain_mixture_sample: tiny × tiny, never the corpus)
+    "domain_mixture": 1,
 }
 
 
