@@ -182,6 +182,78 @@ _CDC_OLD = "__asp_cdc_o_"
 _CDC_NEW = "__asp_cdc_n_"
 
 
+# -- per-column file statistics (data skipping) ----------------------------
+
+#: orderable scalar types whose min/max round-trip JSON without losing
+#: the ordering the pruner relies on (decimals are rejected: a float
+#: approximation could wrongly exclude a file at an interval boundary)
+_STATS_TYPES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "string",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+    "boolean",
+)
+
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "is_null", "not_null")
+
+
+def _validate_stats_type(col: str, dtype) -> None:
+    if dtype.simpleString() not in _STATS_TYPES:
+        raise TypeError(
+            f"stats_cols[{col!r}]: unsupported type {dtype.simpleString()} "
+            f"(orderable scalars only: {', '.join(_STATS_TYPES)})"
+        )
+
+
+def _norm_stat(v):
+    """JSON-safe, order-preserving stat value: numerics/strings/bools
+    pass through; date/datetime become ISO strings (lexicographic ==
+    chronological for a fixed format — and a truncated '…:05' correctly
+    sorts before '…:05.000001')."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep="T") if isinstance(v, datetime.datetime) else v.isoformat()
+    raise TypeError(f"unsupported stat value {v!r} ({type(v).__name__})")
+
+
+def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Conservative per-file pruning check: False ONLY when the
+    recorded [mn, mx, has-null] interval PROVES no row of the file can
+    satisfy ``col op value``; missing stats always keep the file."""
+    cs = entry.get("cs") or {}
+    if col not in cs:
+        return True
+    mn, mx, hn = cs[col]
+    if op == "is_null":
+        return bool(hn)
+    all_null = mn is None and mx is None
+    if op == "not_null":
+        return not all_null
+    if all_null:  # only nulls in this file: no value predicate matches
+        return False
+    if op == "=":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 def _bucket_expr(key_col: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
@@ -320,6 +392,16 @@ class ParquetMergeTarget:
     #: falls back to a shuffled join, where AQE's skew handling covers
     #: deletes concentrated in few buckets (probe: SCALE.md r8).
     broadcast_delete_bytes: int = 64 * 1024 * 1024
+    #: Extra columns to record per-file [min, max, has-null] for in the
+    #: manifest (beyond the merge key) — the Iceberg data-skipping
+    #: shape: :meth:`read_where` prunes files whose recorded interval
+    #: cannot satisfy a predicate before any scan is planned.  Only
+    #: orderable scalar types (integral, float/double, string, date,
+    #: timestamp, boolean); collected in the same single read-back pass
+    #: as the key stats.  Pair with ``sorted_by`` on the same column to
+    #: make each file a tight contiguous range (unsorted data gives
+    #: wide per-file intervals and pruning stops biting).
+    stats_cols: tuple = ()
 
     # -- storage layout ----------------------------------------------------
 
@@ -747,6 +829,136 @@ class ParquetMergeTarget:
         """Current table contents (bucket column dropped); pass
         ``at_version`` for a time-travel read of an archived snapshot."""
         return self._read_raw(at_version).drop(BUCKET_COLUMN)
+
+    def _manifest_at(self, at_version: int | None) -> dict:
+        current = self._manifest()
+        if at_version is None or at_version == current["version"]:
+            return current
+        try:
+            return json.loads(
+                self._fio.read_text(self._manifest_file(at_version))
+            )
+        except FileNotFoundError:
+            raise ValueError(
+                f"no snapshot v{at_version}; available: "
+                f"{self.snapshot_versions()}"
+            ) from None
+
+    def read_where(
+        self, *preds, at_version: int | None = None
+    ) -> DataFrame:
+        """Predicate read with manifest-level data skipping: exactly
+        ``read(at_version).filter(AND of preds)``, but files whose
+        recorded per-column [min, max, has-null] interval
+        (``stats_cols``) PROVES they cannot satisfy a conjunct are
+        dropped from the scan plan before Spark sees them — the
+        Iceberg scan-planning shape, so a date-range query over a
+        date-clustered 10⁶-file table plans O(matching files), not
+        O(table).  Each pred is ``(col, op, value)`` with op in
+        ``= < <= > >= is_null not_null`` (null ops take no value).
+        Pruning is strictly conservative: files without stats for a
+        referenced column (legacy manifests, schema drift, col not in
+        ``stats_cols``) stay in the scan, and the exact residual
+        filter ALWAYS applies — stats can only shrink the plan, never
+        change the answer.  Driver cost: one in-memory pass over the
+        manifest entries (same O(#files) the merge planner already
+        pays).  Pending MoR deletes apply as in any read."""
+        manifest = self._manifest_at(at_version)
+        schema = self._schema_of(manifest)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        parsed = []  # (col, op, residual_value, normalized_value)
+        for p in preds:
+            if not isinstance(p, (tuple, list)) or len(p) not in (2, 3):
+                raise ValueError(
+                    f"predicate must be (col, op[, value]), got {p!r}"
+                )
+            col, op = p[0], p[1]
+            if op not in _PRED_OPS:
+                raise ValueError(
+                    f"op {op!r} not in {', '.join(_PRED_OPS)}"
+                )
+            if col not in schema.fieldNames():
+                raise ValueError(f"unknown column {col!r}")
+            if op in ("is_null", "not_null"):
+                parsed.append((col, op, None, None))
+                continue
+            if len(p) != 3 or p[2] is None:
+                raise ValueError(
+                    f"op {op!r} needs a non-null value "
+                    f"(use 'is_null' for null tests): {p!r}"
+                )
+            import datetime as _dt
+
+            v = p[2]
+            dtype = schema[col].dataType.simpleString()
+            # align the pruning value with the stored stat domain so
+            # lexicographic compare stays order-correct; a temporal
+            # column probed with a raw STRING keeps residual-only
+            # semantics (None = never prune on this conjunct) because
+            # the user's format need not match the ISO stats format
+            if dtype == "date" and isinstance(v, _dt.datetime):
+                nv = _norm_stat(v.date())
+            elif dtype in ("timestamp", "timestamp_ntz") and (
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            ):
+                nv = _norm_stat(_dt.datetime.combine(v, _dt.time()))
+            elif dtype in ("date", "timestamp", "timestamp_ntz") and isinstance(
+                v, str
+            ):
+                nv = None
+            else:
+                _num = ("tinyint", "smallint", "int", "bigint", "float", "double")
+                if (
+                    (dtype in _num and not isinstance(v, (int, float)))
+                    or (dtype == "string" and not isinstance(v, str))
+                    or (dtype == "boolean" and not isinstance(v, bool))
+                ):
+                    raise TypeError(
+                        f"predicate value {v!r} does not match column "
+                        f"{col!r} type {dtype}"
+                    )
+                nv = _norm_stat(v)
+            parsed.append((col, op, v, nv))
+
+        residual = F.lit(True)
+        for col, op, rv, _ in parsed:
+            c = F.col(col)
+            residual = residual & {
+                "=": lambda: c == F.lit(rv),
+                "<": lambda: c < F.lit(rv),
+                "<=": lambda: c <= F.lit(rv),
+                ">": lambda: c > F.lit(rv),
+                ">=": lambda: c >= F.lit(rv),
+                "is_null": c.isNull,
+                "not_null": c.isNotNull,
+            }[op]()
+
+        files = self._files_of_manifest(manifest)
+        if files is None:  # pre-r5 bucket-granularity manifest
+            return self.read(at_version).filter(residual)
+        pruned = [
+            f
+            for f in files
+            if all(
+                _file_may_match(f, col, op, nv)
+                for col, op, _, nv in parsed
+                if op in ("is_null", "not_null") or nv is not None
+            )
+        ]
+        if not pruned:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [f for f in schema.fields if f.name != BUCKET_COLUMN]
+                ),
+            )
+        scan = self._scan_with_deletes(
+            pruned, schema, manifest.get("deletes") or []
+        )
+        return scan.filter(residual).drop(BUCKET_COLUMN)
 
     # -- incremental / CDC read --------------------------------------------
 
@@ -1267,41 +1479,63 @@ class ParquetMergeTarget:
                 }
                 for (b, n), sz in sorted(sizes.items())
             ]
+        scan = self.spark.read.option("basePath", vdir).parquet(vdir)
+        # stats_cols present in THIS version's files (drift-era rewrites
+        # may predate a column; absent stats read as "keep the file")
+        cs_cols = [
+            c for c in self.stats_cols if c in scan.columns and c != self.key_col
+        ]
+        for c in cs_cols:
+            _validate_stats_type(c, scan.schema[c].dataType)
+        aggs = [
+            F.min("_k").alias("_mn"),
+            F.max("_k").alias("_mx"),
+            # min/max ignore nulls, so a null-holding file needs its
+            # own flag for delete-applicability (a null-key delete
+            # must dirty exactly the files that can hold null rows)
+            F.max(F.col("_k").isNull()).alias("_hn"),
+        ]
+        for i, c in enumerate(cs_cols):
+            aggs += [
+                F.min(F.col(c)).alias(f"_cmn{i}"),
+                F.max(F.col(c)).alias(f"_cmx{i}"),
+                F.max(F.col(c).isNull()).alias(f"_chn{i}"),
+            ]
         rows = (
-            self.spark.read.option("basePath", vdir)
-            .parquet(vdir)
-            .select(
+            scan.select(
                 F.input_file_name().alias("_f"),
                 F.col(BUCKET_COLUMN).alias("_b"),
                 F.col(self.key_col).cast("string").alias("_k"),
+                *[F.col(c) for c in cs_cols],
             )
             .groupBy("_f", "_b")
-            .agg(
-                F.min("_k").alias("_mn"),
-                F.max("_k").alias("_mx"),
-                # min/max ignore nulls, so a null-holding file needs its
-                # own flag for delete-applicability (a null-key delete
-                # must dirty exactly the files that can hold null rows)
-                F.max(F.col("_k").isNull()).alias("_hn"),
-            )
+            .agg(*aggs)
             .collect()
         )
         out = []
         for r in rows:
             name = r["_f"].rsplit("/", 1)[-1]
             b = int(r["_b"])
-            out.append(
-                {
-                    "v": version,
-                    "d": dirname,
-                    "b": b,
-                    "n": name,
-                    "mn": r["_mn"],
-                    "mx": r["_mx"],
-                    "hn": bool(r["_hn"]),
-                    "sz": sizes.get((b, name), 0),
+            entry = {
+                "v": version,
+                "d": dirname,
+                "b": b,
+                "n": name,
+                "mn": r["_mn"],
+                "mx": r["_mx"],
+                "hn": bool(r["_hn"]),
+                "sz": sizes.get((b, name), 0),
+            }
+            if cs_cols:
+                entry["cs"] = {
+                    c: [
+                        _norm_stat(r[f"_cmn{i}"]),
+                        _norm_stat(r[f"_cmx{i}"]),
+                        bool(r[f"_chn{i}"]),
+                    ]
+                    for i, c in enumerate(cs_cols)
                 }
-            )
+            out.append(entry)
         return sorted(out, key=lambda e: (e["b"], e["n"]))
 
     def _files_of_manifest(self, manifest: dict) -> list[dict] | None:

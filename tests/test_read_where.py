@@ -1,0 +1,213 @@
+"""Tests for manifest-level data skipping (``stats_cols`` +
+``read_where``): pruning must be invisible to semantics (always ≡
+``read().filter``) and visible to the scan plan (fewer input files
+when the predicate is selective over a clustered column).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def make_target(spark, path, **kw) -> ParquetMergeTarget:
+    kw.setdefault("num_buckets", 4)
+    kw.setdefault("stats_cols", ("amount", "grp", "day"))
+    kw.setdefault("sorted_by", ("amount",))
+    kw.setdefault("max_records_per_file", 25)
+    return ParquetMergeTarget(spark=spark, path=str(path), **kw)
+
+
+def rows_df(spark, lo, hi, ver=1):
+    base = datetime.date(2024, 1, 1)
+    data = [
+        (
+            f"k{i:04d}",
+            ver,
+            i,
+            ("red", "green", "blue")[i % 3] if i % 17 else None,
+            base + datetime.timedelta(days=i % 30),
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        data,
+        "arcane_merge_key string, createdon long, amount long, "
+        "grp string, day date",
+    )
+
+
+PREDS = [
+    (("amount", ">=", 150), ("amount", "<", 190)),
+    (("amount", "=", 42),),
+    (("grp", "=", "red"),),
+    (("grp", "is_null"),),
+    (("grp", "not_null"), ("amount", "<=", 10)),
+    (("day", ">=", datetime.date(2024, 1, 25)),),
+    (("amount", ">", 10_000),),  # empty result
+]
+
+
+def spark_filter(preds):
+    cond = F.lit(True)
+    for p in preds:
+        c = F.col(p[0])
+        if p[1] == "is_null":
+            cond &= c.isNull()
+        elif p[1] == "not_null":
+            cond &= c.isNotNull()
+        else:
+            cond &= {
+                "=": c == F.lit(p[2]),
+                "<": c < F.lit(p[2]),
+                "<=": c <= F.lit(p[2]),
+                ">": c > F.lit(p[2]),
+                ">=": c >= F.lit(p[2]),
+            }[p[1]]
+    return cond
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("preds", PREDS)
+def test_read_where_equals_read_filter(spark, tmp_path, preds):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 300))
+    # a MoR trickle commit + a key delete exercise the delete-aware scan
+    t.merge(rows_df(spark, 10, 20, ver=2), mode="mor")
+    t.delete_keys(["k0005", "k0290"])
+    expect = as_set(t.read().filter(spark_filter(preds)))
+    got = as_set(t.read_where(*preds))
+    assert got == expect
+
+
+def test_pruning_shrinks_scan_but_not_answer(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 400))
+    full = len(t.read().inputFiles())
+    narrow = t.read_where(("amount", ">=", 390))
+    pruned = len(narrow.inputFiles())
+    assert pruned < full, (pruned, full)
+    assert narrow.count() == 10
+
+
+def test_empty_prune_returns_typed_empty(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 50))
+    out = t.read_where(("amount", ">", 10_000))
+    assert out.count() == 0
+    assert set(out.columns) == set(t.read().columns)
+    # every file proven out of range: nothing planned at all
+    assert out.inputFiles() == []
+
+
+def test_unstatted_column_stays_correct(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", stats_cols=("amount",))
+    t.merge(rows_df(spark, 0, 100))
+    preds = (("grp", "=", "blue"),)
+    assert as_set(t.read_where(*preds)) == as_set(
+        t.read().filter(spark_filter(preds))
+    )
+
+
+def test_temporal_string_probe_is_residual_only(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 60))
+    # a string literal against a date column must not prune (format
+    # unknowable) but must still filter exactly
+    out = t.read_where(("day", ">=", "2024-01-25"))
+    expect = t.read().filter(F.col("day") >= "2024-01-25")
+    assert as_set(out) == as_set(expect)
+    assert len(out.inputFiles()) == len(t.read().inputFiles())
+
+
+def test_datetime_probe_on_date_column_coerced(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 60))
+    d = datetime.datetime(2024, 1, 25, 0, 0, 0)
+    expect = as_set(t.read().filter(F.col("day") >= F.lit(d.date())))
+    assert as_set(t.read_where(("day", ">=", d))) == expect
+
+
+def test_time_travel_read_where(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 100))
+    v1 = t._manifest()["version"]
+    t.merge(rows_df(spark, 100, 200, ver=2))
+    expect = as_set(t.read(at_version=v1).filter(F.col("amount") >= 50))
+    got = as_set(t.read_where(("amount", ">=", 50), at_version=v1))
+    assert got == expect
+    assert all(r[2] < 100 for r in got)
+
+
+def test_invalid_predicates_raise(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.read_where(("nope", "=", 1))
+    with pytest.raises(ValueError, match="not in"):
+        t.read_where(("amount", "!=", 1))
+    with pytest.raises(ValueError, match="non-null value"):
+        t.read_where(("amount", "="))
+    with pytest.raises(ValueError, match="non-null value"):
+        t.read_where(("amount", "=", None))
+    with pytest.raises(TypeError, match="does not match column"):
+        t.read_where(("amount", "=", "abc"))
+
+
+def test_unsupported_stats_type_rejected(spark, tmp_path):
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=2,
+        stats_cols=("payload",),
+    )
+    df = spark.createDataFrame(
+        [("k1", 1, ["a"])],
+        "arcane_merge_key string, createdon long, payload array<string>",
+    )
+    with pytest.raises(TypeError, match="unsupported type"):
+        t.merge(df)
+
+
+def test_schema_drift_files_without_stats_kept(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", stats_cols=("extra",))
+    # first commit has no 'extra' column at all
+    t.merge(
+        spark.createDataFrame(
+            [("k1", 1, 5)], "arcane_merge_key string, createdon long, amount long"
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("k2", 1, 6, 99)],
+            "arcane_merge_key string, createdon long, amount long, extra long",
+        )
+    )
+    out = t.read_where(("extra", "=", 99))
+    assert [r["arcane_merge_key"] for r in out.collect()] == ["k2"]
+    # the drift-era file carries no stats for 'extra' → stays in plan
+    assert as_set(t.read_where(("extra", "is_null"))) == as_set(
+        t.read().filter(F.col("extra").isNull())
+    )
+
+
+def test_compaction_recollects_stats(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 200))
+    for lo in (0, 40, 80):
+        t.merge(rows_df(spark, lo, lo + 5, ver=3), mode="mor")
+    t.compact()
+    m = t._manifest()
+    files = t._files_of_manifest(m)
+    assert files and all("cs" in f for f in files)
+    preds = (("amount", ">=", 150),)
+    assert as_set(t.read_where(*preds)) == as_set(
+        t.read().filter(spark_filter(preds))
+    )
