@@ -402,6 +402,24 @@ class ParquetMergeTarget:
     #: make each file a tight contiguous range (unsorted data gives
     #: wide per-file intervals and pruning stops biting).
     stats_cols: tuple = ()
+    #: Multi-column Z-order clustering (Delta ``OPTIMIZE ZORDER BY`` /
+    #: Iceberg z-curve sort-order shape; beyond-reference — the
+    #: reference exposes only lexicographic ``sortedBy``,
+    #: docs/crd.md:229-232): every write sorts rows within each bucket
+    #: by a Morton interleave of equi-depth column codes (see
+    #: ``operators/zorder.py``), giving every data file a bounded
+    #: range in EVERY clustered dimension so :meth:`read_where` prunes
+    #: multi-column windows — a lexicographic sort only ever prunes
+    #: its leading column.  Clustered columns are stats-recorded
+    #: automatically (no need to repeat them in ``stats_cols``).
+    #: Mutually exclusive with ``sorted_by`` (one inner order per
+    #: file).  Cost: one extra aggregation pass per write (the
+    #: boundary scan) + ``cluster_bits`` comparisons per row, all
+    #: inside codegen.
+    cluster_by: tuple = ()
+    #: Code resolution per clustered dimension (2^bits equi-depth
+    #: buckets); 7 → 128 codes/dim, 16 384 z-cells at d=2.
+    cluster_bits: int = 7
 
     # -- storage layout ----------------------------------------------------
 
@@ -1389,7 +1407,11 @@ class ParquetMergeTarget:
     # -- write path --------------------------------------------------------
 
     def _write_version(
-        self, df: DataFrame, version: int, honor_file_cap: bool = True
+        self,
+        df: DataFrame,
+        version: int,
+        honor_file_cap: bool = True,
+        records_cap: int | None = None,
     ) -> str:
         """Write rows (with bucket column) into a FRESH nonce-named
         version dir (returned) — never overwrites live data; no
@@ -1397,18 +1419,39 @@ class ParquetMergeTarget:
         compaction path: it packs per-bucket regardless of the
         streaming ``max_records_per_file`` policy (mirroring Iceberg's
         rewrite_data_files having its own target size)."""
-        inner_sort = list(self.sorted_by) or (
-            # key-sorted files make each data file a contiguous merge-key
-            # range, which is what gives the manifest's per-file min/max
-            # its pruning power (file_stats docstring); an explicit
-            # sorted_by wins (reference knob) and pruning degrades
-            # gracefully — ranges are still recorded, just wider.
-            # The sort key is the SAME string cast the stats and the
-            # prune comparison use — native numeric order vs string
-            # min/max would record ranges that cover everything and
-            # silently disable pruning for non-string keys.
-            [F.col(self.key_col).cast("string")] if self.file_stats else []
-        )
+        if self.cluster_by:
+            if self.sorted_by:
+                raise ValueError(
+                    "cluster_by and sorted_by are mutually exclusive "
+                    "(one inner file order)"
+                )
+            from .zorder import zvalue_expr
+
+            present = tuple(c for c in self.cluster_by if c in df.columns)
+            # drift-era writes may predate a clustered column; cluster
+            # on what exists (stats pruning stays conservative either
+            # way — absent stats keep the file in the scan)
+            inner_sort = (
+                [zvalue_expr(df, present, bits=self.cluster_bits)]
+                if present
+                else []
+            )
+        else:
+            inner_sort = list(self.sorted_by) or (
+                # key-sorted files make each data file a contiguous
+                # merge-key range, which is what gives the manifest's
+                # per-file min/max its pruning power (file_stats
+                # docstring); an explicit sorted_by wins (reference
+                # knob) and pruning degrades gracefully — ranges are
+                # still recorded, just wider.  The sort key is the
+                # SAME string cast the stats and the prune comparison
+                # use — native numeric order vs string min/max would
+                # record ranges that cover everything and silently
+                # disable pruning for non-string keys.
+                [F.col(self.key_col).cast("string")]
+                if self.file_stats
+                else []
+            )
         if inner_sort:
             # bucket column leads the sort so the partitioned writer's
             # required ordering is already satisfied and it does not
@@ -1417,8 +1460,13 @@ class ParquetMergeTarget:
                 BUCKET_COLUMN, *inner_sort
             )
         writer = df.write.partitionBy(BUCKET_COLUMN)
-        if self.max_records_per_file and honor_file_cap:
-            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        cap = (
+            records_cap
+            if records_cap is not None
+            else (self.max_records_per_file if honor_file_cap else None)
+        )
+        if cap:
+            writer = writer.option("maxRecordsPerFile", str(cap))
         for col in self.bloom_filter_cols:
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
         # nonce-namespaced staging (r10): a fresh unique dir per
@@ -1480,10 +1528,15 @@ class ParquetMergeTarget:
                 for (b, n), sz in sorted(sizes.items())
             ]
         scan = self.spark.read.option("basePath", vdir).parquet(vdir)
-        # stats_cols present in THIS version's files (drift-era rewrites
-        # may predate a column; absent stats read as "keep the file")
+        # stats_cols + cluster_by present in THIS version's files
+        # (drift-era rewrites may predate a column; absent stats read
+        # as "keep the file") — clustered columns get stats
+        # automatically because clustering exists to make read_where
+        # prune on them
         cs_cols = [
-            c for c in self.stats_cols if c in scan.columns and c != self.key_col
+            c
+            for c in dict.fromkeys((*self.stats_cols, *self.cluster_by))
+            if c in scan.columns and c != self.key_col
         ]
         for c in cs_cols:
             _validate_stats_type(c, scan.schema[c].dataType)
@@ -2370,7 +2423,11 @@ class ParquetMergeTarget:
                 out[int(bucket)] = entries
         return out
 
-    def compact(self, min_files_per_bucket: int = 2) -> int:
+    def compact(
+        self,
+        min_files_per_bucket: int = 2,
+        target_records_per_file: int | None = None,
+    ) -> int:
         """OPTIMIZE equivalent: rewrite buckets fragmented into ≥
         ``min_files_per_bucket`` files — and every bucket with pending
         MoR delete entries, folding the deletes back into plain data
@@ -2380,7 +2437,15 @@ class ParquetMergeTarget:
         both the small files narrow upserts append and the delete files
         MoR commits accumulate — run it batch-gated like the
         reference's OPTIMIZE (ST8; Iceberg pairs rewrite_data_files
-        with rewrite_position_delete_files the same way)."""
+        with rewrite_position_delete_files the same way).
+
+        ``target_records_per_file`` caps rewritten file size (Iceberg
+        ``rewrite_data_files`` target-file-size): default ``None``
+        packs each bucket into one file — right when buckets are the
+        read granularity — but a ``cluster_by``/``sorted_by`` table
+        whose point is FILE-level skipping should keep files bounded
+        so ``read_where`` still has multiple ranges per bucket to
+        prune after maintenance."""
         manifest = self._manifest()
         files = self._files_of_manifest(manifest)
         if files is None:
@@ -2407,6 +2472,7 @@ class ParquetMergeTarget:
                 rows.repartition(F.col(BUCKET_COLUMN)),
                 new_version,
                 honor_file_cap=False,
+                records_cap=target_records_per_file,
             )
             new_files = self._collect_file_stats(new_version, new_dir)
         else:
