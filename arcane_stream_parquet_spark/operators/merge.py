@@ -78,6 +78,7 @@ anything to them but multi-writer catalog coordination.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
@@ -664,6 +665,11 @@ class ParquetMergeTarget:
         than ~2× the ideal shard count, keeping lookup and range
         overlap transient."""
         manifest = dict(manifest)
+        # wall-clock commit stamp: drives time-based snapshot retention
+        # (vacuum older_than_seconds — the reference's expire_snapshots
+        # retention_threshold, docs/crd.md:150-182) and history();
+        # never used for ordering (versions do that)
+        manifest["committed_at"] = round(time.time(), 3)
         keep = manifest.pop("keep_shards", None) or []
         manifest.pop("file_shards", None)  # never carry a stale list over
         manifest.pop("n_files", None)
@@ -783,6 +789,63 @@ class ParquetMergeTarget:
             and n.endswith(".json")
             and "-shard-" not in n
         )
+
+    def history(self) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg ``snapshots``
+        metadata table / Delta ``DESCRIBE HISTORY`` shape): one row
+        per retained snapshot — version, commit kind (the CDC ``op``
+        tag), wall-clock commit time, live file count/bytes and
+        pending MoR delete entries.  Driver cost: one root-manifest
+        JSON read per retained snapshot; shard bodies are never read
+        (sharded roots carry their file-count summary; their byte
+        total reports null rather than an estimate)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rows = []
+        for v in self.snapshot_versions():
+            m = self._manifest_at(v)
+            files = m.get("files")
+            if m.get("file_shards"):
+                n_files = int(m.get("n_files") or 0) or None
+                n_bytes = None
+            elif files is not None:
+                n_files = len(files)
+                n_bytes = sum(int(f.get("sz") or 0) for f in files)
+            else:  # pre-r5 bucket-granularity manifest
+                n_files, n_bytes = None, None
+            ts = m.get("committed_at")
+            rows.append(
+                (
+                    int(v),
+                    m.get("op"),
+                    float(ts) if ts is not None else None,
+                    n_files,
+                    n_bytes,
+                    len(m.get("deletes") or []),
+                )
+            )
+        df = self.spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("version", LongType(), False),
+                    StructField("operation", StringType(), True),
+                    StructField("committed_at_epoch", DoubleType(), True),
+                    StructField("n_files", LongType(), True),
+                    StructField("total_bytes", LongType(), True),
+                    StructField("pending_deletes", LongType(), False),
+                ]
+            ),
+        )
+        return df.withColumn(
+            "committed_at", F.timestamp_seconds(F.col("committed_at_epoch"))
+        ).drop("committed_at_epoch")
 
     def _read_raw(self, at_version: int | None = None) -> DataFrame:
         """Live table contents including the bucket partition column:
@@ -2818,103 +2881,131 @@ class ParquetMergeTarget:
             "small_files_rewritten": len(small),
         }
 
-    def vacuum(self) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        older_than_seconds: float | None = None,
+    ) -> list[str]:
         """remove_orphan_files + expire_snapshots equivalent: delete
-        data the CURRENT manifest doesn't reference (crash leftovers,
-        superseded versions) and the snapshot archives that depended on
-        it — history is reclaimed, the live table is untouched.  With
-        file-level manifests a version dir can be PARTIALLY live (kept
-        files ride alongside superseded ones), so reclamation is
-        per-file inside referenced dirs and per-dir otherwise.  Returns
-        removed entries."""
+        data no RETAINED snapshot references (crash leftovers,
+        superseded versions) and the expired snapshot manifests
+        themselves — history is reclaimed, the live table untouched.
+
+        Retention mirrors Iceberg ``expire_snapshots`` (the
+        reference's streaming maintenance calls exactly that with a
+        ``retention_threshold``, docs/crd.md:150-182): the newest
+        ``keep_last`` snapshots ALWAYS survive, and with
+        ``older_than_seconds`` every snapshot committed inside that
+        window additionally survives — so time travel
+        (``read(at_version=...)``) and the CDC changelog
+        (``read_changes(since)``) keep working across the retained
+        window.  The default (1, None) reclaims all history (the
+        original contract).  Pre-stamp manifests (no ``committed_at``)
+        count as infinitely old.  With file-level manifests a version
+        dir can be PARTIALLY live (kept files ride alongside
+        superseded ones), so reclamation is per-file inside referenced
+        dirs and per-dir otherwise.  Returns removed entries."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         manifest = self._manifest()
-        files = self._files_of_manifest(manifest)
+        current = manifest["version"]
+        versions = self.snapshot_versions()
+        committed = [v for v in versions if v <= current]
+        retained_vs = committed[-keep_last:]
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            for v in committed[:-keep_last]:
+                m = self._manifest_at(v)
+                if float(m.get("committed_at") or 0) >= cutoff:
+                    retained_vs.append(v)
+            retained_vs = sorted(set(retained_vs))
+        manifests = [
+            manifest if v == current else self._manifest_at(v)
+            for v in retained_vs
+        ]
         data_root = fs_join(self.path, "data")
         deletes_root = fs_join(self.path, "deletes")
         fio = self._fio
-        removed = []
-        if files is None:
-            # pre-r5 bucket-granularity manifests only reference legacy
-            # fixed dirs; anything else (incl. r10 nonce orphans) is dead
-            live_dirs = {
-                f"v{int(v):05d}" for v in manifest["buckets"].values()
-            }
-            for name in fio.list_names(data_root):
-                if name not in live_dirs:
-                    fio.delete(fs_join(data_root, name), recursive=True)
-                    removed.append(name)
-            # a bucket-granularity manifest cannot reference deletes
-            # (MoR commits always write file entries), so anything under
-            # deletes/ is a crash orphan
-            for name in fio.list_names(deletes_root):
-                fio.delete(fs_join(deletes_root, name), recursive=True)
-                removed.append(f"deletes/{name}")
-        else:
+        removed: list[str] = []
 
-            def reclaim(root: str, live_by_dir: dict, prefix: str) -> None:
-                # keyed by PHYSICAL dirname (r10): nonce-named attempt
-                # dirs never referenced by the manifest — crashed or
-                # concurrency-losing writers — reclaim whole
-                for name in fio.list_names(root):
-                    vdir = fs_join(root, name)
-                    live = live_by_dir.get(name)
-                    if not live:
-                        fio.delete(vdir, recursive=True)
-                        removed.append(f"{prefix}{name}")
-                        continue
-                    for bname in fio.list_names(vdir):
-                        if not bname.startswith(f"{BUCKET_COLUMN}="):
-                            continue
-                        b = int(bname.split("=", 1)[1])
-                        bdir = fs_join(vdir, bname)
-                        parquets = [
-                            n
-                            for n, _ in fio.list_files(bdir)
-                            if n.endswith(".parquet")
-                        ]
-                        dead = [n for n in parquets if (b, n) not in live]
-                        if parquets and len(dead) == len(parquets):
-                            fio.delete(bdir, recursive=True)
-                            removed.append(f"{prefix}{name}/{bname}")
-                        else:
-                            for n in dead:
-                                fio.delete(fs_join(bdir, n))
-                                removed.append(f"{prefix}{name}/{bname}/{n}")
-
-            live_data: dict[str, set[tuple[int, str]]] = {}
-            for f in files:
+        # union the live references of every retained snapshot
+        whole_dirs: set[str] = set()  # legacy manifests: whole-dir refs
+        live_data: dict[str, set[tuple[int, str]]] = {}
+        live_del: dict[str, set[str]] = {}
+        live_shards: set[str] = set()
+        for m in manifests:
+            fl = self._files_of_manifest(m)
+            if fl is None:  # pre-r5 bucket-granularity manifest
+                whole_dirs |= {
+                    f"v{int(v):05d}" for v in m["buckets"].values()
+                }
+                continue
+            for f in fl:
                 live_data.setdefault(self._dirname_of(f), set()).add(
                     (int(f["b"]), f["n"])
                 )
-            reclaim(data_root, live_data, "")
-            # delete dirs are flat (one file per commit); reclamation is
-            # per dir: drop dirs with no live entries, and dead files
-            # inside partially-live ones (a crash-retry can leave both)
-            live_del: dict[str, set[str]] = {}
-            for d in manifest.get("deletes") or []:
+            for d in m.get("deletes") or []:
                 dirname = d.get("d") or f"v{int(d['seq']):05d}"
                 live_del.setdefault(dirname, set()).add(d["n"])
-            for name in fio.list_names(deletes_root):
-                vdir = fs_join(deletes_root, name)
-                live = live_del.get(name)
-                if not live:
-                    fio.delete(vdir, recursive=True)
-                    removed.append(f"deletes/{name}")
+            live_shards |= set(self._shard_names(m))
+
+        # data dirs: nonce-named attempt dirs never referenced by any
+        # retained manifest — crashed, concurrency-losing, or expired
+        # writers — reclaim whole; referenced dirs reclaim per-file
+        for name in fio.list_names(data_root):
+            if name in whole_dirs:
+                continue
+            vdir = fs_join(data_root, name)
+            live = live_data.get(name)
+            if not live:
+                fio.delete(vdir, recursive=True)
+                removed.append(name)
+                continue
+            for bname in fio.list_names(vdir):
+                if not bname.startswith(f"{BUCKET_COLUMN}="):
                     continue
-                for fname, _sz in fio.list_files(vdir):
-                    if fname.endswith(".parquet") and fname not in live:
-                        fio.delete(fs_join(vdir, fname))
-                        removed.append(f"deletes/{name}/{fname}")
-        current = manifest["version"]
-        for v in self.snapshot_versions():
-            if v != current:
+                b = int(bname.split("=", 1)[1])
+                bdir = fs_join(vdir, bname)
+                parquets = [
+                    n
+                    for n, _ in fio.list_files(bdir)
+                    if n.endswith(".parquet")
+                ]
+                dead = [n for n in parquets if (b, n) not in live]
+                if parquets and len(dead) == len(parquets):
+                    fio.delete(bdir, recursive=True)
+                    removed.append(f"{name}/{bname}")
+                else:
+                    for n in dead:
+                        fio.delete(fs_join(bdir, n))
+                        removed.append(f"{name}/{bname}/{n}")
+
+        # delete dirs are flat (one file per commit); drop dirs with no
+        # live entries and dead files inside partially-live ones (a
+        # crash-retry can leave both).  Legacy manifests cannot
+        # reference deletes (MoR commits always write file entries), so
+        # their retention adds nothing here.
+        for name in fio.list_names(deletes_root):
+            vdir = fs_join(deletes_root, name)
+            live = live_del.get(name)
+            if not live:
+                fio.delete(vdir, recursive=True)
+                removed.append(f"deletes/{name}")
+                continue
+            for fname, _sz in fio.list_files(vdir):
+                if fname.endswith(".parquet") and fname not in live:
+                    fio.delete(fs_join(vdir, fname))
+                    removed.append(f"deletes/{name}/{fname}")
+
+        retained_set = set(retained_vs)
+        for v in versions:
+            if v not in retained_set:
                 fio.delete(self._manifest_file(v))
         # shard files belong to the roots that reference them: drop
-        # every shard not referenced by the (now sole) current manifest
-        # — expired snapshots' shards and crash orphans alike.  Shard
-        # reuse (r9) means live shard names can carry OLDER versions
-        # than the current root; membership is by name, not version.
-        live_shards = set(self._shard_names(manifest))
+        # every shard not referenced by a RETAINED manifest — expired
+        # snapshots' shards and crash orphans alike.  Shard reuse (r9)
+        # means live shard names can carry OLDER versions than their
+        # root; membership is by name, not version.
         for name in fio.list_names(self._meta_path):
             if (
                 name.startswith("manifest-v")

@@ -1,0 +1,132 @@
+"""Snapshot-retention vacuum (``keep_last``): Iceberg
+expire_snapshots parity — retained snapshots stay time-travelable and
+CDC-readable after reclamation; everything older is gone from disk.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        rows, "arcane_merge_key string, createdon long, payload string"
+    )
+
+
+def build_history(spark, tmp_path, n=4, **kw) -> ParquetMergeTarget:
+    kw.setdefault("num_buckets", 4)
+    t = ParquetMergeTarget(spark=spark, path=str(tmp_path / "t"), **kw)
+    for v in range(1, n + 1):
+        t.merge(df_of(spark, [(f"k{i}", v, f"p{v}") for i in range(8)]))
+    return t
+
+
+def test_keep_last_retains_time_travel(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=4)
+    vs = t.snapshot_versions()
+    assert len(vs) == 4
+    t.vacuum(keep_last=2)
+    assert t.snapshot_versions() == vs[-2:]
+    # retained snapshots still read correctly, including the OLD one
+    # (its superseded data files must have survived reclamation)
+    old = t.read(at_version=vs[-2])
+    assert {r["payload"] for r in old.collect()} == {"p3"}
+    assert {r["payload"] for r in t.read().collect()} == {"p4"}
+    # expired versions are gone
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(at_version=vs[0]).collect()
+
+
+def test_default_vacuum_unchanged(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=3)
+    t.vacuum()
+    assert t.snapshot_versions() == [t._manifest()["version"]]
+
+
+def test_keep_last_beyond_history_keeps_all(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=2)
+    vs = t.snapshot_versions()
+    removed = t.vacuum(keep_last=10)
+    assert t.snapshot_versions() == vs
+    # nothing live was reclaimed, only crash orphans could be (none here)
+    for v in vs:
+        t.read(at_version=v).count()
+    assert all("manifest" not in r for r in removed)
+
+
+def test_keep_last_rejects_zero(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=1)
+    with pytest.raises(ValueError, match="keep_last"):
+        t.vacuum(keep_last=0)
+
+
+def test_cdc_survives_retention_window(spark, tmp_path):
+    """read_changes(since) keeps working for `since` inside the
+    retained window and fails loudly outside it."""
+    t = build_history(spark, tmp_path, n=4, merge_mode="mor")
+    vs = t.snapshot_versions()
+    t.vacuum(keep_last=3)
+    since = t.snapshot_versions()[0]
+    changes = t.read_changes(since)
+    assert changes.count() > 0
+    assert {r["payload"] for r in changes.filter(
+        F.col("_change_type") != "delete"
+    ).collect()} <= {"p3", "p4"}
+    with pytest.raises(ValueError):
+        t.read_changes(vs[0] - 1).collect()
+
+
+def test_mor_deletes_of_retained_snapshots_survive(spark, tmp_path):
+    """A retained older snapshot with PENDING MoR deletes must keep
+    its delete files through vacuum, or time travel silently
+    resurrects superseded rows."""
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=4,
+        merge_mode="mor",
+    )
+    t.merge(df_of(spark, [(f"k{i}", 1, "a") for i in range(8)]))
+    t.merge(df_of(spark, [("k0", 2, "b")]))  # delete entry for k0@v1
+    t.compact()  # folds deletes into v3; v2 still references its
+    vs = t.snapshot_versions()  # delete files
+    t.vacuum(keep_last=2)  # retains v2 (pre-compact) + v3
+    at_v2 = {
+        (r["arcane_merge_key"], r["payload"])
+        for r in t.read(at_version=vs[-2]).collect()
+    }
+    assert ("k0", "b") in at_v2 and ("k0", "a") not in at_v2
+    assert len(at_v2) == 8
+
+
+def test_time_based_retention(spark, tmp_path):
+    """older_than_seconds: young snapshots survive beyond keep_last
+    (the reference's expire_snapshots retention_threshold shape)."""
+    t = build_history(spark, tmp_path, n=4)
+    vs = t.snapshot_versions()
+    # everything was committed "just now": a 1-hour window retains all
+    t.vacuum(keep_last=1, older_than_seconds=3600)
+    assert t.snapshot_versions() == vs
+    # a zero-second window retains only keep_last
+    t.vacuum(keep_last=2, older_than_seconds=0)
+    assert t.snapshot_versions() == vs[-2:]
+
+
+def test_history_metadata_table(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=3, merge_mode="mor")
+    t.delete_keys(["k0"])
+    h = {r["version"]: r for r in t.history().collect()}
+    vs = t.snapshot_versions()
+    assert set(h) == set(vs)
+    ops = [h[v]["operation"] for v in sorted(h)]
+    assert ops[0] == "append" and ops[-1] == "delete"
+    assert all(r["committed_at"] is not None for r in h.values())
+    newest = h[max(h)]
+    assert newest["n_files"] and newest["n_files"] > 0
+    assert newest["total_bytes"] and newest["total_bytes"] > 0
+    # MoR upserts accumulated pending delete entries pre-compaction
+    assert any(r["pending_deletes"] > 0 for r in h.values())
