@@ -2333,6 +2333,85 @@ class ParquetMergeTarget:
             }
         )
 
+    def rollback(self, to_version: int) -> int:
+        """Metadata-only restore (Iceberg ``rollback_to_snapshot``):
+        commit a NEW snapshot whose content is exactly retained
+        snapshot ``to_version`` — no data is read or written; the new
+        root references the old snapshot's data files, delete files,
+        and (when sharded) its immutable manifest shards BY NAME, so a
+        10⁶-file rollback costs one root write.  History stays linear:
+        the bad commits remain time-travelable until retention expires
+        them, and :meth:`read_changes` reports the restore as one
+        snapshot-diff commit (the net undo), keeping every downstream
+        changelog consumer consistent without a reset.
+
+        Schema rolls back with the data (a drift commit can be
+        undone).  The SOURCE watermark does not move — rolling back
+        the table does not un-process upstream blobs; pair with the
+        backfill path to re-ingest.  Returns the new version."""
+        versions = self.snapshot_versions()
+        if to_version not in versions:
+            raise ValueError(
+                f"no snapshot v{to_version} (vacuumed or never "
+                f"committed); available: {versions}"
+            )
+        cur = self._manifest()
+        if to_version == cur["version"]:
+            return to_version  # already there — no empty commit
+        old = self._manifest_at(to_version)
+        old_files = self._files_of_manifest(old)
+        cur_files = self._files_of_manifest(cur)
+        if old_files is None or cur_files is None:
+            raise ValueError(
+                "rollback requires file-level manifests "
+                "(pre-r5 bucket-granularity table)"
+            )
+        new_version = cur["version"] + 1
+
+        # buckets whose visible state differs: data file set, or the
+        # pending delete entries covering them.  These get their bucket
+        # pointer stamped to the NEW version so the CDC snapshot-diff
+        # path (_changes_from_diff keys "touched" off pointer == v)
+        # scans exactly them — identical rows drop out of the diff.
+        def files_by_bucket(entries: list[dict]) -> dict:
+            out: dict[int, set] = {}
+            for f in entries:
+                out.setdefault(int(f["b"]), set()).add(
+                    (self._dirname_of(f), f["n"])
+                )
+            return out
+
+        def deletes_by_bucket(man: dict) -> dict:
+            out: dict[int, set] = {}
+            for d in man.get("deletes") or []:
+                key = (d.get("d") or "", d["n"], int(d["seq"]))
+                for b in self._delete_buckets(d):
+                    out.setdefault(int(b), set()).add(key)
+            return out
+
+        ofb, cfb = files_by_bucket(old_files), files_by_bucket(cur_files)
+        odb, cdb = deletes_by_bucket(old), deletes_by_bucket(cur)
+        changed = {
+            b for b in set(ofb) | set(cfb) if ofb.get(b) != cfb.get(b)
+        } | {b for b in set(odb) | set(cdb) if odb.get(b) != cdb.get(b)}
+
+        m = dict(old)
+        if old.get("file_shards"):
+            # immutable shards of the retained old snapshot: reference
+            # by name (r9 shard-reuse machinery) instead of rewriting
+            m["files"] = []
+            m["keep_shards"] = list(old["file_shards"])
+        else:
+            m["files"] = list(old_files)
+        buckets = {str(k): int(v) for k, v in (old.get("buckets") or {}).items()}
+        for b in changed:
+            buckets[str(b)] = new_version
+        m["buckets"] = buckets
+        m["version"] = new_version
+        m["op"] = "rollback"
+        self._commit_manifest(m)
+        return new_version
+
     def delete_keys(self, keys: "DataFrame | Sequence") -> int:
         """Row-level DELETE by merge key without rewriting any data
         file: one equality-delete file + one manifest flip (the
