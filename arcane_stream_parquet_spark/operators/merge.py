@@ -255,6 +255,39 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+def _file_must_match(entry: dict, col: str, op: str, value) -> bool:
+    """Strict-containment check — the metadata-count complement of
+    :func:`_file_may_match`: True ONLY when the recorded [mn, mx,
+    has-null] interval PROVES EVERY row of the file satisfies ``col op
+    value``.  Missing stats never qualify (conservative in the
+    opposite direction: may_match errs toward scanning, must_match
+    errs toward scanning too)."""
+    cs = entry.get("cs") or {}
+    if col not in cs:
+        return False
+    mn, mx, hn = cs[col]
+    all_null = mn is None and mx is None
+    if op == "is_null":
+        return all_null  # every row null
+    if op == "not_null":
+        return not hn and not all_null
+    if value is None or hn or all_null:
+        # residual-only conjunct (unparseable domain) or null rows
+        # present: null never satisfies a value predicate
+        return False
+    if op == "=":
+        return mn == value == mx
+    if op == "<":
+        return mx < value
+    if op == "<=":
+        return mx <= value
+    if op == ">":
+        return mn > value
+    if op == ">=":
+        return mn >= value
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 def _bucket_expr(key_col: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
@@ -948,6 +981,41 @@ class ParquetMergeTarget:
         schema = self._schema_of(manifest)
         if schema is None:
             raise ValueError(f"no schema committed at {self.path}")
+        parsed, residual = self._parse_predicates(schema, preds)
+        files = self._files_of_manifest(manifest)
+        if files is None:  # pre-r5 bucket-granularity manifest
+            return self.read(at_version).filter(residual)
+        pruned = [
+            f
+            for f in files
+            if all(
+                _file_may_match(f, col, op, nv)
+                for col, op, _, nv in parsed
+                if op in ("is_null", "not_null") or nv is not None
+            )
+        ]
+        if not pruned:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [f for f in schema.fields if f.name != BUCKET_COLUMN]
+                ),
+            )
+        scan = self._scan_with_deletes(
+            pruned, schema, manifest.get("deletes") or []
+        )
+        return scan.filter(residual).drop(BUCKET_COLUMN)
+
+    def _parse_predicates(self, schema, preds) -> tuple:
+        """Shared predicate front-end for :meth:`read_where` /
+        :meth:`count_where`: validates each ``(col, op[, value])``
+        tuple against the committed schema and returns ``(parsed,
+        residual)`` where ``parsed`` holds ``(col, op, residual_value,
+        normalized_value)`` rows (``normalized_value`` in the stored
+        stat domain, or None for residual-only conjuncts) and
+        ``residual`` is the exact Spark filter that ALWAYS applies."""
         parsed = []  # (col, op, residual_value, normalized_value)
         for p in preds:
             if not isinstance(p, (tuple, list)) or len(p) not in (2, 3):
@@ -1014,32 +1082,58 @@ class ParquetMergeTarget:
                 "is_null": c.isNull,
                 "not_null": c.isNotNull,
             }[op]()
+        return parsed, residual
 
+    def count_where(self, *preds, at_version: int | None = None) -> int:
+        """Metadata-accelerated ``read_where(*preds).count()`` (the
+        Iceberg metadata-count shape): files whose recorded interval
+        PROVES every row satisfies ALL conjuncts contribute their
+        manifest row count (``rc``) with NO scan; only boundary files
+        — plus every file in a bucket with pending MoR deletes, whose
+        visible rows metadata cannot know — are scanned with the exact
+        residual filter.  A fully stats-covered predicate over a
+        clustered table counts O(boundary files), not O(matching
+        rows); the answer is always exactly
+        ``read_where(*preds).count()`` (pinned in tests)."""
+        manifest = self._manifest_at(at_version)
+        schema = self._schema_of(manifest)
+        if schema is None:
+            raise ValueError(f"no schema committed at {self.path}")
+        parsed, residual = self._parse_predicates(schema, preds)
         files = self._files_of_manifest(manifest)
         if files is None:  # pre-r5 bucket-granularity manifest
-            return self.read(at_version).filter(residual)
-        pruned = [
-            f
-            for f in files
-            if all(
+            return self.read(at_version).filter(residual).count()
+        deletes = manifest.get("deletes") or []
+        dirty = {
+            int(b) for d in deletes for b in self._delete_buckets(d)
+        }
+        total = 0
+        boundary: list[dict] = []
+        for f in files:
+            if not all(
                 _file_may_match(f, col, op, nv)
                 for col, op, _, nv in parsed
                 if op in ("is_null", "not_null") or nv is not None
+            ):
+                continue  # provably no matching rows
+            if (
+                int(f["b"]) not in dirty
+                and f.get("rc") is not None
+                and all(
+                    _file_must_match(f, col, op, nv)
+                    for col, op, _, nv in parsed
+                )
+            ):
+                total += int(f["rc"])
+            else:
+                boundary.append(f)
+        if boundary:
+            total += (
+                self._scan_with_deletes(boundary, schema, deletes)
+                .filter(residual)
+                .count()
             )
-        ]
-        if not pruned:
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [],
-                StructType(
-                    [f for f in schema.fields if f.name != BUCKET_COLUMN]
-                ),
-            )
-        scan = self._scan_with_deletes(
-            pruned, schema, manifest.get("deletes") or []
-        )
-        return scan.filter(residual).drop(BUCKET_COLUMN)
+        return total
 
     # -- incremental / CDC read --------------------------------------------
 
@@ -1610,6 +1704,9 @@ class ParquetMergeTarget:
             # own flag for delete-applicability (a null-key delete
             # must dirty exactly the files that can hold null rows)
             F.max(F.col("_k").isNull()).alias("_hn"),
+            # per-file row count: metadata-only count_where + exact
+            # maintenance/row accounting, free in the same pass
+            F.count(F.lit(1)).alias("_rc"),
         ]
         for i, c in enumerate(cs_cols):
             aggs += [
@@ -1641,6 +1738,7 @@ class ParquetMergeTarget:
                 "mx": r["_mx"],
                 "hn": bool(r["_hn"]),
                 "sz": sizes.get((b, name), 0),
+                "rc": int(r["_rc"]),
             }
             if cs_cols:
                 entry["cs"] = {

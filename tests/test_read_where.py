@@ -211,3 +211,46 @@ def test_compaction_recollects_stats(spark, tmp_path):
     assert as_set(t.read_where(*preds)) == as_set(
         t.read().filter(spark_filter(preds))
     )
+
+
+# -- count_where (metadata-only counting) ------------------------------------
+
+
+@pytest.mark.parametrize("preds", PREDS)
+def test_count_where_equals_filter_count(spark, tmp_path, preds):
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 200))
+    t.merge(rows_df(spark, 150, 260, ver=2))
+    assert t.count_where(*preds) == t.read().filter(
+        spark_filter(preds)
+    ).count()
+
+
+def test_count_where_fully_contained_never_scans(spark, tmp_path):
+    """A predicate every file provably satisfies must be answered
+    from manifest row counts alone — no Spark scan at all."""
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 200))
+    want = t.read().count()
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        t, "_scan_with_deletes", side_effect=AssertionError("scanned!")
+    ):
+        assert t.count_where(("amount", ">=", 0)) == want
+        assert t.count_where(("amount", "<=", 10_000)) == want
+        # provably-empty also metadata-only
+        assert t.count_where(("amount", ">", 10_000)) == 0
+
+
+def test_count_where_mor_dirty_buckets_stay_exact(spark, tmp_path):
+    """Pending MoR deletes make manifest counts unknowable for their
+    buckets; count_where must scan those and stay exact."""
+    t = make_target(spark, tmp_path / "t")
+    t.merge(rows_df(spark, 0, 200))
+    t.merge(rows_df(spark, 0, 30, ver=5), mode="mor")  # supersedes 30 keys
+    for preds in PREDS:
+        assert t.count_where(*preds) == t.read().filter(
+            spark_filter(preds)
+        ).count()
+    assert t.count_where(("amount", ">=", 0)) == 200
