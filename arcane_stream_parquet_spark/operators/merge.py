@@ -227,6 +227,18 @@ def _norm_stat(v):
     raise TypeError(f"unsupported stat value {v!r} ({type(v).__name__})")
 
 
+def _session_zoneinfo(spark):
+    """The session timezone as a ``zoneinfo`` object, or None when the
+    configured name is not resolvable (e.g. raw offset forms) — callers
+    must then fall back to residual-only pruning."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
 def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     """Conservative per-file pruning check: False ONLY when the
     recorded [mn, mx, has-null] interval PROVES no row of the file can
@@ -944,8 +956,11 @@ class ParquetMergeTarget:
         ``at_version`` for a time-travel read of an archived snapshot."""
         return self._read_raw(at_version).drop(BUCKET_COLUMN)
 
-    def _manifest_at(self, at_version: int | None) -> dict:
-        current = self._manifest()
+    def _manifest_at(
+        self, at_version: int | None, current: dict | None = None
+    ) -> dict:
+        if current is None:
+            current = self._manifest()
         if at_version is None or at_version == current["version"]:
             return current
         try:
@@ -976,9 +991,17 @@ class ParquetMergeTarget:
         filter ALWAYS applies — stats can only shrink the plan, never
         change the answer.  Driver cost: one in-memory pass over the
         manifest entries (same O(#files) the merge planner already
-        pays).  Pending MoR deletes apply as in any read."""
-        manifest = self._manifest_at(at_version)
-        schema = self._schema_of(manifest)
+        pays).  Pending MoR deletes apply as in any read.
+
+        Predicates resolve against the CURRENT schema even with
+        ``at_version`` — the same forward-compatible rule as
+        :meth:`read` time travel, so ``read_where(..., at_version=v)``
+        stays exactly ``read(at_version=v).filter(...)`` under schema
+        drift (post-drift columns null-filled; pre-drift files have no
+        stats for them and are never pruned on such conjuncts)."""
+        current = self._manifest()
+        manifest = self._manifest_at(at_version, current=current)
+        schema = self._schema_of(current)
         if schema is None:
             raise ValueError(f"no schema committed at {self.path}")
         parsed, residual = self._parse_predicates(schema, preds)
@@ -1046,8 +1069,23 @@ class ParquetMergeTarget:
             # column probed with a raw STRING keeps residual-only
             # semantics (None = never prune on this conjunct) because
             # the user's format need not match the ISO stats format
+            v_stat = v
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                # file stats are recorded as SESSION-TIMEZONE-NAIVE
+                # datetimes; an aware value must be moved to that wall
+                # clock before the lexicographic interval test or a
+                # file whose mn==mx equals the probed instant is
+                # silently pruned (offset suffix misorders the ISO
+                # strings).  timestamp_ntz stores wall-clock values
+                # with no instant semantics, so an aware probe cannot
+                # prune — the exact residual still applies.
+                zone = _session_zoneinfo(self.spark)
+                if zone is None or dtype == "timestamp_ntz":
+                    parsed.append((col, op, v, None))
+                    continue
+                v_stat = v.astimezone(zone).replace(tzinfo=None)
             if dtype == "date" and isinstance(v, _dt.datetime):
-                nv = _norm_stat(v.date())
+                nv = _norm_stat(v_stat.date())
             elif dtype in ("timestamp", "timestamp_ntz") and (
                 isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
             ):
@@ -1067,7 +1105,7 @@ class ParquetMergeTarget:
                         f"predicate value {v!r} does not match column "
                         f"{col!r} type {dtype}"
                     )
-                nv = _norm_stat(v)
+                nv = _norm_stat(v_stat)
             parsed.append((col, op, v, nv))
 
         residual = F.lit(True)
@@ -1094,9 +1132,12 @@ class ParquetMergeTarget:
         residual filter.  A fully stats-covered predicate over a
         clustered table counts O(boundary files), not O(matching
         rows); the answer is always exactly
-        ``read_where(*preds).count()`` (pinned in tests)."""
-        manifest = self._manifest_at(at_version)
-        schema = self._schema_of(manifest)
+        ``read_where(*preds).count()`` (pinned in tests).  Predicates
+        resolve against the CURRENT schema even with ``at_version``
+        (same rule as :meth:`read_where`)."""
+        current = self._manifest()
+        manifest = self._manifest_at(at_version, current=current)
+        schema = self._schema_of(current)
         if schema is None:
             raise ValueError(f"no schema committed at {self.path}")
         parsed, residual = self._parse_predicates(schema, preds)

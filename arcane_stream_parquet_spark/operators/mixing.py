@@ -19,6 +19,9 @@ Semantics (downsample-only, exact integer arithmetic):
   domain can only be downsampled, so the max budget honoring the
   weights is ``B_max = min_d floor(T_d * W / p_d)`` (W = sum of
   parts).  The effective budget is ``min(B_max, budget_tokens)``.
+  A domain named in ``parts`` with ZERO corpus tokens therefore makes
+  the weights unsatisfiable: ``B_max = 0`` and the result is EMPTY —
+  never a mixture that silently omits the weighted domain.
 * Domain keep-rate ``r_d = p_d * B / (W * T_d) ≤ 1``, quantized to the
   10k-bucket grid of ``hash_bucket_expr``: keep a row iff
   ``hash_bucket(id, salt) < floor(10000 * p_d * B / (W * T_d))``.
@@ -77,21 +80,27 @@ def domain_mixture_sample(
         raise ValueError(f"weight parts must be positive integers: {bad}")
     w_total = int(sum(parts.values()))
 
-    # tiny aggregate: per-domain token totals (map-side combined)
-    totals = (
+    # tiny aggregate: per-domain token totals (map-side combined).
+    # LEFT-joined from the full parts list so a weighted domain with
+    # ZERO corpus rows/tokens still contributes a 0-token row — the
+    # feasibility min then correctly collapses to B_max = 0 (an absent
+    # domain makes the target weights unsatisfiable) instead of the
+    # min silently skipping it and emitting a mixture that omits the
+    # domain while claiming to honor the weights.
+    parts_df = df.sparkSession.createDataFrame(
+        [(d, int(p)) for d, p in sorted(parts.items())],
+        "_mix_domain string, _mix_parts bigint",
+    )
+    totals = parts_df.join(
         df.select(F.col(domain_col).alias("_mix_domain"), F.col(token_col))
         .filter(F.col(domain_col).isin(*parts.keys()))
         .groupBy("_mix_domain")
-        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_mix_tokens"))
-        .withColumn(
-            "_mix_parts",
-            F.coalesce(
-                *[
-                    F.when(F.col("_mix_domain") == d, F.lit(int(p)))
-                    for d, p in sorted(parts.items())
-                ]
-            ).cast("bigint"),
-        )
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_mix_tokens")),
+        "_mix_domain",
+        "left",
+    ).withColumn(
+        "_mix_tokens",
+        F.coalesce(F.col("_mix_tokens"), F.lit(0).cast("bigint")),
     )
     # feasible budget: 1-row aggregate attached to the tiny frame (the
     # pinned 1-row-attach crossJoin pattern, plan-gate allowlisted)
@@ -116,6 +125,12 @@ def domain_mixture_sample(
                     "threshold headroom — rescale parts or cap budget_tokens"
                 )
             ).cast("bigint"),
+        ).when(
+            # 0-token domain: keep-rate is vacuously 0 (and the budget
+            # min already collapsed to 0); guarded explicitly so the
+            # div below never divides by zero under ANSI mode
+            F.col("_mix_tokens") == 0,
+            F.lit(0).cast("bigint"),
         ).otherwise(
             F.expr(
                 f"least(cast({HASH_BUCKETS} as bigint), "

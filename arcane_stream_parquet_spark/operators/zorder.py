@@ -87,6 +87,21 @@ def validate_zorder_type(col: str, dtype) -> str:
     return s
 
 
+def _validate_zwidth(bits: int, d: int) -> None:
+    """The Morton value is a BIGINT: the top bit position is
+    ``bits*d - 1`` and Java masks long shift counts to 6 bits, so any
+    width past 63 would silently wrap bit positions and degrade the
+    layout to near-random (pruning would stay correct — it reads true
+    per-file stats — but the clustering would be pointless).  Reject
+    loudly instead."""
+    if bits * d > 63:
+        raise ValueError(
+            f"z-order width bits*len(cols) = {bits}*{d} = {bits * d} "
+            f"exceeds 63 (bigint Morton value): lower bits to "
+            f"{63 // d} or cluster fewer columns"
+        )
+
+
 def cluster_boundaries(
     df: DataFrame, cols: tuple, bits: int = 7, accuracy: int = 10_000
 ) -> dict:
@@ -97,6 +112,7 @@ def cluster_boundaries(
     skewed value's bucket)."""
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16], got {bits}")
+    _validate_zwidth(bits, len(cols))
     n = (1 << bits) - 1
     probs = [i / (n + 1) for i in range(1, n + 1)]
     aggs = []
@@ -144,12 +160,18 @@ def interleave_expr(codes: list, bits: int) -> Column:
     """Morton value of per-column code expressions: bit ``b`` of
     column ``j`` lands at position ``b*d + j``, so equal-order bits of
     all dimensions are adjacent — the property that bounds every
-    file's per-dimension extent."""
+    file's per-dimension extent.
+
+    Codes are widened to BIGINT before the shift: Java masks INT shift
+    counts to 5 bits, so positions >= 32 (bits=7 with 5+ columns, or
+    bits=16 with 3) would silently wrap into garbage Morton values.
+    Widths past the 63-bit bigint capacity are rejected."""
+    _validate_zwidth(bits, max(len(codes), 1))
     z = None
     for b in range(bits):
         for j, code in enumerate(codes):
             bit = F.shiftleft(
-                F.shiftright(code, b).bitwiseAND(F.lit(1)),
+                F.shiftright(code, b).bitwiseAND(F.lit(1)).cast("bigint"),
                 b * len(codes) + j,
             )
             z = bit if z is None else z.bitwiseOR(bit)

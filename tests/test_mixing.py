@@ -153,3 +153,24 @@ def test_duckdb_agrees_on_kept_ids(spark):
         ).fetchall()
     ]
     assert duck_ids == spark_ids
+
+
+def test_missing_weighted_domain_yields_empty(spark):
+    # a domain named in parts but ABSENT from the corpus makes the
+    # weights unsatisfiable: B_max = 0 -> empty mixture, never a
+    # silently wiki-free mixture claiming 50/30/20 (ADVICE r10)
+    df = corpus(spark).filter(F.col("domain") != "wiki")
+    out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    assert out.count() == 0
+
+
+def test_zero_token_weighted_domain_yields_empty(spark):
+    # present-but-zero-token domain is the same unsatisfiable case
+    df = corpus(spark).withColumn(
+        "n_tokens",
+        F.when(F.col("domain") == "wiki", F.lit(0)).otherwise(
+            F.col("n_tokens")
+        ).cast("bigint"),
+    )
+    out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
+    assert out.count() == 0

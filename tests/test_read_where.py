@@ -254,3 +254,109 @@ def test_count_where_mor_dirty_buckets_stay_exact(spark, tmp_path):
             spark_filter(preds)
         ).count()
     assert t.count_where(("amount", ">=", 0)) == 200
+
+
+# -- tz-aware predicate values (ADVICE r10) ----------------------------------
+
+
+def ts_target(spark, tmp_path):
+    # single bucket + sorted_by ts -> files carry disjoint ts ranges
+    # ([0-9h],[10-19h],[20-29h],[30-39h]) so the pruning assertions
+    # below are deterministic, not hash-distribution-dependent
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "ts"),
+        num_buckets=1,
+        stats_cols=("ts",),
+        sorted_by=("ts",),
+        max_records_per_file=10,
+    )
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (f"k{i:03d}", 1, base + datetime.timedelta(hours=i))
+            for i in range(40)
+        ],
+        "arcane_merge_key string, createdon long, ts timestamp",
+    )
+    t.merge(df)
+    return t
+
+
+def test_tz_aware_equality_probe_not_pruned(spark, tmp_path):
+    # stats are session-tz-naive ISO strings; an aware probe used to
+    # normalize to an offset-suffixed string that lexicographically
+    # misorders against them, silently pruning the exact-match file
+    t = ts_target(spark, tmp_path)
+    probe = datetime.datetime(2024, 1, 1, 12, 0, 0, tzinfo=datetime.timezone.utc)
+    out = t.read_where(("ts", "=", probe))
+    assert [r["arcane_merge_key"] for r in out.collect()] == ["k012"]
+    assert t.count_where(("ts", "=", probe)) == 1
+
+
+def test_tz_aware_offset_probe_converts_to_session_zone(spark, tmp_path):
+    # +05:30 instant == 12:00 UTC: pruning must compare in session
+    # (UTC) wall clock, and the answer must equal read().filter
+    t = ts_target(spark, tmp_path)
+    ist = datetime.timezone(datetime.timedelta(hours=5, minutes=30))
+    probe = datetime.datetime(2024, 1, 1, 17, 30, 0, tzinfo=ist)
+    out = t.read_where(("ts", ">=", probe))
+    expect = t.read().filter(F.col("ts") >= F.lit(probe))
+    assert as_set(out) == as_set(expect)
+    assert out.count() == 40 - 12
+    # and the selective window really pruned files
+    assert len(out.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_tz_aware_probe_on_ntz_column_is_residual_only(spark, tmp_path):
+    # wall-clock (ntz) columns have no instant semantics: an aware
+    # probe must never prune (nv=None); the residual stays exact
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "ntz"),
+        num_buckets=2,
+        stats_cols=("ts",),
+    )
+    df = spark.createDataFrame(
+        [("k1", 1, datetime.datetime(2024, 1, 1, 12))],
+        "arcane_merge_key string, createdon long, ts timestamp_ntz",
+    )
+    t.merge(df)
+    schema = t._schema_of(t._manifest())
+    probe = datetime.datetime(2024, 1, 1, 12, tzinfo=datetime.timezone.utc)
+    parsed, _ = t._parse_predicates(schema, (("ts", "=", probe),))
+    assert parsed[0][3] is None  # normalized value: residual-only
+
+
+# -- at_version predicate reads under schema drift (ADVICE r10) ---------------
+
+
+def test_read_where_at_version_uses_current_schema(spark, tmp_path):
+    t = make_target(spark, tmp_path / "t", stats_cols=("amount", "extra"))
+    t.merge(
+        spark.createDataFrame(
+            [("k1", 1, 5)],
+            "arcane_merge_key string, createdon long, amount long",
+        )
+    )
+    v1 = t._manifest()["version"]
+    t.merge(
+        spark.createDataFrame(
+            [("k2", 1, 6, 99)],
+            "arcane_merge_key string, createdon long, amount long, extra long",
+        )
+    )
+    # predicate on the post-drift column against the PRE-drift snapshot
+    # must behave exactly like read(at_version).filter(...): resolve
+    # (no 'unknown column'), null-filled, empty result
+    out = t.read_where(("extra", "=", 99), at_version=v1)
+    assert out.count() == 0
+    assert t.count_where(("extra", "=", 99), at_version=v1) == 0
+    # column set matches the documented time-travel read
+    got = t.read_where(("amount", ">=", 0), at_version=v1)
+    assert got.columns == t.read(at_version=v1).columns
+    assert as_set(got) == as_set(
+        t.read(at_version=v1).filter(F.col("amount") >= 0)
+    )
+    # is_null on the drifted column over the old snapshot: all rows
+    assert t.count_where(("extra", "is_null"), at_version=v1) == 1

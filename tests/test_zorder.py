@@ -191,3 +191,34 @@ def test_compact_preserves_clustering(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_interleave_wide_positions_exact(spark):
+    # bit positions >= 32 (bits=13, d=3 -> width 39) must land exactly:
+    # Java masks INT shift counts to 5 bits, so without the bigint
+    # widening these wrap into garbage Morton values (ADVICE r10)
+    bits, d = 13, 3
+    vals = [(8191, 8191, 8191), (4096, 0, 8191), (1, 5000, 7000)]
+    for a, b, c in vals:
+        z = interleave_expr([F.lit(a), F.lit(b), F.lit(c)], bits)
+        got = spark.range(1).select(z.alias("z")).collect()[0]["z"]
+        want = 0
+        for i in range(bits):
+            want |= ((a >> i) & 1) << (i * d)
+            want |= ((b >> i) & 1) << (i * d + 1)
+            want |= ((c >> i) & 1) << (i * d + 2)
+        assert got == want, (a, b, c)
+        assert want.bit_length() <= 63
+
+
+def test_zorder_width_past_bigint_rejected(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0, 5.0)], "a double, b double, c double, d double, e double"
+    )
+    # 7 bits * 5 cols = 35 fits; 16 bits * 5 cols = 80 must raise
+    with pytest.raises(ValueError, match="exceeds 63"):
+        cluster_boundaries(df, ("a", "b", "c", "d", "e"), bits=16)
+    with pytest.raises(ValueError, match="exceeds 63"):
+        interleave_expr([F.lit(0)] * 5, 16)
+    # boundary case 63 itself is accepted (21 * 3)
+    interleave_expr([F.lit(0)] * 3, 21)
