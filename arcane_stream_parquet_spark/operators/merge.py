@@ -77,6 +77,8 @@ anything to them but multi-writer catalog coordination.
 
 from __future__ import annotations
 
+import datetime as _dt
+import hashlib
 import json
 import time
 import uuid
@@ -553,9 +555,18 @@ class ParquetMergeTarget:
         versions = self.snapshot_versions()
         for v in reversed(versions):
             try:
-                return json.loads(self._fio.read_text(self._manifest_file(v)))
+                m = json.loads(self._fio.read_text(self._manifest_file(v)))
             except FileNotFoundError:
                 continue
+            # the manifest is the authority on the bucket count (r11
+            # online rebucketing): the constructor value only seeds a
+            # new table.  Pre-r11 manifests carry no field — for them
+            # the constructor keeps governing, which is exactly the
+            # numbering they were written under.
+            nb = m.get("num_buckets")
+            if nb is not None:
+                self.num_buckets = int(nb)
+            return m
         raise FileNotFoundError(f"no committed manifest under {self._meta_path}")
 
     def _shard_name(self, version: int, i: int) -> str:
@@ -715,6 +726,11 @@ class ParquetMergeTarget:
         # retention_threshold, docs/crd.md:150-182) and history();
         # never used for ordering (versions do that)
         manifest["committed_at"] = round(time.time(), 3)
+        # every commit records its bucket count (r11): rollback across
+        # a rebucket restores the old numbering from the snapshot
+        # itself, and a reader constructed with a stale num_buckets is
+        # corrected at the first _manifest() read
+        manifest.setdefault("num_buckets", self.num_buckets)
         keep = manifest.pop("keep_shards", None) or []
         manifest.pop("file_shards", None)  # never carry a stale list over
         manifest.pop("n_files", None)
@@ -951,10 +967,54 @@ class ParquetMergeTarget:
             out = out.unionByName(p)
         return out
 
-    def read(self, at_version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        at_version: int | None = None,
+        at_timestamp=None,
+    ) -> DataFrame:
         """Current table contents (bucket column dropped); pass
-        ``at_version`` for a time-travel read of an archived snapshot."""
+        ``at_version`` for a time-travel read of an archived snapshot,
+        or ``at_timestamp`` (epoch seconds or a tz-aware datetime —
+        Iceberg ``TIMESTAMP AS OF``) for the snapshot that was current
+        at that instant."""
+        if at_timestamp is not None:
+            if at_version is not None:
+                raise ValueError(
+                    "at_version and at_timestamp are mutually exclusive"
+                )
+            at_version = self.version_at(at_timestamp)
         return self._read_raw(at_version).drop(BUCKET_COLUMN)
+
+    def version_at(self, at_timestamp) -> int:
+        """The snapshot version that was current at ``at_timestamp``
+        (epoch seconds, or a tz-aware datetime; a NAIVE datetime is
+        rejected as ambiguous): the newest committed version whose
+        ``committed_at`` stamp is <= the instant.  Pre-stamp manifests
+        count as infinitely old, mirroring :meth:`vacuum` retention.
+        Raises when the instant predates the first retained snapshot
+        (vacuumed history is not silently substituted)."""
+        if isinstance(at_timestamp, _dt.datetime):
+            if at_timestamp.tzinfo is None:
+                raise ValueError(
+                    "naive datetime is ambiguous — pass a tz-aware "
+                    "datetime or epoch seconds"
+                )
+            ts = at_timestamp.timestamp()
+        else:
+            ts = float(at_timestamp)
+        current = self._manifest()
+        best = None
+        for v in self.snapshot_versions():
+            m = self._manifest_at(v, current=current)
+            if float(m.get("committed_at") or 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before {ts} "
+                f"(epoch seconds) at {self.path} — history may have "
+                f"been vacuumed"
+            )
+        return best
 
     def _manifest_at(
         self, at_version: int | None, current: dict | None = None
@@ -974,7 +1034,7 @@ class ParquetMergeTarget:
             ) from None
 
     def read_where(
-        self, *preds, at_version: int | None = None
+        self, *preds, at_version: int | None = None, at_timestamp=None
     ) -> DataFrame:
         """Predicate read with manifest-level data skipping: exactly
         ``read(at_version).filter(AND of preds)``, but files whose
@@ -999,6 +1059,12 @@ class ParquetMergeTarget:
         stays exactly ``read(at_version=v).filter(...)`` under schema
         drift (post-drift columns null-filled; pre-drift files have no
         stats for them and are never pruned on such conjuncts)."""
+        if at_timestamp is not None:
+            if at_version is not None:
+                raise ValueError(
+                    "at_version and at_timestamp are mutually exclusive"
+                )
+            at_version = self.version_at(at_timestamp)
         current = self._manifest()
         manifest = self._manifest_at(at_version, current=current)
         schema = self._schema_of(current)
@@ -1122,7 +1188,9 @@ class ParquetMergeTarget:
             }[op]()
         return parsed, residual
 
-    def count_where(self, *preds, at_version: int | None = None) -> int:
+    def count_where(
+        self, *preds, at_version: int | None = None, at_timestamp=None
+    ) -> int:
         """Metadata-accelerated ``read_where(*preds).count()`` (the
         Iceberg metadata-count shape): files whose recorded interval
         PROVES every row satisfies ALL conjuncts contribute their
@@ -1135,6 +1203,12 @@ class ParquetMergeTarget:
         ``read_where(*preds).count()`` (pinned in tests).  Predicates
         resolve against the CURRENT schema even with ``at_version``
         (same rule as :meth:`read_where`)."""
+        if at_timestamp is not None:
+            if at_version is not None:
+                raise ValueError(
+                    "at_version and at_timestamp are mutually exclusive"
+                )
+            at_version = self.version_at(at_timestamp)
         current = self._manifest()
         manifest = self._manifest_at(at_version, current=current)
         schema = self._schema_of(current)
@@ -1272,7 +1346,7 @@ class ParquetMergeTarget:
         for v in range(from_version + 1, to_version + 1):
             m_new = json.loads(self._fio.read_text(self._manifest_file(v)))
             op = m_new.get("op")
-            if op in ("compact", "compact-minor"):
+            if op in ("compact", "compact-minor", "rebucket"):
                 continue  # pure repack: contents proven unchanged
             part: DataFrame | None
             if op in ("merge-mor", "append"):
@@ -1370,12 +1444,16 @@ class ParquetMergeTarget:
         # pre-images: the updated keys' live rows as of v-1 — prior
         # file set (everything but this commit's additions), prior
         # pending deletes (everything but this commit's delete file),
-        # key-range-pruned to the update key set
-        kdf = self._with_bucket(
-            self._read_delete_files(dels_v).select(
-                F.col(_DEL_KEY_COL).alias(self.key_col)
-            )
-        )
+        # key-range-pruned to the update key set.  The key df buckets
+        # under THIS manifest's numbering (m_new["num_buckets"]), not
+        # the live table's — a later rebucket (r11) must not skew the
+        # pruning of a historical commit (absent field → the table has
+        # never rebucketed, rebucket() refuses to flip over un-stamped
+        # history — so the live count is exact)
+        nb_v = int(m_new.get("num_buckets") or self.num_buckets)
+        kdf = self._read_delete_files(dels_v).select(
+            F.col(_DEL_KEY_COL).alias(self.key_col)
+        ).withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, nb_v))
         buckets = sorted({b for d in dels_v for b in self._delete_buckets(d)})
         files_prev = [
             f
@@ -1431,27 +1509,36 @@ class ParquetMergeTarget:
             m_old = json.loads(
                 self._fio.read_text(self._manifest_file(prev))
             )
-            # overwrite()/truncate can DROP buckets: their rows are
-            # deletes, so the old side must still scan them
-            changed.update(
-                int(b)
-                for b in m_old.get("buckets", {})
-                if int(b) not in {
-                    int(bb) for bb in m_new.get("buckets", {})
-                }
-            )
+            if m_old.get("num_buckets") != m_new.get("num_buckets"):
+                # the commit changed the bucket numbering (rollback
+                # across a rebucket is the one diff-branch commit that
+                # can): bucket ids are not comparable across the two
+                # snapshots, so pruning is off — full key-join diff,
+                # still exact
+                changed = None
+            else:
+                # overwrite()/truncate can DROP buckets: their rows are
+                # deletes, so the old side must still scan them
+                changed.update(
+                    int(b)
+                    for b in m_old.get("buckets", {})
+                    if int(b) not in {
+                        int(bb) for bb in m_new.get("buckets", {})
+                    }
+                )
             old = self._read_raw(at_version=prev)
-        if not changed:
+        if changed is not None and not changed:
             return None
-        bucket_list = sorted(changed)
-        new = self._read_raw(at_version=v).filter(
-            F.col(BUCKET_COLUMN).isin(bucket_list)
-        )
+        new = self._read_raw(at_version=v)
+        if changed is not None:
+            bucket_list = sorted(changed)
+            new = new.filter(F.col(BUCKET_COLUMN).isin(bucket_list))
         if old is None:
             return new.select(
                 *cols, F.lit("insert").alias(CHANGE_TYPE_COLUMN)
             )
-        old = old.filter(F.col(BUCKET_COLUMN).isin(bucket_list))
+        if changed is not None:
+            old = old.filter(F.col(BUCKET_COLUMN).isin(bucket_list))
         o = old.select(
             *[F.col(c).alias(_CDC_OLD + c) for c in cols],
             F.lit(True).alias(_CDC_OLD + "present"),
@@ -1617,6 +1704,26 @@ class ParquetMergeTarget:
         compaction path: it packs per-bucket regardless of the
         streaming ``max_records_per_file`` policy (mirroring Iceberg's
         rewrite_data_files having its own target size)."""
+        # fail fast (cheap probe) if a concurrent winner already
+        # committed this version
+        self._raise_if_version_committed(version)
+        dirname = self._new_dirname(version)
+        self._write_df(
+            df, dirname, honor_file_cap=honor_file_cap, records_cap=records_cap
+        )
+        return dirname
+
+    def _write_df(
+        self,
+        df: DataFrame,
+        dirname: str,
+        honor_file_cap: bool = True,
+        records_cap: int | None = None,
+    ) -> None:
+        """Write bucketed rows under ``data/<dirname>`` with the
+        table's inner file order (sorted_by / cluster_by / key-sorted),
+        partitioned by the bucket column.  The dir must be fresh —
+        nothing is ever overwritten."""
         if self.cluster_by:
             if self.sorted_by:
                 raise ValueError(
@@ -1669,12 +1776,8 @@ class ParquetMergeTarget:
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
         # nonce-namespaced staging (r10): a fresh unique dir per
         # attempt — nothing to clear, nothing another in-flight writer
-        # could mistake for a crash orphan.  Fail fast (cheap probe) if
-        # a concurrent winner already committed this version.
-        self._raise_if_version_committed(version)
-        dirname = self._new_dirname(version)
+        # could mistake for a crash orphan.
         writer.mode("errorifexists").parquet(self._data_dir(dirname))
-        return dirname
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
@@ -2223,6 +2326,11 @@ class ParquetMergeTarget:
         if not self.exists():
             self._commit_initial(self._with_bucket(self._dedup_latest(batch)))
             return
+        # sync num_buckets from the live manifest BEFORE any bucket
+        # expression is built: a writer constructed with a stale count
+        # against a rebucketed table (r11) would otherwise bucket the
+        # batch under the wrong numbering
+        self._manifest()
         if mode == "mor":
             self._merge_mor(batch)
         else:
@@ -2530,9 +2638,19 @@ class ParquetMergeTarget:
 
         ofb, cfb = files_by_bucket(old_files), files_by_bucket(cur_files)
         odb, cdb = deletes_by_bucket(old), deletes_by_bucket(cur)
-        changed = {
-            b for b in set(ofb) | set(cfb) if ofb.get(b) != cfb.get(b)
-        } | {b for b in set(odb) | set(cdb) if odb.get(b) != cdb.get(b)}
+        if old.get("num_buckets") != cur.get("num_buckets"):
+            # rolling back across a rebucket (r11): the restore changes
+            # the bucket NUMBERING, so per-bucket diffs are meaningless
+            # — stamp every target bucket changed (the CDC diff branch
+            # independently detects the numbering change and runs
+            # unpruned).  The restored manifest carries the target
+            # snapshot's own num_buckets (copied below), putting the
+            # table back under the old numbering atomically.
+            changed = {int(f["b"]) for f in old_files}
+        else:
+            changed = {
+                b for b in set(ofb) | set(cfb) if ofb.get(b) != cfb.get(b)
+            } | {b for b in set(odb) | set(cdb) if odb.get(b) != cdb.get(b)}
 
         m = dict(old)
         if old.get("file_shards"):
@@ -2549,6 +2667,9 @@ class ParquetMergeTarget:
         m["version"] = new_version
         m["op"] = "rollback"
         self._commit_manifest(m)
+        # the restore re-commits the target snapshot's bucket count
+        # (carried in m via dict(old)); resync the writer immediately
+        self.num_buckets = int(old.get("num_buckets") or self.num_buckets)
         return new_version
 
     def delete_keys(self, keys: "DataFrame | Sequence") -> int:
@@ -3099,6 +3220,279 @@ class ParquetMergeTarget:
             "small_files_rewritten": len(small),
         }
 
+    # -- online rebucketing (r11, beyond-reference) -------------------------
+    #
+    # ``num_buckets`` is the one layout knob fixed at table creation —
+    # and at 100 TB the knob most likely to have been set wrong: a
+    # table that grew 100× holds 100× the data per bucket, so merge
+    # rewrite units, compaction scans and point-lookup fan-in all
+    # degrade together.  ``rebucket()`` changes it ONLINE:
+    #
+    # * Only REFINEMENTS (new % old == 0) and COARSENINGS
+    #   (old % new == 0) are supported.  With bucket =
+    #   pmod(xxhash64(k), n), a divisible count makes every key's new
+    #   bucket a pure LOCAL function of its old bucket: old bucket b
+    #   splits into exactly {b, b+n, …, b+(f−1)·n}, or f old buckets
+    #   concatenate into one.  Every rewrite unit is bucket-local — no
+    #   cross-bucket shuffle, bounded executor memory, embarrassingly
+    #   chunkable.  An unrelated count would be one table-wide shuffle
+    #   and is rejected with that reason.
+    # * Work is chunked into UNITS (min(old, new) independent key
+    #   groups).  Staging a unit scans its live rows (pending MoR
+    #   deletes folded), rewrites them bucketed under the NEW numbering
+    #   into a fresh staging dir, and records a MARKER file carrying
+    #   the staged manifest entries plus a fingerprint of the unit's
+    #   source state (live files + applicable deletes).  Staging is
+    #   RESUMABLE across crashes and process restarts, and TOLERATES
+    #   INTERLEAVED WRITES: a merge landing mid-migration invalidates
+    #   exactly the units whose fingerprint changed — only those
+    #   restage.  A 100 TB migration runs for days in bounded slices
+    #   (``max_units``) alongside live traffic.
+    # * The FLIP is one ordinary atomic commit (op="rebucket",
+    #   CAS-fenced): the new root references every staged file, records
+    #   the new ``num_buckets``, and empties the delete set.  Readers
+    #   never see mixed numbering — until the flip the table is
+    #   untouched; after it every live file sits under the new count.
+    #   ``read_changes`` skips the commit (contents logically
+    #   unchanged, like compact); rollback across it restores the old
+    #   numbering from the snapshot's own recorded count.
+    # * :meth:`vacuum` treats marker-referenced staging dirs as live;
+    #   :meth:`rebucket_abort` reclaims an abandoned migration.
+
+    def _rebucket_marker_path(self, nb: int, u: int) -> str:
+        return fs_join(
+            self._meta_path, f"rebucket-to{int(nb)}-u{int(u):07d}.json"
+        )
+
+    def _rebucket_marker_names(self) -> list[str]:
+        try:
+            names = self._fio.list_names(self._meta_path)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.startswith("rebucket-"))
+
+    def _rebucket_read_marker(self, nb: int, u: int) -> dict | None:
+        try:
+            return json.loads(
+                self._fio.read_text(self._rebucket_marker_path(nb, u))
+            )
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _rebucket_unit_buckets(n: int, nb: int, u: int) -> set[int]:
+        """Old-numbering buckets unit ``u`` consumes: itself for a
+        split (its keys fan out to {u + i·n}), the f old buckets that
+        concatenate into new bucket ``u`` for a coarsening."""
+        if nb > n:
+            return {u}
+        return {u + i * nb for i in range(n // nb)}
+
+    def _rebucket_fingerprint(
+        self, files: list[dict], deletes: list[dict], old_buckets: set[int]
+    ) -> str:
+        """Identity of a unit's visible source state: its live file
+        set plus every pending delete entry that can touch it.  Files
+        and delete files are immutable, so (dirname, name) identifies
+        content; versions ride along for the MoR sequence rule."""
+        src = sorted(
+            (self._dirname_of(f), int(f["b"]), f["n"], int(f["v"]))
+            for f in files
+            if int(f["b"]) in old_buckets
+        )
+        dels = sorted(
+            (d.get("d") or f"v{int(d['seq']):05d}", d["n"], int(d["seq"]))
+            for d in (deletes or [])
+            if set(self._delete_buckets(d)) & old_buckets
+        )
+        return hashlib.sha256(
+            json.dumps([src, dels], sort_keys=True).encode()
+        ).hexdigest()
+
+    def _rebucket_stage_unit(
+        self,
+        schema,
+        files: list[dict],
+        deletes: list[dict],
+        nb: int,
+        u: int,
+        fp: str,
+        old_buckets: set[int],
+        stale: dict | None,
+    ) -> dict:
+        """Rewrite one unit under the new numbering into a fresh
+        staging dir and persist its marker.  Self-owned stale attempts
+        (fingerprint no longer matching) are reclaimed first — never
+        another writer's files."""
+        path = self._rebucket_marker_path(nb, u)
+        if stale is not None:
+            if stale.get("d"):
+                self._fio.delete(self._data_dir(stale["d"]), recursive=True)
+            self._fio.delete(path)
+        unit_files = [f for f in files if int(f["b"]) in old_buckets]
+        if unit_files:
+            rows = self._scan_with_deletes(unit_files, schema, deletes)
+            rows = rows.drop(BUCKET_COLUMN).withColumn(
+                BUCKET_COLUMN, _bucket_expr(self.key_col, nb)
+            )
+            dirname = f"rb{int(nb)}-u{int(u):07d}-{uuid.uuid4().hex[:8]}"
+            self._write_df(rows, dirname)
+            entries = self._collect_file_stats(0, dirname)
+        else:
+            dirname, entries = None, []
+        marker = {
+            "nb": int(nb),
+            "u": int(u),
+            "fp": fp,
+            "d": dirname,
+            "files": entries,
+        }
+        self._fio.create_text(path, json.dumps(marker))
+        return marker
+
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        max_units: int | None = None,
+        commit_retries: int = 5,
+    ) -> dict:
+        """Change the table's bucket count online (section comment
+        above has the design).  ``max_units`` bounds how many units
+        this CALL stages (``None`` = all remaining; ``0`` = status
+        probe only) — when units remain, returns ``{"done": False,
+        "staged": k, "pending": p}`` and a later call resumes from the
+        persisted markers.  Once every unit is staged and still valid
+        against the live manifest, commits the flip and returns
+        ``{"done": True, "version": v, "staged": k}``.
+
+        Cost shape at 100 TB: total IO is one rewrite of the table
+        (unavoidable — the physical layout is keyed by the count), but
+        each unit is an independent bucket-local rewrite, so the
+        migration runs in bounded slices over days, survives crashes,
+        and interleaves with live merges (which invalidate and restage
+        only the units they touched)."""
+        nb = int(new_num_buckets)
+        if nb < 1:
+            raise ValueError(f"new_num_buckets must be >= 1, got {nb}")
+        for _attempt in range(max(1, int(commit_retries))):
+            manifest = self._manifest()  # syncs self.num_buckets
+            n = int(self.num_buckets)
+            if n == nb:
+                # already flipped (possibly by a prior call that
+                # crashed after its commit): markers are spent —
+                # their dirs are live table data now
+                removed = self._rebucket_marker_names()
+                for name in removed:
+                    self._fio.delete(fs_join(self._meta_path, name))
+                return {
+                    "done": True,
+                    "version": int(manifest["version"]),
+                    "staged": 0,
+                }
+            if nb % n != 0 and n % nb != 0:
+                raise ValueError(
+                    f"rebucket {n} -> {nb}: the counts must divide one "
+                    f"another — pmod-hash refinement/coarsening keeps "
+                    f"every unit's rewrite bucket-local; an unrelated "
+                    f"count would be one table-wide shuffle"
+                )
+            schema = self._schema_of(manifest)
+            if schema is None:
+                raise ValueError(f"no schema committed at {self.path}")
+            files = self._files_of_manifest(manifest)
+            if files is None:
+                files = self._legacy_files(manifest)
+            deletes = manifest.get("deletes") or []
+            units = min(n, nb)
+            markers: dict[int, dict] = {}
+            pending: list[tuple] = []
+            for u in range(units):
+                old_buckets = self._rebucket_unit_buckets(n, nb, u)
+                fp = self._rebucket_fingerprint(files, deletes, old_buckets)
+                m = self._rebucket_read_marker(nb, u)
+                if m is not None and m.get("fp") == fp:
+                    markers[u] = m
+                else:
+                    pending.append((u, fp, old_buckets, m))
+            budget = len(pending) if max_units is None else int(max_units)
+            staged = 0
+            for u, fp, old_buckets, stale in pending[: max(0, budget)]:
+                markers[u] = self._rebucket_stage_unit(
+                    schema, files, deletes, nb, u, fp, old_buckets, stale
+                )
+                staged += 1
+            if len(markers) < units:
+                return {
+                    "done": False,
+                    "staged": staged,
+                    "pending": units - len(markers),
+                }
+            # exact-numbering invariant for CDC/rollback over history:
+            # every retained snapshot must record its bucket count, so
+            # an un-stamped (pre-r11) manifest proves the table never
+            # rebucketed.  Refuse to create the first counterexample
+            # (flip-time check: O(retained snapshots) root reads).
+            for v in self.snapshot_versions():
+                if "num_buckets" not in self._manifest_at(v, current=manifest):
+                    raise ValueError(
+                        f"rebucket requires every retained snapshot to "
+                        f"record its bucket count; v{v} predates that — "
+                        f"vacuum() pre-upgrade history first"
+                    )
+            new_version = int(manifest["version"]) + 1
+            entries: list[dict] = []
+            for u in range(units):
+                for e in markers[u]["files"]:
+                    e = dict(e)
+                    e["v"] = new_version
+                    entries.append(e)
+            m_new = dict(manifest)
+            m_new["files"] = entries
+            m_new.pop("keep_shards", None)
+            m_new["deletes"] = []  # folded into the staged rewrites
+            m_new["buckets"] = {str(b): new_version for b in range(nb)}
+            m_new["version"] = new_version
+            m_new["num_buckets"] = nb
+            m_new["op"] = "rebucket"  # CDC: logically empty, skipped
+            try:
+                self._commit_manifest(m_new)
+            except ConcurrentWriteError:
+                continue  # re-read, re-validate markers, retry
+            self.num_buckets = nb
+            for name in self._rebucket_marker_names():
+                self._fio.delete(fs_join(self._meta_path, name))
+            return {"done": True, "version": new_version, "staged": staged}
+        raise ConcurrentWriteError(
+            f"rebucket lost the commit race {commit_retries} times at "
+            f"{self.path}; retry when write traffic allows"
+        )
+
+    def rebucket_abort(self) -> int:
+        """Abandon an in-progress migration: delete every rebucket
+        marker and its staging dir (skipping dirs the live manifest
+        references — markers left by a crash AFTER a successful flip
+        point at live data).  Returns the number of markers removed."""
+        manifest = self._manifest() if self.exists() else None
+        live_dirs: set[str] = set()
+        if manifest is not None:
+            files = self._files_of_manifest(manifest)
+            if files is None:
+                files = self._legacy_files(manifest)
+            live_dirs = {self._dirname_of(f) for f in files}
+        count = 0
+        for name in self._rebucket_marker_names():
+            mpath = fs_join(self._meta_path, name)
+            try:
+                m = json.loads(self._fio.read_text(mpath))
+            except FileNotFoundError:
+                continue
+            d = m.get("d")
+            if d and d not in live_dirs:
+                self._fio.delete(self._data_dir(d), recursive=True)
+            self._fio.delete(mpath)
+            count += 1
+        return count
+
     def vacuum(
         self,
         keep_last: int = 1,
@@ -3167,11 +3561,25 @@ class ParquetMergeTarget:
                 live_del.setdefault(dirname, set()).add(d["n"])
             live_shards |= set(self._shard_names(m))
 
+        # staged-but-uncommitted rebucket dirs are referenced only by
+        # their marker files: an in-progress migration must survive
+        # routine maintenance (staging a 100 TB table runs for days
+        # alongside regular vacuums).  Abandoned migrations are
+        # reclaimed by rebucket_abort(), never here.
+        marker_dirs: set[str] = set()
+        for name in self._rebucket_marker_names():
+            try:
+                m = json.loads(fio.read_text(fs_join(self._meta_path, name)))
+            except FileNotFoundError:
+                continue
+            if m.get("d"):
+                marker_dirs.add(m["d"])
+
         # data dirs: nonce-named attempt dirs never referenced by any
         # retained manifest — crashed, concurrency-losing, or expired
         # writers — reclaim whole; referenced dirs reclaim per-file
         for name in fio.list_names(data_root):
-            if name in whole_dirs:
+            if name in whole_dirs or name in marker_dirs:
                 continue
             vdir = fs_join(data_root, name)
             live = live_data.get(name)

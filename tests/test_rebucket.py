@@ -1,0 +1,393 @@
+"""Online rebucketing (r11, beyond-reference): change num_buckets on a
+live table via unit-local resumable staging + one atomic flip.
+
+Contract pinned here: contents are IDENTICAL before/after (both
+directions), pending MoR deletes fold in, the CDC changelog skips the
+flip commit, staging survives crashes / vacuum / interleaved merges
+(restaging exactly the invalidated units), rollback across a rebucket
+restores the old numbering, and a writer constructed with a stale
+bucket count self-corrects from the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.fsio import fs_join
+from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        rows, "arcane_merge_key string, createdon long, payload string"
+    )
+
+
+def snap(t):
+    return {
+        (r["arcane_merge_key"], r["createdon"], r["payload"])
+        for r in t.read().collect()
+    }
+
+
+def make(spark, tmp_path, **kw):
+    kw.setdefault("num_buckets", 4)
+    kw.setdefault("max_records_per_file", 40)
+    return ParquetMergeTarget(spark=spark, path=str(tmp_path / "t"), **kw)
+
+
+def seeded(spark, tmp_path, n=200, **kw):
+    t = make(spark, tmp_path, **kw)
+    t.merge(df_of(spark, [(f"k{i:04d}", 1, "a") for i in range(n)]))
+    t.merge(
+        df_of(spark, [(f"k{i:04d}", 2, "b") for i in range(0, n, 7)]),
+        mode="mor",
+    )
+    return t
+
+
+def entries_of(t):
+    m = t._manifest()
+    return t._files_of_manifest(m) or t._legacy_files(m)
+
+
+def cdc_fold(t):
+    ch = t.read_changes(0)
+    w = Window.partitionBy("arcane_merge_key").orderBy(
+        F.col("_commit_version").desc()
+    )
+    last = (
+        ch.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .filter(F.col("_change_type") != "delete")
+    )
+    return {
+        (r["arcane_merge_key"], r["createdon"], r["payload"])
+        for r in last.select(
+            "arcane_merge_key", "createdon", "payload"
+        ).collect()
+    }
+
+
+# -- basic semantics ----------------------------------------------------------
+
+
+def test_split_identity_layout_and_metadata(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    res = t.rebucket(16)
+    assert res["done"] and res["staged"] == 4
+    assert t.num_buckets == 16
+    assert snap(t) == before
+    m = t._manifest()
+    assert m["num_buckets"] == 16
+    assert m["op"] == "rebucket"
+    assert m.get("deletes") == []
+    # every entry sits under the new numbering and matches the hash
+    ents = entries_of(t)
+    assert ents and all(0 <= int(f["b"]) < 16 for f in ents)
+    got = {
+        (r["arcane_merge_key"], r["_b"])
+        for r in t.read()
+        .withColumn(
+            "_b",
+            F.pmod(F.xxhash64("arcane_merge_key"), F.lit(16)).cast("int"),
+        )
+        .select("arcane_merge_key", "_b")
+        .collect()
+    }
+    by_key = dict(got)
+    # spot-check: keys read back from a bucket=B file hash to B
+    for f in ents:
+        path = t._file_path(f)
+        keys = [
+            r["arcane_merge_key"]
+            for r in spark.read.parquet(path)
+            .select("arcane_merge_key")
+            .collect()
+        ]
+        assert all(by_key[k] == int(f["b"]) for k in keys)
+    # no markers left behind
+    assert t._rebucket_marker_names() == []
+
+
+def test_coarsen_identity(spark, tmp_path):
+    t = seeded(spark, tmp_path, num_buckets=8)
+    before = snap(t)
+    res = t.rebucket(2)
+    assert res["done"] and res["staged"] == 2  # units = min(8, 2)
+    assert t.num_buckets == 2
+    assert snap(t) == before
+    assert all(0 <= int(f["b"]) < 2 for f in entries_of(t))
+
+
+def test_non_divisible_and_bad_counts_raise(spark, tmp_path):
+    t = seeded(spark, tmp_path, n=20)
+    with pytest.raises(ValueError, match="divide one another"):
+        t.rebucket(6)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.rebucket(0)
+    # no-op at the current count: done, no commit
+    v = t._manifest()["version"]
+    assert t.rebucket(4) == {"done": True, "version": v, "staged": 0}
+
+
+def test_round_trip_with_merges_between(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    t.rebucket(16)
+    t.merge(df_of(spark, [("k0003", 3, "c"), ("knew", 3, "n")]))
+    mid = snap(t)
+    assert ("k0003", 3, "c") in mid and ("knew", 3, "n") in mid
+    t.rebucket(4)
+    assert snap(t) == mid
+    t.merge(df_of(spark, [("k0003", 4, "d")]), mode="mor")
+    assert ("k0003", 4, "d") in snap(t)
+
+
+def test_lookup_prunes_tighter_after_split(spark, tmp_path):
+    t = seeded(spark, tmp_path, n=400, max_records_per_file=10)
+    files_before = len(t.lookup(["k0007"]).inputFiles())
+    want = [("k0007", 2, "b")]
+    assert [tuple(r) for r in t.lookup(["k0007"]).collect()] == want
+    t.rebucket(32)
+    assert [tuple(r) for r in t.lookup(["k0007"]).collect()] == want
+    # 8x more buckets -> the key's candidate file set shrinks
+    assert len(t.lookup(["k0007"]).inputFiles()) < files_before
+
+
+def test_read_where_pruning_survives_rebucket(spark, tmp_path):
+    t = make(
+        spark,
+        tmp_path,
+        stats_cols=("payload",),
+        sorted_by=("payload",),
+        max_records_per_file=10,
+    )
+    t.merge(
+        df_of(
+            spark,
+            [(f"k{i:03d}", 1, chr(ord("a") + i % 26)) for i in range(200)],
+        )
+    )
+    want = {
+        tuple(r)
+        for r in t.read().filter(F.col("payload") == "c").collect()
+    }
+    t.rebucket(8)
+    got = t.read_where(("payload", "=", "c"))
+    assert {tuple(r) for r in got.collect()} == want
+    assert len(got.inputFiles()) < len(t.read().inputFiles())
+    assert t.count_where(("payload", "=", "c")) == len(want)
+
+
+# -- CDC / history / rollback -------------------------------------------------
+
+
+def test_cdc_skips_rebucket_and_fold_matches_read(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    flip_v = t.rebucket(16)["version"]
+    t.merge(df_of(spark, [("k0001", 5, "z")]))
+    ch = t.read_changes(0)
+    versions = {
+        r["_commit_version"]
+        for r in ch.select("_commit_version").distinct().collect()
+    }
+    assert flip_v not in versions  # logically empty, skipped
+    assert cdc_fold(t) == snap(t)
+    # incremental consumption across the flip boundary works too
+    ch2 = t.read_changes(flip_v - 1)
+    assert {
+        r["_commit_version"] for r in ch2.select("_commit_version").collect()
+    } == {flip_v + 1}
+
+
+def test_rollback_across_rebucket_restores_numbering(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    v1 = t._manifest()["version"]
+    want = snap(t)
+    t.rebucket(16)
+    t.merge(df_of(spark, [("k0001", 9, "bad")]))
+    new_v = t.rollback(v1)
+    assert t.num_buckets == 4
+    assert t._manifest()["num_buckets"] == 4
+    assert snap(t) == want
+    # CDC stays consistent across the numbering change (unpruned diff)
+    assert cdc_fold(t) == want
+    # and the table keeps working under the restored numbering
+    t.merge(df_of(spark, [("k0002", 9, "ok")]))
+    assert ("k0002", 9, "ok") in snap(t)
+    assert t._manifest()["version"] > new_v
+
+
+def test_history_reports_rebucket(spark, tmp_path):
+    t = seeded(spark, tmp_path, n=20)
+    v = t.rebucket(8)["version"]
+    ops = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert ops[v] == "rebucket"
+
+
+# -- incremental staging / interleaving / durability --------------------------
+
+
+def test_incremental_staging_resumes_and_flips(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    r1 = t.rebucket(16, max_units=1)
+    assert r1 == {"done": False, "staged": 1, "pending": 3}
+    assert len(t._rebucket_marker_names()) == 1
+    # status probe stages nothing
+    assert t.rebucket(16, max_units=0) == {
+        "done": False,
+        "staged": 0,
+        "pending": 3,
+    }
+    r2 = t.rebucket(16, max_units=2)
+    assert r2 == {"done": False, "staged": 2, "pending": 1}
+    # a FRESH writer object resumes from the persisted markers
+    t2 = make(spark, tmp_path)
+    r3 = t2.rebucket(16)
+    assert r3["done"] and r3["staged"] == 1
+    assert snap(t2) == before
+    assert t2.num_buckets == 16
+
+
+def test_interleaved_merge_restages_only_touched_units(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    r1 = t.rebucket(16, max_units=3)
+    assert r1 == {"done": False, "staged": 3, "pending": 1}
+    dirs_before = {
+        m["u"]: m["d"]
+        for m in (
+            json.loads(t._fio.read_text(fs_join(t._meta_path, n)))
+            for n in t._rebucket_marker_names()
+        )
+    }
+    # touch exactly one key -> exactly one old bucket
+    t.merge(df_of(spark, [("k0000", 7, "mid-flight")]))
+    touched_bucket = t.read().withColumn(
+        "_b", F.pmod(F.xxhash64("arcane_merge_key"), F.lit(4)).cast("int")
+    ).filter(F.col("arcane_merge_key") == "k0000").collect()[0]["_b"]
+    res = t.rebucket(16)
+    assert res["done"]
+    # staged = the never-staged unit + the invalidated one (or just one
+    # if the touched bucket WAS the never-staged unit)
+    expect = 1 if touched_bucket not in dirs_before else 2
+    assert res["staged"] == expect
+    m = t._manifest()
+    ents = entries_of(t)
+    dirs_after = {f["d"] for f in ents}
+    for u, d in dirs_before.items():
+        if u == touched_bucket:
+            assert d not in dirs_after  # restaged
+        else:
+            assert d in dirs_after  # reused verbatim
+    assert ("k0000", 7, "mid-flight") in snap(t)
+
+
+def test_vacuum_preserves_inflight_staging(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    t.rebucket(16, max_units=2)
+    staged_dirs = [
+        json.loads(t._fio.read_text(fs_join(t._meta_path, n)))["d"]
+        for n in t._rebucket_marker_names()
+    ]
+    t.vacuum(keep_last=1)
+    for d in staged_dirs:
+        assert t._fio.exists(fs_join(str(tmp_path / "t"), "data", d))
+    res = t.rebucket(16)
+    assert res["done"] and res["staged"] == 2  # the vacuumed 2 survived
+    # after the flip the spent snapshots + stale dirs reclaim normally
+    t.vacuum(keep_last=1)
+    assert snap(t) == snap(make(spark, tmp_path))
+
+
+def test_abort_reclaims_staging_but_never_live_data(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    t.rebucket(16, max_units=2)
+    staged_dirs = [
+        json.loads(t._fio.read_text(fs_join(t._meta_path, n)))["d"]
+        for n in t._rebucket_marker_names()
+    ]
+    assert t.rebucket_abort() == 2
+    assert t._rebucket_marker_names() == []
+    for d in staged_dirs:
+        assert not t._fio.exists(fs_join(str(tmp_path / "t"), "data", d))
+    assert snap(t) == before
+
+
+def test_crash_at_marker_create_resumes(spark, tmp_path, monkeypatch):
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO
+
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    real = HadoopFileIO.create_text
+    calls = {"n": 0}
+
+    def boom(self, path, text):
+        if "rebucket-" in path and calls["n"] == 1:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash at marker create")
+        if "rebucket-" in path:
+            calls["n"] += 1
+        return real(self, path, text)
+
+    monkeypatch.setattr(HadoopFileIO, "create_text", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.rebucket(16)
+    monkeypatch.undo()
+    # table untouched; one marker persisted; resume completes
+    assert snap(t) == before
+    assert len(t._rebucket_marker_names()) == 1
+    res = make(spark, tmp_path).rebucket(16)
+    assert res["done"]
+    t3 = make(spark, tmp_path)
+    assert snap(t3) == before and t3.num_buckets == 16
+
+
+def test_crash_after_flip_is_already_done(spark, tmp_path, monkeypatch):
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO
+
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    real = HadoopFileIO.delete
+
+    def boom(self, path, recursive=False):
+        if "rebucket-" in str(path):
+            raise RuntimeError("simulated crash during marker cleanup")
+        return real(self, path, recursive=recursive)
+
+    monkeypatch.setattr(HadoopFileIO, "delete", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.rebucket(16)
+    monkeypatch.undo()
+    # the FLIP committed before cleanup: table already migrated
+    # (num_buckets syncs from the manifest at the first read)
+    t2 = make(spark, tmp_path)
+    assert snap(t2) == before and t2.num_buckets == 16
+    assert len(t2._rebucket_marker_names()) == 4  # leftovers
+    # next call is a pure cleanup no-op commit-wise
+    v = t2._manifest()["version"]
+    assert t2.rebucket(16) == {"done": True, "version": v, "staged": 0}
+    assert t2._rebucket_marker_names() == []
+    # abort after flip: markers point at LIVE dirs — must not delete
+    assert snap(make(spark, tmp_path)) == before
+
+
+def test_stale_constructed_writer_self_corrects(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    t.rebucket(16)
+    stale = make(spark, tmp_path)  # constructed with num_buckets=4
+    stale.merge(df_of(spark, [("k0001", 8, "via-stale")]))
+    assert stale.num_buckets == 16
+    ents = entries_of(stale)
+    assert all(0 <= int(f["b"]) < 16 for f in ents)
+    assert ("k0001", 8, "via-stale") in snap(t)
+    assert [
+        tuple(r) for r in stale.lookup(["k0001"]).collect()
+    ] == [("k0001", 8, "via-stale")]

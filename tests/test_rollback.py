@@ -153,3 +153,51 @@ def test_rollback_reverts_schema_drift(spark, tmp_path):
     t.rollback(v1)
     assert "extra" not in t.read().columns
     assert snap(t) == {("k1", 1, "a")}
+
+
+# -- TIMESTAMP AS OF time travel (r11) -----------------------------------------
+
+
+def test_read_at_timestamp_resolves_snapshots(spark, tmp_path):
+    import datetime
+
+    t = make(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a")]))
+    v1 = t._manifest()["version"]
+    ts1 = float(t._manifest()["committed_at"])
+    t.merge(df_of(spark, [("k1", 2, "b"), ("k2", 2, "c")]))
+    ts2 = float(t._manifest()["committed_at"])
+
+    assert t.version_at(ts1) == v1
+    # an instant between the commits still sees v1
+    assert t.version_at((ts1 + ts2) / 2) in (v1,) if ts2 > ts1 else True
+    assert snap_at(t, ts1) == {("k1", 1, "a")}
+    assert snap_at(t, ts2) == snap(t)
+    # tz-aware datetime works; naive is rejected as ambiguous
+    aware = datetime.datetime.fromtimestamp(ts1, tz=datetime.timezone.utc)
+    assert t.version_at(aware) == v1
+    with pytest.raises(ValueError, match="naive"):
+        t.version_at(datetime.datetime.now())
+    # predating the first snapshot raises rather than guessing
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.read(at_timestamp=ts1 - 1e6)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read(at_version=v1, at_timestamp=ts1)
+
+
+def snap_at(t, ts):
+    return {
+        (r["arcane_merge_key"], r["createdon"], r["payload"])
+        for r in t.read(at_timestamp=ts).collect()
+    }
+
+
+def test_read_where_and_count_where_at_timestamp(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.merge(df_of(spark, [("k1", 1, "a"), ("k2", 1, "b")]))
+    ts1 = float(t._manifest()["committed_at"])
+    t.merge(df_of(spark, [("k2", 2, "z")]))
+    got = t.read_where(("payload", "=", "b"), at_timestamp=ts1)
+    assert [tuple(r) for r in got.collect()] == [("k2", 1, "b")]
+    assert t.count_where(("payload", "=", "b"), at_timestamp=ts1) == 1
+    assert t.count_where(("payload", "=", "b")) == 0
