@@ -270,3 +270,75 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 100,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency line-level boilerplate removal — the C4 /
+    CCNet / RefinedWeb curation step the reference has no analogue for
+    (beyond-reference; its text processing stops at name
+    normalization, docs/crd.md:186-188): a LINE occurring in >=
+    ``min_docs`` distinct documents is boilerplate (cookie banners,
+    nav menus, legal footers) and is dropped from every document;
+    surviving lines are reassembled in their original order.
+
+    Returns ``(id_col, clean_text, n_lines, n_removed)`` — one row per
+    input document, ``clean_text = ''`` when every line was
+    boilerplate.
+
+    100 TB shape: one row-local ``posexplode`` (no shuffle), ONE
+    partial-aggregated shuffle on the normalized line key for the
+    frequency table, then the boilerplate SUBSET — small by definition
+    (only lines repeated across >= min_docs documents survive the
+    filter) — broadcasts into a left-anti join, so the corpus-sized
+    line stream never shuffles for the filter; the final per-document
+    reassembly is one shuffle on ``id_col``.  The frequency count is
+    an exact ``countDistinct`` (two-phase partial agg); the whole plan
+    is JVM built-ins, no Python UDF.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    key = F.lower(F.trim(F.col("line")))
+    boiler = (
+        lines.groupBy(key.alias("line_key"))
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("line_key")
+    )
+    kept = lines.join(
+        F.broadcast(boiler), key == F.col("line_key"), "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_lines"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (
+                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

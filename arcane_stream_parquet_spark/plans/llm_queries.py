@@ -1884,3 +1884,111 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pii_n_email", "pii_n_ssn", "pii_n_ipv4",
         "pii_n_phone", "pii_n_total", "redacted_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate line removal (C4 / CCNet / RefinedWeb)
+
+_BANNER_EVEN = "please accept cookies to continue reading this site today"
+_BANNER_ODD = "subscribe to our newsletter for weekly updates and offers"
+_LINE_TOKENS = 10
+_BOILER_MIN_DOCS = 100
+
+
+def _lined_corpus(docs: DataFrame) -> DataFrame:
+    """documents with synthetic multi-line text: the flat token stream
+    sliced into 10-token lines, with a deterministic 'cookie banner'
+    line prepended (even doc_ids get one banner, odd the other) — the
+    cross-document repetition a real crawl exhibits, constructed
+    identically in the DuckDB oracle."""
+    from arcane_stream_parquet_spark.operators.text import tokens_column
+
+    tk = tokens_column("text")
+    staged = docs.select("doc_id", tk.alias("__tk"))
+    n_lines = F.ceil(F.size("__tk") / F.lit(float(_LINE_TOKENS))).cast("int")
+    lines = F.when(
+        F.size("__tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(F.col("__tk"), i * _LINE_TOKENS + 1, _LINE_TOKENS),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    banner = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(_BANNER_EVEN)
+    ).otherwise(F.lit(_BANNER_ODD))
+    return staged.select(
+        "doc_id",
+        F.array_join(
+            F.concat(F.array(banner), lines), "\n"
+        ).alias("text"),
+    )
+
+
+@register_query(
+    "boilerplate_lines",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        corpus AS (
+            SELECT doc_id,
+                   list_prepend(
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '{_BANNER_EVEN}'
+                            ELSE '{_BANNER_ODD}' END,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / {_LINE_TOKENS}.0) AS BIGINT)),
+                           i -> array_to_string(
+                               tk[(i*{_LINE_TOKENS}+1):(i*{_LINE_TOKENS}+{_LINE_TOKENS})], ' '))
+                   ) AS ls
+            FROM toks
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(ls) AS line,
+                   generate_subscripts(ls, 1) AS pos
+            FROM corpus
+        ),
+        freq AS (
+            SELECT lower(trim(line)) AS line_key,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY 1
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l JOIN freq f ON lower(trim(l.line)) = f.line_key
+            WHERE f.n_docs < {_BOILER_MIN_DOCS}
+        ),
+        totals AS (SELECT doc_id, len(ls) AS n_lines FROM corpus)
+        SELECT t.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                   AS clean_text,
+               CAST(t.n_lines AS BIGINT) AS n_lines,
+               CAST(t.n_lines - count(k.line) AS BIGINT) AS n_removed
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id, t.n_lines
+    """,
+    doc="C4/CCNet-style corpus-frequency boilerplate removal: lines "
+    "occurring in >= 100 distinct documents (the injected cookie-banner "
+    "lines) are dropped from every document, survivors reassembled in "
+    "order. One posexplode (row-local), ONE partial-agg shuffle for the "
+    "line-frequency table, the small boilerplate set broadcast into a "
+    "left-anti join (the corpus line stream never shuffles to filter), "
+    "one reassembly shuffle. All JVM built-ins.",
+    tags=("llm", "curation", "dedup"),
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_lines(
+        _lined_corpus(docs), min_docs=_BOILER_MIN_DOCS
+    )

@@ -678,33 +678,13 @@ def q_pivot_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.join(pct, "l_returnflag")
 
 
-@register_query(
-    "explode_tokens",
-    oracle=r"""
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(list_filter(
-                       regexp_split_to_array(lower(trim(text)), '\s+'),
-                       t -> t <> '')) AS tok
-            FROM documents
-        )
-        SELECT tok, CAST(count(*) AS BIGINT) AS freq,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-        FROM toks GROUP BY tok
-    """,
-    doc="Generator/lateral view: explode the token array into rows → "
-    "corpus term + document frequencies (the inverted-index shape).",
-    tags=("sql", "generator", "llm"),
-)
-def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.text import tokens_column
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_column("text")).alias("tok"))
-    return toks.groupBy("tok").agg(
-        F.count("*").alias("freq"),
-        F.countDistinct("doc_id").alias("doc_freq"),
-    )
+# (the former ``explode_tokens`` registry row was retired in r11: its
+# coverage — explode a token array, aggregate term/document frequency —
+# is strictly a sub-plan of ``boilerplate_lines`` (llm_queries.py),
+# which adds posexplode + countDistinct + broadcast anti-join + ordered
+# reassembly on top of the same generator shape.  The freed slot under
+# the driver's 50-row cap went to that richer operator; generator
+# coverage also remains in ``array_map_pack``'s transform/filter pack.)
 
 
 @register_query(

@@ -646,3 +646,66 @@ def test_phone_pattern_anchored_both_sides(spark):
         assert out[1]["pii_n_total"] == 0
         assert out[2]["redacted_text"] == "call [PHONE] now"
         assert out[2]["pii_n_phone"] == 1
+
+
+# -- corpus-frequency boilerplate line removal (r11) ---------------------------
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "accept our cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\nunique alpha\nunique beta"),
+            (2, banner + "\nunique gamma"),
+            (3, banner + "\nrepeated inside\nrepeated inside"),
+            (4, "Accept OUR Cookies\nno banner here"),  # case-insensitive key
+            (5, banner),  # fully boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, min_docs=4).collect()
+    }
+    assert out[1] == ("unique alpha\nunique beta", 3, 1)
+    assert out[2] == ("unique gamma", 2, 1)
+    # within-doc repetition is NOT boilerplate (frequency is per
+    # distinct document), and order + duplicates are preserved
+    assert out[3] == ("repeated inside\nrepeated inside", 3, 1)
+    # normalization: case/whitespace variants share one key
+    assert out[4] == ("no banner here", 2, 1)
+    # a fully-boilerplate document stays present, emptied
+    assert out[5] == ("", 1, 1)
+
+
+def test_remove_boilerplate_lines_below_threshold_keeps_all(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, min_docs=3).collect()
+    assert {r["n_removed"] for r in out} == {0}
+    assert {r["clean_text"] for r in out} == {"a\nb", "a\nc"}
+
+
+def test_remove_boilerplate_lines_plan_shape(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x\ny") for i in range(10)], "doc_id long, text string"
+    )
+    plan = remove_boilerplate_lines(docs, min_docs=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the boilerplate set broadcasts into the anti-join: the corpus
+    # line stream must not shuffle to be filtered
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
