@@ -291,15 +291,18 @@ def remove_boilerplate_lines(
     input document, ``clean_text = ''`` when every line was
     boilerplate.
 
-    100 TB shape: one row-local ``posexplode`` (no shuffle), ONE
-    partial-aggregated shuffle on the normalized line key for the
-    frequency table, then the boilerplate SUBSET — small by definition
-    (only lines repeated across >= min_docs documents survive the
-    filter) — broadcasts into a left-anti join, so the corpus-sized
-    line stream never shuffles for the filter; the final per-document
-    reassembly is one shuffle on ``id_col``.  The frequency count is
-    an exact ``countDistinct`` (two-phase partial agg); the whole plan
-    is JVM built-ins, no Python UDF.
+    100 TB shape: two passes over the corpus line stream (the classic
+    C4 count-then-filter pair — recomputing the row-local explode
+    beats materializing a corpus-sized exploded frame), each a
+    row-local ``posexplode`` with no shuffle of the big side.  Pass 1
+    is ONE partial-aggregated shuffle on the normalized line key for
+    the exact ``countDistinct`` frequency table; the boilerplate
+    SUBSET — small by definition (only lines repeated across >=
+    ``min_docs`` documents survive) — broadcasts as a marker into pass
+    2's left join, which feeds a single per-document aggregation
+    (reassembly + line accounting in one shuffle; documents whose
+    every line is boilerplate stay present with ``clean_text = ''``).
+    The whole plan is JVM built-ins, no Python UDF.
     """
     lines = df.select(
         F.col(id_col),
@@ -310,35 +313,31 @@ def remove_boilerplate_lines(
         lines.groupBy(key.alias("line_key"))
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= F.lit(int(min_docs)))
-        .select("line_key")
+        .select("line_key", F.lit(True).alias("_is_boiler"))
     )
-    kept = lines.join(
-        F.broadcast(boiler), key == F.col("line_key"), "left_anti"
+    marked = lines.join(
+        F.broadcast(boiler), key == F.col("line_key"), "left"
     )
-    reassembled = kept.groupBy(id_col).agg(
+    is_kept = F.col("_is_boiler").isNull()
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    # collect_list skips nulls: boilerplate lines drop
+                    # out while order and in-document duplicates of
+                    # kept lines are preserved
+                    F.collect_list(
+                        F.when(
+                            is_kept, F.struct(F.col("pos"), F.col("line"))
+                        )
+                    )
                 ),
                 lambda x: x["line"],
             ),
             sep,
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
-    )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_lines"),
-    )
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_lines"),
-            (
-                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).cast("bigint").alias("n_removed"),
-        )
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(is_kept, 0).otherwise(1)).cast("bigint").alias(
+            "n_removed"
+        ),
     )

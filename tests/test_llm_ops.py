@@ -705,7 +705,9 @@ def test_remove_boilerplate_lines_plan_shape(spark):
     )
     plan = remove_boilerplate_lines(docs, min_docs=5)._jdf.queryExecution(
     ).executedPlan().toString()
-    # the boilerplate set broadcasts into the anti-join: the corpus
-    # line stream must not shuffle to be filtered
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the boilerplate set broadcasts as a marker into a left join: the
+    # corpus line stream must not shuffle to be filtered, and the
+    # count-then-filter pair scans the source exactly twice
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
