@@ -2996,6 +2996,60 @@ class ParquetMergeTarget:
         )
         return out
 
+    def suggest_num_buckets(
+        self, target_bucket_bytes: int = 1 << 30
+    ) -> dict:
+        """Metadata-only :meth:`rebucket` advisor: compare the table's
+        mean bucket size against ``target_bucket_bytes`` (the intended
+        single-task unit of merge rewrite / compaction work — ~1 GiB
+        keeps an executor core busy without risking memory pressure)
+        and suggest the nearest VALID count.  Splits suggest a
+        power-of-two multiple (always divisible); coarsenings only the
+        largest power-of-two divisor that reaches the target, so the
+        suggestion is always legal for :meth:`rebucket`.
+
+        Cost: one root manifest read.  On a sharded root total bytes
+        come from the power-of-two size histogram's upper bound (≤2×
+        over, never under — a conservative advisor over-splits rather
+        than under-splits).  Hysteresis is built in: no suggestion
+        moves unless the mean is ≥2× off target, so a borderline table
+        never oscillates."""
+        manifest = self._manifest()
+        n = int(self.num_buckets)
+        hist = manifest.get("size_hist")
+        if manifest.get("file_shards") is not None and hist is not None:
+            total = sum(int(c) * (1 << int(k)) for k, c in hist.items())
+            approx = True
+        else:
+            files = self._files_of_manifest(manifest)
+            if files is None:
+                files = self._legacy_files(manifest)
+            total = sum(int(f["sz"]) for f in files)
+            approx = False
+        avg = total / n if n else 0.0
+        suggested = n
+        if avg >= 2 * target_bucket_bytes:
+            f = 1
+            while avg / (f * 2) >= target_bucket_bytes:
+                f *= 2
+            suggested = n * f * 2
+        elif avg and avg * 4 <= target_bucket_bytes:
+            f = 1
+            while (
+                n % (f * 2) == 0
+                and avg * f * 2 * 2 <= target_bucket_bytes
+            ):
+                f *= 2
+            suggested = max(1, n // f) if f > 1 else n
+        return {
+            "num_buckets": n,
+            "suggested_num_buckets": suggested,
+            "total_bytes": int(total),
+            "avg_bucket_bytes": int(avg),
+            "target_bucket_bytes": int(target_bucket_bytes),
+            "approx": approx,
+        }
+
     def run_adaptive_maintenance(
         self,
         small_file_bytes: int = 8 << 20,

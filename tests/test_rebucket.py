@@ -391,3 +391,33 @@ def test_stale_constructed_writer_self_corrects(spark, tmp_path):
     assert [
         tuple(r) for r in stale.lookup(["k0001"]).collect()
     ] == [("k0001", 8, "via-stale")]
+
+
+# -- bucket-count advisor -------------------------------------------------------
+
+
+def test_suggest_num_buckets(spark, tmp_path):
+    t = seeded(spark, tmp_path, n=400)
+    m = t.suggest_num_buckets(target_bucket_bytes=1 << 30)
+    # tiny table far under target: advisor suggests the largest legal
+    # coarsening (power-of-two divisor), never an illegal count
+    assert m["num_buckets"] == 4
+    assert m["suggested_num_buckets"] in (1, 2)
+    assert t.num_buckets % m["suggested_num_buckets"] == 0
+    assert m["approx"] is False and m["total_bytes"] > 0
+    # oversized buckets: a tiny target forces a power-of-two split
+    s = t.suggest_num_buckets(target_bucket_bytes=1024)
+    assert s["suggested_num_buckets"] > 4
+    assert s["suggested_num_buckets"] % 4 == 0
+    f = s["suggested_num_buckets"] // 4
+    assert f & (f - 1) == 0  # power-of-two factor
+    # and the suggested split lands avg at or under target
+    assert s["total_bytes"] / s["suggested_num_buckets"] <= 1024
+    # hysteresis: a target within 2x of the current mean moves nothing
+    avg = m["total_bytes"] / 4
+    h = t.suggest_num_buckets(target_bucket_bytes=int(avg * 1.5))
+    assert h["suggested_num_buckets"] == 4
+    # the suggestion is actually executable
+    res = t.rebucket(s["suggested_num_buckets"], max_units=0)
+    assert res == {"done": False, "staged": 0, "pending": 4}
+    t.rebucket_abort()
