@@ -461,3 +461,112 @@ def q_incremental_replication_parity(
         )
 
     return side(src, "src").unionByName(side(dst, "dst"))
+
+
+# ---------------------------------------------------------------------------
+# Online-rebucketing parity (r11): the layout migration REALLY RUNS
+# against a temp ParquetMergeTarget — split mid-history with pending MoR
+# deletes (folded at the flip), merge again under the new numbering,
+# coarsen back — and the final read() must equal the declarative
+# latest-wins fold of the three batches, with the layout attestations
+# (final count, two rebucket commits in history, every entry in range,
+# deletes folded at the split) inside the same value hash.
+
+_RB_KEY_CAP = 600
+
+
+@register_query(
+    "rebucket_parity",
+    oracle=f"""
+        WITH keys AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id < {_RB_KEY_CAP}
+        ),
+        b AS (
+            SELECT doc_id, 1 AS v, CAST(1 AS BIGINT) AS createdon,
+                   'a' || CAST(doc_id AS VARCHAR) AS payload FROM keys
+            UNION ALL
+            SELECT doc_id, 2, CAST(2 AS BIGINT),
+                   'b' || CAST(doc_id AS VARCHAR) FROM keys
+            WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 3, CAST(3 AS BIGINT),
+                   'c' || CAST(doc_id AS VARCHAR) FROM keys
+            WHERE doc_id % 5 = 0
+        )
+        SELECT doc_id, createdon, payload,
+               CAST(4 AS BIGINT) AS final_num_buckets,
+               CAST(2 AS BIGINT) AS n_rebucket_commits,
+               TRUE AS layout_ok,
+               TRUE AS deletes_folded
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY createdon DESC, v DESC
+            ) AS rn FROM b
+        ) WHERE rn = 1
+    """,
+    doc="Online rebucketing (r11 beyond-reference) under the oracle "
+    "gate: v1 CoW backfill at 4 buckets, v2 MoR update (pending "
+    "deletes), rebucket 4->16 (unit-local staged split; deletes fold "
+    "at the atomic flip), v3 CoW merge under the NEW numbering, "
+    "rebucket 16->4 (coarsen). Final read() must equal the "
+    "declarative latest-wins fold, and the hash also pins: final "
+    "bucket count, exactly two 'rebucket' history commits, every "
+    "manifest entry inside the final numbering, deletes folded at "
+    "the split.",
+    tags=("reference", "merge", "rebucket"),
+)
+def q_rebucket_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from arcane_stream_parquet_spark.operators.merge import (
+        ParquetMergeTarget,
+    )
+
+    keys = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < _RB_KEY_CAP)
+    )
+
+    def batch(modulus: int, created: int, pfx: str) -> DataFrame:
+        return keys.filter(F.col("doc_id") % modulus == 0).select(
+            F.col("doc_id").cast("string").alias("arcane_merge_key"),
+            F.lit(created).cast("long").alias("createdon"),
+            F.concat(F.lit(pfx), F.col("doc_id").cast("string")).alias(
+                "payload"
+            ),
+        )
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=f"file:///tmp/asp_rebucket_parity_{uuid.uuid4().hex}",
+        num_buckets=4,
+    )
+    t.merge(batch(1, 1, "a"))
+    t.merge(batch(3, 2, "b"), mode="mor")
+    t.rebucket(16)
+    deletes_folded = (t._manifest().get("deletes") or []) == []
+    t.merge(batch(5, 3, "c"))
+    t.rebucket(4)
+    m = t._manifest()
+    ents = t._files_of_manifest(m) or []
+    layout_ok = bool(ents) and all(
+        0 <= int(f["b"]) < int(m["num_buckets"]) for f in ents
+    )
+    n_rebuckets = sum(
+        1
+        for r in t.history().select("operation").collect()
+        if r["operation"] == "rebucket"
+    )
+    return t.read().select(
+        F.col("arcane_merge_key").cast("long").alias("doc_id"),
+        "createdon",
+        "payload",
+        F.lit(int(m["num_buckets"])).cast("bigint").alias(
+            "final_num_buckets"
+        ),
+        F.lit(n_rebuckets).cast("bigint").alias("n_rebucket_commits"),
+        F.lit(layout_ok).alias("layout_ok"),
+        F.lit(deletes_folded).alias("deletes_folded"),
+    )

@@ -605,30 +605,13 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_count(F.col("text")).alias("py_bpe_tokens"))
 
 
-@register_query(
-    "cube_agg",
-    oracle="""
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               CAST(count(*) AS BIGINT) AS n_rows
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="CUBE grouping sets (all 4 combinations) — completes the "
-    "grouping-set family next to rollup_agg.",
-    tags=("sql", "aggregate"),
-)
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_rows",
-        )
-    )
+# (the former ``cube_agg`` registry row was retired in r11: CUBE and
+# ROLLUP lower to the same physical Expand + single aggregate — the
+# grouping-set family stays covered by ``rollup_agg`` (plus
+# ``pivot_percentile_agg`` and ``distinct_agg`` for the adjacent
+# shapes).  The freed slot under the driver's 50-row cap went to
+# ``rebucket_parity`` (core_queries.py), putting the r11 online
+# rebucketing flagship under the oracle gate.)
 
 
 @register_query(
