@@ -341,3 +341,94 @@ def remove_boilerplate_lines(
             "n_removed"
         ),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document substring deduplication at k-token
+    granularity — the "deduplicating training data" span-removal step
+    (Lee et al. 2021's exact-substring dedup, re-expressed over
+    sliding token windows so it distributes): every position covered
+    by a ``window_tokens``-token window whose exact text occurs in >=
+    ``min_docs`` DISTINCT documents is dropped; surviving tokens are
+    reassembled in order.  Because windows slide, any shared run of
+    >= k tokens is detected at every alignment, so whole copied
+    passages vanish while the k-1 boundary tokens on each side (whose
+    windows straddle into document-unique context) survive.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)``.
+
+    100 TB shape: windows are a row-local array transform + explode
+    (no shuffle of the corpus); ONE partial-agg shuffle builds the
+    exact window->distinct-doc-count table; duplicate windows (small
+    by definition) broadcast back onto the window stream; covered
+    positions fold per document in one shuffle (flatten + distinct of
+    position ranges); the final pass rebuilds each document row-locally
+    with index-aware array ops.  No Python UDFs.
+    """
+    k = int(window_tokens)
+    if k < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {k}")
+    toks = df.select(F.col(id_col), tokens_column(text_col).alias("_tk"))
+    nwin = F.size("_tk") - F.lit(k) + F.lit(1)
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                nwin > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nwin - F.lit(1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice(F.col("_tk"), i + 1, k), " "
+                        ).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+        ).alias("win"),
+    ).select(id_col, F.col("win.pos").alias("pos"), F.col("win.w").alias("w"))
+    dup = (
+        wins.groupBy("w")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select(F.col("w").alias("_dup_w"))
+    )
+    covered = (
+        wins.join(F.broadcast(dup), F.col("w") == F.col("_dup_w"))
+        .groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("pos"), F.col("pos") + F.lit(k - 1)
+                        )
+                    )
+                )
+            ).alias("_cov")
+        )
+    )
+    joined = toks.join(covered, id_col, "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_tk"),
+            lambda x, i: F.when(
+                ~F.array_contains(F.col("_cov"), i), x
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        F.size("_cov").cast("bigint").alias("n_removed"),
+    )

@@ -711,3 +711,125 @@ def test_remove_boilerplate_lines_plan_shape(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- exact cross-document span dedup (r11) -------------------------------------
+
+
+def _span_docs(spark):
+    promo = "buy now at our online store with free shipping today ok"  # 11 toks
+    rows = [
+        (1, f"alpha bravo charlie delta echo {promo} foxtrot golf hotel india juliet"),
+        (2, f"kilo lima mike november oscar {promo} papa quebec romeo sierra tango"),
+        (3, "uniform victor whiskey xray yankee zulu one two three four five six"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            _span_docs(spark), window_tokens=10, min_docs=2
+        ).collect()
+    }
+    # the 11-token shared promo contains two aligned 10-token windows
+    # in BOTH docs -> all 11 promo positions are covered; the
+    # boundary windows straddle doc-unique context and survive
+    assert out[1] == (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        21,
+        11,
+    )
+    assert out[2] == (
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        21,
+        11,
+    )
+    # a unique doc and a doc shorter than the window are untouched
+    assert out[3][2] == 0 and out[3][0].startswith("uniform victor")
+    assert out[4] == ("short doc", 2, 0)
+
+
+def test_remove_duplicate_spans_duckdb_parity(spark):
+    """Cross-engine pin (same pattern as test_mixing's duckdb check):
+    DuckDB replays the identical window/frequency/coverage semantics
+    declaratively and must agree on every output row."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    got = sorted(
+        (
+            (r["doc_id"], r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicate_spans(
+                docs, window_tokens=10, min_docs=2
+            ).collect()
+        )
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(tk[(i+1):(i+10)], ' ') AS w
+                FROM toks, UNNEST(range(0, greatest(len(tk) - 10 + 1, 0))) u(i)
+            ),
+            dup AS (
+                SELECT w FROM wins GROUP BY w
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, p.p AS p
+                FROM wins JOIN dup USING (w),
+                     UNNEST(range(pos, pos + 10)) p(p)
+            ),
+            tok_rows AS (
+                SELECT doc_id, unnest(tk) AS tok,
+                       generate_subscripts(tk, 1) - 1 AS p
+                FROM toks
+            )
+            SELECT t.doc_id,
+                   coalesce(string_agg(CASE WHEN c.p IS NULL THEN tok END,
+                                       ' ' ORDER BY t.p), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(c.p) AS BIGINT) AS n_removed
+            FROM tok_rows t
+            LEFT JOIN (SELECT DISTINCT doc_id, p FROM cov) c
+                   ON c.doc_id = t.doc_id AND c.p = t.p
+            GROUP BY t.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_remove_duplicate_spans_plan_shape(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    plan = remove_duplicate_spans(_span_docs(spark))._jdf.queryExecution(
+    ).executedPlan().toString()
+    # duplicate windows broadcast back onto the window stream; the
+    # final doc-side join keys on id; never a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
