@@ -371,6 +371,13 @@ _fuzz_op = st.one_of(
         st.integers(0, 9),
         st.sampled_from(["none", "create", "delete"]),
     ),
+    st.tuples(  # r11: online rebucketing joins the alphabet — powers
+        # of two keep every target divisible with the evolving count;
+        # the op is content-neutral so the model fold never sees it
+        st.just("rebucket"),
+        st.sampled_from([1, 2, 8, 16]),
+        st.integers(-1, 5),  # crash at Nth metadata create
+    ),
 )
 
 
@@ -463,6 +470,13 @@ def test_crash_replay_state_machine_fuzz(spark, tmp_path_factory, ops):
                 if t.exists():
                     with _crash_at(delete_n=op[1]):
                         t.vacuum()
+            elif kind == "rebucket":
+                # content-neutral: a crash leaves resumable markers
+                # (or a committed flip awaiting cleanup) — either way
+                # the visible rows must still equal the model fold
+                if t.exists():
+                    with _crash_at(create_n=op[2]):
+                        t.rebucket(op[1])
             elif kind == "wm":
                 _, v, mode = op
                 if t.exists():

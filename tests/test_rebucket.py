@@ -421,3 +421,55 @@ def test_suggest_num_buckets(spark, tmp_path):
     res = t.rebucket(s["suggested_num_buckets"], max_units=0)
     assert res == {"done": False, "staged": 0, "pending": 4}
     t.rebucket_abort()
+
+
+def test_flip_loses_commit_race_and_retry_converges(spark, tmp_path):
+    """A competing writer commits the flip's target version between
+    the staging validation and the root create: the CAS fence raises
+    inside the attempt, rebucket() re-reads, revalidates (restaging
+    the unit the competitor touched) and flips at the next version."""
+    t = seeded(spark, tmp_path)
+    t2 = make(spark, tmp_path)
+    real_commit = type(t)._commit_manifest
+    fired = {"n": 0}
+
+    def racy(self, manifest):
+        if manifest.get("op") == "rebucket" and fired["n"] == 0:
+            fired["n"] += 1
+            # the competitor lands a merge at the SAME version first
+            t2.merge(df_of(spark, [("k0000", 7, "raced")]))
+        return real_commit(self, manifest)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(t), "_commit_manifest", racy):
+        res = t.rebucket(16)
+    assert res["done"] and fired["n"] == 1
+    assert t.num_buckets == 16
+    # the raced merge's row survived the flip
+    assert ("k0000", 7, "raced") in snap(t)
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops[-1] == "rebucket" and "merge-cow" in ops
+
+
+def test_schema_drift_mid_staging_null_fills(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    t.rebucket(16, max_units=2)  # two units staged under the old schema
+    # drift lands mid-migration (invalidates only its touched unit)
+    t.merge(
+        spark.createDataFrame(
+            [("kdrift", 3, "d", 99)],
+            "arcane_merge_key string, createdon long, payload string,"
+            " extra long",
+        )
+    )
+    res = t.rebucket(16)
+    assert res["done"]
+    out = {
+        r["arcane_merge_key"]: (r["payload"], r["extra"])
+        for r in t.read().collect()
+    }
+    assert out["kdrift"] == ("d", 99)
+    # rows staged pre-drift read back null-filled, nothing lost
+    assert out["k0000"][1] is None
+    assert len(out) == 201
