@@ -204,7 +204,7 @@ _STATS_TYPES = (
     "boolean",
 )
 
-_PRED_OPS = ("=", "<", "<=", ">", ">=", "is_null", "not_null")
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 
 
 def _validate_stats_type(col: str, dtype) -> None:
@@ -266,6 +266,8 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
         return mx > value
     if op == ">=":
         return mx >= value
+    if op == "in":
+        return any(mn <= x <= mx for x in value)
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -299,6 +301,9 @@ def _file_must_match(entry: dict, col: str, op: str, value) -> bool:
         return mn > value
     if op == ">=":
         return mn >= value
+    if op == "in":
+        # a RANGE provably inside a value SET only when it is a point
+        return mn == mx and mn in value
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -1130,38 +1135,48 @@ class ParquetMergeTarget:
 
             v = p[2]
             dtype = schema[col].dataType.simpleString()
-            # align the pruning value with the stored stat domain so
-            # lexicographic compare stays order-correct; a temporal
-            # column probed with a raw STRING keeps residual-only
-            # semantics (None = never prune on this conjunct) because
-            # the user's format need not match the ISO stats format
-            v_stat = v
-            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-                # file stats are recorded as SESSION-TIMEZONE-NAIVE
-                # datetimes; an aware value must be moved to that wall
-                # clock before the lexicographic interval test or a
-                # file whose mn==mx equals the probed instant is
-                # silently pruned (offset suffix misorders the ISO
-                # strings).  timestamp_ntz stores wall-clock values
-                # with no instant semantics, so an aware probe cannot
-                # prune — the exact residual still applies.
-                zone = _session_zoneinfo(self.spark)
-                if zone is None or dtype == "timestamp_ntz":
-                    parsed.append((col, op, v, None))
-                    continue
-                v_stat = v.astimezone(zone).replace(tzinfo=None)
-            if dtype == "date" and isinstance(v, _dt.datetime):
-                nv = _norm_stat(v_stat.date())
-            elif dtype in ("timestamp", "timestamp_ntz") and (
-                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
-            ):
-                nv = _norm_stat(_dt.datetime.combine(v, _dt.time()))
-            elif dtype in ("date", "timestamp", "timestamp_ntz") and isinstance(
-                v, str
-            ):
-                nv = None
-            else:
-                _num = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+            # align a pruning value with the stored stat domain so
+            # lexicographic compare stays order-correct; returns None
+            # for residual-only domains (= never prune on this
+            # conjunct): a temporal column probed with a raw STRING
+            # (the user's format need not match the ISO stats format),
+            # or a tz-AWARE probe we cannot move to the session wall
+            # clock.  Aware datetimes otherwise convert to
+            # session-timezone-naive first — file stats are recorded
+            # naive, and an offset-suffixed ISO string misorders
+            # against them (a mn==mx file equal to the probed instant
+            # would be silently pruned).  timestamp_ntz stores wall
+            # clock with no instant semantics, so an aware probe never
+            # prunes there.
+            def norm_scalar(v):
+                v_stat = v
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    zone = _session_zoneinfo(self.spark)
+                    if zone is None or dtype == "timestamp_ntz":
+                        return None
+                    v_stat = v.astimezone(zone).replace(tzinfo=None)
+                if dtype == "date" and isinstance(v, _dt.datetime):
+                    return _norm_stat(v_stat.date())
+                if dtype in ("timestamp", "timestamp_ntz") and (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                ):
+                    return _norm_stat(_dt.datetime.combine(v, _dt.time()))
+                if dtype in (
+                    "date",
+                    "timestamp",
+                    "timestamp_ntz",
+                ) and isinstance(v, str):
+                    return None
+                _num = (
+                    "tinyint",
+                    "smallint",
+                    "int",
+                    "bigint",
+                    "float",
+                    "double",
+                )
                 if (
                     (dtype in _num and not isinstance(v, (int, float)))
                     or (dtype == "string" and not isinstance(v, str))
@@ -1171,8 +1186,31 @@ class ParquetMergeTarget:
                         f"predicate value {v!r} does not match column "
                         f"{col!r} type {dtype}"
                     )
-                nv = _norm_stat(v_stat)
-            parsed.append((col, op, v, nv))
+                return _norm_stat(v_stat)
+
+            if op == "in":
+                if (
+                    not isinstance(v, (list, tuple, set, frozenset))
+                    or not len(v)
+                    or any(x is None for x in v)
+                ):
+                    raise ValueError(
+                        f"'in' needs a non-empty sequence of non-null "
+                        f"values (use 'is_null' for null tests): {p!r}"
+                    )
+                vals = list(v)
+                nvs = []
+                for x in vals:
+                    nx = norm_scalar(x)
+                    if nx is None:  # one residual-only element poisons
+                        nvs = None  # the whole set's pruning
+                        break
+                    nvs.append(nx)
+                parsed.append(
+                    (col, op, vals, sorted(nvs) if nvs is not None else None)
+                )
+                continue
+            parsed.append((col, op, v, norm_scalar(v)))
 
         residual = F.lit(True)
         for col, op, rv, _ in parsed:
@@ -1183,6 +1221,7 @@ class ParquetMergeTarget:
                 "<=": lambda: c <= F.lit(rv),
                 ">": lambda: c > F.lit(rv),
                 ">=": lambda: c >= F.lit(rv),
+                "in": lambda: c.isin(*rv),
                 "is_null": c.isNull,
                 "not_null": c.isNotNull,
             }[op]()

@@ -360,3 +360,79 @@ def test_read_where_at_version_uses_current_schema(spark, tmp_path):
     )
     # is_null on the drifted column over the old snapshot: all rows
     assert t.count_where(("extra", "is_null"), at_version=v1) == 1
+
+
+# -- 'in' predicates (r11) -----------------------------------------------------
+
+
+def test_in_predicate_exact_and_pruning(spark, tmp_path):
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=1,
+        stats_cols=("amount",),
+        sorted_by=("amount",),
+        max_records_per_file=10,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i:03d}", 1, i) for i in range(40)],
+            "arcane_merge_key string, createdon long, amount long",
+        )
+    )
+    out = t.read_where(("amount", "in", [3, 7, 35]))
+    want = t.read().filter(F.col("amount").isin(3, 7, 35))
+    assert as_set(out) == as_set(want)
+    # values land in files [0-9] and [30-39]: files [10-19],[20-29] prune
+    assert len(out.inputFiles()) == 2
+    assert t.count_where(("amount", "in", [3, 7, 35])) == 3
+    # provably-empty set plans zero files
+    assert t.read_where(("amount", "in", [100, 200])).count() == 0
+    assert len(t.read_where(("amount", "in", [100])).inputFiles()) == 0
+
+
+def test_in_predicate_metadata_count_on_constant_files(spark, tmp_path):
+    # a file whose [mn, mx] is a single point inside the set counts
+    # from metadata alone (must_match), others scan the exact residual
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=1,
+        stats_cols=("flag",),
+        sorted_by=("flag",),
+        max_records_per_file=20,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i:03d}", 1, "x" if i < 20 else "y") for i in range(40)],
+            "arcane_merge_key string, createdon long, flag string",
+        )
+    )
+    assert t.count_where(("flag", "in", ["x", "z"])) == 20
+    assert t.count_where(("flag", "in", ["x", "y"])) == 40
+
+
+def test_in_predicate_validation_and_residual_only(spark, tmp_path):
+    t = ts_target(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-empty sequence"):
+        t.read_where(("ts", "in", []))
+    with pytest.raises(ValueError, match="non-empty sequence"):
+        t.read_where(("ts", "in", [None, datetime.datetime(2024, 1, 1)]))
+    # a raw-string element on a temporal column poisons pruning for
+    # the whole set (residual-only) but the answer stays exact
+    out = t.read_where(
+        ("ts", "in", ["2024-01-01 12:00:00", datetime.datetime(2024, 1, 1, 5)])
+    )
+    assert out.count() == 2
+    assert len(out.inputFiles()) == len(t.read().inputFiles())
+    # all-datetime elements prune normally (naive + aware mix)
+    probe = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, tzinfo=datetime.timezone.utc),
+        datetime.datetime(2024, 1, 1, 5),
+    ]
+    out2 = t.read_where(("ts", "in", probe))
+    assert sorted(r["arcane_merge_key"] for r in out2.collect()) == [
+        "k005",
+        "k012",
+    ]
+    assert len(out2.inputFiles()) < len(t.read().inputFiles())
