@@ -3590,6 +3590,7 @@ class ParquetMergeTarget:
         self,
         keep_last: int = 1,
         older_than_seconds: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """remove_orphan_files + expire_snapshots equivalent: delete
         data no RETAINED snapshot references (crash leftovers,
@@ -3609,7 +3610,10 @@ class ParquetMergeTarget:
         count as infinitely old.  With file-level manifests a version
         dir can be PARTIALLY live (kept files ride alongside
         superseded ones), so reclamation is per-file inside referenced
-        dirs and per-dir otherwise.  Returns removed entries."""
+        dirs and per-dir otherwise.  Returns removed entries;
+        ``dry_run=True`` returns exactly what a real run would remove
+        without touching anything (audit before reclaiming a 100 TB
+        table's history)."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         manifest = self._manifest()
@@ -3632,6 +3636,10 @@ class ParquetMergeTarget:
         deletes_root = fs_join(self.path, "deletes")
         fio = self._fio
         removed: list[str] = []
+
+        def reclaim(path: str, recursive: bool = False) -> None:
+            if not dry_run:
+                fio.delete(path, recursive=recursive)
 
         # union the live references of every retained snapshot
         whole_dirs: set[str] = set()  # legacy manifests: whole-dir refs
@@ -3677,7 +3685,7 @@ class ParquetMergeTarget:
             vdir = fs_join(data_root, name)
             live = live_data.get(name)
             if not live:
-                fio.delete(vdir, recursive=True)
+                reclaim(vdir, recursive=True)
                 removed.append(name)
                 continue
             for bname in fio.list_names(vdir):
@@ -3692,11 +3700,11 @@ class ParquetMergeTarget:
                 ]
                 dead = [n for n in parquets if (b, n) not in live]
                 if parquets and len(dead) == len(parquets):
-                    fio.delete(bdir, recursive=True)
+                    reclaim(bdir, recursive=True)
                     removed.append(f"{name}/{bname}")
                 else:
                     for n in dead:
-                        fio.delete(fs_join(bdir, n))
+                        reclaim(fs_join(bdir, n))
                         removed.append(f"{name}/{bname}/{n}")
 
         # delete dirs are flat (one file per commit); drop dirs with no
@@ -3708,18 +3716,18 @@ class ParquetMergeTarget:
             vdir = fs_join(deletes_root, name)
             live = live_del.get(name)
             if not live:
-                fio.delete(vdir, recursive=True)
+                reclaim(vdir, recursive=True)
                 removed.append(f"deletes/{name}")
                 continue
             for fname, _sz in fio.list_files(vdir):
                 if fname.endswith(".parquet") and fname not in live:
-                    fio.delete(fs_join(vdir, fname))
+                    reclaim(fs_join(vdir, fname))
                     removed.append(f"deletes/{name}/{fname}")
 
         retained_set = set(retained_vs)
         for v in versions:
             if v not in retained_set:
-                fio.delete(self._manifest_file(v))
+                reclaim(self._manifest_file(v))
         # shard files belong to the roots that reference them: drop
         # every shard not referenced by a RETAINED manifest — expired
         # snapshots' shards and crash orphans alike.  Shard reuse (r9)
@@ -3731,7 +3739,7 @@ class ParquetMergeTarget:
                 and "-shard-" in name
                 and name not in live_shards
             ):
-                fio.delete(fs_join(self._meta_path, name))
+                reclaim(fs_join(self._meta_path, name))
         return removed
 
     def stats(self, with_row_count: bool = True) -> dict:

@@ -130,3 +130,21 @@ def test_history_metadata_table(spark, tmp_path):
     assert newest["total_bytes"] and newest["total_bytes"] > 0
     # MoR upserts accumulated pending delete entries pre-compaction
     assert any(r["pending_deletes"] > 0 for r in h.values())
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=3)
+    want = {tuple(r) for r in t.read().collect()}
+
+    def snap(t):
+        return {tuple(r) for r in t.read().collect()}
+    plan = t.vacuum(keep_last=1, dry_run=True)
+    assert plan  # something is reclaimable
+    # nothing was touched: history still fully readable
+    assert len(t.snapshot_versions()) == 3
+    assert snap(t) == want
+    # the real run removes exactly what the dry run promised
+    real = t.vacuum(keep_last=1)
+    assert sorted(real) == sorted(plan)
+    assert len(t.snapshot_versions()) == 1
+    assert snap(t) == want
