@@ -2598,8 +2598,10 @@ class ParquetMergeTarget:
         latest-per-key snapshot of the source. Atomic: the snapshot
         lands in a fresh version dir and ONE manifest commit redirects
         every bucket."""
-        snapshot = self._with_bucket(self._dedup_latest(df))
+        # sync num_buckets from the live manifest BEFORE the bucket
+        # expression is built (same stale-writer rule as merge(), r11)
         new_version = (self._manifest()["version"] + 1) if self.exists() else 1
+        snapshot = self._with_bucket(self._dedup_latest(df))
         buckets = [
             r[BUCKET_COLUMN]
             for r in snapshot.select(BUCKET_COLUMN).distinct().collect()
@@ -3451,11 +3453,12 @@ class ParquetMergeTarget:
     ) -> dict:
         """Change the table's bucket count online (section comment
         above has the design).  ``max_units`` bounds how many units
-        this CALL stages (``None`` = all remaining; ``0`` = status
-        probe only) — when units remain, returns ``{"done": False,
-        "staged": k, "pending": p}`` and a later call resumes from the
-        persisted markers.  Once every unit is staged and still valid
-        against the live manifest, commits the flip and returns
+        this CALL stages (``None`` = all remaining; ``0`` = a pure
+        read-only status probe that never stages NOR flips) — when
+        units remain, returns ``{"done": False, "staged": k,
+        "pending": p}`` and a later call resumes from the persisted
+        markers.  Once every unit is staged and still valid against
+        the live manifest, commits the flip and returns
         ``{"done": True, "version": v, "staged": k}``.
 
         Cost shape at 100 TB: total IO is one rewrite of the table
@@ -3489,6 +3492,22 @@ class ParquetMergeTarget:
                     f"every unit's rewrite bucket-local; an unrelated "
                     f"count would be one table-wide shuffle"
                 )
+            # exact-numbering invariant for CDC/rollback over history:
+            # every retained snapshot must record its bucket count, so
+            # an un-stamped (pre-r11) manifest proves the table never
+            # rebucketed.  Refuse BEFORE any staging IO is spent
+            # (O(retained snapshots) root reads — nothing next to one
+            # unit's rewrite); an un-stamped LIVE root is stamped by
+            # any new commit, expired history by vacuum().
+            for v in self.snapshot_versions():
+                if "num_buckets" not in self._manifest_at(v, current=manifest):
+                    raise ValueError(
+                        f"rebucket requires every retained snapshot to "
+                        f"record its bucket count; v{v} predates that — "
+                        f"vacuum() pre-upgrade history first (an "
+                        f"un-stamped live root is stamped by any new "
+                        f"commit)"
+                    )
             schema = self._schema_of(manifest)
             if schema is None:
                 raise ValueError(f"no schema committed at {self.path}")
@@ -3507,6 +3526,15 @@ class ParquetMergeTarget:
                     markers[u] = m
                 else:
                     pending.append((u, fp, old_buckets, m))
+            if max_units is not None and int(max_units) == 0:
+                # pure status probe: NEVER writes — not even the flip
+                # (a read-only poll must not perform the migration's
+                # most consequential commit under the operator's feet)
+                return {
+                    "done": False,
+                    "staged": 0,
+                    "pending": len(pending),
+                }
             budget = len(pending) if max_units is None else int(max_units)
             staged = 0
             for u, fp, old_buckets, stale in pending[: max(0, budget)]:
@@ -3520,18 +3548,6 @@ class ParquetMergeTarget:
                     "staged": staged,
                     "pending": units - len(markers),
                 }
-            # exact-numbering invariant for CDC/rollback over history:
-            # every retained snapshot must record its bucket count, so
-            # an un-stamped (pre-r11) manifest proves the table never
-            # rebucketed.  Refuse to create the first counterexample
-            # (flip-time check: O(retained snapshots) root reads).
-            for v in self.snapshot_versions():
-                if "num_buckets" not in self._manifest_at(v, current=manifest):
-                    raise ValueError(
-                        f"rebucket requires every retained snapshot to "
-                        f"record its bucket count; v{v} predates that — "
-                        f"vacuum() pre-upgrade history first"
-                    )
             new_version = int(manifest["version"]) + 1
             entries: list[dict] = []
             for u in range(units):

@@ -87,9 +87,20 @@ def domain_mixture_sample(
     # domain makes the target weights unsatisfiable) instead of the
     # min silently skipping it and emitting a mixture that omits the
     # domain while claiming to honor the weights.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # the parts frame's domain column takes the DATAFRAME's domain
+    # type (int domain ids are as legal as strings — a hard-coded
+    # string schema would reject them at createDataFrame or, worse,
+    # mis-join a coerced key)
     parts_df = df.sparkSession.createDataFrame(
         [(d, int(p)) for d, p in sorted(parts.items())],
-        "_mix_domain string, _mix_parts bigint",
+        StructType(
+            [
+                StructField("_mix_domain", df.schema[domain_col].dataType),
+                StructField("_mix_parts", LongType()),
+            ]
+        ),
     )
     totals = parts_df.join(
         df.select(F.col(domain_col).alias("_mix_domain"), F.col(token_col))

@@ -304,9 +304,13 @@ def remove_boilerplate_lines(
     every line is boilerplate stay present with ``clean_text = ''``).
     The whole plan is JVM built-ins, no Python UDF.
     """
+    # sep is a LITERAL separator on both sides: F.split takes a Java
+    # regex, so quote it (\Q...\E) — sep='|' or '.' would otherwise
+    # split per character while the reassembly joins literally
+    sep_re = "\\Q" + sep + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     )
     key = F.lower(F.trim(F.col("line")))
     boiler = (
@@ -417,14 +421,17 @@ def remove_duplicate_spans(
     joined = toks.join(covered, id_col, "left").withColumn(
         "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.transform(
-            F.col("_tk"),
-            lambda x, i: F.when(
-                ~F.array_contains(F.col("_cov"), i), x
-            ),
-        ),
-        lambda x: x.isNotNull(),
+    # kept positions via array_except (hash set difference, O(n + m);
+    # a per-token array_contains would be O(n_tokens * n_covered) —
+    # quadratic on a heavily-duplicated long document).  array_except
+    # preserves the left (ascending sequence) order, so the rebuild
+    # keeps original token order.
+    all_pos = F.when(
+        F.size("_tk") > 0, F.sequence(F.lit(0), F.size("_tk") - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, F.col("_cov"))
+    kept = F.transform(
+        kept_pos, lambda p: F.element_at(F.col("_tk"), p + 1)
     )
     return joined.select(
         F.col(id_col),

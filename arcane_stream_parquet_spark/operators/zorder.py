@@ -170,8 +170,13 @@ def interleave_expr(codes: list, bits: int) -> Column:
     z = None
     for b in range(bits):
         for j, code in enumerate(codes):
+            # the RIGHT shift widens too: an INT code with b >= 32
+            # (d=1, bits up to 63 is legal here) would mask the shift
+            # count to 5 bits exactly like the shiftleft case below
             bit = F.shiftleft(
-                F.shiftright(code, b).bitwiseAND(F.lit(1)).cast("bigint"),
+                F.shiftright(code.cast("bigint"), b).bitwiseAND(
+                    F.lit(1).cast("bigint")
+                ),
                 b * len(codes) + j,
             )
             z = bit if z is None else z.bitwiseOR(bit)

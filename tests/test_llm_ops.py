@@ -833,3 +833,25 @@ def test_remove_duplicate_spans_plan_shape(spark):
     # final doc-side join keys on id; never a cartesian product
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_remove_boilerplate_lines_regex_metachar_sep(spark):
+    # review find (r11): sep is a LITERAL on both sides — '|' used to
+    # split per character (regex alternation) while joining literally
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banner|keep one"), (2, "banner|keep two"), (3, "banner|x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            docs, min_docs=3, sep="|"
+        ).collect()
+    }
+    assert out[1] == ("keep one", 2, 1)
+    assert out[2] == ("keep two", 2, 1)
+    assert out[3] == ("x", 2, 1)

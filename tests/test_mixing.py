@@ -174,3 +174,22 @@ def test_zero_token_weighted_domain_yields_empty(spark):
     )
     out = domain_mixture_sample(df, "domain", PARTS, "doc_id", "n_tokens")
     assert out.count() == 0
+
+
+def test_integer_domain_column(spark):
+    # review find (r11): the parts frame must take the DATAFRAME's
+    # domain type — int domain ids are as legal as strings
+    df = spark.createDataFrame(
+        [(i, i % 3, 100) for i in range(300)],
+        "doc_id long, domain bigint, n_tokens bigint",
+    )
+    out = domain_mixture_sample(
+        df, "domain", {0: 1, 1: 1, 2: 1}, "doc_id", "n_tokens"
+    )
+    got = out.groupBy("domain").count().collect()
+    assert {r["domain"] for r in got} == {0, 1, 2}
+    # absent int domain still collapses to empty
+    out2 = domain_mixture_sample(
+        df, "domain", {0: 1, 7: 1}, "doc_id", "n_tokens"
+    )
+    assert out2.count() == 0

@@ -473,3 +473,69 @@ def test_schema_drift_mid_staging_null_fills(spark, tmp_path):
     # rows staged pre-drift read back null-filled, nothing lost
     assert out["k0000"][1] is None
     assert len(out) == 201
+
+
+def test_stale_writer_overwrite_uses_live_numbering(spark, tmp_path):
+    # review find (r11): overwrite() built the bucket expression before
+    # the manifest sync — a stale-constructed writer wrote old-numbered
+    # buckets under a new-numbered manifest
+    t = seeded(spark, tmp_path)
+    t.rebucket(16)
+    stale = make(spark, tmp_path)  # constructed with num_buckets=4
+    stale.overwrite(df_of(spark, [("o1", 1, "x"), ("o2", 1, "y")]))
+    assert stale.num_buckets == 16
+    ents = entries_of(stale)
+    got = {
+        (r["arcane_merge_key"], r["_b"])
+        for r in stale.read()
+        .withColumn(
+            "_b",
+            F.pmod(F.xxhash64("arcane_merge_key"), F.lit(16)).cast("int"),
+        )
+        .collect()
+    }
+    by_key = dict(got)
+    for f in ents:
+        keys = [
+            r["arcane_merge_key"]
+            for r in spark.read.parquet(stale._file_path(f)).select(
+                "arcane_merge_key"
+            ).collect()
+        ]
+        assert all(by_key[k] == int(f["b"]) for k in keys)
+    assert [tuple(r) for r in stale.lookup(["o1"]).collect()] == [
+        ("o1", 1, "x")
+    ]
+
+
+def test_status_probe_never_flips_when_fully_staged(spark, tmp_path):
+    # review find (r11): with everything staged (e.g. after a crash
+    # between staging and flip), a max_units=0 "status probe" used to
+    # fall through into the flip commit
+    import unittest.mock as mock
+
+    t = seeded(spark, tmp_path)
+    v0 = t._manifest()["version"]
+    real = type(t)._commit_manifest
+
+    def boom(self, manifest):
+        if manifest.get("op") == "rebucket":
+            raise RuntimeError("simulated crash before the flip")
+        return real(self, manifest)
+
+    with mock.patch.object(type(t), "_commit_manifest", boom):
+        with pytest.raises(RuntimeError, match="before the flip"):
+            t.rebucket(16)
+    # all units staged, table not flipped
+    assert len(t._rebucket_marker_names()) == 4
+    assert t._manifest()["version"] == v0
+    # the probe reports and does NOT flip
+    assert t.rebucket(16, max_units=0) == {
+        "done": False,
+        "staged": 0,
+        "pending": 0,
+    }
+    assert t._manifest()["version"] == v0
+    # an explicit resume call flips
+    res = t.rebucket(16)
+    assert res["done"] and t.num_buckets == 16

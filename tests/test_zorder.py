@@ -222,3 +222,17 @@ def test_zorder_width_past_bigint_rejected(spark):
         interleave_expr([F.lit(0)] * 5, 16)
     # boundary case 63 itself is accepted (21 * 3)
     interleave_expr([F.lit(0)] * 3, 21)
+
+
+def test_shiftright_widened_for_high_bits_single_dim(spark):
+    # review find (r11): the RIGHT shift must widen too — d=1 allows
+    # bits up to 63, and an int-typed code with b >= 32 would mask the
+    # shift count to 5 bits (shiftright(x, 35) == shiftright(x, 3))
+    val = (1 << 40) | 1
+    z = interleave_expr([F.lit(val).cast("bigint")], 48)
+    got = spark.range(1).select(z.alias("z")).collect()[0]["z"]
+    assert got == val  # d=1 interleave of 48 bits is the identity
+    # int-typed input widens internally the same way
+    z2 = interleave_expr([F.lit(3)], 40)
+    got2 = spark.range(1).select(z2.alias("z")).collect()[0]["z"]
+    assert got2 == 3
