@@ -856,6 +856,87 @@ class ParquetMergeTarget:
             and "-shard-" not in n
         )
 
+    # -- snapshot tags (r11, Iceberg named-references shape) ----------------
+    #
+    # A tag is a named, immutable pointer to a snapshot version (a
+    # create-only ``tag-<name>.json`` under the metadata dir — same
+    # crash-safety protocol as every other metadata file).  Tags make
+    # a snapshot an OPERATIONAL artifact: "training run X read exactly
+    # this state" survives any amount of subsequent churn because
+    # :meth:`vacuum` retains every TAGGED snapshot in addition to the
+    # keep_last/older_than window (Iceberg expire_snapshots honors
+    # refs the same way).  Dropping the tag releases the snapshot to
+    # the normal retention rules at the next vacuum.
+
+    def _tag_path(self, name: str) -> str:
+        return fs_join(self._meta_path, f"tag-{name}.json")
+
+    @staticmethod
+    def _validate_tag_name(name: str) -> str:
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(
+                f"tag name must be non-empty [alnum-_.] only: {name!r}"
+            )
+        return name
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag ``version`` (default: the live version) with ``name``.
+        Create-only — retagging an existing name raises (drop first);
+        the tagged snapshot must currently exist.  Returns the tagged
+        version."""
+        self._validate_tag_name(name)
+        if version is None:
+            version = int(self._manifest()["version"])
+        elif version not in self.snapshot_versions():
+            raise ValueError(
+                f"no snapshot v{version} to tag; available: "
+                f"{self.snapshot_versions()}"
+            )
+        try:
+            self._fio.create_text(
+                self._tag_path(name),
+                json.dumps({"name": name, "version": int(version)}),
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (drop_tag first; tags "
+                f"are immutable pointers)"
+            ) from None
+        return int(version)
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``{name: version}`` (one metadata listing)."""
+        out: dict[str, int] = {}
+        for n in self._fio.list_names(self._meta_path):
+            if n.startswith("tag-") and n.endswith(".json"):
+                try:
+                    t = json.loads(
+                        self._fio.read_text(fs_join(self._meta_path, n))
+                    )
+                except FileNotFoundError:
+                    continue  # concurrent drop
+                out[t["name"]] = int(t["version"])
+        return out
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (the snapshot returns to normal retention at
+        the next vacuum).  Returns False if the tag did not exist."""
+        self._validate_tag_name(name)
+        path = self._tag_path(name)
+        if not self._fio.exists(path):
+            return False
+        self._fio.delete(path)
+        return True
+
+    def _resolve_tag(self, name: str) -> int:
+        try:
+            t = json.loads(self._fio.read_text(self._tag_path(name)))
+        except FileNotFoundError:
+            raise ValueError(
+                f"no tag {name!r}; available: {sorted(self.tags())}"
+            ) from None
+        return int(t["version"])
+
     def history(self) -> DataFrame:
         """Snapshot history as a DataFrame (Iceberg ``snapshots``
         metadata table / Delta ``DESCRIBE HISTORY`` shape): one row
@@ -976,19 +1057,35 @@ class ParquetMergeTarget:
         self,
         at_version: int | None = None,
         at_timestamp=None,
+        at_tag: str | None = None,
     ) -> DataFrame:
         """Current table contents (bucket column dropped); pass
         ``at_version`` for a time-travel read of an archived snapshot,
-        or ``at_timestamp`` (epoch seconds or a tz-aware datetime —
+        ``at_timestamp`` (epoch seconds or a tz-aware datetime —
         Iceberg ``TIMESTAMP AS OF``) for the snapshot that was current
-        at that instant."""
-        if at_timestamp is not None:
-            if at_version is not None:
-                raise ValueError(
-                    "at_version and at_timestamp are mutually exclusive"
-                )
-            at_version = self.version_at(at_timestamp)
+        at that instant, or ``at_tag`` for a named reference
+        (vacuum-proof: tagged snapshots never expire)."""
+        at_version = self._resolve_at(at_version, at_timestamp, at_tag)
         return self._read_raw(at_version).drop(BUCKET_COLUMN)
+
+    def _resolve_at(
+        self, at_version, at_timestamp, at_tag=None
+    ) -> int | None:
+        given = [
+            x
+            for x in (at_version, at_timestamp, at_tag)
+            if x is not None
+        ]
+        if len(given) > 1:
+            raise ValueError(
+                "at_version, at_timestamp and at_tag are mutually "
+                "exclusive"
+            )
+        if at_tag is not None:
+            return self._resolve_tag(at_tag)
+        if at_timestamp is not None:
+            return self.version_at(at_timestamp)
+        return at_version
 
     def version_at(self, at_timestamp) -> int:
         """The snapshot version that was current at ``at_timestamp``
@@ -1039,7 +1136,11 @@ class ParquetMergeTarget:
             ) from None
 
     def read_where(
-        self, *preds, at_version: int | None = None, at_timestamp=None
+        self,
+        *preds,
+        at_version: int | None = None,
+        at_timestamp=None,
+        at_tag: str | None = None,
     ) -> DataFrame:
         """Predicate read with manifest-level data skipping: exactly
         ``read(at_version).filter(AND of preds)``, but files whose
@@ -1064,12 +1165,7 @@ class ParquetMergeTarget:
         stays exactly ``read(at_version=v).filter(...)`` under schema
         drift (post-drift columns null-filled; pre-drift files have no
         stats for them and are never pruned on such conjuncts)."""
-        if at_timestamp is not None:
-            if at_version is not None:
-                raise ValueError(
-                    "at_version and at_timestamp are mutually exclusive"
-                )
-            at_version = self.version_at(at_timestamp)
+        at_version = self._resolve_at(at_version, at_timestamp, at_tag)
         current = self._manifest()
         manifest = self._manifest_at(at_version, current=current)
         schema = self._schema_of(current)
@@ -1228,7 +1324,11 @@ class ParquetMergeTarget:
         return parsed, residual
 
     def count_where(
-        self, *preds, at_version: int | None = None, at_timestamp=None
+        self,
+        *preds,
+        at_version: int | None = None,
+        at_timestamp=None,
+        at_tag: str | None = None,
     ) -> int:
         """Metadata-accelerated ``read_where(*preds).count()`` (the
         Iceberg metadata-count shape): files whose recorded interval
@@ -1242,12 +1342,7 @@ class ParquetMergeTarget:
         ``read_where(*preds).count()`` (pinned in tests).  Predicates
         resolve against the CURRENT schema even with ``at_version``
         (same rule as :meth:`read_where`)."""
-        if at_timestamp is not None:
-            if at_version is not None:
-                raise ValueError(
-                    "at_version and at_timestamp are mutually exclusive"
-                )
-            at_version = self.version_at(at_timestamp)
+        at_version = self._resolve_at(at_version, at_timestamp, at_tag)
         current = self._manifest()
         manifest = self._manifest_at(at_version, current=current)
         schema = self._schema_of(current)
@@ -3637,6 +3732,12 @@ class ParquetMergeTarget:
         versions = self.snapshot_versions()
         committed = [v for v in versions if v <= current]
         retained_vs = committed[-keep_last:]
+        # tagged snapshots NEVER expire (Iceberg refs): a tag is the
+        # user's statement that this exact state is load-bearing
+        tagged = [
+            v for v in set(self.tags().values()) if v in set(committed)
+        ]
+        retained_vs = sorted(set(retained_vs) | set(tagged))
         if older_than_seconds is not None:
             cutoff = time.time() - older_than_seconds
             for v in committed[:-keep_last]:
