@@ -439,3 +439,118 @@ def remove_duplicate_spans(
         F.size("_tk").cast("bigint").alias("n_tokens"),
         F.size("_cov").cast("bigint").alias("n_removed"),
     )
+
+
+def hashed_bigrams(text_col: str | Column, buckets: int = 4096) -> Column:
+    """array<int> of hashed-bigram feature ids for a document — the
+    DSIR feature space (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling": hashed n-gram bag features make
+    the target/raw density ratio estimable at corpus scale).  The
+    bucket of a bigram is the first 4 hex digits of its sha256 mod
+    ``buckets`` — sha256 so a DuckDB oracle (or any other engine)
+    reproduces the ids exactly; ``buckets`` <= 65536."""
+    if not 1 <= int(buckets) <= 65536:
+        raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
+    toks = tokens_column(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.sha2(g, 256), 1, 4), 16, 10).cast("int")
+            % F.lit(int(buckets))
+        ),
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights: score every RAW document by how
+    target-like its hashed-bigram distribution is —
+    ``weight(doc) = mean over doc features of log(p_target / p_raw)``
+    with add-one smoothing on both B-bucket distributions.  Positive
+    means "more likely under the target corpus"; rank/threshold on it
+    to select pretraining data matching a high-quality target domain.
+
+    Returns ``raw``'s (id_col, n_features, importance_weight).
+
+    100 TB shape: the two feature distributions are B-row aggregates
+    (one partial-agg shuffle each over exploded features — B <= 65536,
+    so the log-ratio table always BROADCASTS); scoring is one more
+    explode of the raw corpus joined to that broadcast table and one
+    per-document sum — no all-pairs stage, no Python UDF, and the
+    target corpus (small by construction) is scanned once."""
+    B = int(buckets)
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        f = df.select(
+            F.explode(hashed_bigrams(text_col, B)).alias("_fb")
+        )
+        return f.groupBy("_fb").agg(F.count(F.lit(1)).alias(name))
+
+    p = dist(target, "_tc")
+    q = dist(raw, "_rc")
+    # full B-bucket frame so unseen buckets still get the smoothed
+    # ratio (tiny: B rows, built driver-free via sequence+explode)
+    base = raw.sparkSession.range(B).select(
+        F.col("id").cast("int").alias("_fb")
+    )
+    ratios = (
+        base.join(p, "_fb", "left")
+        .join(q, "_fb", "left")
+        .select(
+            "_fb",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1.0))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(1.0))
+                )
+            ).alias("_lr"),
+        )
+    )
+    feats = raw.select(
+        F.col(id_col),
+        F.explode(hashed_bigrams(text_col, B)).alias("_fb"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratios), "_fb")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            (F.sum("_lr") / F.count(F.lit(1))).alias(
+                "importance_weight"
+            ),
+        )
+    )
+    # documents with < 2 tokens have no features: weight 0 (no
+    # evidence either way), kept so selection stays total
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_features"), F.lit(0).cast("bigint")).alias(
+                "n_features"
+            ),
+            F.coalesce(F.col("importance_weight"), F.lit(0.0)).alias(
+                "importance_weight"
+            ),
+        )
+    )

@@ -855,3 +855,103 @@ def test_remove_boilerplate_lines_regex_metachar_sep(spark):
     assert out[1] == ("keep one", 2, 1)
     assert out[2] == ("keep two", 2, 1)
     assert out[3] == ("x", 2, 1)
+
+
+# -- DSIR importance weights (r11) ---------------------------------------------
+
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [
+            (100, "theorem proof lemma corollary theorem proof qed"),
+            (101, "proof by induction on the lemma theorem holds"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "theorem proof lemma theorem proof induction"),  # mathy
+            (2, "buy cheap pills online casino jackpot winner"),  # spam
+            (3, "the cat sat on the mat in the sun"),  # neutral
+            (4, "x"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["importance_weight"], r["n_features"])
+        for r in importance_weights(raw, target).collect()
+    }
+    assert len(out) == 4
+    # target-like beats neutral beats spam (absolute sign is not
+    # meaningful at toy scale — add-one smoothing pulls everything
+    # negative); featureless doc scores 0
+    assert out[1][0] > out[3][0] > out[2][0]
+    assert out[2][0] < 0
+    assert out[4] == (0.0, 0)
+    assert out[1][1] == 5  # 6 tokens -> 5 bigram features
+
+
+def test_importance_weights_duckdb_parity(spark):
+    import duckdb
+
+    from arcane_stream_parquet_spark.operators.text import (
+        importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    B = 64
+    got = sorted(
+        (r["doc_id"], r["n_features"], round(r["importance_weight"], 9))
+        for r in importance_weights(raw, target, buckets=B).collect()
+    )
+    con = duckdb.connect()
+    con.register("raw", raw.toPandas())
+    con.register("target", target.toPandas())
+    hex4 = "(strpos('0123456789abcdef', substr(h,1,1))-1)*4096 + (strpos('0123456789abcdef', substr(h,2,1))-1)*256 + (strpos('0123456789abcdef', substr(h,3,1))-1)*16 + (strpos('0123456789abcdef', substr(h,4,1))-1)"
+    feats = r"""
+        SELECT doc_id, ({hex4}) % {B} AS fb
+        FROM (
+            SELECT doc_id, substr(sha256(tk[i+1] || ' ' || tk[i+2]), 1, 4) AS h
+            FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   t -> t <> '') AS tk
+                FROM {src}
+            ), UNNEST(range(0, greatest(len(tk) - 1, 0))) u(i)
+        )
+    """
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH tf AS ({feats.format(hex4=hex4, B=B, src="target")}),
+                 rf AS ({feats.format(hex4=hex4, B=B, src="raw")}),
+                 buckets AS (SELECT range AS fb FROM range({B})),
+                 lr AS (
+                     SELECT b.fb,
+                            ln(coalesce(t.c, 0) + 1.0) - ln(coalesce(r.c, 0) + 1.0) AS lr
+                     FROM buckets b
+                     LEFT JOIN (SELECT fb, count(*) c FROM tf GROUP BY fb) t USING (fb)
+                     LEFT JOIN (SELECT fb, count(*) c FROM rf GROUP BY fb) r USING (fb)
+                 )
+            SELECT raw.doc_id,
+                   CAST(coalesce(count(lr.lr), 0) AS BIGINT) AS n_features,
+                   round(coalesce(sum(lr.lr) / count(lr.lr), 0.0), 9) AS w
+            FROM raw
+            LEFT JOIN rf ON rf.doc_id = raw.doc_id
+            LEFT JOIN lr ON lr.fb = rf.fb
+            GROUP BY raw.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
