@@ -967,6 +967,7 @@ class ParquetMergeTarget:
             else:  # pre-r5 bucket-granularity manifest
                 n_files, n_bytes = None, None
             ts = m.get("committed_at")
+            nb = m.get("num_buckets")
             rows.append(
                 (
                     int(v),
@@ -975,6 +976,7 @@ class ParquetMergeTarget:
                     n_files,
                     n_bytes,
                     len(m.get("deletes") or []),
+                    int(nb) if nb is not None else None,
                 )
             )
         df = self.spark.createDataFrame(
@@ -987,6 +989,9 @@ class ParquetMergeTarget:
                     StructField("n_files", LongType(), True),
                     StructField("total_bytes", LongType(), True),
                     StructField("pending_deletes", LongType(), False),
+                    # the snapshot's bucket count: makes a rebucket
+                    # visible in DESCRIBE HISTORY (null = pre-stamp)
+                    StructField("num_buckets", LongType(), True),
                 ]
             ),
         )
@@ -2716,7 +2721,9 @@ class ParquetMergeTarget:
             }
         )
 
-    def rollback(self, to_version: int) -> int:
+    def rollback(
+        self, to_version: int | None = None, to_tag: str | None = None
+    ) -> int:
         """Metadata-only restore (Iceberg ``rollback_to_snapshot``):
         commit a NEW snapshot whose content is exactly retained
         snapshot ``to_version`` — no data is read or written; the new
@@ -2731,7 +2738,18 @@ class ParquetMergeTarget:
         Schema rolls back with the data (a drift commit can be
         undone).  The SOURCE watermark does not move — rolling back
         the table does not un-process upstream blobs; pair with the
-        backfill path to re-ingest.  Returns the new version."""
+        backfill path to re-ingest.  Returns the new version.
+        ``to_tag`` restores a TAGGED snapshot by name (tags pin their
+        snapshot past vacuum, so a tagged restore target always
+        exists)."""
+        if to_tag is not None:
+            if to_version is not None:
+                raise ValueError(
+                    "to_version and to_tag are mutually exclusive"
+                )
+            to_version = self._resolve_tag(to_tag)
+        if to_version is None:
+            raise ValueError("rollback needs to_version or to_tag")
         versions = self.snapshot_versions()
         if to_version not in versions:
             raise ValueError(

@@ -192,3 +192,20 @@ def test_tag_validation_and_immutability(spark, tmp_path):
     before = {tuple(r) for r in t.read(at_tag="gold").collect()}
     t.merge(df_of(spark, [("k0", 99, "new")]))
     assert {tuple(r) for r in t.read(at_tag="gold").collect()} == before
+
+
+def test_rollback_to_tag(spark, tmp_path):
+    t = build_history(spark, tmp_path, n=3)
+    vs = t.snapshot_versions()
+    t.create_tag("good", vs[0])
+    t.vacuum(keep_last=1)  # the tag keeps vs[0] restorable
+    new_v = t.rollback(to_tag="good")
+    assert new_v > vs[-1]
+    assert {r["payload"] for r in t.read().collect()} == {"p1"}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.rollback(to_version=vs[0], to_tag="good")
+    with pytest.raises(ValueError, match="needs to_version or to_tag"):
+        t.rollback()
+    # history() surfaces each snapshot's bucket count
+    hist = {r["version"]: r["num_buckets"] for r in t.history().collect()}
+    assert set(hist.values()) == {4}
