@@ -371,9 +371,14 @@ def remove_duplicate_spans(
     (no shuffle of the corpus); ONE partial-agg shuffle builds the
     exact window->distinct-doc-count table; duplicate windows (small
     by definition) broadcast back onto the window stream; covered
-    positions fold per document in one shuffle (flatten + distinct of
-    position ranges); the final pass rebuilds each document row-locally
-    with index-aware array ops.  No Python UDFs.
+    positions fold per document in one shuffle as SORTED WINDOW STARTS
+    — O(duplicated windows) aggregation state per document, NOT
+    O(windows * k) materialized positions (a fully-duplicated 10^6
+    token document holds ~10^6 ints, not ~10^7) — then merged into
+    disjoint [start, end] intervals row-locally (starts <= k apart
+    coalesce), and each document is rebuilt by slicing the KEPT gaps
+    between intervals out of its token array.  Every per-document step
+    is O(n_tokens + n_dup_windows); no Python UDFs.
     """
     k = int(window_tokens)
     if k < 1:
@@ -403,41 +408,96 @@ def remove_duplicate_spans(
         .filter(F.col("n_docs") >= F.lit(int(min_docs)))
         .select(F.col("w").alias("_dup_w"))
     )
+    # coverage state per document: the SORTED duplicate-window starts
+    # only — O(dup windows), never the O(windows * k) flattened
+    # position list (r11's fold held ~10 M ints for one fully-covered
+    # 10^6-token document; this holds ~10^6)
     covered = (
         wins.join(F.broadcast(dup), F.col("w") == F.col("_dup_w"))
         .groupBy(id_col)
-        .agg(
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.sequence(
-                            F.col("pos"), F.col("pos") + F.lit(k - 1)
-                        )
-                    )
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ss"))
+    )
+    joined = toks.join(covered, id_col, "left")
+    m = F.size("_ss")
+    n = F.size("_tk")
+    # merge starts into disjoint covered intervals: a start opens a
+    # NEW interval iff it is > k past the previous start (<= k means
+    # the k-token windows overlap or touch — same covered run).
+    # _bidx holds the 0-based indices into _ss where intervals begin.
+    joined = joined.withColumn(
+        "_bidx",
+        F.when(
+            F.col("_ss").isNotNull() & (m > 0),
+            F.filter(
+                F.sequence(F.lit(0), m - F.lit(1)),
+                lambda i: (i == F.lit(0))
+                | (
+                    F.element_at(F.col("_ss"), i + 1)
+                    - F.element_at(F.col("_ss"), i)
+                    > F.lit(k)
+                ),
+            ),
+        ),
+    )
+    nb = F.size("_bidx")
+    # interval j: [ ss[bidx[j]], (last start before bidx[j+1]) + k-1 ]
+    joined = joined.withColumn(
+        "_ivs",
+        F.when(
+            F.col("_bidx").isNotNull(),
+            F.transform(
+                F.col("_bidx"),
+                lambda b, j: F.struct(
+                    F.element_at(F.col("_ss"), b + 1).alias("s"),
+                    (
+                        F.when(
+                            j < nb - F.lit(1),
+                            F.element_at(
+                                F.col("_ss"),
+                                F.element_at(F.col("_bidx"), j + 2),
+                            ),
+                        ).otherwise(F.element_at(F.col("_ss"), m))
+                        + F.lit(k - 1)
+                    ).alias("e"),
+                ),
+            ),
+        ),
+    )
+    # kept tokens = the gaps BETWEEN covered intervals, sliced straight
+    # out of the token array (no per-position materialization at all)
+    ng = F.size("_ivs")
+    gaps = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), ng),
+            lambda j: F.struct(
+                F.when(j == F.lit(0), F.lit(0))
+                .otherwise(F.element_at(F.col("_ivs"), j)["e"] + 1)
+                .alias("gs"),
+                F.when(
+                    j < ng, F.element_at(F.col("_ivs"), j + 1)["s"] - 1
                 )
-            ).alias("_cov")
-        )
+                .otherwise(n - F.lit(1))
+                .alias("ge"),
+            ),
+        ),
+        lambda g: g["ge"] >= g["gs"],
     )
-    joined = toks.join(covered, id_col, "left").withColumn(
-        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    )
-    # kept positions via array_except (hash set difference, O(n + m);
-    # a per-token array_contains would be O(n_tokens * n_covered) —
-    # quadratic on a heavily-duplicated long document).  array_except
-    # preserves the left (ascending sequence) order, so the rebuild
-    # keeps original token order.
-    all_pos = F.when(
-        F.size("_tk") > 0, F.sequence(F.lit(0), F.size("_tk") - F.lit(1))
-    ).otherwise(F.array().cast("array<int>"))
-    kept_pos = F.array_except(all_pos, F.col("_cov"))
-    kept = F.transform(
-        kept_pos, lambda p: F.element_at(F.col("_tk"), p + 1)
-    )
+    kept = F.when(
+        F.col("_ivs").isNotNull(),
+        F.flatten(
+            F.transform(
+                gaps,
+                lambda g: F.slice(
+                    F.col("_tk"), g["gs"] + 1, g["ge"] - g["gs"] + 1
+                ),
+            )
+        ),
+    ).otherwise(F.col("_tk"))
     return joined.select(
         F.col(id_col),
         F.array_join(kept, " ").alias("clean_text"),
-        F.size("_tk").cast("bigint").alias("n_tokens"),
-        F.size("_cov").cast("bigint").alias("n_removed"),
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(kept)).cast("bigint").alias("n_removed"),
     )
 
 
@@ -479,22 +539,37 @@ def importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    quantize: int | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights: score every RAW document by how
     target-like its hashed-bigram distribution is —
     ``weight(doc) = mean over doc features of log(p_target / p_raw)``
-    with add-one smoothing on both B-bucket distributions.  Positive
-    means "more likely under the target corpus"; rank/threshold on it
-    to select pretraining data matching a high-quality target domain.
+    where ``p(f) = (count(f) + 1) / (N + B)`` (add-one smoothing over
+    the B-bucket feature space, NORMALIZED by each corpus's smoothed
+    total — so the weight is the documented log-density ratio, not the
+    raw log-count ratio, and the sign is meaningful even though the
+    corpora differ in size: positive means "more likely under the
+    target corpus").  Rank/threshold on it to select pretraining data
+    matching a high-quality target domain.
+
+    ``quantize=d`` rounds each bucket's log-ratio to ``d`` decimals
+    and sums as DECIMAL — the per-document mean is then exactly
+    associative (engine/summation-order independent), which is what a
+    cross-engine oracle needs; the default ``None`` keeps the raw
+    IEEE double path (faster, no decimal aggregation).
 
     Returns ``raw``'s (id_col, n_features, importance_weight).
 
     100 TB shape: the two feature distributions are B-row aggregates
     (one partial-agg shuffle each over exploded features — B <= 65536,
-    so the log-ratio table always BROADCASTS); scoring is one more
-    explode of the raw corpus joined to that broadcast table and one
-    per-document sum — no all-pairs stage, no Python UDF, and the
-    target corpus (small by construction) is scanned once."""
+    so the log-ratio table always BROADCASTS; the two normalizing
+    totals ride the same tiny frame as an unpartitioned window sum);
+    scoring is one more explode of the raw corpus joined to that
+    broadcast table and one per-document sum — no all-pairs stage, no
+    Python UDF, and the target corpus (small by construction) is
+    scanned once."""
+    from pyspark.sql.window import Window
+
     B = int(buckets)
 
     def dist(df: DataFrame, name: str) -> DataFrame:
@@ -510,20 +585,27 @@ def importance_weights(
     base = raw.sparkSession.range(B).select(
         F.col("id").cast("int").alias("_fb")
     )
+    tc = F.coalesce(F.col("_tc"), F.lit(0).cast("bigint"))
+    rc = F.coalesce(F.col("_rc"), F.lit(0).cast("bigint"))
+    # smoothed-distribution normalizers log(N_target + B) and
+    # log(N_raw + B): corpus-level constants, computed as window sums
+    # over the SAME B-row frame (no extra pass over either corpus)
+    whole = Window.partitionBy()
+    lr = (
+        F.log(tc + F.lit(1.0))
+        - F.log(F.sum(tc).over(whole) + F.lit(float(B)))
+        - F.log(rc + F.lit(1.0))
+        + F.log(F.sum(rc).over(whole) + F.lit(float(B)))
+    )
+    if quantize is not None:
+        d = int(quantize)
+        if not 0 <= d <= 12:
+            raise ValueError(f"quantize must be in [0, 12], got {d}")
+        lr = F.round(lr, d).cast(f"decimal(24,{d})")
     ratios = (
         base.join(p, "_fb", "left")
         .join(q, "_fb", "left")
-        .select(
-            "_fb",
-            (
-                F.log(
-                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1.0))
-                )
-                - F.log(
-                    (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(1.0))
-                )
-            ).alias("_lr"),
-        )
+        .select("_fb", lr.alias("_lr"))
     )
     feats = raw.select(
         F.col(id_col),
@@ -534,9 +616,9 @@ def importance_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
-            (F.sum("_lr") / F.count(F.lit(1))).alias(
-                "importance_weight"
-            ),
+            (
+                F.sum("_lr").cast("double") / F.count(F.lit(1))
+            ).alias("importance_weight"),
         )
     )
     # documents with < 2 tokens have no features: weight 0 (no

@@ -822,6 +822,77 @@ def test_remove_duplicate_spans_duckdb_parity(spark):
     assert got == want
 
 
+def test_remove_duplicate_spans_pathological_long_doc(spark):
+    """r11 review find #2: the coverage fold must hold O(dup windows)
+    state — sorted starts merged into intervals — not the O(windows*k)
+    flattened position list.  Drive the worst case: a long document
+    duplicated verbatim (every window covered) plus an interleaved
+    half-duplicated doc (alternating kept/removed runs exercises many
+    merged intervals)."""
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    n = 100_000
+    body = " ".join(f"w{i}x{i % 997}" for i in range(n))
+    toks = body.split(" ")
+    # doc 3: every third 30-token block replaced by doc-unique tokens
+    # -> coverage alternates [covered run][unique run]... (many
+    # disjoint merged intervals, the fold's worst shape)
+    mixed = list(toks)
+    for b in range(0, n, 90):
+        for j in range(b, min(b + 30, n)):
+            mixed[j] = f"u{j}"
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, " ".join(mixed))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], len(r["clean_text"]))
+        for r in remove_duplicate_spans(
+            docs, window_tokens=10, min_docs=2
+        ).collect()
+    }
+    # fully-duplicated pair: every position covered, nothing survives
+    assert out[1] == (n, n, 0)
+    assert out[2] == (n, n, 0)
+    # the mixed doc: each full 90-token period's 60-token shared run
+    # matches the body docs verbatim, so every window inside it is
+    # duplicated and all 60 positions are covered; the 30 unique
+    # tokens (and the 10-token unique tail) survive
+    periods = n // 90
+    expected_removed = periods * 60
+    assert out[3][1] == expected_removed
+    assert out[3][0] == n
+
+
+def test_remove_boilerplate_lines_pathological_many_line_doc(spark):
+    """Per-doc reassembly state is bounded by the document's own line
+    count (acceptable: collect_list holds what the row itself holds) —
+    pin that a 100k-line document with corpus-repeated banners
+    interleaved throughout still reassembles correctly."""
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    n_lines = 100_000
+    banner = "accept all cookies to continue"
+    big = "\n".join(
+        banner if i % 10 == 0 else f"unique line {i}"
+        for i in range(n_lines)
+    )
+    docs = spark.createDataFrame(
+        [(1, big)] + [(i, banner) for i in range(2, 7)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    assert out[1] == (n_lines, n_lines // 10)
+    assert out[2] == (1, 1)
+
+
 def test_remove_duplicate_spans_plan_shape(spark):
     from arcane_stream_parquet_spark.operators.text import (
         remove_duplicate_spans,
@@ -886,13 +957,42 @@ def test_importance_weights_ranks_target_like_docs(spark):
         for r in importance_weights(raw, target).collect()
     }
     assert len(out) == 4
-    # target-like beats neutral beats spam (absolute sign is not
-    # meaningful at toy scale — add-one smoothing pulls everything
-    # negative); featureless doc scores 0
+    # target-like beats neutral beats spam; featureless doc scores 0
     assert out[1][0] > out[3][0] > out[2][0]
     assert out[2][0] < 0
     assert out[4] == (0.0, 0)
     assert out[1][1] == 5  # 6 tokens -> 5 bigram features
+
+
+def test_importance_weights_sign_on_size_imbalanced_corpus(spark):
+    """r11 review find: the weight must equal the documented
+    mean log(p_target/p_raw) with the smoothed-distribution totals in
+    the denominators — WITHOUT them, a raw document that literally
+    repeats the target text scores NEGATIVE whenever the raw corpus
+    is larger than the target (it always is).  Pin the sign on a
+    deliberately imbalanced corpus where the unnormalized log-count
+    ratio gets it wrong."""
+    from arcane_stream_parquet_spark.operators.text import (
+        importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "theorem proof lemma")], "doc_id long, text string"
+    )
+    # two verbatim copies of the target text (raw bigram count 2 >
+    # target's 1 -> unnormalized log-count ratio ln(2/3) < 0) drowned
+    # in 49 identical spam docs
+    rows = [(1, "theorem proof lemma"), (2, "theorem proof lemma")] + [
+        (i, "buy cheap pills online casino now") for i in range(3, 52)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["importance_weight"]
+        for r in importance_weights(raw, target, buckets=64).collect()
+    }
+    assert out[1] > 0 and out[2] > 0  # target-identical: positive
+    assert out[3] < 0  # spam: negative
+    assert out[1] == out[2]
 
 
 def test_importance_weights_duckdb_parity(spark):
@@ -939,7 +1039,10 @@ def test_importance_weights_duckdb_parity(spark):
                  buckets AS (SELECT range AS fb FROM range({B})),
                  lr AS (
                      SELECT b.fb,
-                            ln(coalesce(t.c, 0) + 1.0) - ln(coalesce(r.c, 0) + 1.0) AS lr
+                            ln(coalesce(t.c, 0) + 1.0)
+                            - ln((SELECT count(*) FROM tf) + {B}.0)
+                            - ln(coalesce(r.c, 0) + 1.0)
+                            + ln((SELECT count(*) FROM rf) + {B}.0) AS lr
                      FROM buckets b
                      LEFT JOIN (SELECT fb, count(*) c FROM tf GROUP BY fb) t USING (fb)
                      LEFT JOIN (SELECT fb, count(*) c FROM rf GROUP BY fb) r USING (fb)
