@@ -3487,6 +3487,33 @@ class ParquetMergeTarget:
         except FileNotFoundError:
             return None
 
+    def _rebucket_clear_markers(self, manifest: dict | None) -> int:
+        """Delete every rebucket marker, reclaiming each staging dir
+        the given manifest does NOT reference (r11 review find #3):
+        spent markers of a just-flipped migration point at now-live
+        data, so only the marker file goes; markers of an abandoned
+        DIFFERENT-count migration also drop their orphan staging dirs
+        — no silent vacuum debt.  Returns markers removed."""
+        live_dirs: set[str] = set()
+        if manifest is not None:
+            files = self._files_of_manifest(manifest)
+            if files is None:
+                files = self._legacy_files(manifest)
+            live_dirs = {self._dirname_of(f) for f in files}
+        count = 0
+        for name in self._rebucket_marker_names():
+            mpath = fs_join(self._meta_path, name)
+            try:
+                m = json.loads(self._fio.read_text(mpath))
+            except FileNotFoundError:
+                continue
+            d = m.get("d")
+            if d and d not in live_dirs:
+                self._fio.delete(self._data_dir(d), recursive=True)
+            self._fio.delete(mpath)
+            count += 1
+        return count
+
     @staticmethod
     def _rebucket_unit_buckets(n: int, nb: int, u: int) -> set[int]:
         """Old-numbering buckets unit ``u`` consumes: itself for a
@@ -3588,11 +3615,11 @@ class ParquetMergeTarget:
             n = int(self.num_buckets)
             if n == nb:
                 # already flipped (possibly by a prior call that
-                # crashed after its commit): markers are spent —
-                # their dirs are live table data now
-                removed = self._rebucket_marker_names()
-                for name in removed:
-                    self._fio.delete(fs_join(self._meta_path, name))
+                # crashed after its commit): markers are spent — this
+                # migration's dirs are live table data (marker file
+                # only), while an abandoned different-count
+                # migration's staging dirs are reclaimed here too
+                self._rebucket_clear_markers(manifest)
                 return {
                     "done": True,
                     "version": int(manifest["version"]),
@@ -3681,8 +3708,10 @@ class ParquetMergeTarget:
             except ConcurrentWriteError:
                 continue  # re-read, re-validate markers, retry
             self.num_buckets = nb
-            for name in self._rebucket_marker_names():
-                self._fio.delete(fs_join(self._meta_path, name))
+            # m_new references this migration's staging dirs (live
+            # now); any abandoned different-count migration's staging
+            # is reclaimed along with its markers
+            self._rebucket_clear_markers(m_new)
             return {"done": True, "version": new_version, "staged": staged}
         raise ConcurrentWriteError(
             f"rebucket lost the commit race {commit_retries} times at "
@@ -3695,25 +3724,7 @@ class ParquetMergeTarget:
         references — markers left by a crash AFTER a successful flip
         point at live data).  Returns the number of markers removed."""
         manifest = self._manifest() if self.exists() else None
-        live_dirs: set[str] = set()
-        if manifest is not None:
-            files = self._files_of_manifest(manifest)
-            if files is None:
-                files = self._legacy_files(manifest)
-            live_dirs = {self._dirname_of(f) for f in files}
-        count = 0
-        for name in self._rebucket_marker_names():
-            mpath = fs_join(self._meta_path, name)
-            try:
-                m = json.loads(self._fio.read_text(mpath))
-            except FileNotFoundError:
-                continue
-            d = m.get("d")
-            if d and d not in live_dirs:
-                self._fio.delete(self._data_dir(d), recursive=True)
-            self._fio.delete(mpath)
-            count += 1
-        return count
+        return self._rebucket_clear_markers(manifest)
 
     def vacuum(
         self,

@@ -34,9 +34,10 @@ per domain at double-digit parts — beyond any current training corpus;
 the guard below raises before wrapping.
 
 Scale shape (100 TB): one map-side-combined aggregate over #domains
-keys (tiny), a single-row min attached to that tiny frame, a broadcast
-join of #domains rates back to the corpus, then a pure filter
-projection — the corpus itself never shuffles and is scanned once.
+keys (tiny), the feasibility min as an unpartitioned window over that
+same tiny frame (one exchange of <= #domains rows), a broadcast join
+of #domains rates back to the corpus, then a pure filter projection —
+the corpus itself never shuffles and is scanned once.
 
 Expected-value note: hash quantization keeps ~r_d of each domain's
 ROWS; realized token counts match the target in expectation (token
@@ -58,20 +59,18 @@ from arcane_stream_parquet_spark.operators.sampling import (
 _OVERFLOW_GUARD = (2**63 - 1) // HASH_BUCKETS
 
 
-def domain_mixture_sample(
+def _mixture_rates(
     df: DataFrame,
     domain_col: str,
     parts: dict[str, int],
-    id_col: str,
     token_col: str,
     budget_tokens: int | None = None,
-    salt: str = "mix",
 ) -> DataFrame:
-    """Filter ``df`` to the target domain mixture (module docstring).
-
-    Returns the surviving rows plus ``_mix_threshold`` (the domain's
-    keep-threshold on the 10k hash grid, for audit/replay).  Rows in
-    domains not named in ``parts`` are dropped.
+    """The tiny per-domain rates frame (#present-domains rows:
+    ``_mix_domain``, ``_mix_tokens``, ``_mix_budget``,
+    ``_mix_threshold``) — ONE corpus scan (the totals aggregate);
+    everything downstream is arithmetic on that frame.  Shared by
+    :func:`domain_mixture_sample` and :func:`domain_mixture_report`.
     """
     if not parts:
         raise ValueError("parts must name at least one domain")
@@ -81,52 +80,54 @@ def domain_mixture_sample(
     w_total = int(sum(parts.values()))
 
     # tiny aggregate: per-domain token totals (map-side combined).
-    # LEFT-joined from the full parts list so a weighted domain with
-    # ZERO corpus rows/tokens still contributes a 0-token row — the
-    # feasibility min then correctly collapses to B_max = 0 (an absent
-    # domain makes the target weights unsatisfiable) instead of the
-    # min silently skipping it and emitting a mixture that omits the
-    # domain while claiming to honor the weights.
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    # the parts frame's domain column takes the DATAFRAME's domain
-    # type (int domain ids are as legal as strings — a hard-coded
-    # string schema would reject them at createDataFrame or, worse,
-    # mis-join a coerced key)
-    parts_df = df.sparkSession.createDataFrame(
-        [(d, int(p)) for d, p in sorted(parts.items())],
-        StructType(
-            [
-                StructField("_mix_domain", df.schema[domain_col].dataType),
-                StructField("_mix_parts", LongType()),
-            ]
-        ),
+    # Weights attach as a LITERAL map lookup (no created-DataFrame
+    # join — the r11 zero-token fix added one and cost ~0.3 s of
+    # constant plan overhead, r11 VERDICT item 4); the literal's key
+    # type follows the Python part keys, matching what isin() already
+    # requires of the domain column.
+    parts_map = F.create_map(
+        *[
+            F.lit(x)
+            for d, p in sorted(parts.items())
+            for x in (d, int(p))
+        ]
     )
-    totals = parts_df.join(
+    totals = (
         df.select(F.col(domain_col).alias("_mix_domain"), F.col(token_col))
-        .filter(F.col(domain_col).isin(*parts.keys()))
+        .filter(F.col("_mix_domain").isin(*parts.keys()))
         .groupBy("_mix_domain")
-        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_mix_tokens")),
-        "_mix_domain",
-        "left",
-    ).withColumn(
-        "_mix_tokens",
-        F.coalesce(F.col("_mix_tokens"), F.lit(0).cast("bigint")),
+        .agg(
+            F.coalesce(
+                F.sum(F.col(token_col)).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("_mix_tokens")
+        )
+        .withColumn(
+            "_mix_parts", parts_map[F.col("_mix_domain")].cast("bigint")
+        )
     )
-    # feasible budget: 1-row aggregate attached to the tiny frame (the
-    # pinned 1-row-attach crossJoin pattern, plan-gate allowlisted)
-    feasible = totals.agg(
-        F.min(
-            F.expr(f"_mix_tokens * {w_total} div _mix_parts")
-        ).alias("_mix_budget")
+    # feasible budget: an UNPARTITIONED window min over the same tiny
+    # frame (r12 — replaces the former 1-row-aggregate crossJoin
+    # attach: one exchange of <= #domains rows instead of an extra
+    # aggregate stage + nested-loop join).  The matched-domain count
+    # rides the SAME window: a weighted domain with ZERO corpus rows
+    # makes the target weights unsatisfiable, so the budget collapses
+    # to 0 (EMPTY result — the totals frame is also empty then) —
+    # never a mixture that silently omits the weighted domain.
+    from pyspark.sql.window import Window
+
+    whole = Window.partitionBy()
+    budget_col = F.when(
+        F.count(F.lit(1)).over(whole) < F.lit(len(parts)),
+        F.lit(0).cast("bigint"),
+    ).otherwise(
+        F.min(F.expr(f"_mix_tokens * {w_total} div _mix_parts")).over(whole)
     )
     if budget_tokens is not None:
-        feasible = feasible.select(
-            F.least(
-                F.col("_mix_budget"), F.lit(int(budget_tokens)).cast("bigint")
-            ).alias("_mix_budget")
+        budget_col = F.least(
+            budget_col, F.lit(int(budget_tokens)).cast("bigint")
         )
-    rates = totals.crossJoin(feasible).withColumn(
+    rates = totals.withColumn("_mix_budget", budget_col).withColumn(
         "_mix_threshold",
         F.when(
             F.col("_mix_parts") * F.col("_mix_budget") > _OVERFLOW_GUARD,
@@ -150,7 +151,25 @@ def domain_mixture_sample(
             )
         ),
     )
+    return rates
 
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    id_col: str,
+    token_col: str,
+    budget_tokens: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Filter ``df`` to the target domain mixture (module docstring).
+
+    Returns the surviving rows plus ``_mix_threshold`` (the domain's
+    keep-threshold on the 10k hash grid, for audit/replay).  Rows in
+    domains not named in ``parts`` are dropped.
+    """
+    rates = _mixture_rates(df, domain_col, parts, token_col, budget_tokens)
     out = (
         df.join(
             F.broadcast(
@@ -163,6 +182,53 @@ def domain_mixture_sample(
         .drop("_mix_domain", "_mix_budget")
     )
     return out
+
+
+def domain_mixture_report(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    id_col: str,
+    token_col: str,
+    budget_tokens: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Fused audit: exactly ``mixture_report(df,
+    domain_mixture_sample(df, ...))`` (pinned in tests) in TWO corpus
+    scans instead of four — the rates frame is one totals aggregate,
+    then ONE pass computes total and kept docs/tokens per domain as
+    conditional aggregates on the keep predicate (the 100 TB shape:
+    when the corpus pays a per-row decode like a JSON extract, every
+    extra scan doubles it).  Domains outside ``parts`` appear with
+    kept = 0 and threshold = 0, same as the composed pair."""
+    rates = _mixture_rates(df, domain_col, parts, token_col, budget_tokens)
+    # NULL threshold (unweighted domain) -> NULL predicate -> kept
+    # conditionals take the otherwise-branch, exactly like the inner
+    # join dropping the row in the composed form
+    keep = hash_bucket_expr(id_col, salt) < F.col("_mix_threshold")
+    return (
+        df.join(
+            F.broadcast(rates.select("_mix_domain", "_mix_threshold")),
+            df[domain_col] == F.col("_mix_domain"),
+            "left",
+        )
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.col(token_col)).cast("bigint").alias("total_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("kept_docs"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col(token_col))).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("kept_tokens"),
+            # the composed pair reports threshold 0 for a domain with
+            # no kept rows (its kept-side aggregate has no row to join)
+            F.coalesce(
+                F.min(F.when(keep, F.col("_mix_threshold"))),
+                F.lit(0).cast("bigint"),
+            ).alias("threshold"),
+        )
+    )
 
 
 def mixture_report(

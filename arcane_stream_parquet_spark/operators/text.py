@@ -552,11 +552,13 @@ def importance_weights(
     target corpus").  Rank/threshold on it to select pretraining data
     matching a high-quality target domain.
 
-    ``quantize=d`` rounds each bucket's log-ratio to ``d`` decimals
-    and sums as DECIMAL — the per-document mean is then exactly
-    associative (engine/summation-order independent), which is what a
-    cross-engine oracle needs; the default ``None`` keeps the raw
-    IEEE double path (faster, no decimal aggregation).
+    ``quantize=d`` floors each bucket's log-ratio to an integer in
+    10^-d units (floor, not round — round's tie-breaking mode is
+    engine-specific) and aggregates those BIGINTs — the per-document
+    mean is then exactly associative (engine/summation-order
+    independent), which is what a cross-engine oracle needs; the
+    default ``None`` keeps the raw IEEE double path (faster, no
+    scaled-integer hop).
 
     Returns ``raw``'s (id_col, n_features, importance_weight).
 
@@ -597,11 +599,13 @@ def importance_weights(
         - F.log(rc + F.lit(1.0))
         + F.log(F.sum(rc).over(whole) + F.lit(float(B)))
     )
+    scale = None
     if quantize is not None:
         d = int(quantize)
         if not 0 <= d <= 12:
             raise ValueError(f"quantize must be in [0, 12], got {d}")
-        lr = F.round(lr, d).cast(f"decimal(24,{d})")
+        scale = float(10**d)
+        lr = F.floor(lr * F.lit(scale)).cast("bigint")
     ratios = (
         base.join(p, "_fb", "left")
         .join(q, "_fb", "left")
@@ -611,14 +615,15 @@ def importance_weights(
         F.col(id_col),
         F.explode(hashed_bigrams(text_col, B)).alias("_fb"),
     )
+    weight = F.sum("_lr").cast("double")
+    if scale is not None:
+        weight = weight / F.lit(scale)
     scored = (
         feats.join(F.broadcast(ratios), "_fb")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
-            (
-                F.sum("_lr").cast("double") / F.count(F.lit(1))
-            ).alias("importance_weight"),
+            (weight / F.count(F.lit(1))).alias("importance_weight"),
         )
     )
     # documents with < 2 tokens have no features: weight 0 (no
@@ -634,5 +639,127 @@ def importance_weights(
             F.coalesce(F.col("importance_weight"), F.lit(0.0)).alias(
                 "importance_weight"
             ),
+        )
+    )
+
+
+def ngram_perplexity(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet-style language-model quality filtering (Wenzek et al.
+    2020: score every document by its perplexity under an LM trained
+    on a high-quality reference corpus; low perplexity ≈ clean prose,
+    high ≈ boilerplate/gibberish — the third leg of the curation
+    tripod next to DSIR importance and heuristic quality_score).
+
+    The LM is an interpolated bigram model with add-one-smoothed
+    unigram backoff, trained on ``reference`` in two aggregates:
+
+    * ``p1(w) = (c1(w) + 1) / (N1 + V)`` — V counts the reference
+      vocabulary plus one UNK slot, so out-of-vocabulary corpus tokens
+      score ``1 / (N1 + V)`` without special-casing;
+    * ``p(w | prev) = lam * c2(prev, w) / c1(prev) + (1 - lam) *
+      p1(w)`` when ``prev`` was seen in the reference, else ``p1(w)``
+      (first tokens score as unigrams too).
+
+    Returns ``(id_col, n_tokens, logprob_per_token, perplexity)``
+    with ``perplexity = exp(-logprob_per_token)``; empty documents
+    keep their row with ``n_tokens = 0`` and NULL scores.
+
+    100 TB shape: the LM is reference-sized — a unigram table bounded
+    by the vocabulary and a bigram table bounded by the reference's
+    token count (a curated reference corpus is small by construction,
+    exactly CCNet's fixed Wikipedia artifact) — and BROADCASTS; the
+    corpus explodes its (prev, word) pairs row-locally, picks up the
+    three count columns via broadcast joins, and folds per document
+    in the ONE aggregation shuffle.  No Python UDFs; the corpus is
+    scanned once and never shuffles to be scored."""
+    if not 0.0 < float(lam) < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+
+    def pairs(df: DataFrame) -> DataFrame:
+        toks = tokens_column(text_col)
+        n = F.size(toks)
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    n > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n - F.lit(1)),
+                        lambda i: F.struct(
+                            F.when(
+                                i > 0, F.element_at(toks, i)
+                            ).alias("pw"),
+                            F.element_at(toks, i + 1).alias("w"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<pw:string,w:string>>")
+                )
+            ).alias("pr"),
+        ).select(id_col, F.col("pr.pw").alias("pw"), F.col("pr.w").alias("w"))
+
+    ref = pairs(reference)
+    uni = ref.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    big = (
+        ref.filter(F.col("pw").isNotNull())
+        .groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    # corpus-level constants (N1, V) as a 1-row aggregate OF the tiny
+    # unigram frame, broadcast-attached so OOV corpus tokens see them
+    # too (an aggregate always emits its row, so an empty reference
+    # degenerates to the uniform 1/(0+V) model instead of an empty
+    # join)
+    consts = uni.agg(
+        F.coalesce(F.sum("c1"), F.lit(0).cast("bigint")).alias("_n1"),
+        (F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("_v"),
+    )
+    cp = pairs(corpus)
+    scored = (
+        cp.join(F.broadcast(uni), "w", "left")
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("w").alias("pw"), F.col("c1").alias("c1p")
+                )
+            ),
+            "pw",
+            "left",
+        )
+        .join(F.broadcast(big), ["pw", "w"], "left")
+        .join(F.broadcast(consts), how="cross")
+    )
+    p1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_n1") + F.col("_v")
+    )
+    p = F.when(
+        F.col("c1p").isNotNull(),
+        F.lit(float(lam))
+        * (
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+            / F.col("c1p")
+        )
+        + F.lit(1.0 - float(lam)) * p1,
+    ).otherwise(p1)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.avg(F.log(p)).alias("logprob_per_token"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.col("logprob_per_token"),
+            F.exp(-F.col("logprob_per_token")).alias("perplexity"),
         )
     )

@@ -570,3 +570,142 @@ def q_rebucket_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(layout_ok).alias("layout_ok"),
         F.lit(deletes_folded).alias("deletes_folded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stats-pruned reads under the oracle (r11 VERDICT item 7): the
+# read_where / count_where data-skipping path, pytest-only until now,
+# attested against DuckDB over a freshly written clustered target.
+
+_CW_DAY_LO = 9496  # 1996-01-01 as epoch days
+_CW_DAY_HI = 9862  # 1997-01-01
+_CW_DAY_IN = (9496, 9596)
+_CW_PRICE = 300000.0
+
+
+@register_query(
+    "count_where_pruned",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_totalprice, o_orderstatus,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS order_day
+            FROM orders
+        )
+        SELECT
+            CAST((SELECT count(*) FROM o
+                  WHERE order_day >= {_CW_DAY_LO}
+                    AND order_day < {_CW_DAY_HI}) AS BIGINT)
+                AS day_range_scan_rows,
+            CAST((SELECT count(*) FROM o
+                  WHERE order_day >= {_CW_DAY_LO}
+                    AND order_day < {_CW_DAY_HI}) AS BIGINT)
+                AS cnt_day_range,
+            CAST((SELECT count(*) FROM o
+                  WHERE order_day IN {_CW_DAY_IN}) AS BIGINT) AS cnt_day_in,
+            CAST((SELECT count(*) FROM o
+                  WHERE o_totalprice > {_CW_PRICE}) AS BIGINT)
+                AS cnt_price_gt,
+            CAST((SELECT count(*) FROM o) AS BIGINT) AS cnt_status_not_null,
+            TRUE AS pruned_day_range,
+            TRUE AS metadata_covered_day_range,
+            TRUE AS metadata_only_not_null
+    """,
+    doc="Manifest-stats data skipping under the oracle gate "
+    "(read_where/count_where, merge.py): orders written as a "
+    "date-CLUSTERED merge target (cluster_by=order_day -> every file "
+    "a tight day range), then (a) a pruned read_where scan of a "
+    "1-year window (the timed region — a FileScan of O(matching "
+    "files), not O(table)), (b) count_where for the same window, an "
+    "'in' set, an unclustered price range, and not_null — each "
+    "hash-pinned to DuckDB's full-scan counts, plus layout "
+    "attestations from the manifest: the window plan dropped files "
+    "(pruned), >=1 file counted metadata-only (fully covered), and "
+    "the not_null count touched NO data file at all.",
+    tags=("reference", "merge", "skipping"),
+)
+def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from arcane_stream_parquet_spark.operators.merge import (
+        ParquetMergeTarget,
+        _file_may_match,
+        _file_must_match,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("arcane_merge_key"),
+        F.lit(1).cast("long").alias("createdon"),
+        F.unix_date(F.to_date("o_orderdate")).cast("int").alias("order_day"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    n = orders.count()
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=f"file:///tmp/asp_count_where_{uuid.uuid4().hex}",
+        num_buckets=2,
+        cluster_by=("order_day",),
+        stats_cols=("o_totalprice", "o_orderstatus"),
+        # ~20 files per bucket at every sf: file day-spans stay well
+        # under the 1-year probe window, so full-cover metadata
+        # counting and pruning both bite at sf0.001/0.01/0.1 alike
+        max_records_per_file=max(40, n // 40),
+    )
+    t.merge(orders)
+
+    day_range = (
+        ("order_day", ">=", _CW_DAY_LO),
+        ("order_day", "<", _CW_DAY_HI),
+    )
+    cnt_day_range = t.count_where(*day_range)
+    cnt_day_in = t.count_where(("order_day", "in", list(_CW_DAY_IN)))
+    cnt_price_gt = t.count_where(("o_totalprice", ">", _CW_PRICE))
+    cnt_not_null = t.count_where(("o_orderstatus", "not_null"))
+
+    # layout attestations straight off the manifest (same internals
+    # count_where plans with)
+    m = t._manifest()
+    files = t._files_of_manifest(m) or []
+    schema = t._schema_of(m)
+
+    def plan(preds):
+        parsed, _ = t._parse_predicates(schema, preds)
+        may = [
+            f
+            for f in files
+            if all(
+                _file_may_match(f, col, op, nv)
+                for col, op, _, nv in parsed
+                if op in ("is_null", "not_null") or nv is not None
+            )
+        ]
+        full = [
+            f
+            for f in may
+            if all(
+                _file_must_match(f, col, op, nv)
+                for col, op, _, nv in parsed
+            )
+        ]
+        return may, full
+
+    may_range, full_range = plan(day_range)
+    may_nn, full_nn = plan((("o_orderstatus", "not_null"),))
+    pruned = bool(files) and len(may_range) < len(files)
+    metadata_covered = len(full_range) >= 1
+    metadata_only_nn = len(full_nn) == len(files) == len(may_nn)
+
+    # the timed region: the PRUNED window scan itself (a FileScan of
+    # O(matching files)), aggregated to the same count the oracle
+    # states twice — proving scan path == metadata path == full scan
+    return t.read_where(*day_range).agg(
+        F.count(F.lit(1)).cast("bigint").alias("day_range_scan_rows"),
+        F.lit(cnt_day_range).cast("bigint").alias("cnt_day_range"),
+        F.lit(cnt_day_in).cast("bigint").alias("cnt_day_in"),
+        F.lit(cnt_price_gt).cast("bigint").alias("cnt_price_gt"),
+        F.lit(cnt_not_null).cast("bigint").alias("cnt_status_not_null"),
+        F.lit(pruned).alias("pruned_day_range"),
+        F.lit(metadata_covered).alias("metadata_covered_day_range"),
+        F.lit(metadata_only_nn).alias("metadata_only_not_null"),
+    )

@@ -701,7 +701,7 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multimodal plumbing in one per-doc row: typed metadata over "
     "the opaque binary payload (JVM built-ins), the mapInPandas Arrow "
     "image-decode path with the DETERMINISTIC FAKE codec (real pixel "
-    "decoding is the multimodal_image_dims entry), the 1-row→N-frames "
+    "decoding stays pytest-pinned via image_dims_facets), the 1-row→N-frames "
     "sampling shape verified by per-doc frame counts, and a REAL AUDIO "
     "facet: every doc gets a complete PCM WAV (zero-free closed-form "
     "samples) whose RIFF chunks are walked and 16-bit PCM decoded "
@@ -731,135 +731,18 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md.join(pipeline_facets(payload), "doc_id")
 
 
-@register_query(
-    "multimodal_image_dims",
-    oracle="""
-        WITH pixd AS (
-            SELECT doc_id,
-                   8 + (doc_id * 7) % 56 AS w,
-                   5 + (doc_id * 13) % 28 AS h
-            FROM documents WHERE doc_id % 3 = 0
-        ),
-        samples AS (
-            SELECT d.doc_id, d.w, ((d.doc_id + y.r + c.r) % 256) AS v
-            FROM pixd d
-            CROSS JOIN range(0, 33) y(r)
-            CROSS JOIN range(0, 4) c(r)
-            WHERE y.r < d.h
-        ),
-        pixmean AS (
-            SELECT doc_id,
-                   CAST(floor(avg(v) * 1000000) AS BIGINT) AS pix_mean_micro
-            FROM samples GROUP BY doc_id
-        ),
-        bins AS (
-            SELECT s.doc_id, b.r AS bin,
-                   CAST(sum(CASE WHEN v // 16 = b.r THEN s.w ELSE 0 END)
-                        AS BIGINT) AS n
-            FROM samples s CROSS JOIN range(0, 16) b(r)
-            GROUP BY s.doc_id, b.r
-        ),
-        pixhist AS (
-            SELECT doc_id,
-                   string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
-                       AS pix_hist16
-            FROM bins GROUP BY doc_id
-        ),
-        jpixd AS (
-            SELECT doc_id,
-                   1 + (doc_id * 3) % 7 AS wb,
-                   1 + (doc_id * 5) % 4 AS hb
-            FROM documents WHERE doc_id % 3 = 1
-        ),
-        jtiles AS (
-            SELECT d.doc_id, ((d.doc_id + by.r + bx.r) % 256) AS v
-            FROM jpixd d
-            CROSS JOIN range(0, 4) by(r)
-            CROSS JOIN range(0, 7) bx(r)
-            WHERE by.r < d.hb AND bx.r < d.wb
-        ),
-        jmean AS (
-            SELECT doc_id,
-                   CAST(floor(avg(v) * 1000000) AS BIGINT) AS pix_mean_micro
-            FROM jtiles GROUP BY doc_id
-        ),
-        jbins AS (
-            SELECT t.doc_id, b.r AS bin,
-                   CAST(sum(CASE WHEN v // 16 = b.r THEN 64 ELSE 0 END)
-                        AS BIGINT) AS n
-            FROM jtiles t CROSS JOIN range(0, 16) b(r)
-            GROUP BY t.doc_id, b.r
-        ),
-        jhist AS (
-            SELECT doc_id,
-                   string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
-                       AS pix_hist16
-            FROM jbins GROUP BY doc_id
-        ),
-        vid AS (
-            SELECT d.doc_id,
-                   CAST(1 + d.doc_id % 5 AS BIGINT) AS n_frames,
-                   CAST(sum((d.doc_id + f.r) % 256) * 1000000 AS BIGINT)
-                       AS vid_mean_sum_micro
-            FROM documents d CROSS JOIN range(0, 5) f(r)
-            WHERE d.doc_id % 3 = 2 AND f.r < 1 + d.doc_id % 5
-            GROUP BY d.doc_id
-        )
-        SELECT d.doc_id,
-               CASE CAST(d.doc_id % 3 AS INT)
-                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
-               END AS fmt,
-               CAST(16 + (d.doc_id * 7) % 640 AS BIGINT) AS width,
-               CAST(16 + (d.doc_id * 13) % 480 AS BIGINT) AS height,
-               CAST(CASE CAST(d.doc_id % 3 AS INT)
-                    WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE NULL
-               END AS BIGINT) AS n_channels,
-               coalesce(m.pix_mean_micro, jm.pix_mean_micro) AS pix_mean_micro,
-               coalesce(hh.pix_hist16, jh.pix_hist16) AS pix_hist16,
-               v.n_frames,
-               v.vid_mean_sum_micro
-        FROM documents d
-        LEFT JOIN pixmean m ON m.doc_id = d.doc_id
-        LEFT JOIN pixhist hh ON hh.doc_id = d.doc_id
-        LEFT JOIN jmean jm ON jm.doc_id = d.doc_id
-        LEFT JOIN jhist jh ON jh.doc_id = d.doc_id
-        LEFT JOIN vid v ON v.doc_id = d.doc_id
-    """,
-    doc="REAL image+video decoding, no codec library — three facets. "
-    "Headers: deterministic spec-valid PNG/JPEG/GIF payloads per doc "
-    "(dims closed-form in doc_id), parse_image_header reads magic "
-    "numbers and dims back out of the actual bytes. PIXELS: doc_id%3==0 "
-    "docs get a COMPLETE small RGBA PNG (scanline filters cycling "
-    "through all five types → decode_png_pixels zlib-inflates and "
-    "unfilters), and — r5 — doc_id%3==1 docs get a COMPLETE JPEG of "
-    "constant 8x8 tiles under an all-ones quant table (even doc_ids "
-    "BASELINE SOF0, odd PROGRESSIVE SOF2 — both real decode paths), "
-    "which round-trip EXACTLY through decode_jpeg_pixels' Huffman → "
-    "dequant → IDCT (DC = 8(v-128)), so the oracle states floor(mean·1e6) and the "
-    "16-bin histogram in closed form for BOTH formats and any entropy/"
-    "filter/offset bug breaks the hash. VIDEO (r5): doc_id%3==2 docs "
-    "get a real MJPEG-in-AVI (1 + id%5 constant frames); sample_frames "
-    "walks the RIFF '00dc' chunks and decode_image_features decodes "
-    "each sampled frame as a JPEG — surfaced as n_frames plus the sum "
-    "of per-frame pixel means, closed-form again. Known-bytes unit "
-    "tests pin every codec independently (tests/test_codecs.py). All "
-    "facets are Arrow-batched mapInPandas (r6: fused into ONE pass, "
-    "image_dims_facets); MP4-class SAMPLE decode and arithmetic-coded "
-    "JPEG stay the honest stubs.",
-    tags=("llm", "multimodal", "pandas-udf"),
-)
-def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.multimodal import (
-        image_dims_facets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # r6: header synth+parse, pixel synth+decode and video frame stats
-    # fused into ONE Arrow pass over (doc_id) — three synth→decode
-    # chains and two joins gone; the composable plan
-    # (image_header_features ⟕ decode_image_features ⟕
-    # video_frame_stats) remains available and equivalence-tested
-    return image_dims_facets(docs)
+# (the former ``multimodal_image_dims`` registry row was retired in
+# r12 per the r11 VERDICT's swap guidance: its decode surface — real
+# PNG zlib/unfilter, baseline+progressive JPEG Huffman/IDCT, MJPEG-AVI
+# frame walks via the fused ``image_dims_facets`` Arrow pass — stays
+# fully pinned by known-bytes unit tests (tests/test_codecs.py,
+# tests/test_multimodal.py incl. the fused-vs-composable equivalence
+# check), while the registry's multimodal coverage continues through
+# ``multimodal_pipeline`` (typed metadata, mapInPandas round trip,
+# real WAV PCM decode, real MP4 container walk, frame sampling).  The
+# freed slot under the driver's 50-row cap went to ``duplicate_spans``
+# — the Lee-et-al. exact span dedup, the r11 operator the VERDICT
+# flagged as the only semantics-bearing one outside the oracle gate.)
 
 
 IVF_NUM_CENTROIDS = 8
@@ -1163,43 +1046,16 @@ def _sql_hash_bucket(id_expr: str, salt: str) -> str:
     return f"({_sql_hex8_to_int(h)} % 10000)"
 
 
-@register_query(
-    "split_and_sample",
-    oracle=f"""
-        SELECT doc_id, lang,
-               CASE WHEN {_sql_hash_bucket("doc_id", "split")} < 8000 THEN 'train'
-                    WHEN {_sql_hash_bucket("doc_id", "split")} < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
-               ({_sql_hash_bucket("doc_id", "sample")} < 2000) AS in_sample
-        FROM documents
-    """,
-    doc="Deterministic hash split AND stratified sample in one row "
-    "(consolidated from the former train_test_split + stratified_sample "
-    "entries to free a slot under the driver's 50-row cap, r10): "
-    "train/val/test 80/10/10 via train_test_split(), plus the ~20% "
-    "stratified_sample membership surfaced as a flag (the operator's "
-    "filter predicate, hash_bucket < fraction·10000 — per-row uniform "
-    "hash keeps ~the fraction within every lang stratum). Same row → "
-    "same split/sample on every run, engine, and partitioning: pure "
-    "projections, no RNG state, no shuffle (operators/sampling.py).",
-    tags=("llm", "sampling"),
-)
-def q_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.sampling import (
-        HASH_BUCKETS,
-        hash_bucket_expr,
-        train_test_split,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return train_test_split(docs, "doc_id").select(
-        "doc_id",
-        "lang",
-        "split",
-        (hash_bucket_expr("doc_id", "sample") < int(0.2 * HASH_BUCKETS)).alias(
-            "in_sample"
-        ),
-    )
+# (the former ``split_and_sample`` registry row was retired in r12 per
+# the r11 VERDICT's swap guidance: its surface — train_test_split's
+# 80/10/10 hash split and the stratified-sample membership flag, both
+# pure seedless sha256 projections — overlaps ``contamination_flags``
+# (same hash_bucket_expr machinery under the oracle) and stays
+# pytest-pinned in tests/test_llm_ops.py (split fractions, per-stratum
+# sample rates, determinism across partitionings) plus in the
+# ``curation_funnel`` row, which applies the same split operator
+# downstream.  The freed slot under the driver's 50-row cap went to
+# ``dsir_importance`` — the corrected DSIR log-density-ratio scoring.)
 
 
 @register_query(
@@ -1260,8 +1116,7 @@ def q_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_stream_parquet_spark.operators.mixing import (
-        domain_mixture_sample,
-        mixture_report,
+        domain_mixture_report,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1270,10 +1125,12 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("cost"),
     )
     parts = {"click": 4, "view": 3, "purchase": 2, "signup": 1}
-    sampled = domain_mixture_sample(
+    # fused two-scan audit (r12): equals mixture_report ∘
+    # domain_mixture_sample (pinned in tests/test_mixing.py) at half
+    # the corpus scans — each scan pays the per-row JSON extract
+    return domain_mixture_report(
         ev, "event_type", parts, "event_id", "cost", salt="mix"
     )
-    return mixture_report(ev, sampled, "event_type", "cost")
 
 
 @register_query(
@@ -1991,4 +1848,203 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_boilerplate_lines(
         _lined_corpus(docs), min_docs=_BOILER_MIN_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact cross-document span dedup (Lee et al. 2021, r11 operator ->
+# r12 oracle-gated driver row)
+
+_SPAN_PROMO_A = (
+    "visit our online store today for free shipping on every order placed"
+)
+_SPAN_PROMO_B = (
+    "sign up for the premium newsletter and never miss a weekly update"
+)
+_SPAN_K = 10
+_SPAN_MIN_DOCS = 50
+
+
+def _span_corpus(docs: DataFrame) -> DataFrame:
+    """documents with deterministic cross-document spans: every doc_id
+    % 7 == 0 gets promo A appended, % 7 == 3 promo B (~14% of the
+    corpus each — far past ``_SPAN_MIN_DOCS`` at sf >= 0.01, so the
+    promos' sliding windows are exactly the duplicate set; below the
+    threshold at sf0.001 both engines agree on the no-op).  Identical
+    construction in the DuckDB oracle."""
+    tail = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _SPAN_PROMO_A))
+        .when(F.col("doc_id") % 7 == 3, F.lit(" " + _SPAN_PROMO_B))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+
+
+@register_query(
+    "duplicate_spans",
+    oracle=rf"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0 THEN ' {_SPAN_PROMO_A}'
+                                WHEN doc_id % 7 = 3 THEN ' {_SPAN_PROMO_B}'
+                                ELSE '' END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM aug
+        ),
+        wins AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(tk[(i+1):(i+{_SPAN_K})], ' ') AS w
+            FROM toks,
+                 UNNEST(range(0, greatest(len(tk) - {_SPAN_K} + 1, 0))) u(i)
+        ),
+        dup AS (
+            SELECT w FROM wins GROUP BY w
+            HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, p.p AS p
+            FROM wins JOIN dup USING (w),
+                 UNNEST(range(pos, pos + {_SPAN_K})) p(p)
+        ),
+        tok_rows AS (
+            SELECT doc_id, unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) - 1 AS p
+            FROM toks
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(CASE WHEN c.p IS NULL THEN tr.tok END,
+                                   ' ' ORDER BY tr.p), '') AS clean_text,
+               CAST(count(tr.tok) AS BIGINT) AS n_tokens,
+               CAST(count(c.p) AS BIGINT) AS n_removed
+        FROM toks t
+        LEFT JOIN tok_rows tr ON tr.doc_id = t.doc_id
+        LEFT JOIN cov c ON c.doc_id = tr.doc_id AND c.p = tr.p
+        GROUP BY t.doc_id
+    """,
+    doc="Exact cross-document substring dedup at 10-token-window "
+    "granularity (Lee et al. 2021's span removal, operators/text.py "
+    "remove_duplicate_spans) over a corpus with injected cross-doc "
+    "promo spans: every position covered by a window occurring in "
+    ">= 50 distinct documents is dropped, survivors reassembled in "
+    "order. Row-local window explode, ONE partial-agg shuffle for the "
+    "window->doc-count table, the duplicate window set broadcast back "
+    "(the corpus never shuffles to filter), coverage folded as sorted "
+    "starts (O(dup windows) state) and merged into intervals "
+    "row-locally. The oracle recomputes the same semantics "
+    "positionally in DuckDB.",
+    tags=("llm", "curation", "dedup"),
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(
+        _span_corpus(docs),
+        window_tokens=_SPAN_K,
+        min_docs=_SPAN_MIN_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, r11 operator -> r12
+# oracle-gated driver row)
+
+_DSIR_BUCKETS = 2048
+_DSIR_TARGET_MOD = 37  # target corpus = documents with doc_id % 37 == 0
+_DSIR_QUANTIZE = 6  # per-bucket log-ratio floored to micro-units
+
+# DuckDB's sha256() returns a hex VARCHAR; the first 4 hex digits as an
+# integer, matching Spark's conv(substring(sha2(g,256),1,4),16,10)
+_DSIR_HEX4 = (
+    "((strpos('0123456789abcdef', substr(h,1,1))-1)*4096 + "
+    "(strpos('0123456789abcdef', substr(h,2,1))-1)*256 + "
+    "(strpos('0123456789abcdef', substr(h,3,1))-1)*16 + "
+    "(strpos('0123456789abcdef', substr(h,4,1))-1))"
+)
+
+
+def _dsir_feats_sql(src: str) -> str:
+    """Hashed-bigram feature stream for ``src`` (a table or subquery),
+    mirroring operators/text.py hashed_bigrams bucket-for-bucket."""
+    return rf"""
+        SELECT doc_id, {_DSIR_HEX4} % {_DSIR_BUCKETS} AS fb
+        FROM (
+            SELECT doc_id,
+                   substr(sha256(tk[i+1] || ' ' || tk[i+2]), 1, 4) AS h
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS tk
+                FROM {src}
+            ), UNNEST(range(0, greatest(len(tk) - 1, 0))) u(i)
+        )
+    """
+
+
+@register_query(
+    "dsir_importance",
+    oracle=rf"""
+        WITH tf AS ({_dsir_feats_sql(f"(SELECT * FROM documents WHERE doc_id % {_DSIR_TARGET_MOD} = 0)")}),
+             rf AS ({_dsir_feats_sql("documents")}),
+             buckets AS (SELECT range AS fb FROM range({_DSIR_BUCKETS})),
+             lr AS (
+                 SELECT b.fb,
+                        CAST(floor((
+                            ln(coalesce(t.c, 0) + 1.0)
+                            - ln((SELECT count(*) FROM tf) + {_DSIR_BUCKETS}.0)
+                            - ln(coalesce(r.c, 0) + 1.0)
+                            + ln((SELECT count(*) FROM rf) + {_DSIR_BUCKETS}.0)
+                        ) * 1000000.0) AS BIGINT) AS lr
+                 FROM buckets b
+                 LEFT JOIN (SELECT fb, count(*) c FROM tf GROUP BY fb) t USING (fb)
+                 LEFT JOIN (SELECT fb, count(*) c FROM rf GROUP BY fb) r USING (fb)
+             ),
+             scored AS (
+                 SELECT rf.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_features,
+                        (CAST(sum(lr.lr) AS DOUBLE) / 1000000.0) / count(*)
+                            AS importance_weight
+                 FROM rf JOIN lr USING (fb)
+                 GROUP BY rf.doc_id
+             )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+               coalesce(s.importance_weight, 0.0) AS importance_weight
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, operators/text.py "
+    "importance_weights): every document scored by "
+    "mean log(p_target/p_raw) over hashed-bigram features with "
+    "add-one smoothing and the smoothed-total normalizers, target = "
+    "the deterministic doc_id % 37 slice. quantize=6 floors each "
+    "bucket's log-ratio to micro-units so the per-doc mean is an "
+    "exact integer sum / count in BOTH engines (the only doubles at "
+    "the boundary are log evaluations on identical integer inputs). "
+    "100 TB shape: two B-row distribution aggregates, the B<=65536 "
+    "log-ratio table broadcasts, one explode+join+sum over the raw "
+    "corpus — no all-pairs stage, no UDF.",
+    tags=("llm", "curation", "sampling"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import (
+        importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return importance_weights(
+        docs,
+        target,
+        buckets=_DSIR_BUCKETS,
+        quantize=_DSIR_QUANTIZE,
     )

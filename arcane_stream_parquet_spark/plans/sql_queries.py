@@ -576,33 +576,15 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pandas_udf extension surface (SURVEY.md §2.10 — the engine's UDF API)
 
 
-@register_query(
-    "pandas_udf_scalar",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS py_bpe_tokens
-        FROM documents
-    """,
-    doc="The pandas_udf extension surface (§2.10): an Arrow-vectorized "
-    "scalar UDF (pandas str.count over record batches) — the sanctioned "
-    "slow path when built-ins can't express a transform. Hash-checked "
-    "against the SQL-native twin (text_stats.stat_n_bpe_tokens) to "
-    "prove the Python worker round trip is lossless.",
-    tags=("llm", "pandas-udf", "scalar"),
-)
-def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.pandas.functions import PandasUDFType
-
-    # no type hints: `from __future__ import annotations` stringifies
-    # them and pyspark can't resolve the local pandas alias
-    @pandas_udf("long", PandasUDFType.SCALAR)
-    def bpe_count(texts):
-        return texts.str.lower().str.count(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_count(F.col("text")).alias("py_bpe_tokens"))
+# (the former ``pandas_udf_scalar`` registry row was retired in r12 to
+# free a slot under the driver's 50-row cap for ``count_where_pruned``
+# (core_queries.py — the stats-pruned read path, r11 VERDICT item 7).
+# The scalar-pandas_udf surface (§2.10's Arrow-vectorized scalar UDF,
+# hash-checked lossless against its SQL-native twin) moved to a pytest
+# pin with the identical assertion (tests/test_sql_surface.py::
+# test_scalar_pandas_udf_matches_native_twin); the registry's
+# Python-worker round trip stays covered by ``grouped_pandas_normalize``
+# (applyInPandas) and the mapInPandas multimodal rows.)
 
 
 # (the former ``cube_agg`` registry row was retired in r11: CUBE and

@@ -1058,3 +1058,153 @@ def test_importance_weights_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -- CCNet-style n-gram LM perplexity (r12) -------------------------------------
+
+
+def test_ngram_perplexity_hand_example(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        ngram_perplexity,
+    )
+
+    reference = spark.createDataFrame(
+        [(100, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat"), (2, "zebra zebra"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_perplexity(corpus, reference, lam=0.7).collect()
+    }
+    # reference: N1=6 tokens, V=5 vocab + 1 UNK = 6.
+    # d1: p(the)=3/12, p(cat|the)=0.7*(1/2)+0.3*(2/12)=0.40
+    import math
+
+    want_lp = (math.log(3 / 12) + math.log(0.40)) / 2
+    assert out[1]["n_tokens"] == 2
+    assert abs(out[1]["logprob_per_token"] - want_lp) < 1e-12
+    assert abs(out[1]["perplexity"] - math.exp(-want_lp)) < 1e-9
+    # d2: both tokens OOV and prev unseen -> unigram 1/12 each
+    assert abs(out[2]["perplexity"] - 12.0) < 1e-9
+    # reference-like text scores LOWER perplexity than gibberish
+    assert out[1]["perplexity"] < out[2]["perplexity"]
+    # empty doc keeps its row, scores NULL
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["perplexity"] is None
+
+
+def test_ngram_perplexity_duckdb_parity(spark):
+    """Cross-engine replay: DuckDB recomputes the identical
+    interpolated-bigram model and per-doc scores (compared at 9
+    decimals of the per-token logprob)."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.operators.text import (
+        ngram_perplexity,
+    )
+
+    reference = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "a dog sat on a log near the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "a dog on a log"),
+            (3, "buy cheap pills online now"),
+            (4, "the the the the"),
+            (5, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            r["doc_id"],
+            r["n_tokens"],
+            None
+            if r["logprob_per_token"] is None
+            else round(r["logprob_per_token"], 9),
+        )
+        for r in ngram_perplexity(corpus, reference, lam=0.7).collect()
+    )
+    con = duckdb.connect()
+    con.register("reference", reference.toPandas())
+    con.register("corpus", corpus.toPandas())
+    pairs = r"""
+        SELECT doc_id,
+               CASE WHEN i > 0 THEN tk[i] END AS pw,
+               tk[i+1] AS w
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM {src}
+        ), UNNEST(range(0, len(tk))) u(i)
+    """
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH rp AS ({pairs.format(src="reference")}),
+                 cp AS ({pairs.format(src="corpus")}),
+                 uni AS (SELECT w, count(*) AS c1 FROM rp GROUP BY w),
+                 big AS (SELECT pw, w, count(*) AS c2 FROM rp
+                         WHERE pw IS NOT NULL GROUP BY pw, w),
+                 consts AS (SELECT coalesce(sum(c1), 0) AS n1,
+                                   count(*) + 1 AS v FROM uni),
+                 scored AS (
+                     SELECT cp.doc_id,
+                            CASE WHEN up.c1 IS NOT NULL
+                                 THEN 0.7 * (CAST(coalesce(b.c2, 0) AS DOUBLE)
+                                             / up.c1)
+                                      + 0.3 * ((coalesce(u.c1, 0) + 1.0)
+                                               / (k.n1 + k.v))
+                                 ELSE (coalesce(u.c1, 0) + 1.0) / (k.n1 + k.v)
+                            END AS p
+                     FROM cp
+                     LEFT JOIN uni u ON u.w = cp.w
+                     LEFT JOIN uni up ON up.w = cp.pw
+                     LEFT JOIN big b ON b.pw = cp.pw AND b.w = cp.w
+                     CROSS JOIN consts k
+                 ),
+                 agg AS (
+                     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            round(avg(ln(p)), 9) AS lp
+                     FROM scored GROUP BY doc_id
+                 )
+            SELECT c.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   a.lp
+            FROM corpus c LEFT JOIN agg a USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ngram_perplexity_plan_shape(spark):
+    from arcane_stream_parquet_spark.operators.text import (
+        ngram_perplexity,
+    )
+
+    reference = spark.createDataFrame(
+        [(100, "the cat")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat")], "doc_id long, text string"
+    )
+    plan = ngram_perplexity(corpus, reference)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the LM tables broadcast onto the corpus pair stream (the
+    # scoring side never shuffles to be scored — the only shuffles are
+    # the per-doc aggregate and the final doc-id totality join, both
+    # keyed); the only nested-loop join is the 1-row constants attach
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

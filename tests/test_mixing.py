@@ -193,3 +193,46 @@ def test_integer_domain_column(spark):
         df, "domain", {0: 1, 7: 1}, "doc_id", "n_tokens"
     )
     assert out2.count() == 0
+
+
+def test_fused_report_equals_composed_pair(spark):
+    """r12: domain_mixture_report (two corpus scans) must equal
+    mixture_report(df, domain_mixture_sample(df, ...)) row-for-row —
+    including an unweighted domain (kept=0, threshold=0), a weighted
+    domain whose every row is filtered out at a tiny budget
+    (threshold reported as 0, the composed pair's no-kept-row shape),
+    and a domain kept in full."""
+    from arcane_stream_parquet_spark.operators.mixing import (
+        domain_mixture_report,
+        domain_mixture_sample,
+        mixture_report,
+    )
+
+    rows = [(i, "web" if i % 3 else "code", 10 + i % 7) for i in range(300)]
+    rows += [(1000 + i, "junk", 5) for i in range(20)]
+    rows += [(2000 + i, "wiki", 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+    for parts, budget in [
+        ({"web": 5, "code": 3, "wiki": 2}, None),
+        ({"web": 5, "code": 3, "wiki": 2}, 40),
+        ({"web": 1}, 7),
+    ]:
+        composed = mixture_report(
+            df,
+            domain_mixture_sample(
+                df, "domain", parts, "doc_id", "toks", budget
+            ),
+            "domain",
+            "toks",
+        )
+        fused = domain_mixture_report(
+            df, "domain", parts, "doc_id", "toks", budget
+        )
+        a = sorted(tuple(r) for r in composed.collect())
+        b = sorted(tuple(r) for r in fused.collect())
+        assert a == b, (parts, budget, a, b)
+        # names+types (nullability flags differ benignly between a
+        # count-coalesce and a conditional-sum aggregate)
+        assert (
+            composed.schema.simpleString() == fused.schema.simpleString()
+        )

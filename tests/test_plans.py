@@ -101,9 +101,9 @@ _NLJ_ALLOWLIST = {
     # 1-row corpus-doc-count broadcast for the IDF term
     # (llm_queries.py tfidf_top_terms)
     "tfidf_top_terms": 1,
-    # 1-row feasible-budget attach onto the #domains-row totals frame
-    # (mixing.py domain_mixture_sample: tiny × tiny, never the corpus)
-    "domain_mixture": 1,
+    # (domain_mixture's former 1-row feasible-budget crossJoin attach
+    # became an unpartitioned window min over the same tiny totals
+    # frame in r12 — zero NLJs remain in that plan)
 }
 
 

@@ -539,3 +539,142 @@ def test_status_probe_never_flips_when_fully_staged(spark, tmp_path):
     # an explicit resume call flips
     res = t.rebucket(16)
     assert res["done"] and t.num_buckets == 16
+
+
+# -- marker cleanup reclaims abandoned-migration staging (r12) ------------------
+
+
+def test_flip_reclaims_abandoned_migration_staging(spark, tmp_path):
+    """r11 review find #3: a partially staged migration ABANDONED in
+    favor of a different count used to leave its staging dirs as
+    vacuum debt after the new migration's flip deleted the markers.
+    The flip (and the already-flipped early return) now route through
+    the abort path's dir-reclaiming logic."""
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    # stage one unit of a 4->8 migration, then abandon it for 4->16
+    r8 = t.rebucket(8, max_units=1)
+    assert not r8["done"] and r8["staged"] == 1
+    stale_dirs = [
+        json.loads(t._fio.read_text(fs_join(t._meta_path, name)))["d"]
+        for name in t._rebucket_marker_names()
+    ]
+    assert stale_dirs and all(d for d in stale_dirs)
+    done = t.rebucket(16)
+    assert done["done"]
+    # markers gone AND the abandoned migration's staging dirs gone —
+    # not left for vacuum
+    assert t._rebucket_marker_names() == []
+    for d in stale_dirs:
+        assert not t._fio.exists(t._data_dir(d))
+    assert snap(t) == before
+    assert t.vacuum(dry_run=True) == [] or all(
+        "rb8-" not in e for e in t.vacuum(dry_run=True)
+    )
+
+
+def test_already_flipped_return_reclaims_foreign_staging(spark, tmp_path):
+    """The n == nb early return (a crash-after-commit retry, or an
+    operator re-issuing the completed count) clears markers of ANY
+    migration — including a different-count one — and reclaims their
+    non-live staging dirs."""
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    assert t.rebucket(8)["done"]
+    r16 = t.rebucket(16, max_units=1)
+    assert not r16["done"] and r16["staged"] == 1
+    stale_dirs = [
+        json.loads(t._fio.read_text(fs_join(t._meta_path, name)))["d"]
+        for name in t._rebucket_marker_names()
+    ]
+    res = t.rebucket(8)  # already at 8: early return
+    assert res["done"] and res["staged"] == 0
+    assert t._rebucket_marker_names() == []
+    for d in stale_dirs:
+        assert d is None or not t._fio.exists(t._data_dir(d))
+    assert snap(t) == before
+
+
+# -- sustained-traffic soak invariants (r12, VERDICT item 5) -------------------
+
+
+def test_soak_trickle_merges_compact_vacuum_converges(spark, tmp_path):
+    """A sliced 4->8 migration under a sustained merge trickle (CoW +
+    MoR), one mid-flight compact() (a global invalidator: it rewrites
+    files, so every staged unit's source fingerprint changes) and one
+    mid-flight vacuum(): the flip must eventually land, total staged
+    units stay O(units + invalidations) — never a from-scratch restart
+    per pass — and read()/CDC/history stay consistent throughout."""
+    t = seeded(spark, tmp_path, n=120)
+    expected = {k: (c, p) for k, c, p in (
+        [(f"k{i:04d}", 1, "a") for i in range(120)]
+    )}
+    for i in range(0, 120, 7):
+        expected[f"k{i:04d}"] = (2, "b")
+
+    units = 4  # min(4, 8)
+    staged_total = 0
+    invalidators = 0  # upper bound on fingerprint-changing events
+    done = ran_compact = ran_vacuum = False
+    for step in range(30):
+        r = t.rebucket(8, max_units=1)
+        staged_total += r.get("staged", 0)
+        if r["done"]:
+            done = True
+            break
+        ver = 3 + step
+        key = f"k{step % 120:04d}"
+        mode = "mor" if step % 3 == 2 else "cow"
+        t.merge(df_of(spark, [(key, ver, f"s{step}")]), mode=mode)
+        expected[key] = (ver, f"s{step}")
+        invalidators += 1  # narrow merge: touches <= 1 unit
+        if step == 1:
+            t.compact()  # global invalidator mid-flight
+            ran_compact = True
+            invalidators += units  # rewrites files in every unit
+        if step == 2:
+            t.vacuum()  # must not eat in-flight staging
+            ran_vacuum = True
+    assert done, "migration never converged under trickle traffic"
+    assert ran_compact and ran_vacuum, "maintenance must land mid-flight"
+    assert int(t._manifest()["num_buckets"]) == 8
+    # every staged unit is accounted for by the initial staging or an
+    # invalidation — no tail-chasing restarts
+    assert staged_total <= units + invalidators
+    got = {
+        r["arcane_merge_key"]: (r["createdon"], r["payload"])
+        for r in t.read().collect()
+    }
+    assert got == expected
+    # CDC consistency across the vacuum: a consumer resuming from the
+    # OLDEST RETAINED snapshot (pre-vacuum history is gone, by
+    # contract) reconstructs read() exactly
+    base_v = min(t.snapshot_versions())
+    state = {
+        r["arcane_merge_key"]: (r["createdon"], r["payload"])
+        for r in t.read(at_version=base_v).collect()
+    }
+    w = Window.partitionBy("arcane_merge_key").orderBy(
+        F.col("_commit_version").desc()
+    )
+    last = (
+        t.read_changes(base_v)
+        .filter(F.col("_change_type") != "update_preimage")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+    )
+    for r in last.collect():
+        if r["_change_type"] == "delete":
+            state.pop(r["arcane_merge_key"], None)
+        else:
+            state[r["arcane_merge_key"]] = (r["createdon"], r["payload"])
+    assert state == got
+    ops = [r["operation"] for r in t.history().collect()]
+    # (the compact commit itself was legitimately expired by the
+    # mid-flight vacuum — ran_compact above pins that it happened)
+    assert "rebucket" in ops
+    # layout invariant: every manifest entry inside the new numbering
+    ents = entries_of(t)
+    assert ents and all(0 <= int(f["b"]) < 8 for f in ents)
+    # post-flip maintenance debris is reclaimable and markers are gone
+    assert t._rebucket_marker_names() == []

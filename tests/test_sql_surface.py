@@ -80,3 +80,33 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, ["k"]).groupBy("tag").count().collect()
     salted = salted_join(left, right, ["k"], salt_factor=8).groupBy("tag").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_scalar_pandas_udf_matches_native_twin(spark):
+    """The §2.10 scalar-pandas_udf surface (formerly the
+    ``pandas_udf_scalar`` registry row, retired r12 for a slot under
+    the 50-row cap): an Arrow-vectorized scalar UDF's output must be
+    lossless vs its JVM-native twin — pandas ``str.count`` over the
+    BPE-ish lexer vs ``regexp_extract_all`` + ``size``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    from arcane_stream_parquet_spark.operators.text import BPE_TOKEN_RE
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve the local pandas alias
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def bpe_count(texts):
+        return texts.str.lower().str.count(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = docs.select(
+        bpe_count(F.col("text")).alias("py"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)")
+        ).cast("long").alias("native"),
+    )
+    assert out.filter(F.col("py") != F.col("native")).count() == 0
+    assert out.count() > 0
