@@ -369,7 +369,10 @@ def remove_duplicate_spans(
 
     100 TB shape: windows are a row-local array transform + explode
     (no shuffle of the corpus); ONE partial-agg shuffle builds the
-    exact window->distinct-doc-count table; duplicate windows (small
+    window->distinct-doc-count table over 64-bit window fingerprints
+    (sha256 prefix — a collision can only merge two windows and
+    over-remove, ~2^-64 per pair, and the oracle fingerprints
+    identically); duplicate windows (small
     by definition) broadcast back onto the window stream; covered
     positions fold per document in one shuffle as SORTED WINDOW STARTS
     — O(duplicated windows) aggregation state per document, NOT
@@ -385,23 +388,40 @@ def remove_duplicate_spans(
         raise ValueError(f"window_tokens must be >= 1, got {k}")
     toks = df.select(F.col(id_col), tokens_column(text_col).alias("_tk"))
     nwin = F.size("_tk") - F.lit(k) + F.lit(1)
+    # positions explode FIRST, the window text materializes as a
+    # row-level codegen projection on the exploded rows — building
+    # (pos, text) structs inside a transform lambda runs interpreted
+    # per element (the r8 higher-order-function lesson) and costs ~2x
+    # on this operator at sf0.1
+    # the window is carried as a 64-bit sha256 prefix, never its text:
+    # the frequency shuffle moves 16 bytes per window instead of the
+    # ~10-token string (~4x fewer shuffle bytes — at 100 TB this is
+    # the dominant shuffle).  A prefix collision can only MERGE two
+    # windows' doc counts (over-removal with ~2^-64 per-pair odds);
+    # the oracle computes the identical prefix, so both engines agree
+    # bit-for-bit regardless.
     wins = toks.select(
         F.col(id_col),
+        F.col("_tk"),
         F.explode(
             F.when(
-                nwin > 0,
-                F.transform(
-                    F.sequence(F.lit(0), nwin - F.lit(1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(
-                            F.slice(F.col("_tk"), i + 1, k), " "
-                        ).alias("w"),
-                    ),
+                nwin > 0, F.sequence(F.lit(0), nwin - F.lit(1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.substring(
+            F.sha2(
+                F.array_join(
+                    F.slice(F.col("_tk"), F.col("pos") + 1, k), " "
                 ),
-            ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
-        ).alias("win"),
-    ).select(id_col, F.col("win.pos").alias("pos"), F.col("win.w").alias("w"))
+                256,
+            ),
+            1,
+            16,
+        ).alias("w"),
+    )
     dup = (
         wins.groupBy("w")
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
@@ -501,38 +521,6 @@ def remove_duplicate_spans(
     )
 
 
-def hashed_bigrams(text_col: str | Column, buckets: int = 4096) -> Column:
-    """array<int> of hashed-bigram feature ids for a document — the
-    DSIR feature space (Xie et al. 2023, "Data Selection for Language
-    Models via Importance Resampling": hashed n-gram bag features make
-    the target/raw density ratio estimable at corpus scale).  The
-    bucket of a bigram is the first 4 hex digits of its sha256 mod
-    ``buckets`` — sha256 so a DuckDB oracle (or any other engine)
-    reproduces the ids exactly; ``buckets`` <= 65536."""
-    if not 1 <= int(buckets) <= 65536:
-        raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
-    toks = tokens_column(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(2)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        grams,
-        lambda g: (
-            F.conv(F.substring(F.sha2(g, 256), 1, 4), 16, 10).cast("int")
-            % F.lit(int(buckets))
-        ),
-    )
-
-
 def importance_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -573,12 +561,57 @@ def importance_weights(
     from pyspark.sql.window import Window
 
     B = int(buckets)
+    if not 1 <= B <= 65536:
+        raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
+
+    def feat_stream(df: DataFrame, with_id: bool) -> DataFrame:
+        """(id?, _fb) hashed-bigram feature rows — the DSIR feature
+        space (hashed n-gram bag features make the target/raw density
+        ratio estimable at corpus scale); a bigram's bucket is the
+        first 4 hex digits of its sha256 mod B, so a DuckDB oracle
+        reproduces the ids exactly.  Tokens are STAGED as a real
+        column, raw bigrams exploded, THEN hashed row-wise in a
+        codegen projection.  Shape matters (the r8 repetition_signals lesson):
+        higher-order-function lambdas are interpreted and re-evaluate
+        referenced outer subtrees per element, so hashing inside a
+        transform over a grams array that itself element_at's an
+        unstaged tokenization re-runs the split O(n) times per doc —
+        measured 7x on this operator at sf0.1."""
+        staged = df.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            tokens_column(text_col).alias("_tk"),
+        )
+        n = F.size("_tk")
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(2)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_tk"), i + 1),
+                    F.element_at(F.col("_tk"), i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = staged.select(
+            *( [id_col] if with_id else [] ),
+            F.explode(grams).alias("_g"),
+        )
+        fb = (
+            F.conv(F.substring(F.sha2(F.col("_g"), 256), 1, 4), 16, 10)
+            .cast("int")
+            % F.lit(B)
+        )
+        return g.select(
+            *( [id_col] if with_id else [] ), fb.alias("_fb")
+        )
 
     def dist(df: DataFrame, name: str) -> DataFrame:
-        f = df.select(
-            F.explode(hashed_bigrams(text_col, B)).alias("_fb")
+        return (
+            feat_stream(df, with_id=False)
+            .groupBy("_fb")
+            .agg(F.count(F.lit(1)).alias(name))
         )
-        return f.groupBy("_fb").agg(F.count(F.lit(1)).alias(name))
 
     p = dist(target, "_tc")
     q = dist(raw, "_rc")
@@ -611,10 +644,7 @@ def importance_weights(
         .join(q, "_fb", "left")
         .select("_fb", lr.alias("_lr"))
     )
-    feats = raw.select(
-        F.col(id_col),
-        F.explode(hashed_bigrams(text_col, B)).alias("_fb"),
-    )
+    feats = feat_stream(raw, with_id=True)
     weight = F.sum("_lr").cast("double")
     if scale is not None:
         weight = weight / F.lit(scale)

@@ -1900,7 +1900,8 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
         ),
         wins AS (
             SELECT doc_id, i AS pos,
-                   array_to_string(tk[(i+1):(i+{_SPAN_K})], ' ') AS w
+                   substr(sha256(array_to_string(tk[(i+1):(i+{_SPAN_K})],
+                                                 ' ')), 1, 16) AS w
             FROM toks,
                  UNNEST(range(0, greatest(len(tk) - {_SPAN_K} + 1, 0))) u(i)
         ),
@@ -1934,7 +1935,9 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
     "promo spans: every position covered by a window occurring in "
     ">= 50 distinct documents is dropped, survivors reassembled in "
     "order. Row-local window explode, ONE partial-agg shuffle for the "
-    "window->doc-count table, the duplicate window set broadcast back "
+    "window->doc-count table over 64-bit sha256-prefix fingerprints "
+    "(the shuffle moves 16 bytes per window, not the text; the oracle "
+    "fingerprints identically), the duplicate window set broadcast back "
     "(the corpus never shuffles to filter), coverage folded as sorted "
     "starts (O(dup windows) state) and merged into intervals "
     "row-locally. The oracle recomputes the same semantics "
@@ -1974,7 +1977,8 @@ _DSIR_HEX4 = (
 
 def _dsir_feats_sql(src: str) -> str:
     """Hashed-bigram feature stream for ``src`` (a table or subquery),
-    mirroring operators/text.py hashed_bigrams bucket-for-bucket."""
+    mirroring importance_weights' hashed-bigram feature stream
+    (operators/text.py) bucket-for-bucket."""
     return rf"""
         SELECT doc_id, {_DSIR_HEX4} % {_DSIR_BUCKETS} AS fb
         FROM (
