@@ -204,7 +204,9 @@ _STATS_TYPES = (
     "boolean",
 )
 
-_PRED_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
+_PRED_OPS = (
+    "=", "<", "<=", ">", ">=", "in", "like_prefix", "is_null", "not_null"
+)
 
 
 def _validate_stats_type(col: str, dtype) -> None:
@@ -268,6 +270,14 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
         return mx >= value
     if op == "in":
         return any(mn <= x <= mx for x in value)
+    if op == "like_prefix":
+        # strings with the prefix form the interval [p, p-successor):
+        # a file overlaps it iff its min, truncated to the prefix
+        # length, does not already exceed the prefix (all rows past
+        # every prefixed string) and its max reaches the prefix.
+        # UTF-8 binary order == code-point order, so Python's str
+        # compare agrees with Spark's UTF8String compare.
+        return mn[: len(value)] <= value <= mx
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -304,6 +314,9 @@ def _file_must_match(entry: dict, col: str, op: str, value) -> bool:
     if op == "in":
         # a RANGE provably inside a value SET only when it is a point
         return mn == mx and mn in value
+    if op == "like_prefix":
+        # every row between two prefixed endpoints is itself prefixed
+        return mn.startswith(value) and mx.startswith(value)
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -1155,7 +1168,10 @@ class ParquetMergeTarget:
         Iceberg scan-planning shape, so a date-range query over a
         date-clustered 10⁶-file table plans O(matching files), not
         O(table).  Each pred is ``(col, op, value)`` with op in
-        ``= < <= > >= is_null not_null`` (null ops take no value).
+        ``= < <= > >= in like_prefix is_null not_null`` (null ops take
+        no value; ``in`` takes a non-empty sequence; ``like_prefix``
+        takes a non-empty string prefix on a string column and prunes
+        on the [prefix, prefix-successor) interval).
         Pruning is strictly conservative: files without stats for a
         referenced column (legacy manifests, schema drift, col not in
         ``stats_cols``) stay in the scan, and the exact residual
@@ -1289,6 +1305,14 @@ class ParquetMergeTarget:
                     )
                 return _norm_stat(v_stat)
 
+            if op == "like_prefix":
+                if dtype != "string" or not isinstance(v, str) or not v:
+                    raise ValueError(
+                        f"'like_prefix' needs a non-empty string prefix "
+                        f"on a string column: {p!r}"
+                    )
+                parsed.append((col, op, v, v))
+                continue
             if op == "in":
                 if (
                     not isinstance(v, (list, tuple, set, frozenset))
@@ -1323,6 +1347,7 @@ class ParquetMergeTarget:
                 ">": lambda: c > F.lit(rv),
                 ">=": lambda: c >= F.lit(rv),
                 "in": lambda: c.isin(*rv),
+                "like_prefix": lambda: c.startswith(F.lit(rv)),
                 "is_null": c.isNull,
                 "not_null": c.isNotNull,
             }[op]()

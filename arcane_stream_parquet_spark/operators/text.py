@@ -712,27 +712,30 @@ def ngram_perplexity(
         raise ValueError(f"lam must be in (0, 1), got {lam}")
 
     def pairs(df: DataFrame) -> DataFrame:
-        toks = tokens_column(text_col)
-        n = F.size(toks)
-        return df.select(
+        # tokens staged, positions exploded, (prev, word) picked out in
+        # a codegen projection — building structs inside a transform
+        # lambda over an UNSTAGED tokenization re-runs the split per
+        # element (interpreted HOFs — the same trap measured at 7-10x
+        # on dsir_importance/duplicate_spans this round)
+        staged = df.select(
+            F.col(id_col), tokens_column(text_col).alias("_tk")
+        )
+        n = F.size("_tk")
+        return staged.select(
             F.col(id_col),
+            F.col("_tk"),
             F.explode(
                 F.when(
-                    n > 0,
-                    F.transform(
-                        F.sequence(F.lit(0), n - F.lit(1)),
-                        lambda i: F.struct(
-                            F.when(
-                                i > 0, F.element_at(toks, i)
-                            ).alias("pw"),
-                            F.element_at(toks, i + 1).alias("w"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<pw:string,w:string>>")
-                )
-            ).alias("pr"),
-        ).select(id_col, F.col("pr.pw").alias("pw"), F.col("pr.w").alias("w"))
+                    n > 0, F.sequence(F.lit(0), n - F.lit(1))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+        ).select(
+            id_col,
+            F.when(
+                F.col("_i") > 0, F.element_at(F.col("_tk"), F.col("_i"))
+            ).alias("pw"),
+            F.element_at(F.col("_tk"), F.col("_i") + 1).alias("w"),
+        )
 
     ref = pairs(reference)
     uni = ref.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))

@@ -362,3 +362,59 @@ def test_merge_e2e_widening_and_illegal(spark, tmp_path):
     assert out.count() == 3
     with pytest.raises(ValueError, match="illegal schema evolution"):
         t.merge(_df(spark, _BASE + [("x", T.StringType())], n=1))
+
+
+# -- span dedup vs brute-force position model (r12) ----------------------------
+#
+# The interval-merge coverage fold (sorted duplicate-window starts ->
+# boundary indices -> disjoint [s, e] intervals -> kept gaps sliced out
+# of the token array) is the trickiest index arithmetic in the text
+# family. Check it against the obvious per-position model on random
+# corpora with forced cross-document repetition.
+
+_span_word = st.sampled_from(["a", "b", "c", "d"])  # tiny vocab → collisions
+
+
+def _span_reference(docs: dict[int, list[str]], k: int, min_docs: int):
+    """Naive model: every k-window string -> set of doc ids; positions
+    covered by windows appearing in >= min_docs docs are dropped."""
+    wins: dict[str, set[int]] = {}
+    for did, toks in docs.items():
+        for i in range(max(0, len(toks) - k + 1)):
+            wins.setdefault(" ".join(toks[i : i + k]), set()).add(did)
+    dup = {w for w, ids in wins.items() if len(ids) >= min_docs}
+    out = {}
+    for did, toks in docs.items():
+        covered = set()
+        for i in range(max(0, len(toks) - k + 1)):
+            if " ".join(toks[i : i + k]) in dup:
+                covered.update(range(i, i + k))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[did] = (" ".join(kept), len(toks), len(covered))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(_span_word, min_size=0, max_size=24), min_size=1, max_size=5
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_remove_duplicate_spans_matches_position_model(spark, docs, k):
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, window_tokens=k, min_docs=2
+        ).collect()
+    }
+    assert got == _span_reference(corpus, k, 2)

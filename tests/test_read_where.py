@@ -436,3 +436,78 @@ def test_in_predicate_validation_and_residual_only(spark, tmp_path):
         "k012",
     ]
     assert len(out2.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_like_prefix_identity_and_validation(spark, tmp_path):
+    """r12: 'like_prefix' — residual is startswith, identity vs
+    read().filter holds on a column with nulls, and bad inputs raise."""
+    t = make_target(spark, tmp_path)
+    t.merge(rows_df(spark, 0, 120))
+    for prefix in ("gr", "red", "g", "zzz"):
+        got = sorted(
+            r["amount"]
+            for r in t.read_where(("grp", "like_prefix", prefix)).collect()
+        )
+        want = sorted(
+            r["amount"]
+            for r in t.read()
+            .filter(F.col("grp").startswith(prefix))
+            .collect()
+        )
+        assert got == want, prefix
+        assert t.count_where(("grp", "like_prefix", prefix)) == len(want)
+    with pytest.raises(ValueError):
+        t.read_where(("grp", "like_prefix", ""))
+    with pytest.raises(ValueError):
+        t.read_where(("amount", "like_prefix", "1"))  # non-string col
+    with pytest.raises(ValueError):
+        t.read_where(("grp", "like_prefix", 5))
+
+
+def test_like_prefix_prunes_on_prefix_clustered_files(spark, tmp_path):
+    """On a table whose files are name-range-sorted, a prefix probe
+    must plan strictly fewer files than the table holds, and a
+    fully-prefixed file range counts metadata-only."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        ParquetMergeTarget,
+        _file_may_match,
+        _file_must_match,
+    )
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "pfx"),
+        num_buckets=1,
+        stats_cols=("name",),
+        sorted_by=("name",),
+        max_records_per_file=20,
+    )
+    rows = [
+        (f"k{i:04d}", 1, f"{c}{i:05d}")
+        for i, c in enumerate(
+            [chr(ord("a") + (i // 40) % 8) for i in range(240)]
+        )
+    ]
+    t.merge(
+        spark.createDataFrame(
+            rows, "arcane_merge_key string, createdon long, name string"
+        )
+    )
+    m = t._manifest()
+    files = t._files_of_manifest(m)
+    schema = t._schema_of(m)
+    parsed, _ = t._parse_predicates(schema, (("name", "like_prefix", "c"),))
+    may = [
+        f
+        for f in files
+        if all(_file_may_match(f, c, o, nv) for c, o, _, nv in parsed)
+    ]
+    full = [
+        f
+        for f in may
+        if all(_file_must_match(f, c, o, nv) for c, o, _, nv in parsed)
+    ]
+    assert len(may) < len(files)  # pruning bites
+    assert len(full) >= 1  # 40 'c'-rows across 20-row files
+    got = t.count_where(("name", "like_prefix", "c"))
+    assert got == 40 == t.read_where(("name", "like_prefix", "c")).count()
