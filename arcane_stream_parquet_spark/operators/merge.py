@@ -2952,20 +2952,40 @@ class ParquetMergeTarget:
         self._commit_manifest(manifest)
         return n_matched
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, *more_preds) -> int:
         """DELETE WHERE: row-level delete of every live row matching
-        ``condition`` (a Column or SQL string), as one equality-delete
-        commit via :meth:`delete_keys`.  The qualifying scan is a
-        normal pruned read (predicate pushdown applies), so cost is
-        O(files the predicate's columns can't prune) + the O(#matched)
-        delete commit — for pure key predicates prefer
-        :meth:`delete_keys` directly, which skips the table scan."""
+        ``condition``, as one equality-delete commit via
+        :meth:`delete_keys`.
+
+        ``condition`` is a Column or SQL string (the qualifying scan
+        is a normal pruned read — parquet predicate pushdown applies),
+        OR a ``(col, op[, value])`` predicate tuple — optionally
+        followed by more tuples, AND-ed — in which case the qualifying
+        scan goes through :meth:`read_where` and MANIFEST-level stats
+        pruning drops provably-unaffected files before Spark plans the
+        scan (the Iceberg delete-with-predicate planning shape: a
+        date-ranged delete on a date-clustered 100 TB table scans
+        O(matching files), not O(table)).  For pure key predicates
+        prefer :meth:`delete_keys` directly, which skips the scan."""
         if not self.exists():
             return 0
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self.delete_keys(
-            self.read().filter(cond).select(self.key_col)
-        )
+        if isinstance(condition, (tuple, list)) and (
+            2 <= len(condition) <= 3 and condition[1] in _PRED_OPS
+        ):
+            qualifying = self.read_where(condition, *more_preds)
+        elif more_preds:
+            raise ValueError(
+                "extra predicates are only valid when every argument "
+                "is a (col, op[, value]) tuple"
+            )
+        else:
+            cond = (
+                F.expr(condition)
+                if isinstance(condition, str)
+                else condition
+            )
+            qualifying = self.read().filter(cond)
+        return self.delete_keys(qualifying.select(self.key_col))
 
     # -- maintenance (reference ST8: OPTIMIZE / remove_orphan_files /
     #    ANALYZE — main.scala:46,117, crd-parquet-stream.yaml:235-296) --

@@ -317,6 +317,54 @@ def test_delete_where_predicate(spark, tmp_path):
     )
 
 
+def test_delete_where_tuple_predicates_prune(spark, tmp_path):
+    """r12: (col, op, value) tuples route the qualifying scan through
+    read_where — manifest stats prune provably-unaffected files before
+    Spark plans the delete's scan, and results match the Column path."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        ParquetMergeTarget,
+    )
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "tp"),
+        num_buckets=1,
+        stats_cols=("createdon",),
+        sorted_by=("createdon",),
+        max_records_per_file=10,
+    )
+    t.merge(df_of(spark, [(f"k{i:03d}", i, f"p{i}") for i in range(60)]))
+    # the pruned qualifying scan plans fewer files than the table holds
+    from arcane_stream_parquet_spark.operators.merge import (
+        _file_may_match,
+    )
+
+    m = t._manifest()
+    files = t._files_of_manifest(m)
+    parsed, _ = t._parse_predicates(
+        t._schema_of(m), (("createdon", ">=", 50),)
+    )
+    may = [
+        f
+        for f in files
+        if all(_file_may_match(f, c, o, nv) for c, o, _, nv in parsed)
+    ]
+    assert len(may) < len(files)
+    assert t.delete_where(("createdon", ">=", 50)) == 10
+    # AND-ed tuples and the like_prefix op compose
+    assert t.delete_where(
+        ("createdon", ">=", 40), ("payload", "like_prefix", "p4")
+    ) == 10
+    assert contents(t) == sorted(
+        (f"k{i:03d}", i, f"p{i}") for i in range(40)
+    )
+    # mixing tuple mode with extra preds on a Column arg is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.delete_where(F.col("createdon") > 0, ("createdon", "<", 5))
+
+
 def test_consumer_lag_gauge(spark, tmp_path):
     src = make_target(spark, tmp_path / "src")
     cons = ChangelogConsumer(src, str(tmp_path / "cur"))

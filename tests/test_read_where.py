@@ -49,6 +49,8 @@ PREDS = [
     (("grp", "not_null"), ("amount", "<=", 10)),
     (("day", ">=", datetime.date(2024, 1, 25)),),
     (("amount", ">", 10_000),),  # empty result
+    (("grp", "like_prefix", "gr"),),  # r12 prefix op
+    (("grp", "like_prefix", "re"), ("amount", ">=", 100)),
 ]
 
 
@@ -60,6 +62,8 @@ def spark_filter(preds):
             cond &= c.isNull()
         elif p[1] == "not_null":
             cond &= c.isNotNull()
+        elif p[1] == "like_prefix":
+            cond &= c.startswith(p[2])
         else:
             cond &= {
                 "=": c == F.lit(p[2]),
