@@ -1196,15 +1196,7 @@ class ParquetMergeTarget:
         files = self._files_of_manifest(manifest)
         if files is None:  # pre-r5 bucket-granularity manifest
             return self.read(at_version).filter(residual)
-        pruned = [
-            f
-            for f in files
-            if all(
-                _file_may_match(f, col, op, nv)
-                for col, op, _, nv in parsed
-                if op in ("is_null", "not_null") or nv is not None
-            )
-        ]
+        pruned = self._may_match_files(files, parsed)
         if not pruned:
             from pyspark.sql.types import StructType
 
@@ -1338,6 +1330,10 @@ class ParquetMergeTarget:
             parsed.append((col, op, v, norm_scalar(v)))
 
         residual = F.lit(True)
+        # (residual construction below; the may/must planner rules on
+        # `parsed` live in _may_match_files / _file_must_match_all so
+        # read_where, count_where and attestation callers share ONE
+        # implementation of the skip rule)
         for col, op, rv, _ in parsed:
             c = F.col(col)
             residual = residual & {
@@ -1352,6 +1348,34 @@ class ParquetMergeTarget:
                 "not_null": c.isNotNull,
             }[op]()
         return parsed, residual
+
+    @staticmethod
+    def _may_match_files(files: list, parsed: list) -> list:
+        """The planner's pruning rule — files whose recorded stats
+        cannot rule them out for every PRUNABLE conjunct (null ops, or
+        value ops whose probe normalized into the stat domain).
+        Shared by :meth:`read_where`, :meth:`count_where` and callers
+        computing layout attestations, so the skip rule has exactly
+        one implementation."""
+        checks = [
+            (col, op, nv)
+            for col, op, _, nv in parsed
+            if op in ("is_null", "not_null") or nv is not None
+        ]
+        return [
+            f
+            for f in files
+            if all(_file_may_match(f, c, o, nv) for c, o, nv in checks)
+        ]
+
+    @staticmethod
+    def _file_must_match_all(entry: dict, parsed: list) -> bool:
+        """True when stats PROVE every row of ``entry`` satisfies ALL
+        conjuncts — the metadata-only-count qualification."""
+        return all(
+            _file_must_match(entry, col, op, nv)
+            for col, op, _, nv in parsed
+        )
 
     def count_where(
         self,
@@ -1388,20 +1412,11 @@ class ParquetMergeTarget:
         }
         total = 0
         boundary: list[dict] = []
-        for f in files:
-            if not all(
-                _file_may_match(f, col, op, nv)
-                for col, op, _, nv in parsed
-                if op in ("is_null", "not_null") or nv is not None
-            ):
-                continue  # provably no matching rows
+        for f in self._may_match_files(files, parsed):
             if (
                 int(f["b"]) not in dirty
                 and f.get("rc") is not None
-                and all(
-                    _file_must_match(f, col, op, nv)
-                    for col, op, _, nv in parsed
-                )
+                and self._file_must_match_all(f, parsed)
             ):
                 total += int(f["rc"])
             else:
@@ -2969,10 +2984,16 @@ class ParquetMergeTarget:
         prefer :meth:`delete_keys` directly, which skips the scan."""
         if not self.exists():
             return 0
-        if isinstance(condition, (tuple, list)) and (
-            2 <= len(condition) <= 3 and condition[1] in _PRED_OPS
-        ):
-            qualifying = self.read_where(condition, *more_preds)
+        if isinstance(condition, (tuple, list)):
+            # ANY tuple/list routes to the predicate path so a typo'd
+            # op gets _parse_predicates' "op not in ..." error, never
+            # pyspark's opaque "condition should be string or Column";
+            # a list OF tuples is accepted as the AND-ed set directly
+            if condition and isinstance(condition[0], (tuple, list)):
+                preds = (*condition, *more_preds)
+            else:
+                preds = (condition, *more_preds)
+            qualifying = self.read_where(*preds)
         elif more_preds:
             raise ValueError(
                 "extra predicates are only valid when every argument "

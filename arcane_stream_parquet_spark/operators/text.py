@@ -544,9 +544,14 @@ def importance_weights(
     10^-d units (floor, not round — round's tie-breaking mode is
     engine-specific) and aggregates those BIGINTs — the per-document
     mean is then exactly associative (engine/summation-order
-    independent), which is what a cross-engine oracle needs; the
-    default ``None`` keeps the raw IEEE double path (faster, no
-    scaled-integer hop).
+    independent), which is what a cross-engine oracle needs.  The one
+    residual cross-engine float risk is per-BUCKET, not per-doc: the
+    two engines' ``log`` may differ in the last ulp, so a bucket whose
+    scaled log-ratio lands within an ulp of an integer can floor apart
+    (~2^-40s odds per bucket — the same residual the repo's standard
+    ``floor(x * 1e6)`` boundary convention carries).  The default
+    ``None`` keeps the raw IEEE double path (faster, no scaled-integer
+    hop).
 
     Returns ``raw``'s (id_col, n_features, importance_weight).
 

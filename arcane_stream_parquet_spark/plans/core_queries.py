@@ -629,8 +629,6 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arcane_stream_parquet_spark.operators.merge import (
         ParquetMergeTarget,
-        _file_may_match,
-        _file_must_match,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -663,31 +661,18 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_price_gt = t.count_where(("o_totalprice", ">", _CW_PRICE))
     cnt_not_null = t.count_where(("o_orderstatus", "not_null"))
 
-    # layout attestations straight off the manifest (same internals
-    # count_where plans with)
+    # layout attestations straight off the manifest, via the SAME
+    # shared planner rules count_where itself uses (merge.py
+    # _may_match_files / _file_must_match_all — one implementation of
+    # the skip rule, so the attestation can never drift from the plan)
     m = t._manifest()
     files = t._files_of_manifest(m) or []
     schema = t._schema_of(m)
 
     def plan(preds):
         parsed, _ = t._parse_predicates(schema, preds)
-        may = [
-            f
-            for f in files
-            if all(
-                _file_may_match(f, col, op, nv)
-                for col, op, _, nv in parsed
-                if op in ("is_null", "not_null") or nv is not None
-            )
-        ]
-        full = [
-            f
-            for f in may
-            if all(
-                _file_must_match(f, col, op, nv)
-                for col, op, _, nv in parsed
-            )
-        ]
+        may = t._may_match_files(files, parsed)
+        full = [f for f in may if t._file_must_match_all(f, parsed)]
         return may, full
 
     may_range, full_range = plan(day_range)

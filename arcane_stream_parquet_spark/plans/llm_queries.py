@@ -2032,8 +2032,10 @@ def _dsir_feats_sql(src: str) -> str:
     "add-one smoothing and the smoothed-total normalizers, target = "
     "the deterministic doc_id % 37 slice. quantize=6 floors each "
     "bucket's log-ratio to micro-units so the per-doc mean is an "
-    "exact integer sum / count in BOTH engines (the only doubles at "
-    "the boundary are log evaluations on identical integer inputs). "
+    "exactly-associative integer sum / count (the only residual "
+    "cross-engine float risk is a per-bucket log landing within an "
+    "ulp of a floor boundary — the repo's standard floor(x*1e6) "
+    "residual). "
     "100 TB shape: two B-row distribution aggregates, the B<=65536 "
     "log-ratio table broadcasts, one explode+join+sum over the raw "
     "corpus — no all-pairs stage, no UDF.",

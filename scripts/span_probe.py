@@ -55,7 +55,15 @@ def main() -> None:
     span_sec = time.monotonic() - t0
     assert rows[1]["n_removed"] == n and rows[1]["clean_text"] == ""
     assert rows[2]["n_removed"] == n
-    assert rows[3]["n_removed"] == (n // 90) * 60
+    # doc 3: each period's shared run [b+30, min(b+90, n)) is fully
+    # covered iff it fits at least one k=10 window (a partial tail
+    # run >= 10 tokens still duplicates the body docs)
+    runs = [
+        min(b + 90, n) - (b + 30)
+        for b in range(0, n, 90)
+        if min(b + 90, n) - (b + 30) >= 10
+    ]
+    assert rows[3]["n_removed"] == sum(runs)
 
     banner = "accept all cookies to continue"
     big = "\n".join(
@@ -79,7 +87,7 @@ def main() -> None:
             {
                 "n_tokens": n,
                 "span_dedup_sec": round(span_sec, 2),
-                "span_merged_intervals_doc3": (n // 90),
+                "span_merged_intervals_doc3": len(runs),
                 "boilerplate_sec": round(boiler_sec, 2),
                 "all_invariants": True,
             }

@@ -363,6 +363,17 @@ def test_delete_where_tuple_predicates_prune(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.delete_where(F.col("createdon") > 0, ("createdon", "<", 5))
+    # a typo'd op inside a tuple surfaces the predicate-validation
+    # error (op list), never pyspark's opaque condition TypeError
+    with _pytest.raises(ValueError, match="not in"):
+        t.delete_where(("createdon", ">==", 5))
+    # a LIST of AND-ed tuples is accepted directly
+    assert t.delete_where(
+        [("createdon", ">=", 38), ("createdon", "<", 40)]
+    ) == 2
+    assert contents(t) == sorted(
+        (f"k{i:03d}", i, f"p{i}") for i in range(38)
+    )
 
 
 def test_consumer_lag_gauge(spark, tmp_path):
