@@ -3553,13 +3553,32 @@ class ParquetMergeTarget:
         except FileNotFoundError:
             return None
 
-    def _rebucket_clear_markers(self, manifest: dict | None) -> int:
-        """Delete every rebucket marker, reclaiming each staging dir
-        the given manifest does NOT reference (r11 review find #3):
-        spent markers of a just-flipped migration point at now-live
-        data, so only the marker file goes; markers of an abandoned
-        DIFFERENT-count migration also drop their orphan staging dirs
-        — no silent vacuum debt.  Returns markers removed."""
+    def _rebucket_clear_markers(
+        self, manifest: dict | None, only_nb: int | None = None
+    ) -> int:
+        """Delete rebucket markers, reclaiming each staging dir the
+        given manifest does NOT reference (r11 review find #3): spent
+        markers of a just-flipped migration point at now-live data, so
+        only the marker file goes; non-live staging dirs drop with
+        their marker — no silent vacuum debt.  Returns markers removed.
+
+        ``only_nb`` scopes the sweep to markers targeting that bucket
+        count.  The already-flipped early return in :meth:`rebucket`
+        MUST pass the current count (r12 advice, race): a
+        different-count migration may be in flight from the very
+        manifest version we just read, and the early return performs
+        no commit — nothing fences that writer's upcoming CAS, so
+        deleting its staging dirs (or even just its marker files,
+        which are what shields the dirs from :meth:`vacuum`) lets it
+        commit a manifest referencing deleted data.  Same-count
+        markers are always safe to reclaim once the table IS at that
+        count: any writer still staging toward it began from an older
+        version (a reader of the current version early-returns before
+        staging), and the flip's version bump guarantees that writer's
+        commit fails CAS.  Unscoped sweeps remain correct where a
+        fence exists: after a successful flip (the bump itself) and in
+        the explicit :meth:`rebucket_abort` (documented to abandon ALL
+        in-progress migrations)."""
         live_dirs: set[str] = set()
         if manifest is not None:
             files = self._files_of_manifest(manifest)
@@ -3572,6 +3591,8 @@ class ParquetMergeTarget:
             try:
                 m = json.loads(self._fio.read_text(mpath))
             except FileNotFoundError:
+                continue
+            if only_nb is not None and int(m.get("nb", -1)) != int(only_nb):
                 continue
             d = m.get("d")
             if d and d not in live_dirs:
@@ -3681,11 +3702,15 @@ class ParquetMergeTarget:
             n = int(self.num_buckets)
             if n == nb:
                 # already flipped (possibly by a prior call that
-                # crashed after its commit): markers are spent — this
-                # migration's dirs are live table data (marker file
-                # only), while an abandoned different-count
-                # migration's staging dirs are reclaimed here too
-                self._rebucket_clear_markers(manifest)
+                # crashed after its commit): THIS count's markers are
+                # spent — live dirs keep their data, stale-attempt
+                # dirs are reclaimed, both fenced by the flip's
+                # version bump.  Different-count markers stay
+                # untouched (only_nb): no commit happens here, so a
+                # concurrent migration in flight from this very
+                # version has nothing fencing it — reclaiming it
+                # belongs to rebucket_abort()/its own completion.
+                self._rebucket_clear_markers(manifest, only_nb=nb)
                 return {
                     "done": True,
                     "version": int(manifest["version"]),

@@ -573,25 +573,72 @@ def test_flip_reclaims_abandoned_migration_staging(spark, tmp_path):
     )
 
 
-def test_already_flipped_return_reclaims_foreign_staging(spark, tmp_path):
-    """The n == nb early return (a crash-after-commit retry, or an
-    operator re-issuing the completed count) clears markers of ANY
-    migration — including a different-count one — and reclaims their
-    non-live staging dirs."""
+def test_already_flipped_return_leaves_inflight_migration_alone(spark, tmp_path):
+    """r12 advice (race): the n == nb early return performs NO commit,
+    so nothing fences a DIFFERENT-count migration that may be in
+    flight from the very manifest version it read — deleting that
+    migration's staging dirs (or even just its marker files, which
+    are what shields the dirs from vacuum()) lets the in-flight
+    writer commit a manifest referencing deleted data.  The early
+    return must therefore touch only SAME-count (spent, CAS-fenced)
+    markers; the in-flight migration resumes from its staging
+    untouched, and explicit rebucket_abort() remains the reclaim
+    path for a genuinely abandoned one."""
     t = seeded(spark, tmp_path)
     before = snap(t)
     assert t.rebucket(8)["done"]
     r16 = t.rebucket(16, max_units=1)
     assert not r16["done"] and r16["staged"] == 1
+    names_before = t._rebucket_marker_names()
     stale_dirs = [
         json.loads(t._fio.read_text(fs_join(t._meta_path, name)))["d"]
-        for name in t._rebucket_marker_names()
+        for name in names_before
     ]
-    res = t.rebucket(8)  # already at 8: early return
+    assert stale_dirs and all(d for d in stale_dirs)
+    res = t.rebucket(8)  # already at 8: early return, no commit
+    assert res["done"] and res["staged"] == 0
+    # the 8->16 migration's markers AND staging dirs survive ...
+    assert t._rebucket_marker_names() == names_before
+    for d in stale_dirs:
+        assert t._fio.exists(t._data_dir(d))
+    # ... they stay vacuum-protected ...
+    t.vacuum()
+    for d in stale_dirs:
+        assert t._fio.exists(t._data_dir(d))
+    # ... and the migration resumes from them: 7 remaining of the 8
+    # units (min(8, 16)), the staged one reused — not from scratch
+    done = t.rebucket(16)
+    assert done["done"] and done["staged"] == 7
+    assert t._rebucket_marker_names() == []
+    assert snap(t) == before
+
+
+def test_already_flipped_return_reclaims_same_count_stragglers(spark, tmp_path):
+    """Same-count markers ARE reclaimed by the early return: a writer
+    that staged toward nb from an older version (then lost the flip to
+    a faster writer) is permanently fenced by the flip's version bump,
+    so its spent marker and non-live staging dir are safe debt to
+    collect."""
+    t = seeded(spark, tmp_path)
+    before = snap(t)
+    assert t.rebucket(8)["done"]
+    # plant the losing writer's leftover: a same-count marker whose
+    # staging dir is NOT referenced by the live manifest (it lost the
+    # flip race, so its rewrite of the unit was superseded)
+    orphan = "rb8-u0000001-deadbeef"
+    t._fio.mkdirs(t._data_dir(orphan))
+    t._fio.create_text(
+        fs_join(t._data_dir(orphan), "part-00000.parquet"), "stale"
+    )
+    t._fio.create_text(
+        t._rebucket_marker_path(8, 1),
+        json.dumps({"nb": 8, "u": 1, "fp": "stale", "d": orphan,
+                    "files": []}),
+    )
+    res = t.rebucket(8)  # early return sweeps same-count debt
     assert res["done"] and res["staged"] == 0
     assert t._rebucket_marker_names() == []
-    for d in stale_dirs:
-        assert d is None or not t._fio.exists(t._data_dir(d))
+    assert not t._fio.exists(t._data_dir(orphan))
     assert snap(t) == before
 
 
