@@ -684,6 +684,7 @@ def ngram_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.7,
+    quantize: int | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality filtering (Wenzek et al.
     2020: score every document by its perplexity under an LM trained
@@ -704,6 +705,16 @@ def ngram_perplexity(
     Returns ``(id_col, n_tokens, logprob_per_token, perplexity)``
     with ``perplexity = exp(-logprob_per_token)``; empty documents
     keep their row with ``n_tokens = 0`` and NULL scores.
+
+    ``quantize=d`` floors each token's log-probability to an integer
+    in 10^-d units before the per-document mean, making that mean an
+    exactly-associative integer sum / count — the repo's standard
+    cross-engine-oracle convention (see :func:`importance_weights`).
+    The residual risk is per-TOKEN-TYPE: the two engines' ``log`` may
+    differ in the last ulp, so a probability whose scaled log lands
+    within an ulp of an integer can floor apart.  ``perplexity`` stays
+    ``exp`` of the quantized mean — oracle rows should select it away
+    (``exp`` itself is not bit-pinned across libms).
 
     100 TB shape: the LM is reference-sized — a unigram table bounded
     by the vocabulary and a bigram table bounded by the reference's
@@ -785,10 +796,24 @@ def ngram_perplexity(
         )
         + F.lit(1.0 - float(lam)) * p1,
     ).otherwise(p1)
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.avg(F.log(p)).alias("logprob_per_token"),
-    )
+    if quantize is not None:
+        d = int(quantize)
+        if not 0 <= d <= 12:
+            raise ValueError(f"quantize must be in [0, 12], got {d}")
+        scale = float(10**d)
+        lp_int = F.floor(F.log(p) * F.lit(scale)).cast("bigint")
+        agg = scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                (F.sum(lp_int).cast("double") / F.lit(scale))
+                / F.count(F.lit(1))
+            ).alias("logprob_per_token"),
+        )
+    else:
+        agg = scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.avg(F.log(p)).alias("logprob_per_token"),
+        )
     return (
         corpus.select(id_col)
         .join(agg, id_col, "left")

@@ -972,60 +972,105 @@ def q_char_ngram_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_K = 8
-WINNOW_WINDOW = 4
+# (r13) winnowing_fingerprint retired from the registry in favor of
+# ngram_perplexity below — the 50-row cap trade named by the r12
+# verdict.  The winnowing operator itself stays fully covered:
+# rolling-hash family by the char_ngram_near_duplicates row, byte
+# pins + properties in tests/test_llm_ops.py / test_properties.py.
+
+_PPLX_LAM = 0.7
+_PPLX_REF_MOD = 31
+_PPLX_QUANTIZE = 6
+
+
+def _pplx_pairs_sql(src: str) -> str:
+    """(doc_id, pw, w) token-bigram rows, the DuckDB twin of
+    ngram_perplexity's ``pairs`` stage (whitespace tokens, lowercased,
+    empties dropped; first token gets pw NULL)."""
+    return rf"""
+        SELECT doc_id,
+               CASE WHEN i > 0 THEN tk[i] END AS pw,
+               tk[i+1] AS w
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> '') AS tk
+            FROM {src}
+        ), UNNEST(range(0, len(tk))) u(i)
+    """
 
 
 @register_query(
-    "winnowing_fingerprint",
+    "ngram_perplexity",
     oracle=f"""
-        WITH base AS (
-            SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-            FROM documents
-        ),
-        grams AS (
-            SELECT doc_id, list_transform(
-                range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
-                i -> substr(sha256(substr(t, i, {WINNOW_K})), 1, 8)) AS hs
-            FROM base
-        ),
-        sel AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(1, greatest(len(hs) - {WINNOW_WINDOW - 1}, 1) + 1),
-                j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))) AS fps
-            FROM grams
-        )
-        SELECT doc_id,
-               CAST(len(fps) AS BIGINT) AS n_fingerprints,
-               list_min(fps) AS min_fp,
-               sha256(array_to_string(list_sort(fps), '')) AS fp_digest
-        FROM sel
+        WITH rp AS ({_pplx_pairs_sql(f"(SELECT * FROM documents WHERE doc_id % {_PPLX_REF_MOD} = 0)")}),
+             cp AS ({_pplx_pairs_sql("documents")}),
+             uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                     FROM rp GROUP BY w),
+             big AS (SELECT pw, w, CAST(count(*) AS BIGINT) AS c2
+                     FROM rp WHERE pw IS NOT NULL GROUP BY pw, w),
+             consts AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+                               CAST(count(*) + 1 AS BIGINT) AS v
+                        FROM uni),
+             scored AS (
+                 SELECT cp.doc_id,
+                        CAST(floor(ln(
+                            CASE WHEN up.c1 IS NOT NULL
+                                 THEN CAST('{_PPLX_LAM!r}' AS DOUBLE)
+                                      * (CAST(coalesce(b.c2, 0) AS DOUBLE)
+                                         / up.c1)
+                                      + CAST('{1.0 - _PPLX_LAM!r}' AS DOUBLE)
+                                        * ((coalesce(u.c1, 0) + 1.0)
+                                           / (k.n1 + k.v))
+                                 ELSE (coalesce(u.c1, 0) + 1.0)
+                                      / (k.n1 + k.v)
+                            END) * 1000000.0) AS BIGINT) AS lp
+                 FROM cp
+                 LEFT JOIN uni u ON u.w = cp.w
+                 LEFT JOIN uni up ON up.w = cp.pw
+                 LEFT JOIN big b ON b.pw = cp.pw AND b.w = cp.w
+                 CROSS JOIN consts k
+             ),
+             agg AS (
+                 SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        (CAST(sum(lp) AS DOUBLE) / 1000000.0) / count(*)
+                            AS logprob_per_token
+                 FROM scored GROUP BY doc_id
+             )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               a.logprob_per_token
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    doc=f"Winnowing document fingerprints (MOSS): {WINNOW_K}-char gram "
-    f"hashes, window-of-{WINNOW_WINDOW} minima, distinct — guarantees "
-    "shared fingerprints for common substrings ≥ "
-    f"{WINNOW_K + WINNOW_WINDOW - 1} chars. Output: per-doc set digest "
-    "(the full set hashes into one comparable scalar).",
-    tags=("llm", "dedup", "fingerprint"),
+    doc="CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020, "
+    "operators/text.py ngram_perplexity): every document scored by "
+    "its mean token log-probability under an interpolated bigram LM "
+    f"(lam={_PPLX_LAM}, add-one unigram backoff) trained on the "
+    f"deterministic doc_id % {_PPLX_REF_MOD} reference slice. "
+    "quantize=6 floors each token's log-prob to micro-units so the "
+    "per-doc mean is an exactly-associative integer sum / count (the "
+    "dsir_importance convention; residual = a token-type's scaled log "
+    "landing within an ulp of a floor boundary). perplexity = "
+    "exp(-mean) is selected away — exp is not bit-pinned across "
+    "libms. "
+    "100 TB shape: the LM is reference-sized and BROADCASTS (unigram "
+    "table bounded by vocabulary, bigram table by the curated "
+    "reference's token count); the corpus explodes (prev, word) pairs "
+    "row-locally and folds per document in ONE aggregation shuffle — "
+    "no UDF, the corpus never shuffles to be scored.",
+    tags=("llm", "curation", "quality"),
 )
-def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arcane_stream_parquet_spark.operators.fingerprint import (
-        with_winnowing_fingerprints,
-    )
-    from arcane_stream_parquet_spark.functions.partitioning import fan_out
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.text import ngram_perplexity
 
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    staged = with_winnowing_fingerprints(
-        docs, "text", k=WINNOW_K, window=WINNOW_WINDOW
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % _PPLX_REF_MOD == 0)
+    scored = ngram_perplexity(
+        docs, reference, lam=_PPLX_LAM, quantize=_PPLX_QUANTIZE
     )
-    fps = F.col("fps")
-    return staged.select(
-        "doc_id",
-        F.size(fps).cast("bigint").alias("n_fingerprints"),
-        F.array_min(fps).alias("min_fp"),
-        F.sha2(F.concat_ws("", F.array_sort(fps)), 256).alias("fp_digest"),
-    )
+    return scored.select("doc_id", "n_tokens", "logprob_per_token")
 
 
 # ---------------------------------------------------------------------------

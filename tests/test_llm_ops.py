@@ -1097,6 +1097,48 @@ def test_ngram_perplexity_hand_example(spark):
     assert out[3]["perplexity"] is None
 
 
+def test_ngram_perplexity_quantize_floors_to_micro_units(spark):
+    """quantize=6 (the oracle row's setting) floors each token's log-p
+    to micro-units: the mean is within one micro-unit below the raw
+    IEEE mean (floor only subtracts), is an exact multiple of
+    1e-6/n_tokens, and orders documents identically."""
+    from arcane_stream_parquet_spark.operators.text import (
+        ngram_perplexity,
+    )
+
+    reference = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "a dog sat on a log")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zebra zebra zebra"), (3, "")],
+        "doc_id long, text string",
+    )
+    raw = {
+        r["doc_id"]: r
+        for r in ngram_perplexity(corpus, reference, lam=0.7).collect()
+    }
+    q = {
+        r["doc_id"]: r
+        for r in ngram_perplexity(
+            corpus, reference, lam=0.7, quantize=6
+        ).collect()
+    }
+    for d in (1, 2):
+        rq, rr = q[d]["logprob_per_token"], raw[d]["logprob_per_token"]
+        n = raw[d]["n_tokens"]
+        assert rr - 1e-6 < rq <= rr + 1e-12
+        # integer micro-sum / n reconstructs exactly
+        micro = rq * n * 1e6
+        assert abs(micro - round(micro)) < 1e-6
+    assert (q[1]["perplexity"] < q[2]["perplexity"]) == (
+        raw[1]["perplexity"] < raw[2]["perplexity"]
+    )
+    assert q[3]["n_tokens"] == 0 and q[3]["logprob_per_token"] is None
+    with pytest.raises(ValueError):
+        ngram_perplexity(corpus, reference, quantize=13)
+
+
 def test_ngram_perplexity_duckdb_parity(spark):
     """Cross-engine replay: DuckDB recomputes the identical
     interpolated-bigram model and per-doc scores (compared at 9

@@ -101,6 +101,10 @@ _NLJ_ALLOWLIST = {
     # 1-row corpus-doc-count broadcast for the IDF term
     # (llm_queries.py tfidf_top_terms)
     "tfidf_top_terms": 1,
+    # 1-row (N1, V) LM-constants broadcast attached to every scored
+    # token so OOV tokens see the smoothing totals too
+    # (text.py ngram_perplexity)
+    "ngram_perplexity": 1,
     # (domain_mixture's former 1-row feasible-budget crossJoin attach
     # became an unpartitioned window min over the same tiny totals
     # frame in r12 — zero NLJs remain in that plan)
