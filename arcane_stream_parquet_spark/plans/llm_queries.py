@@ -1891,8 +1891,15 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # limit=None: the bench times plan EXECUTION only, so both corpus
+    # passes must live inside the lazy plan — the auto size-gate (the
+    # production default) would run pass 1 untimed at build; its two
+    # plan shapes are pinned in test_llm_ops and probed in
+    # scripts/dup_gate_probe.py
     return remove_boilerplate_lines(
-        _lined_corpus(docs), min_docs=_BOILER_MIN_DOCS
+        _lined_corpus(docs),
+        min_docs=_BOILER_MIN_DOCS,
+        boiler_broadcast_limit=None,
     )
 
 
@@ -1995,10 +2002,12 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # limit=None for bench honesty — see q_boilerplate_lines
     return remove_duplicate_spans(
         _span_corpus(docs),
         window_tokens=_SPAN_K,
         min_docs=_SPAN_MIN_DOCS,
+        dup_broadcast_limit=None,
     )
 
 
