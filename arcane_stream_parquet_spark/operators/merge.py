@@ -231,6 +231,47 @@ def _norm_stat(v):
     raise TypeError(f"unsupported stat value {v!r} ({type(v).__name__})")
 
 
+#: manifest string stats are TRUNCATED at this many code points
+#: (Iceberg's write.metadata.metrics truncation, default 16 there; 64
+#: here keeps more pruning bite on prose keys).  A megabyte-long text
+#: value must not ride into every manifest entry (r12 verdict "What's
+#: wrong #2") — min truncates down (a prefix lower-bounds the value),
+#: max truncates UP via last-code-point increment, so the recorded
+#: interval always CONTAINS the true [min, max] and every may/must
+#: pruning rule stays conservative-correct on the widened interval.
+_STATS_MAX_LEN = 64
+
+
+def _trunc_stat_min(v, max_len: int = _STATS_MAX_LEN):
+    """Lower-bound truncation: a code-point prefix sorts <= the value
+    (UTF-8 binary order == code-point order), so it is a valid min."""
+    if isinstance(v, str) and len(v) > max_len:
+        return v[:max_len]
+    return v
+
+
+def _trunc_stat_max(v, max_len: int = _STATS_MAX_LEN):
+    """Upper-bound truncation (Iceberg's rule): take the prefix and
+    increment its last incrementable code point, dropping everything
+    after it — the result sorts strictly above EVERY string carrying
+    the original prefix, hence above the true max.  Increments skip
+    the surrogate block (U+D7FF -> U+E000: surrogates are not valid
+    in well-formed strings and would not round-trip JSON/UTF-8).  If
+    every prefix char is U+10FFFF (no finite successor) the value is
+    kept whole — correctness over the size cap in that pathological
+    corner."""
+    if not (isinstance(v, str) and len(v) > max_len):
+        return v
+    p = v[:max_len]
+    for i in range(len(p) - 1, -1, -1):
+        o = ord(p[i])
+        if o >= 0x10FFFF:
+            continue
+        nxt = 0xE000 if o == 0xD7FF else o + 1
+        return p[:i] + chr(nxt)
+    return v
+
+
 def _session_zoneinfo(spark):
     """The session timezone as a ``zoneinfo`` object, or None when the
     configured name is not resolvable (e.g. raw offset forms) — callers
@@ -2057,8 +2098,8 @@ class ParquetMergeTarget:
                 "d": dirname,
                 "b": b,
                 "n": name,
-                "mn": r["_mn"],
-                "mx": r["_mx"],
+                "mn": _trunc_stat_min(r["_mn"]),
+                "mx": _trunc_stat_max(r["_mx"]),
                 "hn": bool(r["_hn"]),
                 "sz": sizes.get((b, name), 0),
                 "rc": int(r["_rc"]),
@@ -2066,8 +2107,8 @@ class ParquetMergeTarget:
             if cs_cols:
                 entry["cs"] = {
                     c: [
-                        _norm_stat(r[f"_cmn{i}"]),
-                        _norm_stat(r[f"_cmx{i}"]),
+                        _trunc_stat_min(_norm_stat(r[f"_cmn{i}"])),
+                        _trunc_stat_max(_norm_stat(r[f"_cmx{i}"])),
                         bool(r[f"_chn{i}"]),
                     ]
                     for i, c in enumerate(cs_cols)
@@ -2221,8 +2262,8 @@ class ParquetMergeTarget:
                     "d": dirname,
                     "n": name,
                     "bs": [int(x) for x in r["_bs"]],
-                    "mn": r["_mn"],
-                    "mx": r["_mx"],
+                    "mn": _trunc_stat_min(r["_mn"]),
+                    "mx": _trunc_stat_max(r["_mx"]),
                     "hn": bool(r["_hn"]),
                     "sz": sizes.get(name, 0),
                 }

@@ -515,3 +515,135 @@ def test_like_prefix_prunes_on_prefix_clustered_files(spark, tmp_path):
     assert len(full) >= 1  # 40 'c'-rows across 20-row files
     got = t.count_where(("name", "like_prefix", "c"))
     assert got == 40 == t.read_where(("name", "like_prefix", "c")).count()
+
+
+# -- manifest string-stat truncation (r13, r12 verdict item 3) -----------------
+
+
+def test_trunc_stat_max_is_a_strict_upper_bound():
+    """Property sweep of the Iceberg-style upper-bound increment: the
+    truncated max sorts above every string carrying the original
+    prefix, never lands in the surrogate block, and caps at the limit."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        _STATS_MAX_LEN,
+        _trunc_stat_max,
+        _trunc_stat_min,
+    )
+
+    long = "x" * 100 + "z"
+    up = _trunc_stat_max(long)
+    assert len(up) <= _STATS_MAX_LEN and up > long
+    assert _trunc_stat_min(long) == "x" * _STATS_MAX_LEN <= long
+    # short values and non-strings pass through untouched
+    assert _trunc_stat_max("abc") == "abc"
+    assert _trunc_stat_max(123) == 123 and _trunc_stat_min(None) is None
+    # surrogate block skipped: U+D7FF increments to U+E000
+    s = "a" * 63 + "퟿" + "tail"
+    up = _trunc_stat_max(s)
+    assert up == "a" * 63 + "" and up > s
+    # un-incrementable tail chars are dropped, the increment moves left
+    s = "ab" + "\U0010ffff" * 70
+    up = _trunc_stat_max(s)
+    assert up == "ac" and up > s
+    # the no-finite-successor corner keeps the value whole (sound, uncapped)
+    s = "\U0010ffff" * 70
+    assert _trunc_stat_max(s) == s
+
+
+def long_rows_df(spark, lo, hi, ver=1):
+    # text values ~200 chars with an orderable 4-digit core so
+    # selective predicates exist; keys are ~150 chars too (key stats
+    # mn/mx truncate as well)
+    data = [
+        (
+            "key-" + "p" * 140 + f"-{i:04d}",
+            ver,
+            ("alpha-" if i % 2 else "beta--") + f"{i:04d}-" + "y" * 180,
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        data, "arcane_merge_key string, createdon long, body string"
+    )
+
+
+def test_long_string_stats_truncate_and_stay_correct(spark, tmp_path):
+    """Manifest entries for a long-string table stay bounded (no
+    megabyte min/max riding into every entry) while every pruning and
+    metadata-count decision stays conservative-correct against a
+    full-scan oracle — including like_prefix probes SHORTER and LONGER
+    than the truncation length."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        _STATS_MAX_LEN,
+        ParquetMergeTarget,
+    )
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=4,
+        stats_cols=("body",),
+        sorted_by=("body",),
+        max_records_per_file=25,
+    )
+    t.merge(long_rows_df(spark, 0, 200))
+    t.merge(long_rows_df(spark, 50, 60, ver=2), mode="mor")
+    t.delete_keys(["key-" + "p" * 140 + "-0007"])
+
+    m = t._manifest()
+    files = t._files_of_manifest(m) or []
+    assert files
+    for f in files:
+        for v in (f["mn"], f["mx"]):
+            assert v is None or len(v) <= _STATS_MAX_LEN
+        for mn, mx, _hn in (f.get("cs") or {}).values():
+            assert mn is None or len(str(mn)) <= _STATS_MAX_LEN
+            assert mx is None or len(str(mx)) <= _STATS_MAX_LEN
+    for d in m.get("deletes") or []:
+        for v in (d["mn"], d["mx"]):
+            assert v is None or len(v) <= _STATS_MAX_LEN
+
+    full = t.read()
+    probes = [
+        (("body", "like_prefix", "alpha-"),),
+        (("body", "like_prefix", "alpha-01"),),
+        # probe LONGER than the 64-char truncated stats
+        (("body", "like_prefix", "alpha-0150-" + "y" * 80),),
+        (("body", "=", ("alpha-" if 151 % 2 else "beta--") + "0151-" + "y" * 180),),
+        (("body", ">=", "beta--0190"),),
+        (("body", "<", "alpha-0010"),),
+    ]
+    for preds in probes:
+        expect = as_set(full.filter(spark_filter(preds)))
+        assert as_set(t.read_where(*preds)) == expect, preds
+        assert t.count_where(*preds) == len(expect), preds
+    # truncated stats still prune: a selective range over the sorted
+    # column plans fewer files than the table holds
+    narrow = t.read_where(("body", ">=", "beta--0195"))
+    assert 0 < len(narrow.inputFiles()) < len(full.inputFiles())
+
+
+def test_long_key_upsert_and_delete_stay_exact(spark, tmp_path):
+    """Merge-key mn/mx truncation must stay invisible to upsert
+    correctness: _prune_touched_files and _delete_applies only widen
+    with truncated stats (more files touched), never lose a row."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        ParquetMergeTarget,
+    )
+
+    t = ParquetMergeTarget(
+        spark=spark,
+        path=str(tmp_path / "t"),
+        num_buckets=4,
+        max_records_per_file=25,
+    )
+    t.merge(long_rows_df(spark, 0, 150))
+    t.merge(long_rows_df(spark, 100, 130, ver=3))
+    t.merge(long_rows_df(spark, 120, 140, ver=4), mode="mor")
+    got = {
+        r["arcane_merge_key"]: r["createdon"] for r in t.read().collect()
+    }
+    want = {**{f"key-{'p'*140}-{i:04d}": 1 for i in range(150)}}
+    want.update({f"key-{'p'*140}-{i:04d}": 3 for i in range(100, 130)})
+    want.update({f"key-{'p'*140}-{i:04d}": 4 for i in range(120, 140)})
+    assert got == want
