@@ -415,10 +415,13 @@ def remove_duplicate_spans(
 
     100 TB shape: windows are a row-local array transform + explode
     (no shuffle of the corpus); ONE partial-agg shuffle builds the
-    window->distinct-doc-count table over 64-bit window fingerprints
+    window->distinct-doc-count table over 96-bit window fingerprints
     (sha256 prefix — a collision can only merge two windows and
-    over-remove, ~2^-64 per pair, and the oracle fingerprints
-    identically); duplicate windows join back onto the window stream —
+    over-remove; at 96 bits the BIRTHDAY aggregate stays ~0 even at
+    10^13 distinct windows: ~10^26/2 pairs x 2^-96 ≈ 6x10^-4 expected
+    collisions corpus-wide, where 64 bits would already expect
+    millions — r12 advice; the oracle fingerprints identically);
+    duplicate windows join back onto the window stream —
     broadcast when the set fits under ``dup_broadcast_limit`` (the
     common case on a curated corpus; the gate counts it first, eager,
     with the persisted count reused by the final plan — see
@@ -446,13 +449,15 @@ def remove_duplicate_spans(
     # (pos, text) structs inside a transform lambda runs interpreted
     # per element (the r8 higher-order-function lesson) and costs ~2x
     # on this operator at sf0.1
-    # the window is carried as a 64-bit sha256 prefix, never its text:
-    # the frequency shuffle moves 16 bytes per window instead of the
-    # ~10-token string (~4x fewer shuffle bytes — at 100 TB this is
+    # the window is carried as a 96-bit sha256 prefix, never its text:
+    # the frequency shuffle moves 24 bytes per window instead of the
+    # ~10-token string (~2.5x fewer shuffle bytes — at 100 TB this is
     # the dominant shuffle).  A prefix collision can only MERGE two
-    # windows' doc counts (over-removal with ~2^-64 per-pair odds);
-    # the oracle computes the identical prefix, so both engines agree
-    # bit-for-bit regardless.
+    # windows' doc counts (over-removal); 96 bits keeps the BIRTHDAY
+    # bound negligible at target scale (~6x10^-4 expected collisions
+    # across 10^13 windows vs millions at the former 64 bits — r12
+    # advice).  The oracle computes the identical prefix, so both
+    # engines agree bit-for-bit regardless.
     wins = toks.select(
         F.col(id_col),
         F.col("_tk"),
@@ -472,7 +477,7 @@ def remove_duplicate_spans(
                 256,
             ),
             1,
-            16,
+            24,
         ).alias("w"),
     )
     dup = (

@@ -1557,7 +1557,6 @@ _PARITY_BATCHES = 3
 )
 def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
-    import uuid
 
     from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
     from arcane_stream_parquet_spark.streaming.curation import (
@@ -1568,8 +1567,10 @@ def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r4 VERDICT task 4: this used to be the one operator-adjacent
     # path on driver-local tempfile/os.*) — swap this root for
     # ``s3a://bucket/...`` and the harness runs unchanged.
+    from arcane_stream_parquet_spark.plans.core_queries import scratch_path
+
     fio = HadoopFileIO(spark)
-    work = f"file:///tmp/asp_stream_parity_{uuid.uuid4().hex}"
+    work = scratch_path("stream_parity")
     landing = fs_join(work, "landing")
     fio.mkdirs(landing)
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1953,7 +1954,7 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
         wins AS (
             SELECT doc_id, i AS pos,
                    substr(sha256(array_to_string(tk[(i+1):(i+{_SPAN_K})],
-                                                 ' ')), 1, 16) AS w
+                                                 ' ')), 1, 24) AS w
             FROM toks,
                  UNNEST(range(0, greatest(len(tk) - {_SPAN_K} + 1, 0))) u(i)
         ),

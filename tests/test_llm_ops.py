@@ -852,7 +852,7 @@ def test_remove_duplicate_spans_duckdb_parity(spark):
             wins AS (
                 SELECT doc_id, i AS pos,
                        substr(sha256(array_to_string(tk[(i+1):(i+10)], ' ')),
-                              1, 16) AS w
+                              1, 24) AS w
                 FROM toks, UNNEST(range(0, greatest(len(tk) - 10 + 1, 0))) u(i)
             ),
             dup AS (
