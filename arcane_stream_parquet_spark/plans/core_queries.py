@@ -21,6 +21,21 @@ from arcane_stream_parquet_spark.plans.registry import register_query
 from arcane_stream_parquet_spark.sources.tables import load_table
 
 
+def scratch_path(name: str, file_uri: bool = True) -> str:
+    """Side-effect target under /tmp for a registry row that BUILDS a
+    table before the timed read (cdc/replication/rebucket/count_where
+    parity rows): a FIXED per-name path, wiped here before reuse, so
+    repeated sim/bench runs overwrite one copy instead of leaking a
+    uuid-named table per execution (r12 advice).  Concurrent runs of
+    the same row in one sandbox are not a supported scenario — the
+    driver executes queries sequentially."""
+    import shutil
+
+    p = f"/tmp/asp_scratch_{name}"
+    shutil.rmtree(p, ignore_errors=True)
+    return f"file://{p}" if file_uri else p
+
+
 @register_query(
     "latest_by_key",
     oracle="""
@@ -283,8 +298,6 @@ _CDC_BATCH_SQL = " UNION ALL ".join(
     tags=("reference", "merge", "cdc"),
 )
 def q_cdc_changelog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from arcane_stream_parquet_spark.operators.merge import (
         CHANGE_TYPE_COLUMN,
         COMMIT_VERSION_COLUMN,
@@ -300,7 +313,7 @@ def q_cdc_changelog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for mode in ("cow", "mor"):
         t = ParquetMergeTarget(
             spark=spark,
-            path=f"file:///tmp/asp_cdc_parity_{uuid.uuid4().hex}",
+            path=scratch_path(f"cdc_parity_{mode}"),
             merge_mode=mode,
             num_buckets=4,
         )
@@ -403,8 +416,6 @@ _REPL_KEY_CAP = 400
 def q_incremental_replication_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import uuid
-
     from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
     from arcane_stream_parquet_spark.streaming.changelog import (
         replicate_incremental,
@@ -433,14 +444,13 @@ def q_incremental_replication_parity(
             ),
         )
 
-    run = uuid.uuid4().hex
     src = ParquetMergeTarget(
-        spark=spark, path=f"file:///tmp/asp_repl_src_{run}", num_buckets=4
+        spark=spark, path=scratch_path("repl_src"), num_buckets=4
     )
     dst = ParquetMergeTarget(
-        spark=spark, path=f"file:///tmp/asp_repl_dst_{run}", num_buckets=4
+        spark=spark, path=scratch_path("repl_dst"), num_buckets=4
     )
-    cursor = f"/tmp/asp_repl_cur_{run}"
+    cursor = scratch_path("repl_cur", file_uri=False)
     src.merge(batch(2, 1, "a"))
     src.merge(batch(3, 2, "b"), mode="mor")
     replicate_incremental(src, dst, cursor)  # tick 1: slice [1..2]
@@ -517,8 +527,6 @@ _RB_KEY_CAP = 600
     tags=("reference", "merge", "rebucket"),
 )
 def q_rebucket_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from arcane_stream_parquet_spark.operators.merge import (
         ParquetMergeTarget,
     )
@@ -540,7 +548,7 @@ def q_rebucket_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = ParquetMergeTarget(
         spark=spark,
-        path=f"file:///tmp/asp_rebucket_parity_{uuid.uuid4().hex}",
+        path=scratch_path("rebucket_parity"),
         num_buckets=4,
     )
     t.merge(batch(1, 1, "a"))
@@ -625,8 +633,6 @@ _CW_PRICE = 300000.0
     tags=("reference", "merge", "skipping"),
 )
 def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from arcane_stream_parquet_spark.operators.merge import (
         ParquetMergeTarget,
     )
@@ -641,7 +647,7 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = orders.count()
     t = ParquetMergeTarget(
         spark=spark,
-        path=f"file:///tmp/asp_count_where_{uuid.uuid4().hex}",
+        path=scratch_path("count_where"),
         num_buckets=2,
         cluster_by=("order_day",),
         stats_cols=("o_totalprice", "o_orderstatus"),
