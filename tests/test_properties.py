@@ -418,3 +418,53 @@ def test_remove_duplicate_spans_matches_position_model(spark, docs, k):
         ).collect()
     }
     assert got == _span_reference(corpus, k, 2)
+
+
+# -- manifest string-stat truncation bounds (r13, pure Python) -----------------
+
+# any valid code point EXCEPT surrogates (a real Spark string can't
+# carry lone surrogates), biased toward the interesting boundaries
+_cp = st.one_of(
+    st.integers(0, 0xD7FF),
+    st.integers(0xE000, 0x10FFFF),
+    st.sampled_from([0xD7FF, 0xE000, 0x10FFFF, 0x10FFFE, 0x41]),
+)
+_stat_str = st.lists(_cp, min_size=0, max_size=90).map(
+    lambda cs: "".join(chr(c) for c in cs)
+)
+
+
+@given(v=_stat_str, other=_stat_str)
+@settings(max_examples=300, deadline=None)
+def test_stat_truncation_bounds_property(v, other):
+    """For EVERY string value and every other string: truncation only
+    widens the interval (trunc_min <= v <= trunc_max-or-kept-whole),
+    the bounds respect the length cap unless the no-successor corner
+    forced keeping the value, results never contain lone surrogates,
+    and interval membership is preserved — any `other` inside [v, v]
+    stays inside [trunc_min(v), trunc_max(v)]."""
+    from arcane_stream_parquet_spark.operators.merge import (
+        _STATS_MAX_LEN,
+        _trunc_stat_max,
+        _trunc_stat_min,
+    )
+
+    lo, hi = _trunc_stat_min(v), _trunc_stat_max(v)
+    assert lo <= v <= hi
+    assert len(lo) <= max(len(v), _STATS_MAX_LEN)
+    if len(v) > _STATS_MAX_LEN:
+        assert len(lo) == _STATS_MAX_LEN
+        # hi either capped, or the value was kept whole because every
+        # prefix char was U+10FFFF
+        kept_whole = hi == v
+        assert len(hi) <= _STATS_MAX_LEN or kept_whole
+        if kept_whole:
+            assert all(c == "\U0010ffff" for c in v[:_STATS_MAX_LEN])
+        else:
+            # strict upper bound over EVERY string with the prefix:
+            # the worst case is prefix + infinite U+10FFFF tail
+            assert hi > v[:_STATS_MAX_LEN] + "\U0010ffff" * 8
+    assert not any(0xD800 <= ord(c) <= 0xDFFF for c in lo + hi)
+    # interval-widening containment for an arbitrary probe value
+    if lo <= other <= v:
+        assert lo <= other <= hi
