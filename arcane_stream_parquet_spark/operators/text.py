@@ -449,15 +449,17 @@ def remove_duplicate_spans(
     # (pos, text) structs inside a transform lambda runs interpreted
     # per element (the r8 higher-order-function lesson) and costs ~2x
     # on this operator at sf0.1
-    # the window is carried as a 96-bit sha256 prefix, never its text:
-    # the frequency shuffle moves 24 bytes per window instead of the
-    # ~10-token string (~2.5x fewer shuffle bytes — at 100 TB this is
-    # the dominant shuffle).  A prefix collision can only MERGE two
-    # windows' doc counts (over-removal); 96 bits keeps the BIRTHDAY
-    # bound negligible at target scale (~6x10^-4 expected collisions
-    # across 10^13 windows vs millions at the former 64 bits — r12
-    # advice).  The oracle computes the identical prefix, so both
-    # engines agree bit-for-bit regardless.
+    # the window is carried as a 96-bit sha256 prefix, never its text —
+    # and as 12 BYTES of binary (unhex), not the 24-char hex string:
+    # the frequency shuffle moves ~5x fewer bytes than the ~10-token
+    # window text (at 100 TB this is the dominant shuffle; grouping on
+    # binary is bit-for-bit the same partition of windows as grouping
+    # on its hex spelling, so the column's representation is invisible
+    # to semantics and to the oracle, which fingerprints the same 96
+    # bits in hex).  A prefix collision can only MERGE two windows'
+    # doc counts (over-removal); 96 bits keeps the BIRTHDAY bound
+    # negligible at target scale (~6x10^-4 expected collisions across
+    # 10^13 windows vs millions at the former 64 bits — r12 advice).
     wins = toks.select(
         F.col(id_col),
         F.col("_tk"),
@@ -469,15 +471,17 @@ def remove_duplicate_spans(
     ).select(
         id_col,
         "pos",
-        F.substring(
-            F.sha2(
-                F.array_join(
-                    F.slice(F.col("_tk"), F.col("pos") + 1, k), " "
+        F.unhex(
+            F.substring(
+                F.sha2(
+                    F.array_join(
+                        F.slice(F.col("_tk"), F.col("pos") + 1, k), " "
+                    ),
+                    256,
                 ),
-                256,
-            ),
-            1,
-            24,
+                1,
+                24,
+            )
         ).alias("w"),
     )
     dup = (
