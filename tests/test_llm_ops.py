@@ -968,6 +968,39 @@ def test_remove_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_remove_boilerplate_lines_byte_gate(spark):
+    """Boilerplate line keys are variable-width, so the gate must bound
+    BYTES, not just entries: a handful of huge lines under the row
+    limit still falls back when their total key bytes exceed the byte
+    limit — and the fallback stays row-identical."""
+    from arcane_stream_parquet_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "X" * 5000
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\nbody {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with _no_auto_broadcast(spark):
+        kw = dict(min_docs=5, boiler_broadcast_limit=10_000)
+        under = remove_boilerplate_lines(docs, **kw)
+        p_under = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_under  # 5000 B < 64 MB default
+        # same rows, tiny byte budget: falls back despite 1 entry
+        # (byte_limit resolves at call time from the module constant)
+        import unittest.mock as mock
+
+        import arcane_stream_parquet_spark.operators.text as text_mod
+
+        with mock.patch.object(text_mod, "DUP_BROADCAST_BYTE_LIMIT", 100):
+            over = remove_boilerplate_lines(docs, **kw)
+        p_over = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p_over
+        rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert rows(under) == rows(over)
+
+
 def test_remove_duplicate_spans_broadcast_gate_both_sides(spark):
     """r12 verdict item 2, span-dedup side: under the limit the
     duplicate-window set broadcasts; limit=0 (the forced 100 TB
