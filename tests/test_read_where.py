@@ -622,6 +622,21 @@ def test_long_string_stats_truncate_and_stay_correct(spark, tmp_path):
     narrow = t.read_where(("body", ">=", "beta--0195"))
     assert 0 < len(narrow.inputFiles()) < len(full.inputFiles())
 
+    # stats recollection paths (compact folds the MoR delta, rebucket
+    # rewrites every unit) keep the cap AND the answers
+    t.compact()
+    assert t.rebucket(8)["done"]
+    for f in t._files_of_manifest(t._manifest()) or []:
+        for v in (f["mn"], f["mx"]):
+            assert v is None or len(v) <= _STATS_MAX_LEN
+        for mn, mx, _hn in (f.get("cs") or {}).values():
+            assert mn is None or len(str(mn)) <= _STATS_MAX_LEN
+            assert mx is None or len(str(mx)) <= _STATS_MAX_LEN
+    for preds in probes:
+        expect = as_set(t.read().filter(spark_filter(preds)))
+        assert as_set(t.read_where(*preds)) == expect, preds
+        assert t.count_where(*preds) == len(expect), preds
+
 
 def test_long_key_upsert_and_delete_stay_exact(spark, tmp_path):
     """Merge-key mn/mx truncation must stay invisible to upsert
