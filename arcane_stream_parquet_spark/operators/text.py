@@ -321,8 +321,11 @@ def _gated_broadcast(
     else:
         row = small.agg(
             F.count(F.lit(1)).alias("n"),
+            # octet_length, not length: the budget is BYTES shipped to
+            # every executor, and a CJK-heavy key is up to 4x its
+            # character count in UTF-8
             F.coalesce(
-                F.sum(F.length(F.col(weight_col))), F.lit(0)
+                F.sum(F.octet_length(F.col(weight_col))), F.lit(0)
             ).alias("b"),
         ).collect()[0]
         ok = row["n"] <= int(limit) and int(row["b"]) <= int(byte_limit)
