@@ -199,6 +199,22 @@ class HadoopFileIO:
             raise FileExistsError(dst)
         self._rename(src, dst)
 
+    def mtime_ms(self, path: str) -> int:
+        """Modification time in ms — for a directory, the max over the
+        directory status and every file beneath it (object-store
+        directories are synthetic, so a dir's own mtime can be 0 or
+        missing; the newest CONTAINED file is what an age guard must
+        see)."""
+        jp = self._jpath(path)
+        fs = self._fs(jp)
+        st = fs.getFileStatus(jp)
+        best = int(st.getModificationTime())
+        if st.isDirectory():
+            it = fs.listFiles(jp, True)
+            while it.hasNext():
+                best = max(best, int(it.next().getModificationTime()))
+        return best
+
     def set_mtime(self, path: str, mtime_ms: int) -> None:
         """Pin a file's modification time (Hadoop ``setTimes``; atime
         untouched) — what lets a test order FileStreamSource batches

@@ -3318,6 +3318,7 @@ class ParquetMergeTarget:
         on_delete_bytes: int | None = 256 * 1024 * 1024,
         on_small_files: int | None = 512,
         on_snapshots: int | None = 64,
+        orphan_grace_seconds: float = 0.0,
     ) -> dict:
         """THE metric-driven maintenance gate (shared by the stream
         runner and the curation pipeline — one implementation, r8
@@ -3378,7 +3379,7 @@ class ParquetMergeTarget:
         )
         if not due(m0):
             if vacuum_due:
-                self.vacuum()
+                self.vacuum(orphan_grace_seconds=orphan_grace_seconds)
                 return {"ran": True, "escalated": False}
             return {"ran": False, "escalated": False}
         self.compact_minor(small_file_bytes=small_file_bytes)
@@ -3396,7 +3397,7 @@ class ParquetMergeTarget:
             # every minor fire: it walks the full file list + data dirs
             # (O(table)), which a minor-only fire must never pay at the
             # 10^6-file scale this gate exists for
-            self.vacuum()
+            self.vacuum(orphan_grace_seconds=orphan_grace_seconds)
         return {"ran": True, "escalated": escalated}
 
     def compact_minor(
@@ -3863,6 +3864,7 @@ class ParquetMergeTarget:
         keep_last: int = 1,
         older_than_seconds: float | None = None,
         dry_run: bool = False,
+        orphan_grace_seconds: float = 0.0,
     ) -> list[str]:
         """remove_orphan_files + expire_snapshots equivalent: delete
         data no RETAINED snapshot references (crash leftovers,
@@ -3885,7 +3887,20 @@ class ParquetMergeTarget:
         dirs and per-dir otherwise.  Returns removed entries;
         ``dry_run=True`` returns exactly what a real run would remove
         without touching anything (audit before reclaiming a 100 TB
-        table's history)."""
+        table's history).
+
+        ``orphan_grace_seconds`` is the ``remove_orphan_files
+        older_than`` guard (Iceberg defaults it to 3 DAYS for exactly
+        this reason): files referenced by NO manifest at all — not
+        even an expiring one — are indistinguishable from a CONCURRENT
+        writer's mid-commit staging (data files land before the
+        manifest/marker that references them), so orphans newer than
+        the grace are left alone.  Snapshot-EXPIRED files are
+        metadata-known dead and reclaim immediately regardless.  The
+        default 0.0 keeps the single-writer contract (a stream's own
+        maintenance loop, the reference's deployment shape) where
+        immediate crash-leftover reclaim is correct; raise it whenever
+        another writer might be mid-commit during vacuum."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         manifest = self._manifest()
@@ -3918,6 +3933,50 @@ class ParquetMergeTarget:
         def reclaim(path: str, recursive: bool = False) -> None:
             if not dry_run:
                 fio.delete(path, recursive=recursive)
+
+        # orphan age guard (docstring): with a grace window, split the
+        # dead set into metadata-KNOWN dead (referenced by a manifest
+        # this run expires — reclaim immediately) vs true orphans
+        # (referenced by nothing — possibly a concurrent writer's
+        # staging whose manifest/marker lands AFTER its data files;
+        # skip while younger than the grace).  The expired-manifest
+        # read is O(expired snapshots) and only paid when a grace is
+        # requested.
+        grace_ms = float(orphan_grace_seconds) * 1000.0
+        expired_data_dirs: set[str] = set()
+        expired_del_dirs: set[str] = set()
+        expired_shards: set[str] = set()
+        if grace_ms > 0:
+            for v in committed:
+                if v in set(retained_vs):
+                    continue
+                try:
+                    m = self._manifest_at(v, current=manifest)
+                except FileNotFoundError:
+                    continue
+                fl = self._files_of_manifest(m)
+                if fl is None:
+                    expired_data_dirs |= {
+                        f"v{int(x):05d}" for x in m["buckets"].values()
+                    }
+                else:
+                    expired_data_dirs |= {self._dirname_of(f) for f in fl}
+                for d in m.get("deletes") or []:
+                    expired_del_dirs.add(
+                        d.get("d") or f"v{int(d['seq']):05d}"
+                    )
+                expired_shards |= set(self._shard_names(m))
+
+        def young_orphan(path: str) -> bool:
+            if grace_ms <= 0:
+                return False
+            try:
+                return (
+                    fio.mtime_ms(path)
+                    >= time.time() * 1000.0 - grace_ms
+                )
+            except Exception:
+                return True  # cannot stat -> leave it for a later run
 
         # union the live references of every retained snapshot
         whole_dirs: set[str] = set()  # legacy manifests: whole-dir refs
@@ -3963,8 +4022,9 @@ class ParquetMergeTarget:
             vdir = fs_join(data_root, name)
             live = live_data.get(name)
             if not live:
-                reclaim(vdir, recursive=True)
-                removed.append(name)
+                if name in expired_data_dirs or not young_orphan(vdir):
+                    reclaim(vdir, recursive=True)
+                    removed.append(name)
                 continue
             for bname in fio.list_names(vdir):
                 if not bname.startswith(f"{BUCKET_COLUMN}="):
@@ -3994,8 +4054,9 @@ class ParquetMergeTarget:
             vdir = fs_join(deletes_root, name)
             live = live_del.get(name)
             if not live:
-                reclaim(vdir, recursive=True)
-                removed.append(f"deletes/{name}")
+                if name in expired_del_dirs or not young_orphan(vdir):
+                    reclaim(vdir, recursive=True)
+                    removed.append(f"deletes/{name}")
                 continue
             for fname, _sz in fio.list_files(vdir):
                 if fname.endswith(".parquet") and fname not in live:
@@ -4004,20 +4065,28 @@ class ParquetMergeTarget:
 
         retained_set = set(retained_vs)
         for v in versions:
-            if v not in retained_set:
+            # never touch versions beyond the snapshot this run loaded:
+            # a concurrent writer may have just committed them (their
+            # expiry belongs to a vacuum that SEES them as history)
+            if v not in retained_set and v <= current:
                 reclaim(self._manifest_file(v))
         # shard files belong to the roots that reference them: drop
         # every shard not referenced by a RETAINED manifest — expired
-        # snapshots' shards and crash orphans alike.  Shard reuse (r9)
-        # means live shard names can carry OLDER versions than their
-        # root; membership is by name, not version.
+        # snapshots' shards immediately, unreferenced orphans subject
+        # to the same age guard as data (a mid-commit writer stages
+        # its shards BEFORE the root CAS that references them).  Shard
+        # reuse (r9) means live shard names can carry OLDER versions
+        # than their root; membership is by name, not version.
         for name in fio.list_names(self._meta_path):
             if (
                 name.startswith("manifest-v")
                 and "-shard-" in name
                 and name not in live_shards
             ):
-                reclaim(fs_join(self._meta_path, name))
+                if name in expired_shards or not young_orphan(
+                    fs_join(self._meta_path, name)
+                ):
+                    reclaim(fs_join(self._meta_path, name))
         return removed
 
     def stats(self, with_row_count: bool = True) -> dict:

@@ -79,6 +79,14 @@ class StreamRunner:
     # when this many roots have accumulated — amortized O(table)/N
     # even when the counter-gated deep clean never runs
     vacuum_on_snapshots: int | None = 64
+    # orphan age guard passed through to every maintenance vacuum
+    # (merge.py vacuum(orphan_grace_seconds=...), r13): 0 = the
+    # single-writer default (this stream is the table's only writer,
+    # the reference's deployment shape — crash leftovers reclaim
+    # immediately); set to hours/days when ANOTHER writer (a backfill,
+    # a rebucket operator, a second stream) may be mid-commit while
+    # this stream's maintenance runs
+    vacuum_orphan_grace_seconds: float = 0.0
     minor_small_file_bytes: int = 8 * 1024 * 1024
     # reference S6 queryRetry*: in-process merge retry with backoff +
     # retryable-message matching (streaming/retry.py); default "never"
@@ -110,7 +118,9 @@ class StreamRunner:
         elif self._batches_since_maintenance >= self.maintenance_every_n_batches:
             self._batches_since_maintenance = 0
             self.target.compact()
-            self.target.vacuum()
+            self.target.vacuum(
+                orphan_grace_seconds=self.vacuum_orphan_grace_seconds
+            )
         else:
             # shared convergent gate (merge.py run_adaptive_maintenance):
             # one manifest read when idle; minor pass + one-shot full-
@@ -121,6 +131,7 @@ class StreamRunner:
                 on_delete_bytes=self.compact_on_delete_bytes,
                 on_small_files=self.compact_on_small_files,
                 on_snapshots=self.vacuum_on_snapshots,
+                orphan_grace_seconds=self.vacuum_orphan_grace_seconds,
             )
         for hook in self.on_batch:
             hook(batch_id, batch)

@@ -209,3 +209,80 @@ def test_rollback_to_tag(spark, tmp_path):
     # history() surfaces each snapshot's bucket count
     hist = {r["version"]: r["num_buckets"] for r in t.history().collect()}
     assert set(hist.values()) == {4}
+
+
+# -- orphan age guard (r13: Iceberg remove_orphan_files older_than) ------------
+
+
+def test_orphan_grace_spares_young_orphans_until_aged(spark, tmp_path):
+    """Files referenced by NO manifest are indistinguishable from a
+    concurrent writer's mid-commit staging (data lands before the
+    manifest/marker).  With a grace window a young orphan survives
+    vacuum; once its mtime ages past the window it is reclaimed."""
+    from arcane_stream_parquet_spark.fsio import fs_join
+
+    t = build_history(spark, tmp_path, n=2)
+    before = {tuple(r) for r in t.read().collect()}
+    # plant a true orphan: a data dir no manifest references
+    orphan = fs_join(t.path, "data", "v99999-deadbeef")
+    t._fio.mkdirs(orphan)
+    t._fio.create_text(fs_join(orphan, "part-0.parquet"), "notreal")
+    # plant an orphan manifest shard (mid-commit writer stages shards
+    # before the root CAS references them)
+    shard = "manifest-v00099-shard-00000-deadbeef.json"
+    t._fio.create_text(fs_join(t._meta_path, shard), "[]")
+
+    removed = t.vacuum(keep_last=1, orphan_grace_seconds=3600)
+    assert t._fio.exists(orphan)
+    assert t._fio.exists(fs_join(t._meta_path, shard))
+    assert "v99999-deadbeef" not in removed
+    # ... while snapshot-EXPIRED data reclaimed immediately (keep_last=1
+    # expired v1's superseded files despite the grace)
+    assert t.snapshot_versions() == [t._manifest()["version"]]
+    assert {tuple(r) for r in t.read().collect()} == before
+
+    # age the orphans past the window -> reclaimed
+    old_ms = 1_000_000  # 1970-ish
+    t._fio.set_mtime(fs_join(orphan, "part-0.parquet"), old_ms)
+    t._fio.set_mtime(orphan, old_ms)
+    t._fio.set_mtime(fs_join(t._meta_path, shard), old_ms)
+    removed = t.vacuum(keep_last=1, orphan_grace_seconds=3600)
+    assert "v99999-deadbeef" in removed
+    assert not t._fio.exists(orphan)
+    assert not t._fio.exists(fs_join(t._meta_path, shard))
+    assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_orphan_grace_zero_keeps_immediate_reclaim(spark, tmp_path):
+    """The default (0.0) preserves the single-writer contract: crash
+    leftovers reclaim on the very next vacuum."""
+    from arcane_stream_parquet_spark.fsio import fs_join
+
+    t = build_history(spark, tmp_path, n=1)
+    orphan = fs_join(t.path, "data", "v99999-cafecafe")
+    t._fio.mkdirs(orphan)
+    t._fio.create_text(fs_join(orphan, "part-0.parquet"), "notreal")
+    removed = t.vacuum()
+    assert "v99999-cafecafe" in removed
+    assert not t._fio.exists(orphan)
+
+
+def test_vacuum_never_expires_versions_beyond_loaded_snapshot(spark, tmp_path):
+    """A manifest with a version ABOVE the snapshot this vacuum loaded
+    (a concurrent writer's just-landed commit) must never be expired —
+    its history belongs to a vacuum that sees it as current."""
+    from arcane_stream_parquet_spark.fsio import fs_join
+    import json
+
+    t = build_history(spark, tmp_path, n=2)
+    cur = t._manifest()
+    future_v = int(cur["version"]) + 1
+    fut = dict(cur)
+    fut["version"] = future_v
+    path = t._manifest_file(future_v)
+    t._fio.create_text(path, json.dumps(fut))
+    try:
+        t.vacuum(keep_last=1)
+        assert t._fio.exists(path), "future manifest must survive"
+    finally:
+        t._fio.delete(path)
