@@ -22,6 +22,7 @@ Backfill (E2) is the same transforms as one batch job with
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -238,6 +239,29 @@ class BackfillState:
         )
         return {"done_shards": done}
 
+    def save_universe(self, files: list[str], num_shards: int) -> None:
+        """Pin the shard universe on FIRST contact (create-only): the
+        done-markers index into round-robin shards of THIS list with
+        THIS shard count, so a resume must never re-derive either —
+        a blob landing mid-backfill (or a changed num_shards) would
+        shift assignments and silently route unmerged files into
+        already-done shard indices."""
+        try:
+            self._fio.create_text(
+                fs_join(self.path, "universe.json"),
+                json.dumps({"files": files, "num_shards": int(num_shards)}),
+            )
+        except FileExistsError:
+            pass  # resume: the persisted universe is authoritative
+
+    def load_universe(self) -> dict | None:
+        try:
+            return json.loads(
+                self._fio.read_text(fs_join(self.path, "universe.json"))
+            )
+        except FileNotFoundError:
+            return None
+
     def mark_done(self, shard_idx: int) -> None:
         try:
             self._fio.create_text(
@@ -264,6 +288,15 @@ def run_backfill_sharded(
     commit, recorded in ``state_path`` after it lands. A killed backfill
     rerun with the same state file skips completed shards.
 
+    The shard UNIVERSE (file list + shard count) is pinned in the
+    state dir at first contact and is authoritative on resume (r13):
+    blobs that land mid-backfill are not part of this run — a fresh
+    listing on resume would re-shuffle round-robin assignments and
+    silently route unmerged original files into already-done shard
+    indices — and the completion watermark is computed over the
+    pinned universe only, so it can never leap past rows this
+    backfill did not merge.
+
     Replay safety: a crash AFTER a shard's merge but BEFORE its state
     write re-merges that shard — idempotent, because the latest-wins
     MERGE is a no-op for already-present (key, version) pairs (same
@@ -277,10 +310,22 @@ def run_backfill_sharded(
     if behavior not in ("Merge", "Overwrite"):
         raise ValueError(f"behavior must be Merge|Overwrite, got {behavior!r}")
 
-    files = _list_source_files(spark, source.path)
-    num_shards = min(num_shards, len(files))
-    shards = [files[i::num_shards] for i in range(num_shards)]
     state = BackfillState(state_path, spark)
+    # the persisted universe is authoritative on resume (see
+    # save_universe): a blob landing between the original listing and
+    # a crash-rerun must not re-shuffle shard assignments — it is NOT
+    # part of this backfill (the stream picks it up afterwards; the
+    # watermark below is computed over the universe, never a fresh
+    # listing, so it cannot leap past unmerged late arrivals)
+    uni = state.load_universe()
+    if uni is None:
+        files = _list_source_files(spark, source.path)
+        num_shards = min(num_shards, len(files))
+        state.save_universe(files, num_shards)
+    else:
+        files = list(uni["files"])
+        num_shards = int(uni["num_shards"])
+    shards = [files[i::num_shards] for i in range(num_shards)]
     done = set(state.load()["done_shards"])
 
     if behavior == "Overwrite":
@@ -317,7 +362,11 @@ def run_backfill_sharded(
     if behavior == "Overwrite":
         target.overwrite(sink.read())
 
-    full = source.read_batch(spark)
+    # watermark over exactly what this backfill merged — the pinned
+    # universe — never a fresh full listing, which could include blobs
+    # that landed mid-backfill and were NOT merged (an over-high
+    # watermark would tell downstream consumers those rows are in)
+    full = source.read_files(spark, files)
     target.commit_watermark(watermark_value(full, target.version_col))
     state.clear()
 

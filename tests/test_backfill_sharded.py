@@ -100,3 +100,50 @@ def test_overwrite_swaps_atomically_at_completion(spark, tmp_path, landing):
     import os
 
     assert not os.path.isdir(str(tmp_path / "tgt") + "_backfill_staging")
+
+
+def test_resume_pins_universe_against_midflight_arrivals(
+    spark, tmp_path, landing, monkeypatch
+):
+    """r13: the shard universe is pinned at first contact.  A blob
+    landing between the kill and the resume must NOT re-shuffle shard
+    assignments (round-robin over a longer list would route unmerged
+    ORIGINAL files into already-done shard indices — silent loss) and
+    must NOT be merged by this backfill; the completion watermark
+    covers exactly the pinned universe, never the late arrival."""
+    source, target, state_path = _setup(spark, tmp_path, landing)
+
+    original = ParquetMergeTarget.merge
+    calls = {"n": 0}
+
+    def dying_merge(self, batch):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated kill")
+        calls["n"] += 1
+        return original(self, batch)
+
+    monkeypatch.setattr(ParquetMergeTarget, "merge", dying_merge)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_backfill_sharded(
+            spark, source, target, state_path, behavior="Merge", num_shards=4
+        )
+    monkeypatch.undo()
+
+    # a late blob lands mid-backfill, newer than everything pinned —
+    # and the operator ALSO retries with a different num_shards, which
+    # the pinned universe must override
+    rng = random.Random(99)
+    write_fixture_file(str(landing), 99, rng, 1_700_000_000 + 9999 * 60)
+    run_backfill_sharded(
+        spark, source, target, state_path, behavior="Merge", num_shards=7
+    )
+
+    # every ORIGINAL row landed exactly once (latest-wins over the
+    # pinned 8 files), and the late blob was not merged
+    got_cols = {r["col0"] for r in target.read().collect()}
+    assert len(got_cols) == N_KEYS
+    # the watermark is the max mtime of the PINNED universe (µs) — the
+    # late blob's far-future mtime must not leak in
+    assert target.watermark() == (1_700_000_000 + 7 * 60) * 1_000_000
+    # state cleared; a FRESH backfill now picks the late blob up too
+    assert BackfillState(state_path).load() == {"done_shards": []}
