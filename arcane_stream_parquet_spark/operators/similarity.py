@@ -442,3 +442,92 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", F.col("__sim").alias("cosine"))
     )
+
+
+def semantic_duplicates(
+    corpus: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication through the coarse quantizer — the cluster-bucketed
+    member of the dedup family, alongside exact fingerprints, MinHash/
+    SimHash, and the pairwise LSH variant
+    (:func:`embedding_near_duplicates`).
+
+    Semantics (the paper's, made engine-deterministic):
+
+    1. Every corpus vector is assigned to its nearest centroid's cell
+       (cosine argmax, ties → lower centroid id — :func:`ivf_assign`,
+       the SAME assignment the IVF ANN path uses).
+    2. Candidate pairs exist only WITHIN a cell (the paper computes
+       pairwise similarity inside each k-means cluster, never across).
+    3. A pair (a, b) with ``cosine(a, b) >= tau`` is a semantic-
+       duplicate pair; the member KEPT is the one with the LOWER
+       cosine to its cell centroid (the paper's choice: keeping
+       low-centroid-similarity examples preserves the cluster's
+       outer, more diverse shell), ties broken by lower id. The other
+       member is flagged ``is_semantic_dup``. Pairwise — not
+       transitive-closure — exactly the paper's per-row max over the
+       cluster similarity matrix; a transitive sweep is
+       :mod:`.clustering`'s job when wanted.
+
+    Returns one row per corpus vector:
+    ``(id, cell, cent_sim, is_semantic_dup)``.
+
+    Scale shape (100 TB): the only corpus-sized operations are the
+    centroid argmax (broadcast K-row join + map-side max_by, one n-row
+    shuffle) and the within-cell self-join — an EQUI-join on cell, so
+    work is sum(|cell|^2) over cells, never all-pairs. With k grown
+    proportionally to n (the paper runs k=50k on LAION-440M), cell
+    sizes stay bounded and the join is linear in the corpus; skewed
+    giant cells are AQE's skew-join case. Centroids come in as plain
+    data (train on a bounded sample via
+    :func:`train_ivf_centroids`, or offline).
+
+    Determinism: every similarity is a left-to-right
+    :func:`dot_expr`, so cell assignment, pair admission, and the
+    keep rule are bit-identical across engines — a DuckDB replay of
+    the full pipeline (training included) pins this in
+    tests/test_semdedup.py.
+    """
+    spark = corpus.sparkSession
+    cent = _centroids_df(spark, centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    scored = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("__v"),
+        F.col("__n"),
+        cosine_with_norms(
+            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
+        ).alias("__cs"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_sim = cosine_with_norms(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+    )
+    b_keeps = (F.col("b.__cs") < F.col("a.__cs")) | (
+        (F.col("b.__cs") == F.col("a.__cs"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .filter((pair_sim >= F.lit(tau)) & b_keeps)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return scored.join(
+        losers.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.col("__cs").alias("cent_sim"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
