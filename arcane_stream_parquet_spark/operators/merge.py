@@ -272,6 +272,127 @@ def _trunc_stat_max(v, max_len: int = _STATS_MAX_LEN):
     return v
 
 
+# -- per-file manifest bloom filters (point-lookup skipping) ----------------
+#
+# min/max intervals prune `=`/`in` only on clustered/sorted columns —
+# on an UNSORTED high-cardinality column every file's interval spans
+# the domain and a point lookup scans the whole table.  A per-file
+# bloom filter in the manifest closes that gap at the PLANNING layer
+# (no footer read, no scan): files whose filter proves the probed
+# value absent drop before Spark sees them.  This is the manifest-side
+# complement of ``bloom_filter_cols`` (parquet footer blooms, which
+# only help inside an already-planned scan).  No false negatives by
+# construction: every non-null value's k positions are set at write
+# time from the SAME canonical string form the probe hashes
+# (hypothesis-pinned in tests/test_bloom_stats.py).
+
+_BLOOM_K = 4  # hash probes per value
+
+#: types whose Spark ``CAST(col AS STRING)`` equals the Python-side
+#: canonical form the probe hashes (_bloom_canon): integral digits,
+#: raw strings, ISO dates, lowercase booleans.  float/double and
+#: timestamps are excluded — their string renderings are not stable
+#: across engines/settings, and a canon mismatch would be a silent
+#: false negative (a wrongly pruned file).
+_BLOOM_TYPES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "string",
+    "date",
+    "boolean",
+)
+
+
+def _validate_bloom_type(col: str, dtype) -> None:
+    if dtype.simpleString() not in _BLOOM_TYPES:
+        raise TypeError(
+            f"manifest_bloom_cols[{col!r}]: unsupported type "
+            f"{dtype.simpleString()} (exact-string-castable scalars "
+            f"only: {', '.join(_BLOOM_TYPES)})"
+        )
+
+
+def _bloom_canon(v) -> str | None:
+    """Canonical probe string for a normalized predicate value — must
+    equal Spark's ``CAST(col AS STRING)`` for every _BLOOM_TYPES
+    column, or return None (= skip the bloom, stay conservative).
+    bool before int (bool subclasses int); an integral float probe on
+    an int column canonicalizes to its digits; a non-integral one
+    skips (the interval rules still apply)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v  # raw strings and ISO-normalized dates
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float) and v == int(v) and abs(v) < 2**63:
+        return str(int(v))
+    return None
+
+
+def _bloom_positions(canon: str, m: int) -> list[int]:
+    """The k bit positions of a canonical value: independent probes
+    from sha256('j|value') (first 48 bits, mod m) — exactly what the
+    write side computes in Spark SQL (_bloom_pos_col)."""
+    import hashlib
+
+    return [
+        int(hashlib.sha256(f"{j}|{canon}".encode()).hexdigest()[:12], 16) % m
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_pos_col(col, j: int, m: int):
+    """Spark twin of :func:`_bloom_positions` for one probe ``j``:
+    sha2 of 'j|' + CAST(col AS STRING), first 12 hex chars → 48-bit
+    int, mod m.  NULL values propagate to NULL (dropped by the
+    caller's filter — nulls are the ``hn`` flag's job, not the
+    bloom's)."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(f"{j}|"), col.cast("string")), 256), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+
+
+def _bloom_bytes(positions, m: int) -> bytes:
+    bits = bytearray(m // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def _bloom_may_contain(entry: dict, col: str, value) -> bool:
+    """True unless ``entry``'s manifest bloom PROVES ``value`` absent
+    from ``col`` in this file.  Missing filter / un-canonicalizable
+    probe → True (conservative).  An all-null or empty file carries an
+    all-zero filter, which correctly proves every value absent."""
+    import base64
+
+    spec = (entry.get("bf") or {}).get(col)
+    if spec is None:
+        return True
+    m, k, b64 = int(spec[0]), int(spec[1]), spec[2]
+    canon = _bloom_canon(value)
+    if canon is None:
+        return True
+    import hashlib
+
+    bits = base64.b64decode(b64)
+    for j in range(k):
+        p = int(hashlib.sha256(f"{j}|{canon}".encode()).hexdigest()[:12], 16) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def _session_zoneinfo(spark):
     """The session timezone as a ``zoneinfo`` object, or None when the
     configured name is not resolvable (e.g. raw offset forms) — callers
@@ -287,7 +408,21 @@ def _session_zoneinfo(spark):
 def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     """Conservative per-file pruning check: False ONLY when the
     recorded [mn, mx, has-null] interval PROVES no row of the file can
-    satisfy ``col op value``; missing stats always keep the file."""
+    satisfy ``col op value``; missing stats always keep the file.
+
+    Point predicates additionally consult the column's manifest bloom
+    filter when one is recorded (``manifest_bloom_cols``) — the
+    unsorted-column complement of the interval rule, and (for strings)
+    immune to stat truncation because the filter hashes FULL values:
+    an `=` probe prunes when the bloom proves the value absent, an
+    `in` probe drops the proven-absent elements before the interval
+    test."""
+    if op == "=" and not _bloom_may_contain(entry, col, value):
+        return False
+    if op == "in":
+        value = [x for x in value if _bloom_may_contain(entry, col, x)]
+        if not value:
+            return False
     cs = entry.get("cs") or {}
     if col not in cs:
         return True
@@ -509,6 +644,26 @@ class ParquetMergeTarget:
     #: make each file a tight contiguous range (unsorted data gives
     #: wide per-file intervals and pruning stops biting).
     stats_cols: tuple = ()
+    #: Columns that get a per-file BLOOM filter in the manifest —
+    #: point-lookup (`=` / `in`) file skipping on UNSORTED
+    #: high-cardinality columns, where min/max intervals span the
+    #: domain and never prune (the planner-side complement of
+    #: ``bloom_filter_cols``' parquet footer blooms).  Works on any
+    #: exactly-string-castable scalar (no float/double/timestamp);
+    #: independent of ``stats_cols`` and of string-stat truncation
+    #: (full values are hashed).  Weight: ``manifest_bloom_bits/8``
+    #: bytes per column per file in the manifest (base64, sharded
+    #: manifests keep commits O(delta)); build cost: one extra
+    #: column-pruned aggregation over the freshly written files per
+    #: commit.  False-positive rate ~(1-e^(-k·n/m))^k for n distinct
+    #: values per file — the 16 KiB default holds ~1% at n=2 000 and
+    #: degrades gracefully (a saturated filter keeps files, never
+    #: drops them).
+    manifest_bloom_cols: tuple = ()
+    #: Bits per manifest bloom filter (power of two not required;
+    #: divisible by 8).  Size to ~8-10 bits per expected DISTINCT
+    #: value per file for ~1-2% FPR.
+    manifest_bloom_bits: int = 16384
     #: Multi-column Z-order clustering (Delta ``OPTIMIZE ZORDER BY`` /
     #: Iceberg z-curve sort-order shape; beyond-reference — the
     #: reference exposes only lexicographic ``sortedBy``,
@@ -2089,6 +2244,58 @@ class ParquetMergeTarget:
             .agg(*aggs)
             .collect()
         )
+        bloom_cols = [
+            c for c in dict.fromkeys(self.manifest_bloom_cols) if c in scan.columns
+        ]
+        bf_by_file: dict[tuple[int, str], dict[str, list[int]]] = {}
+        if bloom_cols:
+            for c in bloom_cols:
+                _validate_bloom_type(c, scan.schema[c].dataType)
+            m = int(self.manifest_bloom_bits)
+            if m <= 0 or m % 8:
+                raise ValueError(
+                    f"manifest_bloom_bits must be a positive multiple of 8: {m}"
+                )
+            # one column-pruned pass over the new files: per row, the
+            # k probe positions of every bloom column's value (NULLs
+            # propagate to NULL positions and are filtered — nulls are
+            # the hn flag's job); the k-way expansion collapses
+            # map-side into collect_set, so the shuffle and the driver
+            # each carry at most min(k·distinct, m) positions per
+            # (file, column) — bounded by the filter size itself.
+            structs = [
+                F.struct(
+                    F.lit(c).alias("c"),
+                    _bloom_pos_col(F.col(c), j, m).alias("p"),
+                )
+                for c in bloom_cols
+                for j in range(_BLOOM_K)
+            ]
+            pos_rows = (
+                scan.select(
+                    F.input_file_name().alias("_f"),
+                    F.col(BUCKET_COLUMN).alias("_b"),
+                    F.explode(F.array(*structs)).alias("cp"),
+                )
+                .filter(F.col("cp.p").isNotNull())
+                .groupBy("_f", "_b", F.col("cp.c").alias("_c"))
+                .agg(F.collect_set("cp.p").alias("_ps"))
+                .collect()
+            )
+            for r in pos_rows:
+                key = (int(r["_b"]), r["_f"].rsplit("/", 1)[-1])
+                bf_by_file.setdefault(key, {})[r["_c"]] = [
+                    int(p) for p in r["_ps"]
+                ]
+        import base64
+
+        _zero_b64 = (
+            base64.b64encode(bytes(int(self.manifest_bloom_bits) // 8)).decode(
+                "ascii"
+            )
+            if bloom_cols
+            else ""
+        )
         out = []
         for r in rows:
             name = r["_f"].rsplit("/", 1)[-1]
@@ -2112,6 +2319,26 @@ class ParquetMergeTarget:
                         bool(r[f"_chn{i}"]),
                     ]
                     for i, c in enumerate(cs_cols)
+                }
+            if bloom_cols:
+                m = int(self.manifest_bloom_bits)
+                # every bloom column gets a filter on every file — a
+                # column with no non-null value in this file gets the
+                # all-zero filter, which correctly proves every probe
+                # absent (missing ≠ empty: missing means "not built",
+                # and the probe must keep the file)
+                file_positions = bf_by_file.get((b, name), {})
+                entry["bf"] = {
+                    c: [
+                        m,
+                        _BLOOM_K,
+                        base64.b64encode(
+                            _bloom_bytes(file_positions[c], m)
+                        ).decode("ascii")
+                        if c in file_positions
+                        else _zero_b64,
+                    ]
+                    for c in bloom_cols
                 }
             out.append(entry)
         return sorted(out, key=lambda e: (e["b"], e["n"]))

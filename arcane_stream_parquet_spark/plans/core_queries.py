@@ -615,9 +615,16 @@ _CW_PRICE = 300000.0
                   WHERE o_totalprice > {_CW_PRICE}) AS BIGINT)
                 AS cnt_price_gt,
             CAST((SELECT count(*) FROM o) AS BIGINT) AS cnt_status_not_null,
+            CAST((SELECT count(*) FROM orders
+                  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))
+                 AS BIGINT) AS cnt_cust_min,
+            CAST((SELECT count(*) FROM orders WHERE o_custkey = -1)
+                 AS BIGINT) AS cnt_cust_absent,
             TRUE AS pruned_day_range,
             TRUE AS metadata_covered_day_range,
-            TRUE AS metadata_only_not_null
+            TRUE AS metadata_only_not_null,
+            TRUE AS bloom_pruned_absent,
+            TRUE AS interval_blind_absent
     """,
     doc="Manifest-stats data skipping under the oracle gate "
     "(read_where/count_where, merge.py): orders written as a "
@@ -629,7 +636,13 @@ _CW_PRICE = 300000.0
     "hash-pinned to DuckDB's full-scan counts, plus layout "
     "attestations from the manifest: the window plan dropped files "
     "(pruned), >=1 file counted metadata-only (fully covered), and "
-    "the not_null count touched NO data file at all.",
+    "the not_null count touched NO data file at all. r13 adds the "
+    "manifest-BLOOM facet (manifest_bloom_cols=o_custkey): point "
+    "lookups on the UNSORTED, UNSTATTED customer column — a present "
+    "key (min custkey) and an absent one (-1) — hash-pinned to the "
+    "full-scan counts, with attestations that the bloom dropped "
+    "files for the absent probe while interval stats alone (bf "
+    "stripped, same planner rules) kept every file.",
     tags=("reference", "merge", "skipping"),
 )
 def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +656,7 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("int").alias("order_day"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
     )
     n = orders.count()
     t = ParquetMergeTarget(
@@ -651,6 +665,13 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=2,
         cluster_by=("order_day",),
         stats_cols=("o_totalprice", "o_orderstatus"),
+        # the bloom column is deliberately NOT in stats_cols: custkey
+        # is unsorted under the day clustering, so intervals are blind
+        # to point probes — the attested pruning is the bloom's alone.
+        # 2^17 bits ≈ 16 KiB/file keeps the absent-probe FPR ~1e-4 per
+        # file at sf0.1's ~3 750 distinct custkeys/file.
+        manifest_bloom_cols=("o_custkey",),
+        manifest_bloom_bits=1 << 17,
         # ~20 files per bucket at every sf: file day-spans stay well
         # under the 1-year probe window, so full-cover metadata
         # counting and pruning both bite at sf0.001/0.01/0.1 alike
@@ -666,6 +687,9 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_day_in = t.count_where(("order_day", "in", list(_CW_DAY_IN)))
     cnt_price_gt = t.count_where(("o_totalprice", ">", _CW_PRICE))
     cnt_not_null = t.count_where(("o_orderstatus", "not_null"))
+    min_cust = int(orders.agg(F.min("o_custkey")).first()[0])  # 1 row
+    cnt_cust_min = t.count_where(("o_custkey", "=", min_cust))
+    cnt_cust_absent = t.count_where(("o_custkey", "=", -1))
 
     # layout attestations straight off the manifest, via the SAME
     # shared planner rules count_where itself uses (merge.py
@@ -687,6 +711,17 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata_covered = len(full_range) >= 1
     metadata_only_nn = len(full_nn) == len(files) == len(may_nn)
 
+    # bloom attestations: the absent-key point probe drops files
+    # through the bloom, while the SAME planner rules with the bloom
+    # stripped keep every file (custkey is unstatted and unsorted —
+    # intervals are blind here, the pruning is the filter's alone)
+    parsed_abs, _ = t._parse_predicates(schema, (("o_custkey", "=", -1),))
+    may_abs = t._may_match_files(files, parsed_abs)
+    stripped = [{k: v for k, v in f.items() if k != "bf"} for f in files]
+    may_abs_nobf = t._may_match_files(stripped, parsed_abs)
+    bloom_pruned_absent = bool(files) and len(may_abs) < len(files)
+    interval_blind_absent = len(may_abs_nobf) == len(files)
+
     # the timed region: the PRUNED window scan itself (a FileScan of
     # O(matching files)), aggregated to the same count the oracle
     # states twice — proving scan path == metadata path == full scan
@@ -696,7 +731,11 @@ def q_count_where_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cnt_day_in).cast("bigint").alias("cnt_day_in"),
         F.lit(cnt_price_gt).cast("bigint").alias("cnt_price_gt"),
         F.lit(cnt_not_null).cast("bigint").alias("cnt_status_not_null"),
+        F.lit(cnt_cust_min).cast("bigint").alias("cnt_cust_min"),
+        F.lit(cnt_cust_absent).cast("bigint").alias("cnt_cust_absent"),
         F.lit(pruned).alias("pruned_day_range"),
         F.lit(metadata_covered).alias("metadata_covered_day_range"),
         F.lit(metadata_only_nn).alias("metadata_only_not_null"),
+        F.lit(bloom_pruned_absent).alias("bloom_pruned_absent"),
+        F.lit(interval_blind_absent).alias("interval_blind_absent"),
     )
