@@ -63,3 +63,71 @@ def stratified_sample(
     regardless of stratum size (no per-stratum state needed)."""
     bucket = hash_bucket_expr(id_col, salt)
     return df.filter(bucket < int(fraction * HASH_BUCKETS))
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    permille: tuple[int, ...] = (300, 400),
+    bucket_names: tuple[str, ...] = ("head", "middle", "tail"),
+    group_cols: tuple[str, ...] = (),
+    ascending: bool = True,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quantile bucketing (Wenzek et al. 2020 §4.3: the
+    corpus splits per language into head/middle/tail at the perplexity
+    30th/60th percentiles; training reads the head first). Generic:
+    rank rows by ``score_col`` within each ``group_cols`` stratum and
+    assign bucket *i* to the next ``permille[i]``/1000 of each
+    stratum; the final bucket takes the remainder, so the split is
+    exhaustive and disjoint by construction.
+
+    Determinism (the repo's oracle discipline): ranks come from
+    ``row_number`` ordered by ``(score, id)`` — a total order, so ties
+    are stable — and boundaries are the INTEGER ``n * permille //
+    1000`` (no float percentile, whose interpolation rules differ
+    across engines). A row lands in bucket *i* iff
+    ``rank <= n·(p_1+..+p_i)//1000`` fails for i-1 and holds for i.
+
+    Scale shape (100 TB): ONE shuffle — the window partition on
+    ``group_cols`` (per-language strata: tens of partitions, each
+    internally sort-distributed by Spark's window exec; skewed
+    single-language corpora are the window sort's case, not a driver
+    problem). No second pass: ``count`` rides the same window frame.
+    With no group_cols the window is global — one partition; for a
+    truly global split at extreme scale prefer a grouping column or
+    accept the single-reducer sort (documented, as with topk).
+    """
+    if len(bucket_names) != len(permille) + 1:
+        raise ValueError("need exactly len(permille)+1 bucket names")
+    if any(p < 0 for p in permille) or sum(permille) > 1000:
+        raise ValueError("permille shares must be >= 0 and sum to <= 1000")
+    from pyspark.sql import Window
+
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    part = list(group_cols) if group_cols else [F.lit(1)]
+    w = Window.partitionBy(*part)
+    rank = F.row_number().over(w.orderBy(*order))
+    n = F.count("*").over(w)
+    # Integer boundary n*cum//1000: floor of an exact double quotient
+    # (n*cum < 2^53) — identical to SQL integer division in the oracle.
+    bucket = None
+    cum = 0
+    for i, p in enumerate(permille):
+        cum += p
+        cond = rank <= F.floor((n * F.lit(cum)) / F.lit(1000.0))
+        bucket = (
+            F.when(cond, F.lit(bucket_names[i]))
+            if bucket is None
+            else bucket.when(cond, F.lit(bucket_names[i]))
+        )
+    bucket = (
+        bucket.otherwise(F.lit(bucket_names[-1]))
+        if bucket is not None
+        else F.lit(bucket_names[-1])
+    )
+    return df.withColumn(out_col, bucket)

@@ -1,0 +1,120 @@
+"""rank_buckets — CCNet head/middle/tail quantile bucketing.
+
+Registry sits at the driver's hard 50-row cap, so the cross-engine pin
+lives here: DuckDB replay over the real documents table (per-language
+strata, integer boundaries), exhaustiveness/disjointness, tiny-group
+edge pins, descending order, validation, and the one-shuffle plan pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from arcane_stream_parquet_spark.operators.sampling import rank_buckets
+from tests.conftest import SF_ORACLE
+
+
+def _duck(sf_dir: str, permille, names, group: str | None, ascending=True):
+    cum, cases, lo = 0, [], []
+    direction = "ASC" if ascending else "DESC"
+    part = f"PARTITION BY {group}" if group else ""
+    for p, name in zip(permille, names):
+        cum += p
+        cases.append(f"WHEN rnk <= (n * {cum}) // 1000 THEN '{name}'")
+    sql = f"""
+    SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS bucket
+    FROM (
+      SELECT doc_id,
+             row_number() OVER ({part} ORDER BY n_chars {direction}, doc_id) AS rnk,
+             count(*)    OVER ({part}) AS n
+      FROM '{sf_dir}/documents.parquet'
+    ) ORDER BY doc_id
+    """
+    return duckdb.sql(sql).fetchall()
+
+
+@pytest.mark.parametrize("group,asc", [("lang", True), (None, True), ("lang", False)])
+def test_duckdb_replay_parity(spark, group, asc):
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = (
+        rank_buckets(
+            df,
+            score_col="n_chars",
+            id_col="doc_id",
+            permille=(300, 300),
+            bucket_names=("head", "middle", "tail"),
+            group_cols=(group,) if group else (),
+            ascending=asc,
+        )
+        .select("doc_id", "bucket")
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = _duck(SF_ORACLE, (300, 300), ("head", "middle", "tail"), group, asc)
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == want
+
+
+def test_tiny_groups_pinned(spark):
+    """Boundary semantics at n where n*permille//1000 floors to 0:
+    every row falls through to later buckets — exhaustive, disjoint."""
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 1.0), (3, "a", 3.0), (10, "b", 9.0)],
+        "doc_id long, g string, s double",
+    )
+    rows = {
+        r.doc_id: r.bucket
+        for r in rank_buckets(
+            df, "s", "doc_id", permille=(300, 400), group_cols=("g",)
+        ).collect()
+    }
+    # g=a: n=3 -> head boundary 3*300//1000 = 0 (empty head),
+    # middle boundary 3*700//1000 = 2 -> ranks 1,2 middle, rank 3 tail.
+    assert rows[2] == "middle" and rows[3] == "middle" and rows[1] == "tail"
+    # g=b: n=1 -> everything floors to 0 -> the remainder bucket.
+    assert rows[10] == "tail"
+
+
+def test_exhaustive_disjoint_and_fractions(spark):
+    df = spark.range(1000).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS s")
+    out = rank_buckets(df, "s", "doc_id", permille=(300, 400))
+    counts = {r.bucket: r["count"] for r in out.groupBy("bucket").count().collect()}
+    assert counts == {"head": 300, "middle": 400, "tail": 300}
+    # ascending: lowest scores are the head
+    head_max = out.filter("bucket = 'head'").agg({"s": "max"}).collect()[0][0]
+    assert head_max == 299.0
+
+
+def test_tie_stability(spark):
+    """Equal scores rank by id — the same rows land in the same bucket
+    on every run/engine."""
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(10)], "doc_id long, s double"
+    )
+    out = {r.doc_id: r.bucket for r in rank_buckets(df, "s", "doc_id", permille=(500,), bucket_names=("keep", "drop")).collect()}
+    assert all(out[i] == "keep" for i in range(5))
+    assert all(out[i] == "drop" for i in range(5, 10))
+
+
+def test_validation(spark):
+    df = spark.range(1).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS s")
+    with pytest.raises(ValueError):
+        rank_buckets(df, "s", "doc_id", permille=(300,), bucket_names=("a",))
+    with pytest.raises(ValueError):
+        rank_buckets(df, "s", "doc_id", permille=(600, 600))
+    with pytest.raises(ValueError):
+        rank_buckets(df, "s", "doc_id", permille=(-1,), bucket_names=("a", "b"))
+
+
+def test_plan_one_shuffle_no_python(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = (
+        rank_buckets(df, "n_chars", "doc_id", group_cols=("lang",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # the window partition
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
