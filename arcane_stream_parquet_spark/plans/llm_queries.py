@@ -755,7 +755,9 @@ def _sql_kmedians_iter(i: int, dim: int) -> str:
     Assignment = cosine argmax (ties → lower cid), update = per-dim
     MEDIAN (order-independent — bit-identical to Spark's F.median, see
     operators/similarity.py train_ivf_centroids). Empty cells keep
-    their previous centroid via the LEFT JOIN + coalesce."""
+    their previous centroid via the LEFT JOIN + coalesce; an all-zero
+    median (members on disjoint axes — no cosine direction) ALSO keeps
+    the previous centroid, mirroring the operator's zero guard."""
     return f"""
         a{i} AS (
             SELECT vec_id, cid FROM (
@@ -772,7 +774,10 @@ def _sql_kmedians_iter(i: int, dim: int) -> str:
             GROUP BY a.cid, d.pos
         ),
         cent{i} AS (
-            SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+            SELECT p.cid,
+                   CASE WHEN n.cv IS NULL OR NOT list_has_any(
+                            list_transform(n.cv, x -> x <> 0.0), [true])
+                        THEN p.cv ELSE n.cv END AS cv
             FROM cent{i - 1} p LEFT JOIN (
                 SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
             ) n USING (cid)

@@ -18,6 +18,9 @@ bounded so sum(|cell|^2) stays ∝ n.
 
 Usage: python scripts/semdedup_probe.py [sf_dir] [copies ...]
 (default: /root/testdata/sf0.1 1 4 16 64)
+With ASP_SEMDEDUP_ASSIGN=two_level the dedup pass assigns through the
+super-cell tree (O(n·(√k + 2k/√k)) instead of O(n·k)) — the r13
+mitigation measured against the same corpus/k ladder.
 """
 
 from __future__ import annotations
@@ -66,10 +69,11 @@ def main() -> None:
         corpus = rotated_replicas(base, copies).persist()
         n = corpus.count()
         k = 8 * copies  # k grows with n, the paper's deployment shape
+        assign = os.environ.get("ASP_SEMDEDUP_ASSIGN", "exact")
         t0 = time.monotonic()
         cents = train_ivf_centroids(corpus, k=k, iters=2)
         t1 = time.monotonic()
-        out = semantic_duplicates(corpus, cents, tau=0.35)
+        out = semantic_duplicates(corpus, cents, tau=0.35, assign=assign)
         agg = out.agg(
             F.count("*").alias("rows"),
             F.sum(F.col("is_semantic_dup").cast("long")).alias("dups"),
@@ -91,6 +95,7 @@ def main() -> None:
                     "copies": copies,
                     "n": n,
                     "k": k,
+                    "assign": assign,
                     "train_s": round(t1 - t0, 2),
                     "dedup_s": round(t2 - t1, 2),
                     "dups": int(agg["dups"]),
