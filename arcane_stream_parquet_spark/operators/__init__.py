@@ -32,8 +32,10 @@ from arcane_stream_parquet_spark.operators.multimodal import (
     sample_frames,
     with_binary_payload,
 )
+from arcane_stream_parquet_spark.operators.chunking import chunk_documents
 from arcane_stream_parquet_spark.operators.rangejoin import interval_join
 from arcane_stream_parquet_spark.operators.sampling import (
+    rank_buckets,
     stratified_sample,
     train_test_split,
 )
@@ -45,7 +47,9 @@ from arcane_stream_parquet_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_duplicates,
+    ivf_assign_two_level,
     ivf_topk,
+    semantic_duplicates,
 )
 from arcane_stream_parquet_spark.operators.text import (
     language_id,
@@ -64,6 +68,7 @@ __all__ = [
     "ann_lsh_topk",
     "asof_join",
     "candidate_pairs",
+    "chunk_documents",
     "compute_watermark",
     "contamination_flags",
     "cosine_topk",
@@ -72,6 +77,7 @@ __all__ = [
     "embedding_near_duplicates",
     "exact_dedup",
     "interval_join",
+    "ivf_assign_two_level",
     "ivf_topk",
     "language_id",
     "latest_by_key",
@@ -81,7 +87,9 @@ __all__ = [
     "near_duplicates",
     "payload_metadata",
     "quality_score",
+    "rank_buckets",
     "sample_frames",
+    "semantic_duplicates",
     "session_counts",
     "simhash",
     "simhash_near_duplicates",
