@@ -105,8 +105,14 @@ def rank_buckets(
         raise ValueError("permille shares must be >= 0 and sum to <= 1000")
     from pyspark.sql import Window
 
+    # NULL scores rank LAST either direction (→ the remainder bucket):
+    # an undefined score must never claim the best bucket, and Spark's
+    # bare asc() is NULLS FIRST while DuckDB's is NULLS LAST — explicit
+    # null ordering is what keeps the two engines identical.
     order = [
-        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(score_col).asc_nulls_last()
+        if ascending
+        else F.col(score_col).desc_nulls_last(),
         F.col(id_col).asc(),
     ]
     part = list(group_cols) if group_cols else [F.lit(1)]

@@ -118,3 +118,39 @@ def test_plan_one_shuffle_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # the window partition
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_scores_rank_last_matching_duckdb(spark):
+    """A NULL score must land in the remainder bucket, both directions —
+    Spark's bare asc() is NULLS FIRST while DuckDB's is NULLS LAST, so
+    this is pinned cross-engine with injected nulls."""
+    rows = [(i, float(i) if i % 4 else None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    for asc in (True, False):
+        got = sorted(
+            (r.doc_id, r.bucket)
+            for r in rank_buckets(
+                df, "s", "doc_id", permille=(500,), bucket_names=("keep", "drop"),
+                ascending=asc,
+            ).collect()
+        )
+        direction = "ASC" if asc else "DESC"
+        want = sorted(
+            duckdb.sql(
+                f"""
+                SELECT doc_id,
+                       CASE WHEN rnk <= (n * 500) // 1000 THEN 'keep'
+                            ELSE 'drop' END
+                FROM (SELECT doc_id,
+                             row_number() OVER (ORDER BY s {direction}, doc_id) rnk,
+                             count(*) OVER () n
+                      FROM (VALUES {", ".join(
+                          f"({d}, {'NULL' if s is None else s})" for d, s in rows
+                      )}) t(doc_id, s))
+                """
+            ).fetchall()
+        )
+        assert got == want
+        # and specifically: every null-scored doc is in the remainder
+        nulls = {d for d, s in rows if s is None}
+        assert all(b == "drop" for d, b in got if d in nulls)
