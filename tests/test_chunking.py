@@ -80,6 +80,8 @@ def test_edge_cases_pinned(spark):
             (2, "  Hello   World  "),      # whitespace runs + case kept
             (3, ""),                        # no tokens -> no rows
             (4, "   \t \n "),               # whitespace only -> no rows
+            (7, None),                       # NULL text -> no rows (null
+                                             # size filters out like empty)
             (5, "one"),                     # n < chunk -> single short chunk
             (6, "a b c"),                   # n == chunk exactly -> 1 chunk
         ],
