@@ -31,7 +31,7 @@ Semantics (engine-deterministic, DuckDB-replayable):
   is nothing to embed; callers wanting presence do a left join back).
 
 Scale shape (100 TB): entirely row-local — split, a small integer
-projection, ``posexplode`` of an index sequence, and an
+projection, ``explode`` of an index sequence, and an
 ``F.slice``/``array_join`` rebuild, all inside whole-stage codegen.
 No shuffle, no UDF, no state; output size is input tokens x
 (1 + overlap/stride). The plan pin in tests/test_chunking.py asserts
@@ -90,8 +90,8 @@ def chunk_documents(
         F.col("__toks"),
         F.col("__n"),
         F.col("__m"),
-        F.posexplode(F.sequence(F.lit(0).cast("bigint"), F.col("__m") - 1)).alias(
-            "__pos", "__i"
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("__m") - 1)).alias(
+            "__i"
         ),
     )
     start = F.col("__i") * F.lit(stride)

@@ -278,6 +278,21 @@ def _centroids_df(spark, centroids: Sequence[tuple[int, Sequence[float]]]):
     )
 
 
+def _argmax_cell(scored: DataFrame, out_id: str) -> DataFrame:
+    """(out_id, __v, __n, cell): per key, the cid with the highest
+    ``__csim`` (ties → lower cid) — argmax via max_by, so the partial
+    aggregation collapses the candidate fan-out map-side (all candidate
+    rows of a key sit in one partition) and the shuffle carries n rows.
+    The ONE tie-break rule for every assignment path (flat nprobe=1 and
+    two-level) — keep it single-sited so the paths cannot diverge."""
+    ordering = F.struct(F.col("__csim").alias("s"), (-F.col("cid")).alias("nc"))
+    return scored.groupBy(out_id).agg(
+        F.first("__v").alias("__v"),
+        F.first("__n").alias("__n"),
+        F.max_by(F.col("cid"), ordering).alias("cell"),
+    )
+
+
 def _probe_cells(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -309,17 +324,7 @@ def _probe_cells(
         ).alias("__csim"),
     )
     if nprobe == 1:
-        # argmax via max_by: partial aggregation collapses the K-way
-        # expansion map-side (all K rows of a key sit in one partition),
-        # so the shuffle carries n rows — the corpus-side fast path.
-        ordering = F.struct(
-            F.col("__csim").alias("s"), (-F.col("cid")).alias("nc")
-        )
-        return scored.groupBy(out_id).agg(
-            F.first("__v").alias("__v"),
-            F.first("__n").alias("__n"),
-            F.max_by(F.col("cid"), ordering).alias("cell"),
-        )
+        return _argmax_cell(scored, out_id)
     w = Window.partitionBy(out_id).orderBy(
         F.col("__csim").desc(), F.col("cid").asc()
     )
@@ -415,6 +420,8 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     assign: str = "exact",
+    branch: int | None = None,
+    probe_supers: int = 2,
 ) -> DataFrame:
     """IVF ANN: per query, exact cosine top-k over the vectors in its
     ``nprobe`` nearest cells only — candidates via a cell equi-join
@@ -430,7 +437,10 @@ def ivf_topk(
     if assign == "exact":
         c = ivf_assign(corpus, centroids, id_col, vec_col)
     elif assign == "two_level":
-        c = ivf_assign_two_level(corpus, centroids, id_col, vec_col)
+        c = ivf_assign_two_level(
+            corpus, centroids, id_col, vec_col,
+            branch=branch, probe_supers=probe_supers,
+        )
     else:
         raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
     c = c.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("__n", "__cn")
@@ -467,6 +477,7 @@ def semantic_duplicates(
     tau: float = 0.95,
     assign: str = "exact",
     branch: int | None = None,
+    probe_supers: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through the coarse quantizer — the cluster-bucketed
@@ -520,7 +531,8 @@ def semantic_duplicates(
         # are unchanged, so everything downstream is identical; the
         # approximation is WHICH cell a borderline row lands in.
         assigned = ivf_assign_two_level(
-            corpus, centroids, id_col, vec_col, branch=branch
+            corpus, centroids, id_col, vec_col,
+            branch=branch, probe_supers=probe_supers,
         )
     else:
         raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
@@ -661,9 +673,4 @@ def ivf_assign_two_level(
             F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
         ).alias("__csim"),
     )
-    ordering = F.struct(F.col("__csim").alias("s"), (-F.col("cid")).alias("nc"))
-    return scored.groupBy(id_col).agg(
-        F.first("__v").alias("__v"),
-        F.first("__n").alias("__n"),
-        F.max_by(F.col("cid"), ordering).alias("cell"),
-    )
+    return _argmax_cell(scored, id_col)

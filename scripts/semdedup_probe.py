@@ -73,7 +73,9 @@ def main() -> None:
         t0 = time.monotonic()
         cents = train_ivf_centroids(corpus, k=k, iters=2)
         t1 = time.monotonic()
-        out = semantic_duplicates(corpus, cents, tau=0.35, assign=assign)
+        # persist: the cell-stats aggregation below must read the
+        # dedup result, not re-run the whole pipeline untimed.
+        out = semantic_duplicates(corpus, cents, tau=0.35, assign=assign).persist()
         agg = out.agg(
             F.count("*").alias("rows"),
             F.sum(F.col("is_semantic_dup").cast("long")).alias("dups"),
@@ -88,6 +90,7 @@ def main() -> None:
             )
             .collect()[0]
         )
+        out.unpersist()
         corpus.unpersist()
         print(
             json.dumps(
