@@ -52,6 +52,7 @@ from arcane_stream_parquet_spark.operators.similarity import (
     semantic_duplicates,
 )
 from arcane_stream_parquet_spark.operators.text import (
+    gopher_quality_flags,
     language_id,
     quality_score,
     text_stats,
@@ -76,6 +77,7 @@ __all__ = [
     "duplicate_groups",
     "embedding_near_duplicates",
     "exact_dedup",
+    "gopher_quality_flags",
     "interval_join",
     "ivf_assign_two_level",
     "ivf_topk",

@@ -272,6 +272,147 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1) — the
+#: published document-quality rule set; each key is a rule flag name.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """The Gopher document-quality RULE SET (Rae et al. 2021, Appendix
+    A1.1), applied verbatim with the published thresholds as defaults —
+    the named filter battery behind Gopher/MassiveText that most later
+    corpora (RefinedWeb, Dolma, FineWeb) inherit. Complements
+    :func:`quality_score` (a soft score) with the paper's hard gates:
+
+    * ``gopher_ok_word_count``   — 50 <= words <= 100,000
+    * ``gopher_ok_mean_word_len``— mean word length in [3, 10] chars
+    * ``gopher_ok_symbol_ratio`` — (# + …) per word <= 0.1
+    * ``gopher_ok_bullet_lines`` — < 90% of lines start with a bullet
+    * ``gopher_ok_ellipsis_lines``— < 30% of lines end with an ellipsis
+    * ``gopher_ok_alpha_words``  — >= 80% of words contain a letter
+    * ``gopher_ok_stopwords``    — >= 2 distinct everyday stopwords
+    * ``gopher_ok_dup_lines`` / ``_dup_line_chars`` / ``_top_bigram``
+      — the §A1.1 repetition gates, from :func:`repetition_signals`
+    * ``gopher_keep`` — AND of all of the above
+
+    Words are the canonical whitespace tokens (:func:`tokens_column`),
+    lines split on newline — both hoisted into real columns so no
+    higher-order lambda re-evaluates an outer subtree (the r8 lesson).
+    Empty documents fail the word-count gate and every NULL-ratio rule
+    evaluates false-y via null AND, so ``gopher_keep`` is never NULL.
+    Pure row-local projections over one scan — shuffle-free, UDF-free;
+    cross-engine DuckDB replay pinned in tests/test_gopher.py.
+    """
+    rep = repetition_signals(df, text_col)
+    staged = rep.withColumn("__g_toks", tokens_column(text_col)).withColumn(
+        "__g_lines",
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
+        ),
+    )
+    toks = F.col("__g_toks")
+    lines = F.col("__g_lines")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = _ratio(word_chars.cast("double"), n_words)
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"^[-*•‣▪●]"),
+        )
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    sw_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), sw_arr)
+    ).cast("bigint")
+
+    def _ok(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    flags = {
+        "gopher_ok_word_count": _ok(
+            (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))
+        ),
+        "gopher_ok_mean_word_len": _ok(
+            (mean_wl >= F.lit(min_mean_word_len))
+            & (mean_wl <= F.lit(max_mean_word_len))
+        ),
+        "gopher_ok_symbol_ratio": _ok(
+            _ratio(n_symbols.cast("double"), n_words)
+            <= F.lit(max_symbol_word_ratio)
+        ),
+        # a document with no lines trivially passes the line-shape rules
+        "gopher_ok_bullet_lines": _ok(
+            F.coalesce(
+                _ratio(n_bullet.cast("double"), n_lines), F.lit(0.0)
+            )
+            < F.lit(max_bullet_line_frac)
+        ),
+        "gopher_ok_ellipsis_lines": _ok(
+            F.coalesce(
+                _ratio(n_ellipsis.cast("double"), n_lines), F.lit(0.0)
+            )
+            < F.lit(max_ellipsis_line_frac)
+        ),
+        "gopher_ok_alpha_words": _ok(
+            _ratio(n_alpha_words.cast("double"), n_words)
+            >= F.lit(min_alpha_word_frac)
+        ),
+        "gopher_ok_stopwords": _ok(n_stop_hits >= F.lit(min_stopword_hits)),
+        "gopher_ok_dup_lines": _ok(
+            F.coalesce(F.col("rep_dup_line_frac"), F.lit(0.0))
+            <= F.lit(max_dup_line_frac)
+        ),
+        "gopher_ok_dup_line_chars": _ok(
+            F.coalesce(F.col("rep_dup_line_char_frac"), F.lit(0.0))
+            <= F.lit(max_dup_line_char_frac)
+        ),
+        "gopher_ok_top_bigram": _ok(
+            F.coalesce(F.col("rep_top_bigram_frac"), F.lit(0.0))
+            <= F.lit(max_top_bigram_frac)
+        ),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return staged.select(
+        *rep.columns,
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
 # Default cap on the corpus-dependent small sides remove_boilerplate_lines /
 # remove_duplicate_spans broadcast: ~1M entries keeps the broadcast table
 # in the tens-of-MB range per executor (16-char fingerprints; boilerplate

@@ -1,0 +1,179 @@
+"""gopher_quality_flags — the published Gopher rule battery (Rae et
+al. 2021, Appendix A1.1).
+
+Registry sits at the driver's hard 50-row cap, so the cross-engine pin
+lives here: an independent DuckDB replay of every rule over the real
+documents table (unnest-based reimplementation, written against the
+operator's documented semantics, not its plan), hand-built documents
+hitting each rule individually, and the row-local plan pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from arcane_stream_parquet_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    gopher_quality_flags,
+)
+from tests.conftest import SF_ORACLE
+
+FLAGS = [
+    "gopher_ok_word_count",
+    "gopher_ok_mean_word_len",
+    "gopher_ok_symbol_ratio",
+    "gopher_ok_bullet_lines",
+    "gopher_ok_ellipsis_lines",
+    "gopher_ok_alpha_words",
+    "gopher_ok_stopwords",
+    "gopher_ok_dup_lines",
+    "gopher_ok_dup_line_chars",
+    "gopher_ok_top_bigram",
+    "gopher_keep",
+]
+
+
+def _duck_flags(sf_dir: str):
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS lines
+      FROM '{sf_dir}/documents.parquet'
+    ),
+    words AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(length(w))::BIGINT AS word_chars,
+             count(*) FILTER (regexp_matches(w, '[a-z]'))::BIGINT AS n_alpha,
+             count(DISTINCT w) FILTER (w IN ({stop}))::BIGINT AS n_stop
+      FROM base, unnest(toks) AS t(w) GROUP BY doc_id
+    ),
+    linestats AS (
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_lines,
+             count(*)::BIGINT AS n_distinct,
+             sum(c * length(ln))::BIGINT AS chars,
+             coalesce(sum(c * length(ln)) FILTER (c >= 2), 0)::BIGINT AS dup_chars,
+             sum(c) FILTER (regexp_matches(trim(ln), '^[-*•‣▪●]'))::BIGINT AS n_bullet,
+             sum(c) FILTER (regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))::BIGINT AS n_ellipsis
+      FROM (SELECT doc_id, ln, count(*)::BIGINT AS c
+            FROM base, unnest(lines) AS l(ln) GROUP BY doc_id, ln)
+      GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, max(c)::BIGINT AS top_bg, sum(c)::BIGINT AS n_bg
+      FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg,
+                   count(*)::BIGINT AS c
+            FROM base, unnest(range(1, len(toks))) AS r(i)
+            GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    syms AS (
+      SELECT doc_id,
+             (len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.'))
+              + len(regexp_extract_all(text, '…')))::BIGINT AS n_sym
+      FROM base
+    )
+    SELECT b.doc_id,
+      coalesce(w.n_words >= 50 AND w.n_words <= 100000, FALSE) AS ok_wc,
+      coalesce(w.word_chars / w.n_words::DOUBLE >= 3.0
+               AND w.word_chars / w.n_words::DOUBLE <= 10.0, FALSE) AS ok_mwl,
+      coalesce(s.n_sym / w.n_words::DOUBLE <= 0.1, FALSE) AS ok_sym,
+      coalesce(coalesce(l.n_bullet / l.n_lines::DOUBLE, 0.0) < 0.9, FALSE) AS ok_bul,
+      coalesce(coalesce(l.n_ellipsis / l.n_lines::DOUBLE, 0.0) < 0.3, FALSE) AS ok_ell,
+      coalesce(w.n_alpha / w.n_words::DOUBLE >= 0.8, FALSE) AS ok_alpha,
+      coalesce(w.n_stop >= 2, FALSE) AS ok_stop,
+      coalesce(coalesce(1.0 - l.n_distinct / l.n_lines::DOUBLE, 0.0) <= 0.3,
+               FALSE) AS ok_dl,
+      coalesce(coalesce(l.dup_chars / l.chars::DOUBLE, 0.0) <= 0.2, FALSE) AS ok_dlc,
+      coalesce(coalesce(g.top_bg / g.n_bg::DOUBLE, 0.0) <= 0.18, FALSE) AS ok_bg
+    FROM base b
+    LEFT JOIN words w USING (doc_id)
+    LEFT JOIN linestats l USING (doc_id)
+    LEFT JOIN bigrams g USING (doc_id)
+    LEFT JOIN syms s USING (doc_id)
+    ORDER BY b.doc_id
+    """
+    return duckdb.sql(sql).fetchall()
+
+
+def test_duckdb_replay_parity(spark):
+    got = (
+        gopher_quality_flags(spark.read.parquet(f"{SF_ORACLE}/documents.parquet"))
+        .select("doc_id", *FLAGS)
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = _duck_flags(SF_ORACLE)
+    assert len(got) == len(want) > 0
+    mism = []
+    for g, w in zip(got, want):
+        spark_flags = [bool(g[f]) for f in FLAGS[:-1]]
+        duck_flags = [bool(x) for x in w[1:]]
+        if spark_flags != duck_flags or g["doc_id"] != w[0]:
+            mism.append((g["doc_id"], spark_flags, duck_flags))
+        assert bool(g["gopher_keep"]) == all(duck_flags), g["doc_id"]
+    assert not mism, mism[:5]
+
+
+def test_each_rule_hand_built(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs home "
+        "to have a meal with friends that come over every day because "
+        "they like to be of help and the food here is always good enough "
+        "for everyone to enjoy with some time left over for games"
+    )
+    docs = [
+        (0, good),
+        (1, "too short"),  # word count
+        (2, " ".join(["a"] * 60)),  # mean word len < 3 (and top bigram)
+        (3, good + " " + "#tag " * 20),  # symbol ratio
+        (4, "\n".join(["- bullet point here"] * 10)),  # bullet lines
+        (5, "\n".join(["this line trails off..."] * 10)),  # ellipsis lines
+        (6, good + " " + "1234 5678 " * 30),  # alpha-word fraction
+        (7, " ".join(f"w{i} x{i} y{i}" for i in range(30))),  # no stopwords
+        (8, "\n".join(["the same line of useful text here"] * 40)),  # dup lines
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["gopher_keep"]
+    assert not out[1]["gopher_ok_word_count"]
+    assert not out[2]["gopher_ok_mean_word_len"]
+    assert not out[3]["gopher_ok_symbol_ratio"]
+    assert not out[4]["gopher_ok_bullet_lines"]
+    assert not out[5]["gopher_ok_ellipsis_lines"]
+    assert not out[6]["gopher_ok_alpha_words"]
+    assert not out[7]["gopher_ok_stopwords"]
+    assert not out[8]["gopher_ok_dup_lines"]
+    assert not out[8]["gopher_ok_dup_line_chars"]
+    assert all(not out[i]["gopher_keep"] for i in range(1, 9))
+
+
+def test_empty_and_null_never_null_keep(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   \n  ")], "doc_id long, text string"
+    )
+    rows = gopher_quality_flags(df).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["gopher_keep"] is False  # never NULL, never True
+
+
+def test_plan_row_local_no_python(spark):
+    plan = (
+        gopher_quality_flags(spark.read.parquet(f"{SF_ORACLE}/documents.parquet"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
