@@ -17,6 +17,7 @@ from arcane_stream_parquet_spark.operators.packing import sequence_packing
 from arcane_stream_parquet_spark.operators.redaction import redact_pii
 from arcane_stream_parquet_spark.operators.sampling import rank_buckets
 from arcane_stream_parquet_spark.operators.text import (
+    gopher_quality_flags,
     ngram_perplexity,
     quality_score,
     remove_duplicate_spans,
@@ -30,9 +31,16 @@ def test_funnel_composes(spark):
     )
     n_raw = docs.count()
 
+    # soft score AND the Gopher hard gates compose on one scan; the
+    # synthetic docs are short, so gate only on the rules length can't
+    # dominate (word-count/mean-word-len would empty the corpus here).
     gated = (
-        quality_score(docs)
-        .filter(F.col("quality_keep"))
+        gopher_quality_flags(quality_score(docs).filter(F.col("quality_keep")))
+        .filter(
+            F.col("gopher_ok_alpha_words")
+            & F.col("gopher_ok_dup_lines")
+            & F.col("gopher_ok_symbol_ratio")
+        )
         .select("doc_id", "text", "lang", "source")
         .localCheckpoint(eager=False)
     )
