@@ -33,6 +33,7 @@ from arcane_stream_parquet_spark.operators.multimodal import (
     with_binary_payload,
 )
 from arcane_stream_parquet_spark.operators.chunking import chunk_documents
+from arcane_stream_parquet_spark.operators.pipeline import compose_stages
 from arcane_stream_parquet_spark.operators.rangejoin import interval_join
 from arcane_stream_parquet_spark.operators.sampling import (
     rank_buckets,
@@ -70,6 +71,7 @@ __all__ = [
     "asof_join",
     "candidate_pairs",
     "chunk_documents",
+    "compose_stages",
     "compute_watermark",
     "contamination_flags",
     "cosine_topk",
