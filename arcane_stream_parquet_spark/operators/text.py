@@ -272,8 +272,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-#: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1) — the
-#: published document-quality rule set; each key is a rule flag name.
+#: the Gopher "stop word" presence list (Rae et al. 2021, §A1.1: a
+#: document must contain at least 2 of these everyday words)
 GOPHER_STOPWORDS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with",
 )
@@ -293,7 +293,7 @@ def gopher_quality_flags(
     min_stopword_hits: int = 2,
     max_dup_line_frac: float = 0.3,
     max_dup_line_char_frac: float = 0.2,
-    max_top_bigram_frac: float = 0.18,
+    max_top_bigram_frac: float = 0.2,
 ) -> DataFrame:
     """The Gopher document-quality RULE SET (Rae et al. 2021, Appendix
     A1.1), applied verbatim with the published thresholds as defaults —
@@ -303,18 +303,31 @@ def gopher_quality_flags(
 
     * ``gopher_ok_word_count``   — 50 <= words <= 100,000
     * ``gopher_ok_mean_word_len``— mean word length in [3, 10] chars
-    * ``gopher_ok_symbol_ratio`` — (# + …) per word <= 0.1
-    * ``gopher_ok_bullet_lines`` — < 90% of lines start with a bullet
-    * ``gopher_ok_ellipsis_lines``— < 30% of lines end with an ellipsis
+    * ``gopher_ok_hash_ratio``   — '#' per word <= 0.1 (the paper
+      gates EACH symbol's ratio separately, not their sum)
+    * ``gopher_ok_ellipsis_ratio``— '...'/'…' per word <= 0.1
+    * ``gopher_ok_bullet_lines`` — removal needs MORE than 90% of
+      lines starting with a bullet, so keep iff frac <= 0.9
+    * ``gopher_ok_ellipsis_lines``— keep iff ellipsis-ending <= 30%
     * ``gopher_ok_alpha_words``  — >= 80% of words contain a letter
     * ``gopher_ok_stopwords``    — >= 2 distinct everyday stopwords
-    * ``gopher_ok_dup_lines`` / ``_dup_line_chars`` / ``_top_bigram``
-      — the §A1.1 repetition gates, from :func:`repetition_signals`
+    * ``gopher_ok_dup_lines`` / ``_dup_line_chars`` — the repetition
+      gates, from :func:`repetition_signals`
+    * ``gopher_ok_top_bigram``   — most-frequent word bigram's COUNT
+      fraction <= 0.2 (the count-fraction analog of the paper's
+      top-2-gram CHARACTER fraction at the same threshold —
+      repetition_signals' documented signal)
     * ``gopher_keep`` — AND of all of the above
 
     Words are the canonical whitespace tokens (:func:`tokens_column`),
     lines split on newline — both hoisted into real columns so no
     higher-order lambda re-evaluates an outer subtree (the r8 lesson).
+    Two line universes, deliberately: the dup-line gates inherit
+    :func:`repetition_signals`' line model (non-EMPTY lines — a
+    whitespace-only line can be duplicated boilerplate), while the
+    line-SHAPE gates (bullet/ellipsis) look at non-BLANK lines only
+    (trim(ln) nonempty; shape of pure whitespace is meaningless). The
+    DuckDB replay mirrors both universes.
     Empty documents fail the word-count gate and every NULL-ratio rule
     evaluates false-y via null AND, so ``gopher_keep`` is never NULL.
     Pure row-local projections over one scan — shuffle-free, UDF-free;
@@ -335,9 +348,9 @@ def gopher_quality_flags(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     mean_wl = _ratio(word_chars.cast("double"), n_words)
-    n_symbols = (
-        F.regexp_count(F.col(text_col), F.lit("#"))
-        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    n_hash = F.regexp_count(F.col(text_col), F.lit("#")).cast("bigint")
+    n_ell_sym = (
+        F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
         + F.regexp_count(F.col(text_col), F.lit("…"))
     ).cast("bigint")
     n_bullet = F.size(
@@ -368,22 +381,27 @@ def gopher_quality_flags(
             (mean_wl >= F.lit(min_mean_word_len))
             & (mean_wl <= F.lit(max_mean_word_len))
         ),
-        "gopher_ok_symbol_ratio": _ok(
-            _ratio(n_symbols.cast("double"), n_words)
+        "gopher_ok_hash_ratio": _ok(
+            _ratio(n_hash.cast("double"), n_words)
             <= F.lit(max_symbol_word_ratio)
         ),
-        # a document with no lines trivially passes the line-shape rules
+        "gopher_ok_ellipsis_ratio": _ok(
+            _ratio(n_ell_sym.cast("double"), n_words)
+            <= F.lit(max_symbol_word_ratio)
+        ),
+        # a document with no lines trivially passes the line-shape
+        # rules; removal needs MORE than the threshold, so keep on <=
         "gopher_ok_bullet_lines": _ok(
             F.coalesce(
                 _ratio(n_bullet.cast("double"), n_lines), F.lit(0.0)
             )
-            < F.lit(max_bullet_line_frac)
+            <= F.lit(max_bullet_line_frac)
         ),
         "gopher_ok_ellipsis_lines": _ok(
             F.coalesce(
                 _ratio(n_ellipsis.cast("double"), n_lines), F.lit(0.0)
             )
-            < F.lit(max_ellipsis_line_frac)
+            <= F.lit(max_ellipsis_line_frac)
         ),
         "gopher_ok_alpha_words": _ok(
             _ratio(n_alpha_words.cast("double"), n_words)
