@@ -39,7 +39,8 @@ def test_funnel_composes(spark):
         .filter(
             F.col("gopher_ok_alpha_words")
             & F.col("gopher_ok_dup_lines")
-            & F.col("gopher_ok_symbol_ratio")
+            & F.col("gopher_ok_hash_ratio")
+            & F.col("gopher_ok_ellipsis_ratio")
         )
         .select("doc_id", "text", "lang", "source")
         .localCheckpoint(eager=False)
