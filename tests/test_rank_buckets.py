@@ -154,3 +154,36 @@ def test_null_scores_rank_last_matching_duckdb(spark):
         # and specifically: every null-scored doc is in the remainder
         nulls = {d for d, s in rows if s is None}
         assert all(b == "drop" for d, b in got if d in nulls)
+
+
+def test_boundary_model_partitions_exactly():
+    """Model-level property of the integer boundary formula: the
+    cumulative n·cum//1000 boundaries partition ranks 1..n into
+    non-negative, order-preserving bucket sizes that sum to n — for
+    every n and permille vector (exhaustive + disjoint by
+    construction, not just on sampled data)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=5000),
+        permille=st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=1, max_size=4
+        ).filter(lambda p: sum(p) <= 1000),
+    )
+    def check(n, permille):
+        bounds, cum = [], 0
+        for p in permille:
+            cum += p
+            bounds.append(n * cum // 1000)
+        sizes = [b - a for a, b in zip([0] + bounds, bounds)]
+        sizes.append(n - bounds[-1])  # the remainder bucket
+        assert all(s >= 0 for s in sizes)
+        assert sum(sizes) == n
+        # a bucket's size never exceeds its share's ceiling by more
+        # than the floor slack of its two boundaries
+        for p, s in zip(permille, sizes):
+            assert s <= n * p / 1000 + 1
+
+    check()
