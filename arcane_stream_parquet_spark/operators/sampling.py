@@ -69,7 +69,7 @@ def rank_buckets(
     df: DataFrame,
     score_col: str,
     id_col: str,
-    permille: tuple[int, ...] = (300, 400),
+    permille: tuple[int, ...] = (300, 300),
     bucket_names: tuple[str, ...] = ("head", "middle", "tail"),
     group_cols: tuple[str, ...] = (),
     ascending: bool = True,
@@ -77,7 +77,10 @@ def rank_buckets(
 ) -> DataFrame:
     """CCNet-style quantile bucketing (Wenzek et al. 2020 §4.3: the
     corpus splits per language into head/middle/tail at the perplexity
-    30th/60th percentiles; training reads the head first). Generic:
+    30th/60th percentiles; training reads the head first). The default
+    ``permille=(300, 300)`` IS that split — head 30% / middle 30% /
+    tail 40% (r13 ADVICE fix: the old (300, 400) default contradicted
+    the citation). Generic:
     rank rows by ``score_col`` within each ``group_cols`` stratum and
     assign bucket *i* to the next ``permille[i]``/1000 of each
     stratum; the final bucket takes the remainder, so the split is

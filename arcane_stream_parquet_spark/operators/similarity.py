@@ -421,7 +421,8 @@ def ivf_topk(
     nprobe: int = 2,
     assign: str = "exact",
     branch: int | None = None,
-    probe_supers: int = 2,
+    probe_supers: int = 3,
+    tree: tuple[list[tuple[int, list[float]]], dict[int, int]] | None = None,
 ) -> DataFrame:
     """IVF ANN: per query, exact cosine top-k over the vectors in its
     ``nprobe`` nearest cells only — candidates via a cell equi-join
@@ -431,7 +432,9 @@ def ivf_topk(
     ``assign`` picks the CORPUS-side cell assignment: ``"exact"`` (flat
     argmax, O(n·k)) or ``"two_level"`` (:func:`ivf_assign_two_level`,
     O(n·√k) — the k ∝ n deployment's shape, SCALE.md r13; query-side
-    probing is |Q|-scale and stays exact either way)."""
+    probing is |Q|-scale and stays exact either way). ``two_level`` is
+    an APPROXIMATION on unstructured data — see the agreement ladder
+    and the ``tree`` reuse hook on :func:`ivf_assign_two_level`."""
     from pyspark.sql import Window
 
     if assign == "exact":
@@ -439,7 +442,7 @@ def ivf_topk(
     elif assign == "two_level":
         c = ivf_assign_two_level(
             corpus, centroids, id_col, vec_col,
-            branch=branch, probe_supers=probe_supers,
+            branch=branch, probe_supers=probe_supers, tree=tree,
         )
     else:
         raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
@@ -477,7 +480,8 @@ def semantic_duplicates(
     tau: float = 0.95,
     assign: str = "exact",
     branch: int | None = None,
-    probe_supers: int = 2,
+    probe_supers: int = 3,
+    tree: tuple[list[tuple[int, list[float]]], dict[int, int]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through the coarse quantizer — the cluster-bucketed
@@ -520,6 +524,22 @@ def semantic_duplicates(
     keep rule are bit-identical across engines — a DuckDB replay of
     the full pipeline (training included) pins this in
     tests/test_semdedup.py.
+
+    SAFETY CONTRACT for ``assign="two_level"``: the tree quantizer is
+    EXACT when the corpus is cluster-separated (each vector's nearest
+    child sits under its nearest super — pinned in
+    tests/test_two_level.py) but APPROXIMATE on unstructured/blob
+    embeddings, where flat-argmax agreement measured 0.56 / 0.74 /
+    0.84 at probe_supers 1/2/3 (k=64, branch=8 — the pinned ladder).
+    A disagreeing row lands in a neighboring cell, so up to
+    (1 - agreement) of duplicate flags can silently differ from the
+    exact run. Keep the default ``assign="exact"`` unless the O(n·k)
+    assignment term is the measured bottleneck AND the corpus is
+    clustered (the regime SemDeDup assumes anyway); the default
+    ``probe_supers=3`` is the smallest probe count clearing 0.8
+    agreement even on unstructured data. Pass ``tree`` (from
+    :func:`group_centroids`) to reuse one super-tree across several
+    two-level consumers.
     """
     spark = corpus.sparkSession
     cent = _centroids_df(spark, centroids)
@@ -532,7 +552,7 @@ def semantic_duplicates(
         # approximation is WHICH cell a borderline row lands in.
         assigned = ivf_assign_two_level(
             corpus, centroids, id_col, vec_col,
-            branch=branch, probe_supers=probe_supers,
+            branch=branch, probe_supers=probe_supers, tree=tree,
         )
     else:
         raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
@@ -622,7 +642,8 @@ def ivf_assign_two_level(
     vec_col: str = "embedding",
     branch: int | None = None,
     train_iters: int = 2,
-    probe_supers: int = 2,
+    probe_supers: int = 3,
+    tree: tuple[list[tuple[int, list[float]]], dict[int, int]] | None = None,
 ) -> DataFrame:
     """:func:`ivf_assign` through a super-cell tree: argmax over the
     ~√k super-centroids first, then argmax over ONLY the children of
@@ -641,11 +662,27 @@ def ivf_assign_two_level(
     super with probability ~child-overlap: on the random testdata
     embeddings (k=64, branch=8) agreement measured 0.56 / 0.74 / 0.84
     at probe_supers 1 / 2 / 3 — each step costs one more k/branch
-    child scan per row."""
+    child scan per row. The default (3) is derived from that ladder:
+    the smallest probe count whose measured unstructured agreement
+    clears 0.8 (pinned in tests/test_two_level.py); drop to 1–2 only
+    for corpora known to be cluster-separated.
+
+    ``tree``: a precomputed ``(super_centroids, child_of)`` pair from
+    :func:`group_centroids`. Pass it when composing several two-level
+    consumers over the SAME centroid list (e.g. semantic_duplicates
+    then ivf_topk) so the super-tree — a Spark training job plus a
+    k-row collect — is derived once, not per call (r13 ADVICE).
+    ``probe_supers < 1`` raises; only the upper bound is clamped (the
+    live super count can legitimately shrink below the request when
+    dead supers are dropped)."""
     spark = corpus.sparkSession
-    sups, child_of = group_centroids(spark, centroids, branch, train_iters)
-    if not 1 <= probe_supers <= len(sups):
-        probe_supers = max(1, min(probe_supers, len(sups)))
+    if probe_supers < 1:
+        raise ValueError(f"probe_supers must be >= 1: {probe_supers}")
+    sups, child_of = (
+        tree if tree is not None
+        else group_centroids(spark, centroids, branch, train_iters)
+    )
+    probe_supers = min(probe_supers, len(sups))
     by_cid = dict((int(c), [float(x) for x in v]) for c, v in centroids)
     from pyspark.sql import Row
 

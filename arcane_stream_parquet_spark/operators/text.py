@@ -278,6 +278,22 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with",
 )
 
+#: output flag columns of :func:`gopher_quality_flags`, in order —
+#: the single source of truth for the registry row and the tests.
+GOPHER_FLAGS: tuple[str, ...] = (
+    "gopher_ok_word_count",
+    "gopher_ok_mean_word_len",
+    "gopher_ok_hash_ratio",
+    "gopher_ok_ellipsis_ratio",
+    "gopher_ok_bullet_lines",
+    "gopher_ok_ellipsis_lines",
+    "gopher_ok_alpha_words",
+    "gopher_ok_stopwords",
+    "gopher_ok_dup_lines",
+    "gopher_ok_dup_line_chars",
+    "gopher_ok_top_bigram",
+)
+
 
 def gopher_quality_flags(
     df: DataFrame,
@@ -310,6 +326,8 @@ def gopher_quality_flags(
       lines starting with a bullet, so keep iff frac <= 0.9
     * ``gopher_ok_ellipsis_lines``— keep iff ellipsis-ending <= 30%
     * ``gopher_ok_alpha_words``  — >= 80% of words contain a letter
+      (any Unicode letter, ``\\p{L}`` — café/straße count, per the
+      paper's "alphabetic character" wording; r13 ADVICE fix)
     * ``gopher_ok_stopwords``    — >= 2 distinct everyday stopwords
     * ``gopher_ok_dup_lines`` / ``_dup_line_chars`` — the repetition
       gates, from :func:`repetition_signals`
@@ -363,7 +381,7 @@ def gopher_quality_flags(
         F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
     ).cast("bigint")
     n_alpha_words = F.size(
-        F.filter(toks, lambda t: t.rlike("[a-z]"))
+        F.filter(toks, lambda t: t.rlike(r"\p{L}"))
     ).cast("bigint")
     sw_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     n_stop_hits = F.size(

@@ -57,7 +57,7 @@ def _duck_flags(rel: str):
       SELECT doc_id,
              count(*)::BIGINT AS n_words,
              sum(length(w))::BIGINT AS word_chars,
-             count(*) FILTER (regexp_matches(w, '[a-z]'))::BIGINT AS n_alpha,
+             count(*) FILTER (regexp_matches(w, '\\p{{L}}'))::BIGINT AS n_alpha,
              count(DISTINCT w) FILTER (w IN ({stop}))::BIGINT AS n_stop
       FROM base, unnest(toks) AS t(w) GROUP BY doc_id
     ),
@@ -176,6 +176,35 @@ def test_duckdb_replay_parity_whitespace_lines(spark):
     # whitespace-only lines push its dup-line fraction past 0.3
     r2 = {r["doc_id"]: r for r in got}[2]
     assert not r2["gopher_ok_dup_lines"]
+
+
+def test_alpha_words_unicode_parity(spark):
+    """The alpha-word gate counts any Unicode letter (\\p{L}), not just
+    ASCII [a-z] (r13 ADVICE fix): accented/non-Latin corpora pass the
+    gate, digit-only corpora still fail — pinned cross-engine."""
+    docs = [
+        (1, "le café était très bon et le thé aussi " * 8),
+        (2, " ".join(str(i * 7) for i in range(60))),
+        (3, "die straße zur übung war schön ruhig heute " * 8),
+        (4, "日本語 の 文書 です これ は 테스트 문서 " * 8),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (
+        gopher_quality_flags(df).select("doc_id", *FLAGS).orderBy("doc_id").collect()
+    )
+    duckdb.sql("DROP TABLE IF EXISTS __gopher_uni")
+    duckdb.sql(
+        "CREATE TABLE __gopher_uni AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in docs)
+        + ") t(doc_id, text)"
+    )
+    try:
+        _assert_parity(got, _duck_flags("__gopher_uni"))
+    finally:
+        duckdb.sql("DROP TABLE __gopher_uni")
+    flags = {r["doc_id"]: r["gopher_ok_alpha_words"] for r in got}
+    assert flags[1] and flags[3] and flags[4], "unicode letters are alphabetic"
+    assert not flags[2], "digit-only words are not"
 
 
 def test_each_rule_hand_built(spark):

@@ -121,6 +121,58 @@ def test_agreement_floor_on_real_embeddings(spark):
         agree[ps] = sum(two[i] == exact[i] for i in two) / len(two)
     assert agree[1] >= 0.45 and agree[2] >= 0.65 and agree[3] >= 0.75, agree
     assert agree[1] <= agree[2] <= agree[3], agree
+    # the DEFAULT probe_supers is derived from this ladder: smallest
+    # probe count whose unstructured agreement clears 0.8 (r13 VERDICT
+    # item 4). Pin that the default actually meets the target here —
+    # the adversarial fixture, not the friendly separated one.
+    dflt = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_two_level(corpus, cents).collect()
+    }
+    dflt_agree = sum(dflt[i] == exact[i] for i in dflt) / len(dflt)
+    assert dflt_agree >= 0.8, dflt_agree
+
+
+def test_probe_supers_validation_and_upper_clamp(spark):
+    """probe_supers < 1 raises (r13 ADVICE: a typo'd dial must not be
+    silently clamped to 1); requests past the live super count still
+    clamp DOWN, because dead-super dropping can legitimately shrink
+    the tree below the request."""
+    corpus = _cluster_corpus(spark)
+    cents = _axis_centroids()
+    for bad in (0, -2):
+        with pytest.raises(ValueError):
+            ivf_assign_two_level(corpus, cents, probe_supers=bad)
+    big = ivf_assign_two_level(corpus, cents, branch=3, probe_supers=99)
+    assert big.count() == corpus.count()
+
+
+def test_precomputed_tree_reused_across_consumers(spark):
+    """group_centroids once → pass the (supers, child_of) tree to both
+    two-level consumers: byte-identical to the retrain-per-call path
+    (r13 ADVICE: composed pipelines shouldn't pay the tree twice)."""
+    corpus = _cluster_corpus(spark)
+    cents = _axis_centroids()
+    tree = group_centroids(spark, cents, branch=3)
+    fresh = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign_two_level(corpus, cents, branch=3).collect()
+    )
+    reused = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign_two_level(corpus, cents, tree=tree).collect()
+    )
+    assert reused == fresh
+    sd = sorted(
+        tuple(r)
+        for r in semantic_duplicates(
+            corpus, cents, tau=0.9, assign="two_level", tree=tree
+        ).collect()
+    )
+    sd_exact = sorted(
+        tuple(r) for r in semantic_duplicates(corpus, cents, tau=0.9).collect()
+    )
+    assert sd == sd_exact  # separated clusters: two_level is exact
 
 
 def test_plan_no_cartesian(spark):
