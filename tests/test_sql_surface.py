@@ -110,3 +110,34 @@ def test_scalar_pandas_udf_matches_native_twin(spark):
     )
     assert out.filter(F.col("py") != F.col("native")).count() == 0
     assert out.count() > 0
+
+
+def test_distinct_agg_replay_and_plan(spark):
+    """The retired r14 driver row (slot went to rank_buckets per the
+    r13 verdict — its value surface is a strict subset of rollup_agg +
+    groupby_pricing_summary): exact former builder vs exact former
+    oracle, plus the plan discipline that motivated it — each distinct
+    is its own two-phase plan, never a multi-distinct Expand."""
+    import duckdb
+
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        DISTINCT_AGG_ORACLE,
+        distinct_agg_builder,
+    )
+
+    df = distinct_agg_builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "multi-distinct Expand is the anti-plan"
+    got = sorted(
+        (r[0], int(r[1]), int(r[2]), bool(r[3])) for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    want = sorted(
+        (a, int(b), int(c), bool(d))
+        for a, b, c, d in con.execute(DISTINCT_AGG_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
