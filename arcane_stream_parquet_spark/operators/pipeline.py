@@ -16,9 +16,11 @@ cut for free; for in-memory composition this module makes it one call.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: lineage-cut strategies for :func:`compose_stages`
 CUTS = ("local_checkpoint", "none")
@@ -49,3 +51,156 @@ def compose_stages(
         if cut == "local_checkpoint":
             df = df.localCheckpoint(eager=eager)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Production funnel runner (r13 VERDICT item 3): the fault-tolerant,
+# resumable form of the lineage cut. compose_stages' localCheckpoint is
+# executor-local — lose an executor (or the driver) and the whole
+# funnel recomputes. At 100 TB each stage boundary must be a real
+# table: the write IS the lineage cut, restarts resume from the last
+# completed stage, and every boundary table gets the merge target's
+# machinery for free (bucketing, stats/bloom pruning, time travel,
+# vacuum). This is the same shape as the reference's staging-table
+# lifecycle (ST9, /root/reference/docs/crd.md:131-141) applied to
+# curation funnels.
+
+#: synthetic version column added when the caller has no natural one —
+#: funnel boundaries are full snapshots, so any constant works.
+FUNNEL_VERSION_COLUMN = "__funnel_version"
+
+
+def _funnel_target(spark: SparkSession, path: str, key_col: str,
+                   version_col: str, num_buckets: int, target_opts: dict):
+    from arcane_stream_parquet_spark.operators.merge import ParquetMergeTarget
+
+    return ParquetMergeTarget(
+        spark=spark,
+        path=path,
+        key_col=key_col,
+        version_col=version_col,
+        num_buckets=num_buckets,
+        **target_opts,
+    )
+
+
+def run_funnel(
+    spark: SparkSession,
+    source: DataFrame | Callable[[SparkSession], DataFrame],
+    stages: Sequence[tuple[str, Callable[[DataFrame], DataFrame]]],
+    target_prefix: str,
+    key_col: str,
+    version_col: str | None = None,
+    num_buckets: int = 32,
+    target_opts: dict | None = None,
+) -> DataFrame:
+    """Run a curation funnel with MATERIALIZED stage boundaries and
+    create-only resume state.
+
+    Each ``(name, fn)`` stage reads the previous stage's boundary
+    table (the raw ``source`` for stage 0), applies ``fn``, and
+    snapshots the result into a ``ParquetMergeTarget`` at
+    ``{target_prefix}/stage-NNNNN-{name}`` via the atomic
+    :meth:`overwrite` (one manifest commit — a killed write leaves
+    only an orphaned version dir, never a half-visible table). A
+    ``stage-NNNNN.done`` marker is then created in
+    ``{target_prefix}/_funnel_state`` through the same create-only
+    Hadoop FS path as the sharded backfill's
+    :class:`~arcane_stream_parquet_spark.streaming.runner.BackfillState`
+    (runner.py) — no read-modify-write anywhere.
+
+    Restart semantics: rerunning the same funnel skips every stage
+    with a marker and resumes from the first incomplete one, reading
+    its input from the last completed boundary table — completed
+    stages are never recomputed, and the resumed output is
+    byte-identical to a single-shot run because each boundary is a
+    real snapshot (pinned in tests/test_pipeline_composition.py).
+    The stage-name list is pinned create-only at first contact
+    (``funnel.json``, the backfill universe rule): resuming with a
+    DIFFERENT stage list raises instead of silently mixing two
+    funnel definitions' markers.
+
+    Crash windows, each idempotent: killed mid-write → rerun
+    overwrites the stage (orphan dir vacuumable); killed between
+    commit and marker → rerun re-runs that one stage's overwrite
+    (same input snapshot, same result). After a successful run,
+    ``state`` markers remain so a re-invocation is a no-op returning
+    the final table; pass a fresh ``target_prefix`` for a fresh run.
+
+    ``key_col`` must survive every stage (it is each boundary's
+    bucket/merge key). ``version_col=None`` adds a constant
+    :data:`FUNNEL_VERSION_COLUMN` per boundary write — snapshots have
+    no competing versions, so latest-wins dedup degenerates to
+    exact-key dedup, matching the funnel contract that ``key_col`` is
+    unique per stage output. ``target_opts`` forwards extra
+    ``ParquetMergeTarget`` knobs (``stats_cols``, ``sorted_by``,
+    ``manifest_bloom_cols``, ...) to every boundary table.
+    """
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    fio = HadoopFileIO(spark)
+    state_dir = fs_join(target_prefix, "_funnel_state")
+    opts = dict(target_opts or {})
+    vcol = version_col or FUNNEL_VERSION_COLUMN
+
+    # pin the funnel definition at first contact (create-only; the
+    # backfill-universe rule): markers index into THIS stage list
+    spec_path = fs_join(state_dir, "funnel.json")
+    try:
+        fio.create_text(spec_path, json.dumps({"stages": names}))
+    except FileExistsError:
+        pinned = json.loads(fio.read_text(spec_path))["stages"]
+        if pinned != names:
+            raise ValueError(
+                f"resume with a different funnel definition: state has "
+                f"{pinned}, caller passed {names} — use a fresh "
+                f"target_prefix for a new funnel"
+            )
+
+    done = {
+        n
+        for n in fio.list_names(state_dir)
+        if n.startswith("stage-") and n.endswith(".done")
+    }
+
+    def _stage_path(i: int) -> str:
+        return fs_join(target_prefix, f"stage-{i:05d}-{names[i]}")
+
+    current: DataFrame | None = None  # lazily resolved stage input
+    target = None
+    for i, (name, fn) in enumerate(stages):
+        target = _funnel_target(
+            spark, _stage_path(i), key_col, vcol, num_buckets, opts
+        )
+        marker = f"stage-{i:05d}.done"
+        if marker in done:
+            current = None  # next incomplete stage reads this boundary
+            continue
+        if current is None:
+            if i == 0:
+                current = source(spark) if callable(source) else source
+            else:
+                current = _funnel_target(
+                    spark, _stage_path(i - 1), key_col, vcol, num_buckets, opts
+                ).read()
+                if version_col is None:
+                    current = current.drop(FUNNEL_VERSION_COLUMN)
+        out = fn(current)
+        if version_col is None:
+            out = out.withColumn(FUNNEL_VERSION_COLUMN, F.lit(1))
+        target.overwrite(out)
+        try:
+            fio.create_text(fs_join(state_dir, marker), "{}")
+        except FileExistsError:
+            pass  # concurrent/replayed completion: done is done
+        current = target.read()
+        if version_col is None:
+            current = current.drop(FUNNEL_VERSION_COLUMN)
+
+    final = target.read()
+    return final.drop(FUNNEL_VERSION_COLUMN) if version_col is None else final
