@@ -122,6 +122,39 @@ def merge_throughput(spark, sf_dir: str) -> dict:
     }
 
 
+def calibration_run(spark, runs: int = 3) -> float:
+    """Fixed synthetic calibration row (r13 VERDICT item 7): constant
+    in-memory data, pure-CPU whole-stage-codegen plan — no parquet IO,
+    no shuffle, no Python workers — timed exactly like the registry
+    queries (warm + best-of-N). Identical code on an identical box
+    yields an identical number up to CPU-speed drift (thermal,
+    co-tenancy: the box band moved 22.6→27.7 s on identical code
+    between r12 and r13), so the prev/now calibration ratio isolates
+    box drift from plan regressions in vs_prev."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 2_000_000, 1, 8)
+        .select(
+            F.sha2(
+                F.concat(F.lit("cal|"), F.col("id").cast("string")), 256
+            ).alias("h")
+        )
+        .select(
+            F.sum(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint")
+            ).alias("s")
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()  # warm plan + JIT
+    samples = []
+    for _ in range(runs):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - start)
+    return round(min(samples), 4)
+
+
 def _release_pinned_blocks(spark) -> None:
     """Unpin every persisted RDD block left behind by the ingest phase.
 
@@ -153,6 +186,8 @@ def main() -> None:
     # cost (42k rows/s fresh vs 5.5k contended, SCALE.md).
     ingest = merge_throughput(spark, sf_dir)
     _release_pinned_blocks(spark)
+
+    calibration_sec = calibration_run(spark)
 
     # One warm run (plan + codegen + Python-worker spin-up), then the
     # best of three timed runs per query: a single timed run on a
@@ -189,6 +224,9 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": cpus,
         "merge_throughput": ingest,
+        # fixed synthetic pure-CPU row: identical code ⇒ identical value
+        # up to box drift; vs_prev divides it out (r13 VERDICT item 7)
+        "calibration_sec": calibration_sec,
     }
     # The driver captures only the LAST ~2,000 chars of stdout; the full
     # 50-query payload is ~3.3 KB and gets truncated (r7 VERDICT item 1).
@@ -219,15 +257,34 @@ def main() -> None:
         ratios = sorted(
             timings[n] / prev_q[n] for n in shared if prev_q[n] > 0
         )
+        median_ratio = (
+            round(ratios[len(ratios) // 2], 4) if ratios and same_sf else None
+        )
+        # drift correction (r13 VERDICT item 7): the calibration row is
+        # pure CPU on constant data, so its prev/now ratio measures the
+        # BOX (thermal/co-tenancy drift — 22.6→27.7 s on identical code
+        # between r12 and r13), not the code. Dividing it out of the
+        # shared-median ratio leaves plan regressions only. None until
+        # a prev payload carrying calibration_sec exists.
+        prev_cal = prev.get("calibration_sec")
+        cal_ratio = (
+            round(calibration_sec / prev_cal, 4)
+            if isinstance(prev_cal, (int, float)) and prev_cal > 0
+            else None
+        )
         full["vs_prev"] = {
             "prev_total": prev.get("value"),
             "prev_sf": prev.get("sf"),
             "shared_count": len(shared),
             "shared_prev_sec": round(sum(prev_q[n] for n in shared), 4),
             "shared_now_sec": round(sum(timings[n] for n in shared), 4),
-            "shared_median_ratio": round(
-                ratios[len(ratios) // 2], 4
-            ) if ratios and same_sf else None,
+            "shared_median_ratio": median_ratio,
+            "calibration_ratio": cal_ratio,
+            "shared_median_ratio_drift_corrected": (
+                round(median_ratio / cal_ratio, 4)
+                if median_ratio is not None and cal_ratio
+                else None
+            ),
             "retired": {n: prev_q[n] for n in sorted(set(prev_q) - set(timings))},
             "added": {n: timings[n] for n in sorted(set(timings) - set(prev_q))},
         }
@@ -255,6 +312,12 @@ def main() -> None:
                             "shared_median_ratio": full["vs_prev"][
                                 "shared_median_ratio"
                             ],
+                            "calibration_ratio": full["vs_prev"][
+                                "calibration_ratio"
+                            ],
+                            "shared_median_ratio_drift_corrected": full[
+                                "vs_prev"
+                            ]["shared_median_ratio_drift_corrected"],
                             "retired": sorted(full["vs_prev"]["retired"]),
                             "added": sorted(full["vs_prev"]["added"]),
                         }
