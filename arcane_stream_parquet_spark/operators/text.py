@@ -529,6 +529,11 @@ def remove_boilerplate_lines(
     input document, ``clean_text = ''`` when every line was
     boilerplate.
 
+    NOTE: calling this function runs an EAGER Spark job (the gated
+    broadcast's frequency-table count — see :func:`_gated_broadcast`;
+    the persisted pass is reused by the final plan), unlike ordinary
+    lazy transform builders.
+
     100 TB shape: two passes over the corpus line stream (the classic
     C4 count-then-filter pair — recomputing the row-local explode
     beats materializing a corpus-sized exploded frame), each a
@@ -619,6 +624,11 @@ def remove_duplicate_spans(
     windows straddle into document-unique context) survive.
 
     Returns ``(id_col, clean_text, n_tokens, n_removed)``.
+
+    NOTE: calling this function runs an EAGER Spark job (the gated
+    broadcast's duplicate-set count — see :func:`_gated_broadcast`;
+    the persisted pass is reused by the final plan), unlike ordinary
+    lazy transform builders.
 
     100 TB shape: windows are a row-local array transform + explode
     (no shuffle of the corpus); ONE partial-agg shuffle builds the
