@@ -33,7 +33,10 @@ from arcane_stream_parquet_spark.operators.multimodal import (
     with_binary_payload,
 )
 from arcane_stream_parquet_spark.operators.chunking import chunk_documents
-from arcane_stream_parquet_spark.operators.pipeline import compose_stages
+from arcane_stream_parquet_spark.operators.pipeline import (
+    compose_stages,
+    run_funnel,
+)
 from arcane_stream_parquet_spark.operators.rangejoin import interval_join
 from arcane_stream_parquet_spark.operators.sampling import (
     rank_buckets,
@@ -72,6 +75,7 @@ __all__ = [
     "candidate_pairs",
     "chunk_documents",
     "compose_stages",
+    "run_funnel",
     "compute_watermark",
     "contamination_flags",
     "cosine_topk",
