@@ -64,7 +64,13 @@ def test_single_shot_materializes_boundaries(spark, tmp_path):
     assert mid.count() == 40 and "n_chars" in mid.columns
 
 
-def test_kill_mid_funnel_resume_skips_done_stages(spark, tmp_path):
+@pytest.mark.parametrize("kill_at", [0, 1, 2])
+def test_kill_mid_funnel_resume_skips_done_stages(spark, tmp_path, kill_at):
+    """Kill at EVERY stage (first stage = nothing completed yet; last =
+    everything but one): resume recomputes only the stages the kill
+    reached, and the output is identical to a single-shot run."""
+    names = [n for n, _ in _stages([])]
+
     # single-shot reference run on its own prefix
     ref_calls = []
     ref = _rows(
@@ -74,20 +80,19 @@ def test_kill_mid_funnel_resume_skips_done_stages(spark, tmp_path):
         )
     )
 
-    # killed run: stage 3 raises before writing anything
+    # killed run: stage `kill_at` raises before writing anything
     calls = []
     stages = _stages(calls)
-    orig_flag = stages[2][1]
 
     def bomb(df):
         raise RuntimeError("killed mid-funnel")
 
-    stages[2] = ("flag", bomb)
+    stages[kill_at] = (names[kill_at], bomb)
     with pytest.raises(RuntimeError, match="killed mid-funnel"):
         run_funnel(
             spark, _docs(spark), stages, str(tmp_path / "f"), key_col="doc_id"
         )
-    assert calls == ["filter", "enrich"]
+    assert calls == names[:kill_at]
 
     # resume with the healed stage: completed stages must NOT recompute
     calls2 = []
@@ -95,7 +100,7 @@ def test_kill_mid_funnel_resume_skips_done_stages(spark, tmp_path):
     out = run_funnel(
         spark, _docs(spark), stages2, str(tmp_path / "f"), key_col="doc_id"
     )
-    assert calls2 == ["flag"], "completed stages were recomputed"
+    assert calls2 == names[kill_at:], "completed stages were recomputed"
     assert _rows(out) == ref, "resumed output differs from single-shot"
 
 
