@@ -141,8 +141,10 @@ def calibration_run(spark, runs: int = 3) -> float:
             ).alias("h")
         )
         .select(
+            # 8 hex digits < 2^32; the 2M-row sum stays < 2^53 — safe
+            # under ANSI (no overflow) and exact in any engine
             F.sum(
-                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint")
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
             ).alias("s")
         )
     )
