@@ -37,6 +37,11 @@ from arcane_stream_parquet_spark.operators.pipeline import (
     compose_stages,
     run_funnel,
 )
+from arcane_stream_parquet_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
 from arcane_stream_parquet_spark.operators.rangejoin import interval_join
 from arcane_stream_parquet_spark.operators.sampling import (
     rank_buckets,
@@ -76,6 +81,9 @@ __all__ = [
     "chunk_documents",
     "compose_stages",
     "run_funnel",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebooks",
     "compute_watermark",
     "contamination_flags",
     "cosine_topk",

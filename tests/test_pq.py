@@ -1,0 +1,322 @@
+"""Product quantization (Jégou et al. 2011) — training, encoding, ADC
+search. Oracle-gate-grade pins without a registry slot (the 50-row
+cap): an independent pure-python reference reproducing training +
+encode + ADC bit-for-bit (left-to-right float folds, median updates,
+lower-code ties), a DuckDB replay of encode + ADC given the trained
+codebooks, a recall floor against the exact scan on the real
+embeddings, determinism across partitionings, and the plan gate
+(corpus never shuffles before top-k; the one NLJ is the broadcast
+query-LUT attach)."""
+
+from __future__ import annotations
+
+import hashlib
+import statistics
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from arcane_stream_parquet_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from tests.conftest import SF_ORACLE
+
+M, CODES = 4, 4
+DIM = 8
+
+
+def _h(s: str) -> float:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16) / 2**32 * 2.0 - 1.0
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    vecs = {
+        i: [round(_h(f"pq{i}|{d}"), 4) for d in range(DIM)] for i in range(20)
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in sorted(vecs.items())],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    return df, vecs
+
+
+def _l2sq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _ref_train(vecs: dict[int, list[float]], m: int, codes: int, iters: int):
+    """Independent reference of train_pq_codebooks: same seeding, same
+    argmin ties, same median update (statistics.median interpolates
+    even counts like Spark's F.median), same keep-previous rules."""
+    d = DIM // m
+    seed_ids = sorted(vecs)[:codes]
+    books = [
+        [list(vecs[i][s * d : (s + 1) * d]) for i in seed_ids]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        assign: dict[tuple[int, int], int] = {}
+        for vid, v in vecs.items():
+            for s in range(m):
+                sv = v[s * d : (s + 1) * d]
+                best = min(
+                    range(codes), key=lambda c: (_l2sq(sv, books[s][c]), c)
+                )
+                assign[(vid, s)] = best
+        new_books = []
+        for s in range(m):
+            book = []
+            for c in range(codes):
+                members = [
+                    vecs[vid][s * d : (s + 1) * d]
+                    for vid in vecs
+                    if assign[(vid, s)] == c
+                ]
+                if not members:
+                    book.append(books[s][c])
+                    continue
+                med = [
+                    statistics.median([mv[p] for mv in members])
+                    for p in range(d)
+                ]
+                book.append(books[s][c] if all(x == 0.0 for x in med) else med)
+            new_books.append(book)
+        books = new_books
+    return books
+
+
+def _ref_encode(vecs, books):
+    m, codes, d = len(books), len(books[0]), DIM // len(books)
+    return {
+        vid: [
+            min(range(codes), key=lambda c: (_l2sq(v[s * d : (s + 1) * d], books[s][c]), c))
+            for s in range(m)
+        ]
+        for vid, v in vecs.items()
+    }
+
+
+def _ref_adc(q, code_list, books):
+    d = DIM // len(books)
+    acc = 0.0
+    for s, c in enumerate(code_list):
+        acc = acc + _l2sq(q[s * d : (s + 1) * d], books[s][c])
+    return acc
+
+
+def test_training_matches_reference(spark, micro):
+    df, vecs = micro
+    got = train_pq_codebooks(df, m=M, codes=CODES, iters=2)
+    want = _ref_train(vecs, M, CODES, 2)
+    assert got == want  # bit-exact, including the median updates
+
+
+def test_encode_and_adc_match_reference(spark, micro):
+    df, vecs = micro
+    books = train_pq_codebooks(df, m=M, codes=CODES, iters=2)
+    codes = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df, books).collect()
+    }
+    assert codes == _ref_encode(vecs, books)
+    queries = df.filter("vec_id < 2")
+    out = pq_topk(pq_encode(df, books), queries, books, k=5)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_l2sq"] for r in out.collect()
+    }
+    # reference: full ADC ranking per query, same tie rule
+    for qid in (0, 1):
+        dists = sorted(
+            (_ref_adc(vecs[qid], codes[n], books), n)
+            for n in vecs
+            if n != qid
+        )[:5]
+        assert {(qid, n) for _, n in dists} == {
+            k for k in got if k[0] == qid
+        }
+        for dist, n in dists:
+            assert got[(qid, n)] == dist  # bit-exact ADC
+
+
+def test_duckdb_replay_encode_and_adc(spark, micro):
+    """Encode + ADC replayed in DuckDB from the SAME trained codebooks
+    (training itself is pinned by the python reference above): per-
+    subspace L2 argmin with lower-code ties, then the LUT fold."""
+    df, vecs = micro
+    books = train_pq_codebooks(df, m=M, codes=CODES, iters=2)
+    d = DIM // M
+    got_codes = sorted(
+        (int(r["vec_id"]), list(r["pq_codes"]))
+        for r in pq_encode(df, books).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v(vec_id BIGINT, embedding DOUBLE[]);"
+    )
+    for vid, vec in sorted(vecs.items()):
+        con.execute("INSERT INTO v VALUES (?, ?)", [vid, vec])
+    cb_rows = ", ".join(
+        f"({s}, {c}, {list(map(float, cv))}::DOUBLE[])"
+        for s, book in enumerate(books)
+        for c, cv in enumerate(book)
+    )
+    sql = f"""
+        WITH cb(sub, code, cv) AS (VALUES {cb_rows}),
+        subs AS (
+            SELECT vec_id, s.sub,
+                   embedding[s.sub * {d} + 1 : (s.sub + 1) * {d}] AS sv
+            FROM v, (SELECT unnest(range(0, {M})) AS sub) s
+        ),
+        scored AS (
+            SELECT vec_id, subs.sub, code,
+                   list_sum(list_transform(
+                       list_zip(sv, cv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS l2
+            FROM subs JOIN cb ON subs.sub = cb.sub
+        ),
+        best AS (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY l2 ASC, code ASC) AS rn
+            FROM scored
+        )
+        SELECT vec_id, list(code ORDER BY sub) AS codes
+        FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id
+    """
+    want_codes = [(int(a), list(b)) for a, b in con.execute(sql).fetchall()]
+    con.close()
+    assert got_codes == want_codes
+
+
+def _exact_l2_topk(emb, queries, k=10):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.pq import l2sq_expr
+    from arcane_stream_parquet_spark.operators.similarity import as_double_array
+
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("__qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(q)
+        .filter("neighbor_id != query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_expr(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(f"__rn <= {k}")
+    )
+
+
+def _recall(approx_rows, exact_rows, k=10):
+    got = {
+        qid: {r["neighbor_id"] for r in rows}
+        for qid, rows in _group(approx_rows).items()
+    }
+    truth = {
+        qid: {r["neighbor_id"] for r in rows}
+        for qid, rows in _group(exact_rows).items()
+    }
+    return sum(len(got[q] & truth[q]) / k for q in truth) / len(truth)
+
+
+def test_recall_ladder_on_unstructured_embeddings(spark):
+    """PQ's adversarial case is UNSTRUCTURED data (no cluster structure
+    → quantization error dominates; the friendly clustered regime is
+    the next test). Measured recall@10 vs the exact squared-L2 scan on
+    the real embeddings at m=8: 0.26 / 0.32 / 0.46 for 16 / 32 / 64
+    codes — pinned as floors with margin, plus monotonicity in the
+    code count (everything is deterministic: no RNG anywhere)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = _exact_l2_topk(emb, queries).collect()
+    ladder = {}
+    for codes in (16, 32, 64):
+        books = train_pq_codebooks(emb, m=8, codes=codes, iters=2)
+        approx = pq_topk(pq_encode(emb, books), queries, books, k=10)
+        ladder[codes] = _recall(approx.collect(), exact)
+    assert ladder[16] >= 0.15 and ladder[32] >= 0.2 and ladder[64] >= 0.35, ladder
+    assert ladder[16] <= ladder[32] <= ladder[64], ladder
+
+
+def test_high_recall_on_clustered_corpus(spark):
+    """The regime PQ assumes (real embedding corpora are clustered):
+    well-separated clusters in R^8 — the ADC scan must rank the
+    query's own cluster first, recall@5 = 1.0."""
+    rows = []
+    for cl in range(4):
+        for i in range(6):
+            v = [0.01 * i * _h(f"c{cl}|{i}|{d}") for d in range(DIM)]
+            v[cl * 2] += 10.0
+            v[cl * 2 + 1] += 10.0
+            rows.append(Row(vec_id=cl * 100 + i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(df, m=M, codes=8, iters=3)
+    queries = df.filter("vec_id % 100 = 0")
+    approx = pq_topk(pq_encode(df, books), queries, books, k=5).collect()
+    exact = _exact_l2_topk(df, queries, k=5).collect()
+    assert _recall(approx, exact, k=5) == 1.0
+
+
+def _group(rows):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return out
+
+
+def test_deterministic_across_partitionings(spark, micro):
+    df, _ = micro
+    books = train_pq_codebooks(df, m=M, codes=CODES, iters=1)
+    a = sorted(map(tuple, pq_encode(df, books).collect()))
+    b = sorted(map(tuple, pq_encode(df.repartition(7), books).collect()))
+    assert [(i, list(c)) for i, c in a] == [(i, list(c)) for i, c in b]
+    books2 = train_pq_codebooks(df.repartition(5), m=M, codes=CODES, iters=1)
+    assert books2 == books  # median updates are order-independent
+
+
+def test_geometry_validation(spark, micro):
+    df, _ = micro
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(df, m=3, codes=4)
+
+
+def test_plan_no_corpus_shuffle_before_topk(spark, micro):
+    """The ADC scan reads only the code column and meets the query LUT
+    through ONE broadcast NLJ (the cosine_topk pattern); no cartesian,
+    no corpus-side Exchange before the per-query top-k window."""
+    df, _ = micro
+    books = train_pq_codebooks(df, m=M, codes=CODES, iters=1)
+    codes = pq_encode(df, books).localCheckpoint(eager=True)  # stored table
+    plan = (
+        pq_topk(codes, df.filter("vec_id < 2"), books, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the only exchange below the window is the top-k repartition on
+    # query_id plus the |Q|-scale LUT assembly — the corpus side itself
+    # joins via the broadcast without shuffling
+    assert "SortMergeJoin" not in plan
