@@ -328,3 +328,67 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", F.col("__adc").alias("adc_l2sq"))
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """The standard PQ deployment: ADC over the compressed column
+    produces a ``shortlist`` of candidates per query (the cheap,
+    full-corpus pass), then EXACT squared-L2 reranks only those
+    ``|Q|·shortlist`` rows against the uncompressed vectors —
+    (query_id, neighbor_id, l2sq), ascending, ties → lower id.
+
+    Equivalences that pin correctness: with ``shortlist >= |corpus|-1``
+    the output is EXACTLY the exact scan's top-k (including tie
+    order); at any shortlist, every returned distance is bit-identical
+    to the exact scan's (the rerank computes the same left-to-right
+    fold). Recall@k equals the shortlist's ADC recall@shortlist —
+    the quality dial costs |Q|·shortlist exact distances instead of
+    |Q|·n.
+
+    Scale shape: the candidate set (|Q|·shortlist ids) is broadcast
+    back against the corpus, so the full-width vector column is read
+    ONLY for candidate rows (stats/bloom-pruned when the corpus is a
+    merge target keyed on ``id_col``); nothing corpus-sized shuffles."""
+    from pyspark.sql import Window
+
+    cand = pq_topk(
+        corpus_codes, queries, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("__qv"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_expr(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.col("__d").alias("l2sq"))
+    )

@@ -320,3 +320,44 @@ def test_plan_no_corpus_shuffle_before_topk(spark, micro):
     # query_id plus the |Q|-scale LUT assembly — the corpus side itself
     # joins via the broadcast without shuffling
     assert "SortMergeJoin" not in plan
+
+
+def test_rerank_with_full_shortlist_equals_exact_scan(spark, micro):
+    """shortlist >= |corpus|-1 makes pq_topk_rerank EXACTLY the exact
+    scan's top-k — same ids, same order, bit-identical distances."""
+    from arcane_stream_parquet_spark.operators.pq import pq_topk_rerank
+
+    df, _ = micro
+    books = train_pq_codebooks(df, m=M, codes=CODES, iters=1)
+    codes = pq_encode(df, books)
+    queries = df.filter("vec_id < 3")
+    got = sorted(
+        map(tuple, pq_topk_rerank(
+            df, codes, queries, books, k=5, shortlist=19
+        ).collect())
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["__d"])
+        for r in _exact_l2_topk(df, queries, k=5).collect()
+    )
+    assert got == want
+
+
+def test_rerank_lifts_unstructured_recall(spark):
+    """The quality dial measured: on the unstructured embeddings the
+    64-code ADC pass alone gives recall@10 = 0.46; reranking a
+    50-deep shortlist with exact distances lifts it to the shortlist's
+    containment rate — measured 0.92 (0.98 at shortlist=100) — at
+    |Q|*50 exact distances instead of |Q|*n."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    from arcane_stream_parquet_spark.operators.pq import pq_topk_rerank
+
+    queries = emb.filter("vec_id < 5")
+    books = train_pq_codebooks(emb, m=8, codes=64, iters=2)
+    codes = pq_encode(emb, books)
+    exact = _exact_l2_topk(emb, queries).collect()
+    adc = pq_topk(codes, queries, books, k=10).collect()
+    rr = pq_topk_rerank(emb, codes, queries, books, k=10, shortlist=50).collect()
+    r_adc, r_rr = _recall(adc, exact), _recall(rr, exact)
+    assert r_rr >= r_adc, (r_adc, r_rr)
+    assert r_rr >= 0.85, (r_adc, r_rr)  # measured 0.92, deterministic
