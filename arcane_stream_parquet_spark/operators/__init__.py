@@ -38,8 +38,11 @@ from arcane_stream_parquet_spark.operators.pipeline import (
     run_funnel,
 )
 from arcane_stream_parquet_spark.operators.pq import (
+    ivfpq_build,
+    ivfpq_topk,
     pq_encode,
     pq_topk,
+    pq_topk_rerank,
     train_pq_codebooks,
 )
 from arcane_stream_parquet_spark.operators.rangejoin import interval_join
@@ -81,8 +84,11 @@ __all__ = [
     "chunk_documents",
     "compose_stages",
     "run_funnel",
+    "ivfpq_build",
+    "ivfpq_topk",
     "pq_encode",
     "pq_topk",
+    "pq_topk_rerank",
     "train_pq_codebooks",
     "compute_watermark",
     "contamination_flags",

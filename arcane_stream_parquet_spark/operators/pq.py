@@ -47,10 +47,10 @@ CLUSTERED corpus — on well-separated clusters recall@5 is exact
 (pinned). The adversarial case is unstructured data, where measured
 recall@10 vs the exact scan on the random testdata embeddings (m=8)
 is 0.26 / 0.32 / 0.46 at 16 / 32 / 64 codes — floors and monotonicity
-pinned. Standard deployments rerank the ADC top-k' with exact vectors
-(compose :func:`pq_topk` k'=5–10× with an exact pass over the
-candidates) and/or encode IVF-cell residuals; both compose from the
-existing operators.
+pinned. Both standard remedies ship: :func:`pq_topk_rerank` (ADC
+shortlist → exact rerank; 0.92/0.98 recall@10 at shortlist 50/100)
+and :func:`ivfpq_build`/:func:`ivfpq_topk` (cell-residual encoding —
+the Faiss IVFPQ shape, candidates through a cell equi-join).
 """
 
 from __future__ import annotations
@@ -60,7 +60,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from arcane_stream_parquet_spark.operators.similarity import as_double_array
+from arcane_stream_parquet_spark.operators.similarity import (
+    _centroids_df,
+    _probe_cells,
+    as_double_array,
+    ivf_assign,
+)
 
 #: default geometry: 8 subspaces × 16 codes = 4 bits/subspace, 64-dim
 #: testdata → 8-dim subvectors. Production: m=dim/8..dim/4, codes=256.
@@ -391,4 +396,150 @@ def pq_topk_rerank(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", F.col("__d").alias("l2sq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full production vector-index shape (Jégou et al. 2011
+# §IV; the Faiss IVFPQ index). The coarse quantizer (ivf_assign)
+# restricts each query to nprobe cells, and PQ encodes each vector's
+# RESIDUAL against its cell centroid — residuals have far smaller
+# spread than raw vectors, so the same code budget quantizes finer.
+# The identity that makes per-cell LUTs exact up to quantization:
+# within a cell c, ||q - x||^2 = ||(q - c) - (x - c)||^2, so ADC over
+# residual codebooks with the QUERY's residual-per-probed-cell
+# approximates the true distance with no cross-cell bias.
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Build the IVF-PQ index: assign every vector to its nearest
+    centroid cell (:func:`ivf_assign` — the SAME assignment every IVF
+    consumer uses), compute residuals row-locally, train ONE shared
+    residual codebook set, and encode. Returns
+    ``((id, cell, pq_codes) DataFrame, codebooks)`` — the stored index
+    is m·log2(codes) bits + a small cell id per vector.
+
+    Scale shape: assignment is the broadcast argmax (one n-row
+    shuffle); residuals are a row-local zip_with; training/encoding
+    are the :func:`train_pq_codebooks`/:func:`pq_encode` shapes. At
+    100 TB train on a bounded sample and pass the books to an
+    encode-only pass."""
+    spark = corpus.sparkSession
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cent = _centroids_df(spark, centroids)
+    res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
+            "__res"
+        ),
+    )
+    books = train_pq_codebooks(
+        res, m=m, codes=codes, iters=iters, id_col=id_col, vec_col="__res"
+    )
+    encoded = pq_encode(res, books, id_col=id_col, vec_col="__res").join(
+        res.select(id_col, "cell"), id_col
+    )
+    return encoded.select(id_col, "cell", "pq_codes"), books
+
+
+def ivfpq_topk(
+    corpus_index: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC top-k through the coarse quantizer: each query probes its
+    ``nprobe`` nearest cells (cosine, the ivf_topk rule), builds one
+    residual LUT PER PROBED CELL (|Q|·nprobe·m·codes rows — query
+    scale), and meets the corpus through an EQUI-JOIN on cell — only
+    ~nprobe/K of the corpus is scanned per query, each candidate row
+    costing m lookups over its code column. (query_id, neighbor_id,
+    adc_l2sq), ascending, ties → lower id."""
+    m = len(codebooks)
+    dim = sum(len(book[0]) for book in codebooks)
+    _check_geometry(dim, m)
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    qcells = _probe_cells(
+        queries, centroids, id_col, as_double_array(vec_col),
+        nprobe=nprobe, out_id="query_id",
+    )
+    cent = _centroids_df(spark, centroids)
+    qres = qcells.join(cent, qcells["cell"] == cent["cid"]).select(
+        "query_id",
+        "cell",
+        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
+            "__qr"
+        ),
+    )
+    qsubs = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(_subvectors(F.col("__qr"), m, dim)).alias("sub", "sv"),
+    )
+    cb = _codebook_df(spark, codebooks)
+    lut_rows = qsubs.join(cb, qsubs["sub"] == cb["sub"]).select(
+        "query_id",
+        "cell",
+        qsubs["sub"].alias("sub"),
+        "code",
+        l2sq_expr(F.col("sv"), F.col("cv")).alias("__l2"),
+    )
+    lut = (
+        lut_rows.groupBy("query_id", "cell", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("code"), F.col("__l2")))
+                ),
+                lambda st: st["__l2"],
+            ).alias("__sl")
+        )
+        .groupBy("query_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("__sl")))
+                ),
+                lambda st: st["__sl"],
+            ).alias("__lut")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("__lut"),
+            lambda c, l: F.element_at(l, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = (
+        corpus_index.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.col("__adc").alias("adc_l2sq"))
     )
