@@ -38,6 +38,7 @@ from arcane_stream_parquet_spark.operators.pipeline import (
     run_funnel,
 )
 from arcane_stream_parquet_spark.operators.pq import (
+    exact_rerank,
     ivfpq_build,
     ivfpq_topk,
     pq_encode,
@@ -84,6 +85,7 @@ __all__ = [
     "chunk_documents",
     "compose_stages",
     "run_funnel",
+    "exact_rerank",
     "ivfpq_build",
     "ivfpq_topk",
     "pq_encode",

@@ -154,7 +154,18 @@ def train_pq_codebooks(
     medians keep their previous code vector. Init: subvectors of the
     ``codes`` lowest-id corpus rows. Returns
     ``codebooks[sub][code] -> list[float]`` (plain data — train on a
-    bounded sample at 100 TB and pass it in)."""
+    bounded sample at 100 TB and pass it in).
+
+    SEEDING COVERAGE matters: a data mode not represented among the
+    seed rows may never win a code (hard k-medians can't split an
+    occupied code fast), and every vector from an unseeded mode then
+    quantizes onto a foreign code — its candidates collapse into one
+    giant ADC tie and recall dies for those queries (measured:
+    recall@10 = 0.0 for unseeded clusters in scripts/pq_probe.py's
+    hash-assigned variant). Pick the training sample so the lowest
+    ``codes`` ids span the corpus's modes (stratified/round-robin
+    sampling — :mod:`.sampling` has the tools), or raise ``codes``
+    well above the expected mode count."""
     dim = _infer_dim(corpus, vec_col)
     _check_geometry(dim, m)
     d = dim // m
@@ -364,12 +375,28 @@ def pq_topk_rerank(
     back against the corpus, so the full-width vector column is read
     ONLY for candidate rows (stats/bloom-pruned when the corpus is a
     merge target keyed on ``id_col``); nothing corpus-sized shuffles."""
-    from pyspark.sql import Window
-
     cand = pq_topk(
         corpus_codes, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col, codes_col=codes_col,
-    ).select("query_id", "neighbor_id")
+    )
+    return exact_rerank(corpus, cand, queries, k, id_col, vec_col)
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 rerank of ANY ``(query_id, neighbor_id)``
+    candidate frame (a flat-PQ or IVF-PQ shortlist, LSH bucket
+    output, ...): candidate ids broadcast back against the corpus, so
+    the full-width vector column is read for candidate rows only —
+    (query_id, neighbor_id, l2sq), ascending, ties → lower id."""
+    from pyspark.sql import Window
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__cv"),
@@ -381,7 +408,10 @@ def pq_topk_rerank(
         )
     )
     scored = (
-        c.join(F.broadcast(cand), "neighbor_id")
+        c.join(
+            F.broadcast(candidates.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
         .join(q, "query_id")
         .select(
             "query_id",
