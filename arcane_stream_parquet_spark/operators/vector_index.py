@@ -98,3 +98,189 @@ class VectorIndex:
             .filter(F.col("__rn") <= k)
             .select("query_id", "neighbor_id", F.col("__sim").alias("cosine"))
         )
+
+
+# ---------------------------------------------------------------------------
+# PQ-compressed persisted index (r14): the IVF-PQ tier stored through
+# the merge target, so the STORAGE ENGINE's machinery carries the
+# index — cell-sorted files with per-file cell stats make read_where's
+# manifest pruning plan a search as O(files of probed cells); the code
+# column is what the ADC scan reads (m·log2(codes) bits/vector); the
+# full-width embedding column is stored alongside but touched only by
+# the optional exact rerank over candidate rows (column pruning keeps
+# it out of the ADC scan plan).
+
+
+@dataclass
+class PQVectorIndex:
+    """Persisted IVF-PQ index over (vec_id, embedding).
+
+    The quantizer (IVF centroids + residual codebooks) is PINNED at
+    create time in a create-only metadata file next to the table —
+    every later ``add_batch`` and every reopened handle encodes and
+    searches with the same quantizer (codes from different quantizers
+    are not comparable; re-training means re-encoding, a new index).
+
+    ``add_batch`` is O(batch): assignment + residual encode are the
+    ivfpq_build shapes, one merge commit, idempotent per vec_id
+    (latest ingest_seq wins). ``search`` plans O(files of probed
+    cells) via read_where's manifest stats pruning (files are written
+    cell-SORTED so each file is a tight cell range), runs the
+    :func:`~arcane_stream_parquet_spark.operators.pq.ivfpq_topk` ADC
+    over only those files, and optionally exact-reranks the shortlist
+    against the stored embeddings (read for candidate rows only)."""
+
+    spark: SparkSession
+    path: str
+    centroids: list
+    codebooks: list
+    num_buckets: int = 16
+    #: rows per data file. The pruning lever: rows are written
+    #: cell-SORTED within each hash bucket, so each file covers a
+    #: contiguous cell range — the smaller the file, the tighter the
+    #: range and the harder read_where's manifest stats prune. Size so
+    #: a file spans ~one cell: ≈ E[rows per (bucket, cell)].
+    max_records_per_file: int | None = 64_000
+
+    _META = "_pq_index_meta.json"
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        centroids,
+        codebooks,
+        num_buckets: int = 16,
+        max_records_per_file: int | None = 64_000,
+    ) -> "PQVectorIndex":
+        """Pin the quantizer create-only and return a handle. Raises if
+        an index already exists at ``path`` (reopen with :meth:`open`)."""
+        import json as _json
+
+        from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+        meta = {
+            "centroids": [[int(c), [float(x) for x in v]] for c, v in centroids],
+            "codebooks": [
+                [[float(x) for x in cv] for cv in book] for book in codebooks
+            ],
+            "num_buckets": int(num_buckets),
+            "max_records_per_file": max_records_per_file,
+        }
+        HadoopFileIO(spark).create_text(
+            fs_join(path, cls._META), _json.dumps(meta)
+        )
+        return cls(
+            spark=spark,
+            path=path,
+            centroids=[(int(c), list(v)) for c, v in centroids],
+            codebooks=meta["codebooks"],
+            num_buckets=int(num_buckets),
+            max_records_per_file=max_records_per_file,
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "PQVectorIndex":
+        """Reopen an existing index; the pinned quantizer is
+        authoritative (the create-only universe rule)."""
+        import json as _json
+
+        from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+        meta = _json.loads(
+            HadoopFileIO(spark).read_text(fs_join(path, cls._META))
+        )
+        return cls(
+            spark=spark,
+            path=path,
+            centroids=[(int(c), list(v)) for c, v in meta["centroids"]],
+            codebooks=meta["codebooks"],
+            num_buckets=int(meta["num_buckets"]),
+            max_records_per_file=meta.get("max_records_per_file"),
+        )
+
+    @property
+    def table(self) -> ParquetMergeTarget:
+        return ParquetMergeTarget(
+            spark=self.spark,
+            path=self.path,
+            key_col="vec_key",
+            version_col="ingest_seq",
+            num_buckets=self.num_buckets,
+            max_records_per_file=self.max_records_per_file,
+            sorted_by=("cell",),
+            stats_cols=("cell",),
+        )
+
+    def _encoded(self, vectors: DataFrame) -> DataFrame:
+        from arcane_stream_parquet_spark.operators.pq import pq_encode
+        from arcane_stream_parquet_spark.operators.similarity import (
+            _centroids_df,
+            ivf_assign,
+        )
+
+        assigned = ivf_assign(vectors, self.centroids)
+        cent = _centroids_df(self.spark, self.centroids)
+        res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+            F.col("vec_id"),
+            F.col("cell"),
+            F.col("__v").alias("embedding"),
+            F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
+                "__res"
+            ),
+        )
+        return pq_encode(res, self.codebooks, vec_col="__res").join(
+            res.select("vec_id", "cell", "embedding"), "vec_id"
+        )
+
+    def add_batch(self, vectors: DataFrame, ingest_seq: int) -> int:
+        """Encode and upsert a batch of (vec_id, embedding); idempotent
+        per vec_id (latest ingest_seq wins). Returns batch size."""
+        rows = (
+            self._encoded(vectors)
+            .withColumn("vec_key", F.col("vec_id").cast("string"))
+            .withColumn("ingest_seq", F.lit(ingest_seq).cast("long"))
+        )
+        self.table.merge(rows)
+        return vectors.count()
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        rerank: int = 0,
+    ) -> DataFrame:
+        """ADC top-k over the persisted index, planned as O(files of
+        probed cells). ``rerank > 0`` exact-reranks that deep a
+        shortlist against the stored embeddings (read for candidate
+        rows only) and returns (query_id, neighbor_id, l2sq); without
+        it, (query_id, neighbor_id, adc_l2sq)."""
+        from arcane_stream_parquet_spark.operators.pq import (
+            exact_rerank,
+            ivfpq_topk,
+        )
+        from arcane_stream_parquet_spark.operators.similarity import (
+            _probe_cells,
+            as_double_array,
+        )
+
+        probed = _probe_cells(
+            queries, self.centroids, "vec_id", as_double_array("embedding"),
+            nprobe=nprobe, out_id="query_id",
+        )
+        cells = sorted(
+            int(r["cell"]) for r in probed.select("cell").distinct().collect()
+        )  # |Q|·nprobe ints — metadata scale
+        pruned = self.table.read_where(("cell", "in", cells))
+        index = pruned.select("vec_id", "cell", "pq_codes")
+        shortlist = ivfpq_topk(
+            index, queries, self.centroids, self.codebooks,
+            k=rerank if rerank > 0 else k, nprobe=nprobe,
+        )
+        if rerank <= 0:
+            return shortlist
+        return exact_rerank(
+            pruned.select("vec_id", "embedding"), shortlist, queries, k=k
+        )
