@@ -160,3 +160,42 @@ def test_callable_source_and_natural_version_col(spark, tmp_path):
     )
     rows = _rows(out.select("doc_id", "createdon"))
     assert len(rows) == 30 and all(v == 7 for _, v in rows)
+
+
+def test_target_opts_reach_boundary_tables(spark, tmp_path):
+    """target_opts forwards merge-target knobs to every boundary:
+    stats_cols + sorted_by + small files make read_where prune data
+    files on the stage table — downstream consumers of a funnel
+    boundary get the storage engine's machinery, which is the point
+    of materializing (vs localCheckpoint)."""
+    from arcane_stream_parquet_spark.operators.pipeline import _funnel_target
+
+    # target_opts applies to EVERY boundary, so referenced columns must
+    # exist in every stage's output — enrich first, then filter
+    stages = [
+        ("enrich", lambda df: df.withColumn(
+            "n_chars", F.length("text").cast("bigint"))),
+        ("keep", lambda df: df.filter(F.col("doc_id") % 3 != 0)),
+    ]
+    opts = {
+        "stats_cols": ("n_chars",),
+        "sorted_by": ("n_chars",),
+        "max_records_per_file": 10,
+    }
+    run_funnel(
+        spark,
+        _docs(spark, 120),
+        stages,
+        str(tmp_path / "f"),
+        key_col="doc_id",
+        num_buckets=2,
+        target_opts=opts,
+    )
+    t = _funnel_target(
+        spark, str(tmp_path / "f" / "stage-00001-keep"),
+        "doc_id", "__funnel_version", 2, opts,
+    )
+    full = len(t.read().inputFiles())
+    narrow = t.read_where(("n_chars", ">=", 20))  # the 3-digit-id docs
+    assert narrow.count() > 0
+    assert 0 < len(narrow.inputFiles()) < full
