@@ -29,6 +29,7 @@ All driver-side, O(metadata) calls — never data-proportional.
 
 from __future__ import annotations
 
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -169,15 +170,95 @@ class HadoopFileIO:
         if not self._fs(jp_src).rename(jp_src, jp_dst):
             raise OSError(f"rename failed: {src} -> {dst}")
 
+    def _commit_new(self, tmp: str, path: str) -> None:
+        """Atomically publish ``tmp`` as the NEW file ``path``, failing
+        with :class:`FileExistsError` if ``path`` already exists — the
+        true CAS step under :meth:`create_text`.
+
+        On HDFS the store's rename is atomic and refuses an existing
+        destination, and on S3A it refuses one too, so tmp+rename is
+        the commit there.  On a LOCAL filesystem Hadoop's rename is
+        check-then-act over POSIX ``rename(2)``, which OVERWRITES — two
+        racing writers can both "succeed", the second silently
+        replacing the first (reproduced by the round-15 two-writer
+        hammer).  The only atomic no-overwrite publish POSIX offers is
+        ``link(2)``: hardlink tmp to the destination (EEXIST if a rival
+        won), then drop the tmp entry."""
+        jp_dst = self._jpath(path)
+        fs = self._fs(jp_dst)
+        if "LocalFileSystem" in fs.getClass().getName():
+            jvm = self.spark._jvm
+            src_local = self._jpath(tmp).toUri().getPath()
+            dst_local = jp_dst.toUri().getPath()
+            try:
+                jvm.java.nio.file.Files.createLink(
+                    jvm.java.io.File(dst_local).toPath(),
+                    jvm.java.io.File(src_local).toPath(),
+                )
+            except Exception as e:  # py4j wraps FileAlreadyExistsException
+                if "FileAlreadyExistsException" in str(e):
+                    raise FileExistsError(path) from None
+                if "UnsupportedOperationException" in str(e):
+                    # mount without hardlinks: degrade to rename (loses
+                    # the overwrite guarantee local POSIX rename lacks,
+                    # same exposure as the pre-round-15 code)
+                    self._rename(tmp, path)
+                    return
+                raise
+            self.delete(tmp)  # drops the tmp entry + its checksum side-file
+            return
+        self._rename(tmp, path)
+
     def create_text(self, path: str, text: str) -> None:
         """Commit an IMMUTABLE new file: tmp-write + rename to the
         (nonexistent) destination — THE atomic-commit primitive; the
-        only write path in the metadata layer (module docstring)."""
+        only write path in the metadata layer (module docstring).
+
+        Raises :class:`FileExistsError` when the destination exists —
+        including when a concurrent writer materializes it *between*
+        the ``exists()`` probe and the rename (Hadoop's rename onto an
+        existing destination returns false).  That lost-race window
+        previously surfaced as a bare :class:`OSError`, which no commit
+        site maps to ``ConcurrentWriteError``, so the losing writer
+        died instead of retrying (round-14 cross-process soak finding).
+        ``OSError`` is reserved for true IO failure: rename failed AND
+        the destination did not materialize.
+
+        The tmp name is UNIQUE per attempt.  A shared ``path + ".tmp"``
+        (the pre-round-15 scheme) let two racing writers collide on the
+        staging file itself: writer A could rename a tmp whose bytes
+        writer B had just overwritten — publishing B's content while A
+        believes ITS commit is live (A's round silently lost) — and B's
+        own rename then dies on a missing source.  With a unique tmp a
+        writer can only ever publish its own bytes; the publish step
+        itself is :meth:`_commit_new`, atomic no-overwrite per backing
+        store (hardlink on local, rename on HDFS/S3A)."""
         if self.exists(path):
             raise FileExistsError(path)
-        tmp = path + _TMP_SUFFIX
+        tmp = f"{path}.{uuid.uuid4().hex[:12]}{_TMP_SUFFIX}"
         self._write_raw(tmp, text.encode("utf-8"))
-        self._rename(tmp, path)
+        try:
+            self._commit_new(tmp, path)
+        except FileExistsError:
+            # Lost the commit race: a rival won the destination after
+            # our probe.  The winner's file is intact; drop our
+            # orphaned tmp and re-raise the create-only refusal every
+            # caller already retries on.
+            self._cleanup_tmp(tmp)
+            raise FileExistsError(path) from None
+        except OSError:
+            # rename-based stores surface the lost race as a refused
+            # rename; classify by probing the destination
+            if self.exists(path):
+                self._cleanup_tmp(tmp)
+                raise FileExistsError(path) from None
+            raise
+
+    def _cleanup_tmp(self, tmp: str) -> None:
+        try:
+            self.delete(tmp)
+        except Exception:
+            pass  # an orphaned .tmp is harmless; every listing filters it
 
     def delete(self, path: str, recursive: bool = False) -> bool:
         jp = self._jpath(path)
@@ -194,10 +275,18 @@ class HadoopFileIO:
         setup).  Refuses a pre-existing destination, same stance as
         :meth:`create_text` — but this is a plain rename of bulk data,
         not the metadata commit primitive: evolving state still only
-        ever rides create-only versioned files."""
+        ever rides create-only versioned files.  The same lost-race
+        classification as :meth:`create_text` applies: a destination
+        that materializes between the probe and the rename raises
+        :class:`FileExistsError`, never a bare :class:`OSError`."""
         if self.exists(dst):
             raise FileExistsError(dst)
-        self._rename(src, dst)
+        try:
+            self._rename(src, dst)
+        except OSError:
+            if self.exists(dst):
+                raise FileExistsError(dst) from None
+            raise
 
     def mtime_ms(self, path: str) -> int:
         """Modification time in ms — for a directory, the max over the

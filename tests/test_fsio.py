@@ -71,6 +71,132 @@ def test_create_only_crash_states_are_invisible(spark, tmp_path):
     assert fio.read_text(fs_join(root, "meta", "manifest-v00002.json")) == "m2"
 
 
+def test_create_text_lost_race_classifies_as_file_exists(spark, tmp_path):
+    """The r14-soak bug, reproduced deterministically: writer B commits
+    the destination BETWEEN writer A's exists() probe and A's rename.
+    Hadoop's rename-onto-existing returns false; before the fix that
+    surfaced as a bare OSError that no commit site maps to
+    ConcurrentWriteError, killing the loser instead of triggering its
+    retry. The loser must see FileExistsError, the winner's content
+    must be intact, and the loser's tmp must not linger."""
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}"
+    p = fs_join(root, "meta", "manifest-v00009.json")
+
+    real_exists = fio.exists
+    probed = {"n": 0}
+
+    def racy_exists(path):
+        if path == p and probed["n"] == 0:
+            # A's pre-write probe ran before B committed — then B wins
+            probed["n"] += 1
+            real_exists(path)  # keep the real call pattern
+            fio.create_text(p, "winner")  # B commits inside A's window
+            return False
+        return real_exists(path)
+
+    object.__setattr__(fio, "exists", racy_exists)
+    try:
+        with pytest.raises(FileExistsError):
+            fio.create_text(p, "loser")
+    finally:
+        object.__delattr__(fio, "exists")
+
+    assert fio.read_text(p) == "winner"
+    # the loser's (unique-named) tmp was cleaned up on classification
+    # (os.listdir sees what list_names filters; "." names are checksum
+    # side-files the local FS owns)
+    import os
+
+    visible = [n for n in os.listdir(tmp_path / "meta") if not n.startswith(".")]
+    assert visible == ["manifest-v00009.json"]
+
+
+def test_move_lost_race_classifies_as_file_exists(spark, tmp_path):
+    """Same classification contract on the data-file move primitive."""
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}"
+    src_a = fs_join(root, "stage", "a.parquet")
+    src_b = fs_join(root, "stage", "b.parquet")
+    dst = fs_join(root, "landing", "part-0.parquet")
+    fio._write_raw(src_a, b"A")
+    fio._write_raw(src_b, b"B")
+
+    real_exists = fio.exists
+    probed = {"n": 0}
+
+    def racy_exists(path):
+        if path == dst and probed["n"] == 0:
+            probed["n"] += 1
+            fio.move(src_b, dst)  # B wins inside A's window
+            return False
+        return real_exists(path)
+
+    object.__setattr__(fio, "exists", racy_exists)
+    try:
+        with pytest.raises(FileExistsError):
+            fio.move(src_a, dst)
+    finally:
+        object.__delattr__(fio, "exists")
+    assert fio.read_bytes(dst) == b"B"
+    assert fio.exists(src_a)  # the loser's source is untouched
+
+
+def test_create_text_two_writer_hammer(spark, tmp_path):
+    """Two threads hammer the SAME sequence of destinations through one
+    JVM FileSystem client — the real interleaving (no mocks). For every
+    destination exactly one writer wins, every loss is FileExistsError
+    (NEVER a bare OSError — the r14 bug), and each committed file holds
+    exactly one writer's full content."""
+    import threading
+
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}/meta"
+    n_paths = 40
+    results: dict[int, list] = {0: [], 1: []}
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for v in range(n_paths):
+                p = fs_join(root, f"manifest-v{v:05d}.json")
+                barrier.wait()
+                try:
+                    fio.create_text(p, f"writer-{wid}-v{v}")
+                    results[wid].append((v, "won"))
+                except FileExistsError:
+                    results[wid].append((v, "lost"))
+        except BaseException as e:  # noqa: BLE001 — OSError here IS the bug
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, f"unclassified failure escaped create_text: {errors[:1]}"
+    assert len(results[0]) == len(results[1]) == n_paths
+
+    by_version: dict[int, list[int]] = {}
+    for wid in (0, 1):
+        for v, outcome in results[wid]:
+            if outcome == "won":
+                by_version.setdefault(v, []).append(wid)
+    # exactly one winner per destination, and its content is intact
+    assert sorted(by_version) == list(range(n_paths))
+    for v, winners in by_version.items():
+        assert len(winners) == 1, f"v{v}: double-commit {winners}"
+        p = fs_join(root, f"manifest-v{v:05d}.json")
+        assert fio.read_text(p) == f"writer-{winners[0]}-v{v}"
+    # no tmp orphans from classified losers (os.listdir sees what
+    # list_names deliberately filters)
+    import os
+
+    leftovers = [n for n in os.listdir(f"{tmp_path}/meta") if n.endswith(".tmp")]
+    assert not leftovers, leftovers
+
+
 def test_list_files_recursive_filters_and_sorts(spark, tmp_path):
     fio = HadoopFileIO(spark)
     (tmp_path / "a").mkdir()
