@@ -45,12 +45,18 @@ pure-python reference and a DuckDB replay in tests/test_pq.py.
 Accuracy contract (the two-level-IVF ladder discipline): PQ assumes a
 CLUSTERED corpus — on well-separated clusters recall@5 is exact
 (pinned). The adversarial case is unstructured data, where measured
-recall@10 vs the exact scan on the random testdata embeddings (m=8)
-is 0.26 / 0.32 / 0.46 at 16 / 32 / 64 codes — floors and monotonicity
-pinned. Both standard remedies ship: :func:`pq_topk_rerank` (ADC
-shortlist → exact rerank; 0.92/0.98 recall@10 at shortlist 50/100)
-and :func:`ivfpq_build`/:func:`ivfpq_topk` (cell-residual encoding —
-the Faiss IVFPQ shape, candidates through a cell equi-join).
+recall@10 vs the exact scan on the random testdata embeddings (m=8,
+r15 maxmin seeding) is 0.22 / 0.30 / 0.40 at 16 / 32 / 64 codes —
+floors and monotonicity pinned. Both standard remedies ship:
+:func:`pq_topk_rerank` (ADC shortlist → exact rerank; 0.80/0.92
+recall@10 at shortlist 50/100) and :func:`ivfpq_build`/
+:func:`ivfpq_topk` (cell-residual encoding — the Faiss IVFPQ shape,
+candidates through a cell equi-join). The seeding trade, measured:
+pre-r15 lowest-id init scored higher here (0.46 ADC / 0.92 rerank@50
+— on unstructured data it IS a uniform sample, the ideal init) but
+silently zeroed out unseeded modes on clustered-with-uncorrelated-ids
+corpora (the 100 TB failure shape); maxmin guarantees every sampled
+mode a seed, and the shortlist dial recovers the unstructured gap.
 """
 
 from __future__ import annotations
@@ -138,6 +144,49 @@ def _argmin_code(scored: DataFrame) -> DataFrame:
     )
 
 
+#: farthest-point seeding trains over at most this many sample rows —
+#: collected driver-side (sample_cap·dim doubles, metadata scale).
+PQ_SEED_SAMPLE_CAP = 1024
+
+
+def _maxmin_seeds(
+    sample: list[tuple[int, list[float]]], codes: int, m: int, d: int
+) -> list[list[list[float]]]:
+    """Deterministic farthest-point (maxmin) seeds per subspace: start
+    from the lowest-id sample row, then repeatedly add the point whose
+    minimum squared-L2 distance to the chosen seeds is LARGEST (ties →
+    lower id) — the k-center greedy, so EVERY mode present in the
+    sample gets a seed before any mode gets two (the coverage
+    guarantee the pre-r15 lowest-id init lacked). A trimmed variant
+    (skip the top decile most-isolated picks) was measured and
+    REJECTED: it bought only +0.02 rerank recall on unstructured data
+    while silently breaking the guarantee for modes smaller than the
+    trim decile. Pure python over the collected sample, same
+    left-to-right float fold as :func:`l2sq_expr` — data-ordered, no
+    randomness, so training stays engine-reproducible."""
+
+    def l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        pts = [(pid, v[s * d : (s + 1) * d]) for pid, v in sample]
+        chosen = [pts[0][1]]
+        mind = {pid: l2(sv, chosen[0]) for pid, sv in pts}
+        while len(chosen) < codes:
+            nxt = max(pts, key=lambda p: (mind[p[0]], -p[0]))[1]
+            chosen.append(nxt)
+            for pid, sv in pts:
+                dnew = l2(sv, nxt)
+                if dnew < mind[pid]:
+                    mind[pid] = dnew
+        books.append([list(c) for c in chosen])
+    return books
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = PQ_M,
@@ -145,43 +194,50 @@ def train_pq_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int = PQ_SEED_SAMPLE_CAP,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-medians: assignment = squared-L2 argmin
     against the current codebook (broadcast join + map-side max_by —
     ALL subspaces in one pass), update = per-dimension median of each
     (subspace, code) cell (order-independent → engine-reproducible,
-    the train_ivf_centroids rationale). Empty cells and all-zero
-    medians keep their previous code vector. Init: subvectors of the
-    ``codes`` lowest-id corpus rows. Returns
+    the train_ivf_centroids rationale). Empty cells keep their
+    previous code vector; an all-zero median is a LEGITIMATE code in
+    squared-L2 space (residuals cluster at zero — the cosine trainers'
+    zero-direction guard does NOT apply here, r14 ADVICE). Returns
     ``codebooks[sub][code] -> list[float]`` (plain data — train on a
     bounded sample at 100 TB and pass it in).
 
-    SEEDING COVERAGE matters: a data mode not represented among the
-    seed rows may never win a code (hard k-medians can't split an
-    occupied code fast), and every vector from an unseeded mode then
-    quantizes onto a foreign code — its candidates collapse into one
-    giant ADC tie and recall dies for those queries (measured:
-    recall@10 = 0.0 for unseeded clusters in scripts/pq_probe.py's
-    hash-assigned variant). Pick the training sample so the lowest
-    ``codes`` ids span the corpus's modes (stratified/round-robin
-    sampling — :mod:`.sampling` has the tools), or raise ``codes``
-    well above the expected mode count."""
+    SEEDING (r14 verdict item 4): deterministic farthest-point —
+    maxmin over a bounded sample (:func:`_maxmin_seeds`), starting
+    from the lowest-id row, ties → lower id. The pre-r15 "lowest
+    ``codes`` ids" init let a data mode absent from the first rows
+    never win a code (hard k-medians can't split an occupied code),
+    collapsing that mode's candidates into one giant ADC tie —
+    measured recall@10 = 0.0 for unseeded clusters in
+    scripts/pq_probe.py's hash-assigned variant. Maxmin guarantees
+    every mode REPRESENTED IN THE SAMPLE gets a seed before any mode
+    gets two. The sample is the ``sample_cap`` lowest-sha256(id) rows
+    (hash order decorrelates from any id↔mode correlation; the whole
+    corpus when it fits), collected driver-side — sample_cap·dim
+    doubles, metadata scale."""
     dim = _infer_dim(corpus, vec_col)
     _check_geometry(dim, m)
     d = dim // m
     base = corpus.select(
         F.col(id_col).alias("__pid"), as_double_array(vec_col).alias("__pv")
     )
-    init = base.orderBy("__pid").limit(codes).collect()
-    if len(init) < codes:
+    sample_rows = (
+        base.orderBy(F.sha2(F.col("__pid").cast("string"), 256), "__pid")
+        .limit(sample_cap)
+        .collect()
+    )  # the whole corpus when it fits under the cap
+    if len(sample_rows) < codes:
         raise ValueError(f"need >= {codes} rows to seed {codes} codes")
-    books: list[list[list[float]]] = [
-        [
-            [float(x) for x in r["__pv"][s * d : (s + 1) * d]]
-            for r in init
-        ]
-        for s in range(m)
+    sample_rows.sort(key=lambda r: r["__pid"])
+    sample = [
+        (int(r["__pid"]), [float(x) for x in r["__pv"]]) for r in sample_rows
     ]
+    books = _maxmin_seeds(sample, codes, m, d)
     subs = _sub_rows(
         base, "__pid", "__pv", m, dim
     )
@@ -215,11 +271,11 @@ def train_pq_codebooks(
         def _next(s: int, c: int, old: list[float]) -> list[float]:
             cell = by_cell.get((s, c))
             if cell is None:
-                return old
-            new = [cell[p] for p in range(len(old))]
-            if all(x == 0.0 for x in new):
-                return old  # degenerate median: keep previous (IVF rule)
-            return new
+                return old  # empty cell: keep previous seed
+            # NOTE: an all-zero median is kept — zero is a valid L2
+            # code (the densest one in residual space); the cosine
+            # trainers' zero-direction guard does not apply here.
+            return [cell[p] for p in range(len(old))]
 
         books = [
             [_next(s, c, old) for c, old in enumerate(book)]
@@ -491,6 +547,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k through the coarse quantizer: each query probes its
     ``nprobe`` nearest cells (cosine, the ivf_topk rule), builds one
@@ -498,16 +555,26 @@ def ivfpq_topk(
     scale), and meets the corpus through an EQUI-JOIN on cell — only
     ~nprobe/K of the corpus is scanned per query, each candidate row
     costing m lookups over its code column. (query_id, neighbor_id,
-    adc_l2sq), ascending, ties → lower id."""
+    adc_l2sq), ascending, ties → lower id.
+
+    ``probed`` short-circuits the query-side cell probe with a
+    precomputed ``_probe_cells`` frame (columns query_id, __v, cell) —
+    the single-probe contract for callers that ALSO need the probed
+    cells (PQVectorIndex.search prunes its manifest with the same
+    frame; ``nprobe`` is ignored then)."""
     m = len(codebooks)
     dim = sum(len(book[0]) for book in codebooks)
     _check_geometry(dim, m)
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    qcells = _probe_cells(
-        queries, centroids, id_col, as_double_array(vec_col),
-        nprobe=nprobe, out_id="query_id",
+    qcells = (
+        probed
+        if probed is not None
+        else _probe_cells(
+            queries, centroids, id_col, as_double_array(vec_col),
+            nprobe=nprobe, out_id="query_id",
+        )
     )
     cent = _centroids_df(spark, centroids)
     qres = qcells.join(cent, qcells["cell"] == cent["cid"]).select(

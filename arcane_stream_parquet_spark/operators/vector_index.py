@@ -266,10 +266,14 @@ class PQVectorIndex:
             as_double_array,
         )
 
+        # ONE query-side probe (r14 ADVICE): the same frame feeds the
+        # manifest pruning (cell list) and the ADC join inside
+        # ivfpq_topk — no duplicate |Q|-scale work, no drift risk
+        # between the pruning rule and the join rule.
         probed = _probe_cells(
             queries, self.centroids, "vec_id", as_double_array("embedding"),
             nprobe=nprobe, out_id="query_id",
-        )
+        ).localCheckpoint(eager=False)
         cells = sorted(
             int(r["cell"]) for r in probed.select("cell").distinct().collect()
         )  # |Q|·nprobe ints — metadata scale
@@ -277,7 +281,7 @@ class PQVectorIndex:
         index = pruned.select("vec_id", "cell", "pq_codes")
         shortlist = ivfpq_topk(
             index, queries, self.centroids, self.codebooks,
-            k=rerank if rerank > 0 else k, nprobe=nprobe,
+            k=rerank if rerank > 0 else k, probed=probed,
         )
         if rerank <= 0:
             return shortlist

@@ -51,16 +51,35 @@ def _l2sq(a, b):
     return acc
 
 
+def _ref_seeds(vecs: dict[int, list[float]], m: int, codes: int, d: int):
+    """Independent reference of the farthest-point (maxmin) seeding:
+    start from the lowest-id row, add the point with the LARGEST
+    min-distance to the chosen seeds, ties -> lower id."""
+    books = []
+    ids = sorted(vecs)
+    for s in range(m):
+        pts = {i: vecs[i][s * d : (s + 1) * d] for i in ids}
+        chosen = [list(pts[ids[0]])]
+        mind = {i: _l2sq(pts[i], chosen[0]) for i in ids}
+        while len(chosen) < codes:
+            nxt = max(ids, key=lambda i: (mind[i], -i))
+            chosen.append(list(pts[nxt]))
+            for i in ids:
+                dn = _l2sq(pts[i], pts[nxt])
+                if dn < mind[i]:
+                    mind[i] = dn
+        books.append(chosen)
+    return books
+
+
 def _ref_train(vecs: dict[int, list[float]], m: int, codes: int, iters: int):
-    """Independent reference of train_pq_codebooks: same seeding, same
-    argmin ties, same median update (statistics.median interpolates
-    even counts like Spark's F.median), same keep-previous rules."""
+    """Independent reference of train_pq_codebooks: same maxmin
+    seeding, same argmin ties, same median update (statistics.median
+    interpolates even counts like Spark's F.median), empty cells keep
+    the previous vector (and ONLY empty cells — an all-zero L2 median
+    is a legitimate code, r14 ADVICE)."""
     d = DIM // m
-    seed_ids = sorted(vecs)[:codes]
-    books = [
-        [list(vecs[i][s * d : (s + 1) * d]) for i in seed_ids]
-        for s in range(m)
-    ]
+    books = _ref_seeds(vecs, m, codes, d)
     for _ in range(iters):
         assign: dict[tuple[int, int], int] = {}
         for vid, v in vecs.items():
@@ -86,7 +105,7 @@ def _ref_train(vecs: dict[int, list[float]], m: int, codes: int, iters: int):
                     statistics.median([mv[p] for mv in members])
                     for p in range(d)
                 ]
-                book.append(books[s][c] if all(x == 0.0 for x in med) else med)
+                book.append(med)
             new_books.append(book)
         books = new_books
     return books
@@ -244,9 +263,10 @@ def test_recall_ladder_on_unstructured_embeddings(spark):
     """PQ's adversarial case is UNSTRUCTURED data (no cluster structure
     → quantization error dominates; the friendly clustered regime is
     the next test). Measured recall@10 vs the exact squared-L2 scan on
-    the real embeddings at m=8: 0.26 / 0.32 / 0.46 for 16 / 32 / 64
-    codes — pinned as floors with margin, plus monotonicity in the
-    code count (everything is deterministic: no RNG anywhere)."""
+    the real embeddings at m=8 with the r15 maxmin seeding:
+    0.22 / 0.30 / 0.40 for 16 / 32 / 64 codes — pinned as floors with
+    margin, plus monotonicity in the code count (everything is
+    deterministic: no RNG anywhere)."""
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     queries = emb.filter("vec_id < 5")
     exact = _exact_l2_topk(emb, queries).collect()
@@ -283,6 +303,93 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["query_id"], []).append(r)
     return out
+
+
+def _hash_cluster_fixture(n: int, n_cl: int, dim: int):
+    """Clusters assigned by HASH of id — so the lowest ids do NOT span
+    the clusters (the scripts/pq_probe.py adversarial variant; its
+    round-robin default was the documented WORKAROUND for the pre-r15
+    lowest-id seeding)."""
+    cl_of = {
+        i: int(hashlib.sha256(f"cl{i}".encode()).hexdigest()[:8], 16) % n_cl
+        for i in range(n)
+    }
+    vecs = {}
+    for i in range(n):
+        v = [round(0.05 * _h(f"x{i}|{d}"), 4) for d in range(dim)]
+        v[cl_of[i] * 2] += 10.0
+        v[cl_of[i] * 2 + 1] += 10.0
+        vecs[i] = [float(x) for x in v]
+    return cl_of, vecs
+
+
+def test_maxmin_seeding_covers_hash_assigned_modes():
+    """r14 verdict item 4's regression, pinned at the seeding layer:
+    with hash-assigned clusters the lowest-``codes`` ids cover only
+    SOME clusters, and the pre-r15 lowest-id init then left whole
+    modes without a seed — hard k-medians can't split an occupied
+    code, so those modes' members collapsed into one giant ADC tie
+    (recall@10 = 0.0 at probe scale). Trimmed maxmin must place a
+    seed inside EVERY cluster's spike region in the subspace that
+    carries it; the lowest-id policy provably fails the same check."""
+    from arcane_stream_parquet_spark.operators.pq import _maxmin_seeds
+
+    n, n_cl, dim, m = 240, 8, 16, 4
+    d = dim // m
+    cl_of, vecs = _hash_cluster_fixture(n, n_cl, dim)
+    assert len(set(cl_of.values())) == n_cl  # every cluster populated
+    assert len({cl_of[i] for i in range(n_cl)}) < n_cl  # lowest ids don't span
+    sample = [(i, vecs[i]) for i in sorted(vecs)]
+
+    def covered(books) -> set[int]:
+        """clusters whose spike (dims 2cl, 2cl+1 → subspace cl//2) has
+        a seed within the noise radius in that subspace."""
+        out = set()
+        for cl in range(n_cl):
+            sub, off = (2 * cl) // d, (2 * cl) % d
+            for seed in books[sub]:
+                if seed[off] > 5.0 and seed[off + 1] > 5.0:
+                    out.add(cl)
+        return out
+
+    new_books = _maxmin_seeds(sample, codes=n_cl, m=m, d=d)
+    old_books = [
+        [vecs[i][s * d : (s + 1) * d] for i in range(n_cl)] for s in range(m)
+    ]
+    assert covered(new_books) == set(range(n_cl))
+    assert covered(old_books) != set(range(n_cl))  # the bug being fixed
+
+
+def test_seeding_recall_floor_on_hash_assigned_modes(spark):
+    """End-to-end floor on the same hash-assigned corpus: measured
+    per-cluster recall@10 min 0.3 / mean 0.51 with maxmin seeding —
+    at this small geometry (8 clusters sharing 4 subspaces) the
+    lowest-id init happens to score the same MEAN, but only maxmin
+    carries the per-mode guarantee the unit test above pins; at probe
+    scale (codes ≈ 64 clusters) the lowest-id init zeroes out
+    unseeded clusters entirely. Deterministic."""
+    n, n_cl, dim = 240, 8, 16
+    cl_of, vecs = _hash_cluster_fixture(n, n_cl, dim)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = train_pq_codebooks(df, m=4, codes=8, iters=2)
+    first_of_cluster = {}
+    for i in range(n):
+        first_of_cluster.setdefault(cl_of[i], i)
+    from pyspark.sql import functions as F
+
+    queries = df.filter(F.col("vec_id").isin(list(first_of_cluster.values())))
+    exact = _group(_exact_l2_topk(df, queries, k=10).collect())
+    approx = _group(pq_topk(pq_encode(df, books), queries, books, k=10).collect())
+    per_cluster = {}
+    for qid, truth in exact.items():
+        t = {r["neighbor_id"] for r in truth}
+        g = {r["neighbor_id"] for r in approx.get(qid, [])}
+        per_cluster[cl_of[qid]] = len(g & t) / 10
+    assert min(per_cluster.values()) >= 0.2, per_cluster
+    assert sum(per_cluster.values()) / n_cl >= 0.45, per_cluster
 
 
 def test_deterministic_across_partitionings(spark, micro):
@@ -345,10 +452,14 @@ def test_rerank_with_full_shortlist_equals_exact_scan(spark, micro):
 
 def test_rerank_lifts_unstructured_recall(spark):
     """The quality dial measured: on the unstructured embeddings the
-    64-code ADC pass alone gives recall@10 = 0.46; reranking a
-    50-deep shortlist with exact distances lifts it to the shortlist's
-    containment rate — measured 0.92 (0.98 at shortlist=100) — at
-    |Q|*50 exact distances instead of |Q|*n."""
+    64-code ADC pass alone gives recall@10 = 0.40 (r15 maxmin
+    seeding); reranking with exact distances lifts it to the
+    shortlist's containment rate — measured 0.80 at shortlist=50, 0.92
+    at shortlist=100 — at |Q|*shortlist exact distances instead of
+    |Q|*n. (Pre-r15 lowest-id seeding measured 0.92/0.98 here: that
+    init IS a uniform sample on unstructured data, the ideal regime
+    for it — the trade buys the mode-coverage guarantee that seeding
+    lacked, and the shortlist dial recovers the gap.)"""
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     from arcane_stream_parquet_spark.operators.pq import pq_topk_rerank
 
@@ -358,9 +469,13 @@ def test_rerank_lifts_unstructured_recall(spark):
     exact = _exact_l2_topk(emb, queries).collect()
     adc = pq_topk(codes, queries, books, k=10).collect()
     rr = pq_topk_rerank(emb, codes, queries, books, k=10, shortlist=50).collect()
+    rr100 = pq_topk_rerank(
+        emb, codes, queries, books, k=10, shortlist=100
+    ).collect()
     r_adc, r_rr = _recall(adc, exact), _recall(rr, exact)
     assert r_rr >= r_adc, (r_adc, r_rr)
-    assert r_rr >= 0.85, (r_adc, r_rr)  # measured 0.92, deterministic
+    assert r_rr >= 0.75, (r_adc, r_rr)  # measured 0.80, deterministic
+    assert _recall(rr100, exact) >= 0.85  # measured 0.92
 
 
 # ---------------------------------------------------------------------------
