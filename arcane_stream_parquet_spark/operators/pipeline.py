@@ -148,18 +148,38 @@ def run_funnel(
     opts = dict(target_opts or {})
     vcol = version_col or FUNNEL_VERSION_COLUMN
 
-    # pin the funnel definition at first contact (create-only; the
-    # backfill-universe rule): markers index into THIS stage list
+    # pin the FULL funnel definition at first contact (create-only;
+    # the backfill-universe rule): not just the stage-name list the
+    # markers index into, but the whole table geometry — a resume
+    # with a different key_col/num_buckets/target_opts would silently
+    # build mismatched ParquetMergeTargets over the existing boundary
+    # tables, or write later boundaries with different bucketing and
+    # stats than earlier ones (r14 ADVICE).
+    spec = json.loads(
+        json.dumps(
+            {
+                "stages": names,
+                "key_col": key_col,
+                "version_col": version_col,
+                "num_buckets": int(num_buckets),
+                "target_opts": {k: opts[k] for k in sorted(opts)},
+            },
+            default=list,  # canonicalize tuples (stats_cols, sorted_by, ...)
+        )
+    )
     spec_path = fs_join(state_dir, "funnel.json")
     try:
-        fio.create_text(spec_path, json.dumps({"stages": names}))
+        fio.create_text(spec_path, json.dumps(spec))
     except FileExistsError:
-        pinned = json.loads(fio.read_text(spec_path))["stages"]
-        if pinned != names:
+        pinned = json.loads(fio.read_text(spec_path))
+        if "key_col" not in pinned:  # pre-r15 spec: only stages pinned
+            pinned = {**spec, "stages": pinned["stages"]}
+        if pinned != spec:
+            diff = sorted(k for k in spec if pinned.get(k) != spec[k])
             raise ValueError(
-                f"resume with a different funnel definition: state has "
-                f"{pinned}, caller passed {names} — use a fresh "
-                f"target_prefix for a new funnel"
+                f"resume with a different funnel definition (fields "
+                f"{diff}): state has {pinned}, caller passed {spec} — "
+                f"use a fresh target_prefix for a new funnel"
             )
 
     done = {
@@ -204,3 +224,51 @@ def run_funnel(
 
     final = target.read()
     return final.drop(FUNNEL_VERSION_COLUMN) if version_col is None else final
+
+
+def vacuum_funnel_boundaries(
+    spark: SparkSession, target_prefix: str, keep_last: int = 1
+) -> list[str]:
+    """Reclaim a COMPLETED funnel's intermediate boundary tables,
+    keeping the last ``keep_last`` stages' snapshots (r14 VERDICT item
+    6: a completed funnel otherwise leaves every stage's full snapshot
+    on disk forever).
+
+    Create-only-safe by construction: the funnel's resume state —
+    ``funnel.json`` and every ``stage-NNNNN.done`` marker — is left
+    untouched, so a re-invocation of the completed funnel remains a
+    no-op returning the (kept) final table, and a DIFFERENT definition
+    still refuses at the spec pin. Only the dropped stages' data dirs
+    go away; reading one afterwards is a FileNotFound, the same
+    contract as any vacuumed snapshot.
+
+    Refuses an INCOMPLETE funnel: its next resume must read the last
+    completed boundary, so reclaiming anything mid-flight would turn a
+    restartable funnel into a dead one. Returns the dropped paths."""
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    fio = HadoopFileIO(spark)
+    state_dir = fs_join(target_prefix, "_funnel_state")
+    names = json.loads(fio.read_text(fs_join(state_dir, "funnel.json")))[
+        "stages"
+    ]
+    done = set(fio.list_names(state_dir))
+    missing = [
+        names[i]
+        for i in range(len(names))
+        if f"stage-{i:05d}.done" not in done
+    ]
+    if missing:
+        raise ValueError(
+            f"funnel at {target_prefix} is incomplete (stages without "
+            f"markers: {missing}) — retention runs only after completion"
+        )
+    dropped = []
+    for i in range(max(0, len(names) - keep_last)):
+        path = fs_join(target_prefix, f"stage-{i:05d}-{names[i]}")
+        if fio.exists(path):
+            fio.delete(path, recursive=True)
+            dropped.append(path)
+    return dropped

@@ -199,3 +199,87 @@ def test_target_opts_reach_boundary_tables(spark, tmp_path):
     narrow = t.read_where(("n_chars", ">=", 20))  # the 3-digit-id docs
     assert narrow.count() > 0
     assert 0 < len(narrow.inputFiles()) < full
+
+
+def test_resume_with_changed_geometry_raises(spark, tmp_path):
+    """r14 ADVICE: the pinned spec covers the table GEOMETRY, not just
+    the stage-name list — resuming with a different key_col,
+    version_col, num_buckets or target_opts must refuse instead of
+    silently building mismatched targets over existing boundaries."""
+    stages = [("keep", lambda df: df.filter(F.col("doc_id") % 2 == 0))]
+    run_funnel(
+        spark, _docs(spark), stages, str(tmp_path / "f"),
+        key_col="doc_id", num_buckets=4,
+    )
+    for kwargs in (
+        {"num_buckets": 8},
+        {"num_buckets": 4, "version_col": "doc_id"},
+        {"num_buckets": 4, "target_opts": {"max_records_per_file": 10}},
+    ):
+        with pytest.raises(ValueError, match="different funnel definition"):
+            run_funnel(
+                spark, _docs(spark), stages, str(tmp_path / "f"),
+                key_col="doc_id", **kwargs,
+            )
+    # equal geometry (tuple-vs-list canonicalization included) resumes
+    again = run_funnel(
+        spark, _docs(spark), stages, str(tmp_path / "f"),
+        key_col="doc_id", num_buckets=4,
+    )
+    assert again.count() == 30
+
+
+def test_vacuum_funnel_boundaries(spark, tmp_path):
+    """r14 VERDICT item 6: completed funnel + retention sweep → final
+    table intact, earlier boundary tables gone, resume state untouched
+    (the completed funnel still re-runs as a no-op), and an incomplete
+    funnel refuses the sweep."""
+    from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+    from arcane_stream_parquet_spark.operators.pipeline import (
+        vacuum_funnel_boundaries,
+    )
+
+    calls = []
+    first = _rows(
+        run_funnel(
+            spark, _docs(spark), _stages(calls), str(tmp_path / "f"),
+            key_col="doc_id",
+        )
+    )
+    fio = HadoopFileIO(spark)
+    prefix = str(tmp_path / "f")
+    names = [n for n, _ in _stages([])]
+    dropped = vacuum_funnel_boundaries(spark, prefix, keep_last=1)
+    assert [p.rsplit("/", 1)[1] for p in dropped] == [
+        "stage-00000-filter",
+        "stage-00001-enrich",
+    ]
+    assert not fio.exists(fs_join(prefix, "stage-00000-filter"))
+    assert fio.exists(fs_join(prefix, f"stage-{len(names)-1:05d}-flag"))
+
+    # the completed funnel still re-runs as a no-op on the kept table
+    calls2 = []
+    again = _rows(
+        run_funnel(
+            spark, _docs(spark), _stages(calls2), str(tmp_path / "f"),
+            key_col="doc_id",
+        )
+    )
+    assert calls2 == [] and again == first
+
+    # idempotent re-sweep; keep_last validation
+    assert vacuum_funnel_boundaries(spark, prefix, keep_last=1) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_funnel_boundaries(spark, prefix, keep_last=0)
+
+    # an INCOMPLETE funnel refuses retention (its resume needs the
+    # last completed boundary)
+    stages = _stages([])
+    bomb = [stages[0], ("boom", lambda df: (_ for _ in ()).throw(
+        RuntimeError("kill")))]
+    with pytest.raises(RuntimeError):
+        run_funnel(
+            spark, _docs(spark), bomb, str(tmp_path / "g"), key_col="doc_id"
+        )
+    with pytest.raises(ValueError, match="incomplete"):
+        vacuum_funnel_boundaries(spark, str(tmp_path / "g"), keep_last=1)
