@@ -1046,6 +1046,219 @@ def q_semantic_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (r15 — promoted to the oracle gate per the r14 verdict,
+# item 3: the PQ family's first driver row; the freed slot came from
+# topk_orders — sql_queries.py keeps its exact replay). The oracle
+# reproduces the ENTIRE pipeline in SQL: IVF k-medians training (the
+# _sql_kmedians_iter chain above), cell assignment, residuals, PQ
+# codebook training (farthest-point seeding + L2 k-medians), residual
+# encoding, query probing, per-(query, cell) residual LUTs, and the
+# ADC fold — every float a left-to-right list fold, every argmin/argmax
+# tie to the lower id/code, medians order-independent (the
+# semantic_duplicates discipline extended one tier down).
+
+PQIVF_M = 4  # 4 subspaces × 16 dims over the 64-dim embeddings
+PQIVF_CODES = 8
+PQIVF_ITERS = 1  # one Lloyd's round after seeding (driver-row geometry)
+_PQIVF_D = 64 // PQIVF_M
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Squared L2 as the same list fold Spark's l2sq_expr performs —
+    bit-identical across engines (the test_pq replay convention)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _sql_pq_seed_step(t: int) -> str:
+    """One farthest-point pick: min-distance to the chosen seeds per
+    (sub, candidate) — min over identical floats is order-independent,
+    matching the operator's incremental update — then argmax with ties
+    to the lower vec_id (pq._maxmin_seeds)."""
+    return f"""
+        mind{t} AS MATERIALIZED (
+            SELECT r.sub, r.vec_id, min({_sql_l2sq("r.sv", "s.sv")}) AS md
+            FROM rsubs r JOIN seed{t - 1} s ON r.sub = s.sub
+            GROUP BY r.sub, r.vec_id
+        ),
+        pick{t} AS MATERIALIZED (
+            SELECT sub, vec_id FROM (
+                SELECT sub, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY sub ORDER BY md DESC, vec_id ASC) AS rn
+                FROM mind{t}
+            ) WHERE rn = 1
+        ),
+        seed{t} AS MATERIALIZED (
+            SELECT * FROM seed{t - 1}
+            UNION ALL
+            SELECT r.sub, {t} AS code, r.vec_id, r.sv
+            FROM rsubs r JOIN pick{t} p
+              ON r.sub = p.sub AND r.vec_id = p.vec_id
+        )"""
+
+
+def _sql_pq_train_iter(i: int) -> str:
+    """One per-subspace L2 k-medians round: argmin assignment (ties →
+    lower code), per-dimension median update; empty cells keep the
+    previous vector, all-zero medians are KEPT (the L2 rule — no
+    cosine zero-direction guard, r14 ADVICE)."""
+    return f"""
+        pqa{i} AS MATERIALIZED (
+            SELECT vec_id, sub, code FROM (
+                SELECT r.vec_id, r.sub, b.code, ROW_NUMBER() OVER (
+                    PARTITION BY r.vec_id, r.sub
+                    ORDER BY {_sql_l2sq("r.sv", "b.cv")} ASC, b.code ASC) AS rn
+                FROM rsubs r JOIN book{i - 1} b ON r.sub = b.sub
+            ) WHERE rn = 1
+        ),
+        pqm{i} AS MATERIALIZED (
+            SELECT a.sub, a.code, p.pos, median(r.sv[p.pos]) AS mv
+            FROM pqa{i} a JOIN rsubs r
+              ON a.vec_id = r.vec_id AND a.sub = r.sub
+            CROSS JOIN range(1, {_PQIVF_D + 1}) AS p(pos)
+            GROUP BY a.sub, a.code, p.pos
+        ),
+        book{i} AS MATERIALIZED (
+            SELECT b.sub, b.code, COALESCE(n.cv, b.cv) AS cv
+            FROM book{i - 1} b LEFT JOIN (
+                SELECT sub, code, list(mv ORDER BY pos) AS cv
+                FROM pqm{i} GROUP BY sub, code
+            ) n ON b.sub = n.sub AND b.code = n.code
+        )"""
+
+
+@register_query(
+    "ivfpq_topk",
+    oracle=f"""
+        WITH corpus AS MATERIALIZED (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+        cent0 AS (
+            SELECT vec_id AS cid, v AS cv FROM corpus
+            WHERE vec_id < {IVF_NUM_CENTROIDS}
+        ),
+        {",".join(_sql_kmedians_iter(i + 1, 64) for i in range(IVF_TRAIN_ITERS))},
+        cent AS MATERIALIZED (SELECT cid, cv FROM cent{IVF_TRAIN_ITERS}),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM (
+                SELECT c.vec_id, ct.cid, {_sql_cosine("c.v", "ct.cv")} AS sim
+                FROM corpus c CROSS JOIN cent ct
+            )
+        ),
+        cellmap AS MATERIALIZED (SELECT vec_id, cid FROM assigned WHERE rn = 1),
+        res AS MATERIALIZED (
+            SELECT c.vec_id, m.cid,
+                   list_transform(list_zip(c.v, ct.cv), p -> p[1] - p[2]) AS rv
+            FROM corpus c
+            JOIN cellmap m ON m.vec_id = c.vec_id
+            JOIN cent ct ON ct.cid = m.cid
+        ),
+        rsubs AS MATERIALIZED (
+            SELECT vec_id,
+                   s.sub,
+                   rv[s.sub * {_PQIVF_D} + 1 : (s.sub + 1) * {_PQIVF_D}] AS sv
+            FROM res, (SELECT unnest(range(0, {PQIVF_M})) AS sub) s
+        ),
+        seed0 AS MATERIALIZED (
+            SELECT sub, 0 AS code, vec_id, sv FROM rsubs
+            WHERE vec_id = (SELECT min(vec_id) FROM corpus)
+        ),
+        {",".join(_sql_pq_seed_step(t) for t in range(1, PQIVF_CODES))},
+        book0 AS MATERIALIZED (SELECT sub, code, sv AS cv FROM seed{PQIVF_CODES - 1}),
+        {",".join(_sql_pq_train_iter(i + 1) for i in range(PQIVF_ITERS))},
+        enc AS MATERIALIZED (
+            SELECT vec_id, list(code ORDER BY sub) AS codes FROM (
+                SELECT r.vec_id, r.sub, b.code, ROW_NUMBER() OVER (
+                    PARTITION BY r.vec_id, r.sub
+                    ORDER BY {_sql_l2sq("r.sv", "b.cv")} ASC, b.code ASC) AS rn
+                FROM rsubs r JOIN book{PQIVF_ITERS} b ON r.sub = b.sub
+            ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid AS cell FROM assigned
+            WHERE rn <= {IVF_NPROBE} AND vec_id IN {ANN_QUERY_IDS}
+        ),
+        qres AS (
+            SELECT q.query_id, q.cell,
+                   list_transform(list_zip(c.v, ct.cv), p -> p[1] - p[2]) AS qrv
+            FROM qprobe q
+            JOIN corpus c ON c.vec_id = q.query_id
+            JOIN cent ct ON ct.cid = q.cell
+        ),
+        qrsubs AS MATERIALIZED (
+            SELECT query_id, cell, s.sub,
+                   qrv[s.sub * {_PQIVF_D} + 1 : (s.sub + 1) * {_PQIVF_D}] AS sv
+            FROM qres, (SELECT unnest(range(0, {PQIVF_M})) AS sub) s
+        ),
+        lutrows AS (
+            SELECT q.query_id, q.cell, q.sub, b.code,
+                   {_sql_l2sq("q.sv", "b.cv")} AS l2
+            FROM qrsubs q JOIN book{PQIVF_ITERS} b ON q.sub = b.sub
+        ),
+        lutsub AS (
+            SELECT query_id, cell, sub, list(l2 ORDER BY code) AS sl
+            FROM lutrows GROUP BY query_id, cell, sub
+        ),
+        lut AS MATERIALIZED (
+            SELECT query_id, cell, list(sl ORDER BY sub) AS lt
+            FROM lutsub GROUP BY query_id, cell
+        ),
+        scored AS (
+            SELECT l.query_id, cm.vec_id AS neighbor_id,
+                   list_sum(list_transform(list_zip(e.codes, l.lt),
+                            p -> p[2][p[1] + 1])) AS adc
+            FROM lut l
+            JOIN cellmap cm ON cm.cid = l.cell
+            JOIN enc e ON e.vec_id = cm.vec_id
+            WHERE cm.vec_id <> l.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, {_micro("adc")} AS adc_micro
+        FROM ranked WHERE rn <= {ANN_K}
+    """,
+    doc=f"IVF-PQ ANN (Jégou et al. 2011 §IV, the Faiss IVFPQ shape) "
+    f"end-to-end: IVF k-medians coarse quantizer ({IVF_TRAIN_ITERS} "
+    f"iters, trained in SQL), residual PQ codebooks ({PQIVF_M} "
+    f"subspaces × {PQIVF_CODES} codes, farthest-point seeding + "
+    f"{PQIVF_ITERS} L2 k-medians round — all reproduced bit-for-bit "
+    f"in SQL), m-code encoding, and ADC top-{ANN_K} through the "
+    f"nprobe={IVF_NPROBE} cell EQUI-join — the corpus scan reads only "
+    f"the code column, never shuffles before the per-query top-k, and "
+    f"only probed cells' rows are touched.",
+    tags=("llm", "similarity", "pq", "ivfpq"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from arcane_stream_parquet_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=IVF_NUM_CENTROIDS, iters=IVF_TRAIN_ITERS)
+    index, books = ivfpq_build(
+        emb, cents, m=PQIVF_M, codes=PQIVF_CODES, iters=PQIVF_ITERS
+    )
+    out = ivfpq_topk(
+        index, _queries_subset(spark, sf_dir), cents, books,
+        k=ANN_K, nprobe=IVF_NPROBE,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        micro_col(F.col("adc_l2sq")).alias("adc_micro"),
+    )
+
+
 CHAR_NGRAM_K = 5
 CHAR_NGRAM_BANDS = 2  # 2 bands x 4 rows: collision threshold ~ 0.84
 CHAR_NGRAM_MIN_JACCARD = 0.6
@@ -1894,6 +2107,69 @@ def q_streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sequence_packing(docs)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (r15 — promoted to the oracle gate per the r14
+# verdict, item 2: the last semantics-bearing curation operator
+# outside the driver gate; the freed slot came from join_broadcast_agg
+# — sql_queries.py keeps its exact replay). Geometry = the operator
+# defaults (64-token windows, 16-token overlap → stride 48).
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register_query(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM t WHERE len(toks) > 0
+        ), c AS (
+          SELECT doc_id, toks, n,
+                 CAST(CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                      ELSE 1 + (n - {CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                               // {_CHUNK_STRIDE}
+                 END AS BIGINT) AS m
+          FROM s
+        )
+        SELECT doc_id,
+               i AS chunk_index,
+               m AS n_chunks,
+               i * {_CHUNK_STRIDE} AS token_start,
+               CAST(len(list_slice(toks, i*{_CHUNK_STRIDE} + 1,
+                        least(i*{_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)))
+                    AS BIGINT) AS chunk_n_tokens,
+               array_to_string(list_slice(toks, i*{_CHUNK_STRIDE} + 1,
+                        least(i*{_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)), ' ')
+                   AS chunk_text
+        FROM c, (SELECT unnest(range(0, (SELECT max(m) FROM c))) AS i) ix
+        WHERE i < m
+    """,
+    doc=f"Overlapping fixed-token chunking (RAG/embedding-prep "
+    f"splitter): whitespace tokens of the trimmed original-case text, "
+    f"chunk i starts at i·stride, n_chunks = 1 + ceil((n - "
+    f"{CHUNK_TOKENS}) / {_CHUNK_STRIDE}) in integer arithmetic, "
+    f"tokenless documents emit zero rows. Entirely row-local (split + "
+    f"posexplode + slice, zero Exchange — plan-pinned in "
+    f"tests/test_chunking.py); the oracle restates the documented "
+    f"semantics with DuckDB list ops.",
+    tags=("llm", "chunking"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -172,22 +172,25 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Joins
 
 
-@register_query(
-    "join_broadcast_agg",
-    oracle="""
+JOIN_BROADCAST_AGG_ORACLE = """
         SELECT p.p_brand,
                CAST(count(*) AS BIGINT) AS n_lines,
                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
                    AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
-    """,
-    doc="Fact ⨝ small-dim with explicit broadcast hint: no shuffle of "
-    "the fact side at any scale — the canonical star-schema join. "
-    "Plan asserted broadcast in tests/test_sql_surface.py.",
-    tags=("sql", "join"),
-)
-def q_join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+# (r15) join_broadcast_agg retired from the registry — the 50-row cap
+# trade named by the r14 verdict (item 2): structurally a strict
+# subset of multi_join_revenue_by_nation (fact ⨝ broadcast dims + agg,
+# ×3 dims + filter there), and the freed slot went to chunk_documents
+# (llm_queries.py). The exact former builder + oracle and the
+# broadcast plan pin stay in tests/test_sql_surface.py.
+def join_broadcast_agg_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ small-dim with explicit broadcast hint: no shuffle of
+    the fact side at any scale — the canonical star-schema join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
@@ -271,22 +274,28 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sorts / limits / top-k
 
 
-@register_query(
-    "topk_orders",
-    oracle="""
+TOPK_ORDERS_ORACLE = """
         SELECT o_orderkey, o_custkey, o_totalprice,
                CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                     AS BIGINT) AS order_epoch_day
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 10
-    """,
-    doc="Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — "
-    "per-partition heap + driver merge of k rows, never a full sort "
-    "shuffle. Tiebreak on orderkey for a total order.",
-    tags=("sql", "sort"),
-)
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+# (r15) topk_orders retired from the registry — the 50-row cap trade
+# named by the r14 verdict (item 3): a 3-line built-in ORDER BY/LIMIT
+# (TakeOrderedAndProject) was the least information-bearing row, and
+# the freed slot went to ivfpq_topk (llm_queries.py) — the r14 PQ
+# family's first driver-gate row. §2.6 top-k machinery stays
+# driver-covered by every ANN top-k window and window_rank_lag; the
+# exact former builder + oracle and the TakeOrderedAndProject plan pin
+# stay in tests/test_sql_surface.py.
+def topk_orders_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    per-partition heap + driver merge of k rows, never a full sort
+    shuffle. Tiebreak on orderkey for a total order."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())

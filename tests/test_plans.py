@@ -36,13 +36,27 @@ def test_projection_prunes_scan_columns(spark):
 
 
 def test_small_dimension_is_broadcast(spark):
-    plan = _plan(spark, "join_broadcast_agg")
+    # retired r15 registry row (slot went to chunk_documents); the
+    # builder and its plan discipline stay pinned here
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        join_broadcast_agg_builder,
+    )
+
+    df = join_broadcast_agg_builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = _plan(spark, "topk_orders")
+    # retired r15 registry row (slot went to ivfpq_topk); the builder
+    # and its plan discipline stay pinned here
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        topk_orders_builder,
+    )
+
+    df = topk_orders_builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     # no full exchange-then-sort of the orders table
     assert "Sort [" not in plan
@@ -111,6 +125,13 @@ _NLJ_ALLOWLIST = {
     # itself is a SortMergeJoin on cell (similarity.py
     # semantic_duplicates; pinned in test_semdedup.py)
     "semantic_duplicates": 3,
+    # three K-row centroid expansions: corpus assignment ×2 (the
+    # residual frame is instantiated for both the encode input and the
+    # (id, cell) attach inside ivfpq_build) + the query-side probe —
+    # each BuildRight of the tiny centroid table; the ADC candidate
+    # join itself is a hash EQUI-join on cell (pq.py ivfpq_topk;
+    # pinned BuildRight-only in test_pq.py)
+    "ivfpq_topk": 3,
     # (domain_mixture's former 1-row feasible-budget crossJoin attach
     # became an unpartitioned window min over the same tiny totals
     # frame in r12 — zero NLJs remain in that plan)

@@ -17,7 +17,16 @@ def _plan(spark, name: str) -> str:
 
 
 def test_broadcast_join_is_broadcast(spark):
-    plan = _plan(spark, "join_broadcast_agg")
+    # retired r15 driver row (slot went to chunk_documents per the r14
+    # verdict, item 2 — structurally a strict subset of
+    # multi_join_revenue_by_nation); builder + plan pin stay here, the
+    # value replay is test_join_broadcast_agg_replay below
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        join_broadcast_agg_builder,
+    )
+
+    df = join_broadcast_agg_builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -36,9 +45,65 @@ def test_semi_anti_join_types(spark):
 
 
 def test_topk_uses_take_ordered(spark):
-    plan = _plan(spark, "topk_orders")
+    # retired r15 driver row (slot went to ivfpq_topk per the r14
+    # verdict, item 3 — a 3-line built-in was the least
+    # information-bearing row); builder + plan pin stay here, the
+    # value replay is test_topk_orders_replay below
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        topk_orders_builder,
+    )
+
+    df = topk_orders_builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # per-partition heap + driver merge, not a global sort shuffle
     assert "TakeOrderedAndProject" in plan
+
+
+def _duck_with_views(tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    return con
+
+
+def test_join_broadcast_agg_replay(spark):
+    """The retired r15 driver row: exact former builder vs exact
+    former oracle (JOIN_BROADCAST_AGG_ORACLE) — zero coverage loss."""
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        JOIN_BROADCAST_AGG_ORACLE,
+        join_broadcast_agg_builder,
+    )
+
+    got = sorted(
+        (r[0], int(r[1]), float(r[2]))
+        for r in join_broadcast_agg_builder(spark, SF_SMOKE).collect()
+    )
+    con = _duck_with_views(("lineitem", "part"))
+    want = sorted(
+        (a, int(b), float(c))
+        for a, b, c in con.execute(JOIN_BROADCAST_AGG_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_topk_orders_replay(spark):
+    """The retired r15 driver row: exact former builder vs exact
+    former oracle (TOPK_ORDERS_ORACLE) — zero coverage loss."""
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        TOPK_ORDERS_ORACLE,
+        topk_orders_builder,
+    )
+
+    got = [tuple(r) for r in topk_orders_builder(spark, SF_SMOKE).collect()]
+    con = _duck_with_views(("orders",))
+    want = [tuple(r) for r in con.execute(TOPK_ORDERS_ORACLE).fetchall()]
+    con.close()
+    assert got == want and len(got) == 10
 
 
 def test_pricing_summary_pushes_filter_and_prunes(spark):
