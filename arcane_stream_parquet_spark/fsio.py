@@ -205,7 +205,11 @@ class HadoopFileIO:
                     self._rename(tmp, path)
                     return
                 raise
-            self.delete(tmp)  # drops the tmp entry + its checksum side-file
+            # The link IS the publish — the commit already succeeded.
+            # Dropping the tmp entry (+ checksum side-file) is
+            # bookkeeping and must never surface as a commit failure;
+            # an orphaned tmp is harmless and filtered by listings.
+            self._cleanup_tmp(tmp)
             return
         self._rename(tmp, path)
 

@@ -289,6 +289,23 @@ def main() -> None:
             ),
             "retired": {n: prev_q[n] for n in sorted(set(prev_q) - set(timings))},
             "added": {n: timings[n] for n in sorted(set(timings) - set(prev_q))},
+            # per-query regression flags (r14 VERDICT item 7): shared
+            # rows whose drift-corrected ratio exceeds 1.2 AND whose
+            # absolute excess over the drift-predicted wall exceeds
+            # 0.1 s (sub-0.1 s rows ratio-flap on scheduler noise) —
+            # an empty dict is the "no plan regressed" claim, machine-
+            # checkable per query instead of via the median only.
+            "regressions": (
+                {
+                    n: round(timings[n] / prev_q[n] / cal_ratio, 4)
+                    for n in shared
+                    if prev_q[n] > 0
+                    and timings[n] / prev_q[n] / cal_ratio > 1.2
+                    and timings[n] - prev_q[n] * cal_ratio > 0.1
+                }
+                if cal_ratio and same_sf
+                else None
+            ),
         }
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

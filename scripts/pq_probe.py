@@ -7,13 +7,18 @@ wall of the exact scan vs flat-PQ ADC vs IVF-PQ (cell equi-join) at
 the same k.
 
 Deterministic corpus: hash-derived vectors around hash-derived cluster
-centers (PQ's assumed regime). Cluster assignment is id ROUND-ROBIN —
-not hash — so the codebook's lowest-id seeds cover every cluster (a
-hash assignment leaves ~1/e of clusters unseeded at codes≈clusters,
-and an unrepresented cluster quantizes onto a foreign code: its
-members collapse into one giant ADC tie and recall dies — measured
-0.0 before this fix; k-medians seeding coverage is a real PQ training
-requirement, documented in train_pq_codebooks). Written to parquet
+centers (PQ's assumed regime). Cluster assignment is by HASH of id —
+the adversarial shape for the pre-r15 lowest-id seeding, which left
+~1/e of clusters unseeded at codes≈clusters (an unrepresented cluster
+quantizes onto a foreign code: its members collapse into one giant
+ADC tie and recall@10 measured 0.0 for its queries). The r15
+farthest-point seeding (pq._maxmin_seeds) removes the trap, so the
+probe now runs the honest assignment — the round-robin workaround
+this script shipped with is retired, and the per-cluster PRECISION
+summary is the regression signal (per-cluster recall can't
+discriminate: flat PQ's within-cluster ADC tie hides micro-ordering
+for seeded and unseeded clusters alike; an unseeded cluster shows up
+as precision ~0, not recall ~0, at probe scale). Written to parquet
 first so every variant reads from disk like a real table.
 
 Usage: python scripts/pq_probe.py [n_vectors] [dim] [workdir]
@@ -51,9 +56,10 @@ N_QUERIES = 5
 
 def synth_corpus(spark, n: int, dim: int = 64):
     """n hash-derived vectors around N_CLUSTERS hash-derived centers —
-    row-local generation, no driver data; clusters round-robin by id
-    so low-id codebook seeds cover every cluster (module docstring)."""
-    cid = F.pmod(F.col("id"), F.lit(N_CLUSTERS))
+    row-local generation, no driver data; clusters assigned by HASH of
+    id, so seed coverage is the trainer's job (module docstring). The
+    ``cl`` column rides along for the per-cluster precision summary."""
+    cid = F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("assign")), F.lit(N_CLUSTERS))
     dims = []
     for d in range(dim):
         center = (
@@ -66,7 +72,9 @@ def synth_corpus(spark, n: int, dim: int = 64):
         ) / F.lit(1000.0)
         dims.append(center + noise)
     return spark.range(n).select(
-        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+        F.col("id").alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+        cid.cast("int").alias("cl"),
     )
 
 
@@ -102,7 +110,8 @@ def main() -> None:
 
     vec_path = os.path.join(work, "vectors")
     synth_corpus(spark, n, dim).write.mode("overwrite").parquet(vec_path)
-    emb = spark.read.parquet(vec_path)
+    emb = spark.read.parquet(vec_path).select("vec_id", "embedding")
+    cl_df = spark.read.parquet(vec_path).select("vec_id", "cl")
     queries = emb.filter(f"vec_id < {N_QUERIES}").localCheckpoint(eager=True)
 
     # train on a bounded sample (the 100 TB contract), encode the corpus
@@ -147,15 +156,46 @@ def main() -> None:
     ivf_s = timed(ivf_df, "ivfpq_nprobe4")
     rr_s = timed(rr_df, "ivfpq_rerank100")
 
+    cl_of = {
+        int(r["vec_id"]): int(r["cl"]) for r in cl_df.collect()
+    }  # n ints — summary bookkeeping only
+
     def cluster_precision(rows):
         """Flat PQ quantizes every same-cluster member to the SAME
         codes (one giant ADC tie), so recall@10 vs the exact scan
         measures within-cluster micro-ordering the m-byte code can't
         see. What the coarse pass is FOR is cluster resolution —
         fraction of returned neighbors in the query's true cluster."""
-        ok = sum(1 for r in rows if r["neighbor_id"] % N_CLUSTERS
-                 == r["query_id"] % N_CLUSTERS)
+        ok = sum(
+            1 for r in rows if cl_of[r["neighbor_id"]] == cl_of[r["query_id"]]
+        )
         return round(ok / len(rows), 3)
+
+    # per-cluster regression signal (r14 verdict item 4): one query per
+    # cluster through the flat-PQ ADC, scored by cluster PRECISION —
+    # the fraction of returned neighbors in the query's own cluster.
+    # (Per-cluster recall@10 cannot discriminate here: flat PQ gives
+    # every same-cluster member the SAME codes, one giant ADC tie, so
+    # within-cluster micro-ordering is invisible by design and recall
+    # is ~0 for every cluster regardless of seeding.) An UNSEEDED
+    # cluster's members quantize onto a foreign code shared with other
+    # rows — its precision collapses toward 0; with the pre-r15
+    # lowest-id seeding ~1/e of hash-assigned clusters did exactly
+    # that. Maxmin seeding must keep every cluster's precision high.
+    cq = (
+        cl_df.groupBy("cl").agg(F.min("vec_id").alias("vec_id"))
+        .join(emb, "vec_id")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    cl_got: dict[int, list] = {}
+    for r in pq_topk(codes, cq, books, k=10).collect():
+        cl_got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    per_cluster = {
+        cl_of[q]: sum(1 for nb in nbs if cl_of[nb] == cl_of[q]) / len(nbs)
+        for q, nbs in cl_got.items()
+    }
+    zero_clusters = sorted(c for c, v in per_cluster.items() if v == 0.0)
 
     exact_rows = exact_df.collect()
     summary = {
@@ -167,6 +207,11 @@ def main() -> None:
         "pq_cluster_precision@10": cluster_precision(adc_df.collect()),
         "ivfpq_recall@10": round(_recall(ivf_df.collect(), exact_rows), 3),
         "ivfpq_rerank100_recall@10": round(_recall(rr_df.collect(), exact_rows), 3),
+        "per_cluster_precision_min": round(min(per_cluster.values()), 3),
+        "per_cluster_precision_mean": round(
+            sum(per_cluster.values()) / len(per_cluster), 3
+        ),
+        "zero_precision_clusters": zero_clusters,
         "workdir": work,
     }
     print(json.dumps(summary), flush=True)
