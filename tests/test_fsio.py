@@ -321,3 +321,60 @@ def test_set_mtime_pins_modification_time(spark, tmp_path):
     jp = fio._jpath(p)
     st = fio._fs(jp).getFileStatus(jp)
     assert int(st.getModificationTime()) == 1_234_567_890_000
+
+
+def test_create_text_cross_process_hammer(spark, tmp_path):
+    """Two SEPARATE JVMs (subprocesses — distinct Hadoop FS clients)
+    race create_text on the same destination sequence with no
+    coordination (scripts/create_text_hammer.py). Pins the full
+    round-15 commit-CAS contract at deployment shape: no unclassified
+    error ever escapes, every destination has exactly one winner, and
+    the winner's bytes are intact (no cross-content publish, no
+    silent overwrite). The winner's own read-back of the committed
+    file proves content integrity."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = f"file://{tmp_path}/meta"
+    n = 30
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(repo, "scripts", "create_text_hammer.py"),
+                root,
+                str(wid),
+                str(n),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=repo,
+            env={**os.environ, "PYTHONPATH": repo},
+            text=True,
+        )
+        for wid in (0, 1)
+    ]
+    reports = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        reports.append(json.loads(out.strip().splitlines()[-1]))
+
+    for rep in reports:
+        assert rep["errors"] == [], rep["errors"]
+        assert len(rep["wins"]) + len(rep["losses"]) == n
+
+    fio = HadoopFileIO(spark)
+    winners: dict[int, str] = {}
+    for rep in reports:
+        for v_str, text in rep["wins"].items():
+            v = int(v_str)
+            assert v not in winners, f"v{v}: double-commit"
+            winners[v] = text
+    assert sorted(winners) == list(range(n))
+    for v, text in winners.items():
+        p = fs_join(root, f"manifest-v{v:05d}.json")
+        assert fio.read_text(p) == text, f"v{v}: published wrong bytes"
