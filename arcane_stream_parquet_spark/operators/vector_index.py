@@ -68,6 +68,14 @@ class VectorIndex:
         self._table.merge(rows)
         return vectors.count()
 
+    def remove(self, vec_ids) -> int:
+        """Delete vectors by id: one MoR equality-delete file + one
+        manifest flip through the storage engine (merge.delete_keys) —
+        O(delete batch), no data-file rewrite; removed rows disappear
+        from every subsequent :meth:`search`. Absent ids are no-ops
+        (idempotent redelivery). Returns the live-row delete count."""
+        return self._table.delete_keys([str(int(v)) for v in vec_ids])
+
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """Approximate top-k over the PERSISTED corpus: queries bucket
         themselves, probe only matching bucket rows, rank by cosine.
@@ -244,6 +252,16 @@ class PQVectorIndex:
         )
         self.table.merge(rows)
         return vectors.count()
+
+    def remove(self, vec_ids) -> int:
+        """Delete vectors by id: one MoR equality-delete file + one
+        manifest flip (merge.delete_keys) — O(delete batch), no
+        data-file rewrite, the cell-sorted files untouched; removed
+        rows disappear from every subsequent :meth:`search` (the
+        pruned read applies pending deletes like any other read).
+        Absent ids are no-ops (idempotent redelivery). Returns the
+        live-row delete count."""
+        return self.table.delete_keys([str(int(v)) for v in vec_ids])
 
     def search(
         self,

@@ -134,6 +134,15 @@ def test_vector_index_incremental_search(spark, tmp_path, sf_dir):
     idx.add_batch(emb.filter(F.col("vec_id") < 50), ingest_seq=3)
     assert idx._table.read().count() == before
 
+    # removal (r15): a MoR equality-delete — the removed neighbor
+    # disappears from search, absent ids are idempotent no-ops
+    victim = hits[0]["neighbor_id"]
+    assert idx.remove([victim]) == 1
+    after = idx.search(queries, k=5).collect()
+    assert all(r["neighbor_id"] != victim for r in after)
+    assert idx.remove([victim]) == 0  # already gone: no-op
+    assert idx._table.read().count() == before - 1
+
 
 def test_verdict_pair_is_consistent(spark, tmp_path):
     """ADVICE r2: (dup_of, jaccard) must describe the SAME prior pair —

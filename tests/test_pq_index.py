@@ -192,3 +192,44 @@ def test_maintenance_composition_preserves_search(spark, tmp_path):
         sorted(map(tuple, idx2.search(queries, k=5, nprobe=2).collect()))
         == before
     )
+
+
+def test_remove_drops_vectors_from_search(spark, tmp_path):
+    """r15 removal path: one MoR equality-delete through the storage
+    engine — the removed vector disappears from search (the pruned
+    read applies pending deletes), results re-rank exactly as the
+    in-memory twin over the filtered corpus, absent ids are
+    idempotent no-ops, and a later compact_minor folds the delete
+    without changing answers."""
+    df = _corpus(spark)
+    cents = train_ivf_centroids(df, k=4, iters=2)
+    books = train_pq_codebooks(df, m=4, codes=8, iters=2)
+    idx = PQVectorIndex.create(
+        spark, str(tmp_path / "idx"), cents, books,
+        num_buckets=2, max_records_per_file=8,
+    )
+    idx.add_batch(df, ingest_seq=1)
+    queries = df.filter("vec_id = 0")
+    before = idx.search(queries, k=3, nprobe=2).collect()
+    victim = before[0]["neighbor_id"]
+
+    assert idx.remove([victim]) == 1
+    after = sorted(map(tuple, idx.search(queries, k=3, nprobe=2).collect()))
+    assert all(r[1] != victim for r in after)
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                idx.table.read().select("vec_id", "cell", "pq_codes"),
+                queries, cents, books, k=3, nprobe=2,
+            ).collect(),
+        )
+    )
+    assert after == want and len(after) == 3
+    assert idx.remove([victim]) == 0  # idempotent
+
+    idx.table.compact_minor(min_small_files_per_bucket=2)
+    assert (
+        sorted(map(tuple, idx.search(queries, k=3, nprobe=2).collect()))
+        == after
+    )
