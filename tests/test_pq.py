@@ -618,3 +618,41 @@ def test_ivfpq_deterministic_across_partitionings(spark, micro):
     a = sorted(map(tuple, ivfpq_topk(i1, q, cents, b1, k=4).collect()))
     b = sorted(map(tuple, ivfpq_topk(i2, q, cents, b2, k=4).collect()))
     assert a == b
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    assign=st.lists(st.integers(min_value=0, max_value=5), min_size=12,
+                    max_size=40),
+    n_codes=st.integers(min_value=6, max_value=10),
+)
+def test_maxmin_seed_coverage_property(assign, n_codes):
+    """The k-center guarantee, as a property: for ANY assignment of
+    sample points to well-separated modes, maxmin places a seed inside
+    EVERY populated mode before any mode gets two — codes >= #modes
+    implies full coverage, independent of which ids land where (the
+    exact property the lowest-id init lacked)."""
+    from arcane_stream_parquet_spark.operators.pq import _maxmin_seeds
+
+    d = 4
+    # well-separated mode centers on coordinate axes of R^4 (two modes
+    # per axis sign); deterministic tiny per-point jitter
+    def point(i: int, mode: int) -> list[float]:
+        v = [0.001 * ((i * 31 + j * 7) % 17) for j in range(d)]
+        v[mode % d] += 50.0 if mode < d else -50.0
+        return v
+
+    sample = [(i, point(i, m)) for i, m in enumerate(assign)]
+    books = _maxmin_seeds(sample, codes=n_codes, m=1, d=d)
+    populated = set(assign)
+    covered = set()
+    for seed in books[0]:
+        for mode in populated:
+            axis, sign = mode % d, (1 if mode < d else -1)
+            if sign * seed[axis] > 25.0:
+                covered.add(mode)
+    assert covered == populated, (sorted(populated - covered), books[0])
