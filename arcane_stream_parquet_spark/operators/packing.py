@@ -72,3 +72,158 @@ def sequence_packing(
         )
         .alias("windows_spanned"),
     )
+
+
+#: default pack-stream count for :func:`first_fit_packing` — the
+#: parallelism dial: FFD is sequential per stream, so streams bound
+#: both the parallel width and each task's O(bins) state.
+FFD_STREAMS = 64
+
+#: bins per stream namespace for the global ``bin_id``.
+_FFD_BIN_SPACE = 1 << 40
+
+
+def first_fit_packing(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str | None = None,
+    num_streams: int = FFD_STREAMS,
+) -> DataFrame:
+    """Pack WHOLE documents into fixed token-budget bins without
+    splitting — first-fit-decreasing (FFD), the complement of
+    :func:`sequence_packing` (which concatenates and cuts): SFT /
+    instruction-tuning loaders must keep samples intact, so packing
+    quality is bins wasted, not windows spanned.
+
+    Semantics (deterministic, partitioning-independent):
+
+    - Documents shard into ``num_streams`` independent pack streams by
+      the portable content hash (:func:`.sampling.hash_bucket_expr`'s
+      sha256 idiom — stable across runs, engines and cluster sizes).
+    - Within a stream, FFD: sort by (token count DESC, id ASC), place
+      each document in the FIRST bin (creation order) whose remaining
+      budget fits it, else open a new bin. The classic 11/9·OPT + 6/9
+      guarantee applies per stream.
+    - A document LONGER than the budget gets its own bin with
+      ``overflow = true`` (the caller's truncate/split decision, not
+      this operator's).
+
+    Returns one row per document: ``(id_col, n_tokens, stream,
+    bin_in_stream, bin_id, bin_fill, overflow)`` — ``bin_id`` globally
+    unique (stream-namespaced), ``bin_fill`` the bin's FINAL token
+    total (audit: waste per bin = budget - bin_fill).
+
+    Scale shape (100 TB): one shuffle on the stream key, then
+    ``applyInPandas`` per stream with O(bins-per-stream) state — FFD
+    is inherently sequential, so the stream count is the explicit
+    parallelism/packing-quality dial (more streams = more parallel,
+    marginally more waste at the stream tails). Raise ``num_streams``
+    so each stream's documents fit one task comfortably.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if num_streams < 1:
+        raise ValueError(f"num_streams must be >= 1: {num_streams}")
+    n_tokens = (
+        F.size(tokens_column(text_col))
+        if length_col is None
+        else F.col(length_col)
+    ).cast("bigint")
+    # the sampling.py portable hash, modded by the stream count
+    # directly (not through HASH_BUCKETS — a double mod would skew
+    # streams whenever 10000 % num_streams != 0)
+    h = F.sha2(F.concat(F.lit("ffd|"), F.col(id_col).cast("string")), 256)
+    stream = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.lit(num_streams),
+    )
+    base = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stream.cast("int").alias("stream"),
+    )
+
+    schema = (
+        f"{id_col} bigint, n_tokens bigint, stream int, "
+        "bin_in_stream bigint, bin_id bigint, bin_fill bigint, "
+        "overflow boolean"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        overflow: list[bool] = []
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if nt > budget:
+                bins.append(-1)  # placeholder: own bin, numbered below
+                overflow.append(True)
+                continue
+            placed = False
+            for bi, fill in enumerate(fills):
+                if fill + nt <= budget:
+                    fills[bi] = fill + nt
+                    bins.append(bi)
+                    placed = True
+                    break
+            if not placed:
+                fills.append(nt)
+                bins.append(len(fills) - 1)
+            overflow.append(False)
+        next_bin = len(fills)
+        fill_of = dict(enumerate(fills))
+        for i, is_over in enumerate(overflow):
+            if is_over:
+                bins[i] = next_bin
+                fill_of[next_bin] = int(pdf["n_tokens"].iloc[i])
+                next_bin += 1
+        stream = int(pdf["stream"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "stream": pdf["stream"],
+                "bin_in_stream": bins,
+                "bin_id": [stream * _FFD_BIN_SPACE + b for b in bins],
+                "bin_fill": [fill_of[b] for b in bins],
+                "overflow": overflow,
+            }
+        )
+
+    return base.groupBy("stream").applyInPandas(pack, schema=schema)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row audit of a :func:`first_fit_packing` result: bin count,
+    packed-token total, mean fill fraction and waste fraction over
+    NON-overflow bins, plus the overflow document count — the number a
+    pipeline watches when tuning ``budget``/``num_streams``."""
+    bins = (
+        packed.groupBy("bin_id")
+        .agg(
+            F.first("bin_fill").alias("fill"),
+            F.max(F.col("overflow").cast("int")).alias("over"),
+        )
+    )
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum(F.when(F.col("over") == 0, 1).otherwise(0)).alias(
+            "n_packed_bins"
+        ),
+        F.sum("fill").alias("packed_tokens"),
+        (
+            F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0))
+            / (
+                F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
+                * F.lit(float(budget))
+            )
+        ).alias("mean_fill_frac"),
+        F.sum(F.col("over")).cast("bigint").alias("n_overflow_docs"),
+    )
