@@ -83,6 +83,65 @@ FFD_STREAMS = 64
 _FFD_BIN_SPACE = 1 << 40
 
 
+class _LeftmostFitTree:
+    """Leftmost-fit search over bin remaining capacities in O(log bins).
+
+    Array-backed max segment tree: leaf ``i`` holds bin ``i``'s
+    remaining capacity (−1 for unopened slots, so a zero-length
+    document can never match an unopened bin), internal nodes the max
+    of their children.  :meth:`find` descends left-first, so it returns
+    the LEFTMOST (creation-order-first) bin whose remaining capacity
+    fits — exactly the classic first-fit rule, in O(log bins) instead
+    of the r15 linear scan whose O(docs·bins) per stream was the
+    100 TB wart (r15 VERDICT item 4; scaling probe in SCALE.md via
+    scripts/probe_ffd_scaling.py)."""
+
+    __slots__ = ("_cap", "_tree", "size")
+
+    def __init__(self) -> None:
+        self._cap = 1
+        self._tree = [-1, -1]  # 1-indexed; leaves at _cap..2*_cap-1
+        self.size = 0
+
+    def _grow(self) -> None:
+        cap = self._cap * 2
+        tree = [-1] * (2 * cap)
+        tree[cap : cap + self.size] = self._tree[
+            self._cap : self._cap + self.size
+        ]
+        for i in range(cap - 1, 0, -1):
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+        self._cap, self._tree = cap, tree
+
+    def _set(self, idx: int, rem: int) -> None:
+        i = self._cap + idx
+        self._tree[i] = rem
+        i //= 2
+        while i:
+            self._tree[i] = max(self._tree[2 * i], self._tree[2 * i + 1])
+            i //= 2
+
+    def find(self, need: int) -> int:
+        """Index of the leftmost bin with remaining >= need, or -1."""
+        if self._tree[1] < need:
+            return -1
+        i = 1
+        while i < self._cap:
+            i = 2 * i if self._tree[2 * i] >= need else 2 * i + 1
+        return i - self._cap
+
+    def place(self, idx: int, rem: int) -> None:
+        self._set(idx, rem)
+
+    def open_bin(self, rem: int) -> int:
+        if self.size == self._cap:
+            self._grow()
+        idx = self.size
+        self.size += 1
+        self._set(idx, rem)
+        return idx
+
+
 def first_fit_packing(
     df: DataFrame,
     budget: int,
@@ -120,7 +179,12 @@ def first_fit_packing(
     is inherently sequential, so the stream count is the explicit
     parallelism/packing-quality dial (more streams = more parallel,
     marginally more waste at the stream tails). Raise ``num_streams``
-    so each stream's documents fit one task comfortably.
+    so each stream's documents fit one task comfortably.  Placement is
+    O(log bins) per document via :class:`_LeftmostFitTree` (bit-exact
+    first-fit — parity-pinned against the independent linear-scan
+    reference in tests/test_ffd_packing.py), so a stream's total work
+    is O(docs·log bins): ~200k docs in a stream costs ~1 s of Python,
+    not the r15 scan's ~10⁹ comparisons.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
@@ -145,8 +209,12 @@ def first_fit_packing(
         stream.cast("int").alias("stream"),
     )
 
+    # derive the id field's Arrow type from the input schema (r15
+    # ADVICE: a hardcoded bigint made string doc ids fail with an
+    # opaque pandas→Arrow cast error despite id_col implying genericity)
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} bigint, n_tokens bigint, stream int, "
+        f"{id_col} {id_type}, n_tokens bigint, stream int, "
         "bin_in_stream bigint, bin_id bigint, bin_fill bigint, "
         "overflow boolean"
     )
@@ -157,6 +225,7 @@ def first_fit_packing(
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True]
         ).reset_index(drop=True)
+        tree = _LeftmostFitTree()
         fills: list[int] = []
         bins: list[int] = []
         overflow: list[bool] = []
@@ -166,16 +235,15 @@ def first_fit_packing(
                 bins.append(-1)  # placeholder: own bin, numbered below
                 overflow.append(True)
                 continue
-            placed = False
-            for bi, fill in enumerate(fills):
-                if fill + nt <= budget:
-                    fills[bi] = fill + nt
-                    bins.append(bi)
-                    placed = True
-                    break
-            if not placed:
+            bi = tree.find(nt)
+            if bi >= 0:
+                fills[bi] += nt
+                tree.place(bi, budget - fills[bi])
+                bins.append(bi)
+            else:
+                bi = tree.open_bin(budget - nt)
                 fills.append(nt)
-                bins.append(len(fills) - 1)
+                bins.append(bi)
             overflow.append(False)
         next_bin = len(fills)
         fill_of = dict(enumerate(fills))
@@ -212,18 +280,30 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.max(F.col("overflow").cast("int")).alias("over"),
         )
     )
-    return bins.agg(
+    agg = bins.agg(
         F.count("*").alias("n_bins"),
         F.sum(F.when(F.col("over") == 0, 1).otherwise(0)).alias(
             "n_packed_bins"
         ),
         F.sum("fill").alias("packed_tokens"),
-        (
-            F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0))
-            / (
-                F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
-                * F.lit(float(budget))
-            )
-        ).alias("mean_fill_frac"),
+        F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0)).alias(
+            "_packed_fill"
+        ),
         F.sum(F.col("over")).cast("bigint").alias("n_overflow_docs"),
+    )
+    return agg.select(
+        "n_bins",
+        "n_packed_bins",
+        "packed_tokens",
+        # defined 0.0 (not NULL from 0/0) when every document overflowed
+        # and no packed bin exists — the audit row a pipeline watches
+        # must never silently carry a null (r15 ADVICE)
+        F.when(
+            F.col("n_packed_bins") > 0,
+            F.col("_packed_fill")
+            / (F.col("n_packed_bins") * F.lit(float(budget))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_fill_frac"),
+        "n_overflow_docs",
     )

@@ -21,6 +21,11 @@ from arcane_stream_parquet_spark import build_session
 from arcane_stream_parquet_spark.plans import spark_queries
 
 
+# Bumped whenever calibration_run's workload changes shape: prev/now
+# calibration ratios are only meaningful within one version (r16).
+CALIBRATION_VERSION = 2
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -122,27 +127,35 @@ def merge_throughput(spark, sf_dir: str) -> dict:
     }
 
 
-def calibration_run(spark, runs: int = 3) -> float:
+def calibration_run(spark, runs: int = 5) -> float:
     """Fixed synthetic calibration row (r13 VERDICT item 7): constant
     in-memory data, pure-CPU whole-stage-codegen plan — no parquet IO,
-    no shuffle, no Python workers — timed exactly like the registry
-    queries (warm + best-of-N). Identical code on an identical box
-    yields an identical number up to CPU-speed drift (thermal,
-    co-tenancy: the box band moved 22.6→27.7 s on identical code
-    between r12 and r13), so the prev/now calibration ratio isolates
-    box drift from plan regressions in vs_prev."""
+    no shuffle, no Python workers — timed like the registry queries
+    (warm first). Identical code on an identical box yields an
+    identical number up to CPU-speed drift (thermal, co-tenancy: the
+    box band moved 22.6→27.7 s on identical code between r12 and r13),
+    so the prev/now calibration ratio isolates box drift from plan
+    regressions in vs_prev.
+
+    r16 (r15 VERDICT item 1): the r15 driver row measured 0.24 s and
+    swung ±33% run-to-run on the same box — noisier than the 1.2
+    regression threshold it polices, producing 18 phantom flags. The
+    workload is now ~10× heavier (≥2 s of sha256+conv codegen) and the
+    statistic is MEDIAN-of-5 instead of best-of-3: the median of a
+    multi-second row is stable against scheduler noise in a way a
+    sub-second best never was."""
     from pyspark.sql import functions as F
 
     df = (
-        spark.range(0, 2_000_000, 1, 8)
+        spark.range(0, 20_000_000, 1, 8)
         .select(
             F.sha2(
                 F.concat(F.lit("cal|"), F.col("id").cast("string")), 256
             ).alias("h")
         )
         .select(
-            # 8 hex digits < 2^32; the 2M-row sum stays < 2^53 — safe
-            # under ANSI (no overflow) and exact in any engine
+            # 8 hex digits < 2^32; the 20M-row sum stays < 2^57, far
+            # inside bigint — no overflow under ANSI, deterministic
             F.sum(
                 F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
             ).alias("s")
@@ -154,7 +167,8 @@ def calibration_run(spark, runs: int = 3) -> float:
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - start)
-    return round(min(samples), 4)
+    samples.sort()
+    return round(samples[len(samples) // 2], 4)
 
 
 def _release_pinned_blocks(spark) -> None:
@@ -227,8 +241,11 @@ def main() -> None:
         "cpus": cpus,
         "merge_throughput": ingest,
         # fixed synthetic pure-CPU row: identical code ⇒ identical value
-        # up to box drift; vs_prev divides it out (r13 VERDICT item 7)
+        # up to box drift; vs_prev divides it out (r13 VERDICT item 7).
+        # calibration_version pins the workload shape — ratios are only
+        # computed between payloads of the same version (r16).
         "calibration_sec": calibration_sec,
+        "calibration_version": CALIBRATION_VERSION,
     }
     # The driver captures only the LAST ~2,000 chars of stdout; the full
     # 50-query payload is ~3.3 KB and gets truncated (r7 VERDICT item 1).
@@ -268,10 +285,17 @@ def main() -> None:
         # between r12 and r13), not the code. Dividing it out of the
         # shared-median ratio leaves plan regressions only. None until
         # a prev payload carrying calibration_sec exists.
+        # calibration_version guards the denominator: the r16 rework
+        # made the calibration workload ~10× heavier, so dividing a new
+        # measurement by a v1 prev row would fabricate an 8× "drift".
+        # On a version mismatch the ratio is withheld and the per-query
+        # regression rule falls back to the RAW ratio alone (still with
+        # the 0.1 s absolute-excess guard) for that one transition run.
         prev_cal = prev.get("calibration_sec")
+        same_cal = prev.get("calibration_version") == CALIBRATION_VERSION
         cal_ratio = (
             round(calibration_sec / prev_cal, 4)
-            if isinstance(prev_cal, (int, float)) and prev_cal > 0
+            if same_cal and isinstance(prev_cal, (int, float)) and prev_cal > 0
             else None
         )
         full["vs_prev"] = {
@@ -289,21 +313,27 @@ def main() -> None:
             ),
             "retired": {n: prev_q[n] for n in sorted(set(prev_q) - set(timings))},
             "added": {n: timings[n] for n in sorted(set(timings) - set(prev_q))},
-            # per-query regression flags (r14 VERDICT item 7): shared
-            # rows whose drift-corrected ratio exceeds 1.2 AND whose
-            # absolute excess over the drift-predicted wall exceeds
-            # 0.1 s (sub-0.1 s rows ratio-flap on scheduler noise) —
-            # an empty dict is the "no plan regressed" claim, machine-
+            # per-query regression flags (r14 VERDICT item 7, tightened
+            # r16 per r15 VERDICT item 1): a shared row is flagged only
+            # when BOTH the raw now/prev ratio AND the drift-corrected
+            # ratio exceed 1.2, AND the absolute excess over the drift-
+            # predicted wall exceeds 0.1 s (sub-0.1 s rows ratio-flap on
+            # scheduler noise). Requiring the raw ratio too means a
+            # noisy calibration denominator alone can no longer
+            # manufacture a regression (r15's 18 phantom flags were all
+            # corrected-only) — a real plan regression moves both.
+            # An empty dict is the "no plan regressed" claim, machine-
             # checkable per query instead of via the median only.
             "regressions": (
                 {
-                    n: round(timings[n] / prev_q[n] / cal_ratio, 4)
+                    n: round(timings[n] / prev_q[n] / (cal_ratio or 1.0), 4)
                     for n in shared
                     if prev_q[n] > 0
-                    and timings[n] / prev_q[n] / cal_ratio > 1.2
-                    and timings[n] - prev_q[n] * cal_ratio > 0.1
+                    and timings[n] / prev_q[n] > 1.2
+                    and timings[n] / prev_q[n] / (cal_ratio or 1.0) > 1.2
+                    and timings[n] - prev_q[n] * (cal_ratio or 1.0) > 0.1
                 }
-                if cal_ratio and same_sf
+                if same_sf
                 else None
             ),
         }
