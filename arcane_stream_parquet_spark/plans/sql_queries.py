@@ -313,9 +313,13 @@ def topk_orders_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations
 
 
-@register_query(
-    "set_ops_custkeys",
-    oracle="""
+# Retired r16 driver row (slot went to first_fit_packing per the r15
+# verdict, item 2 — set ops were the least engine-differentiating row:
+# pure built-in INTERSECT/EXCEPT/UNION ALL).  Exact former oracle +
+# builder stay here; the value replay and plan pin live in
+# tests/test_sql_surface.py (the join_broadcast_agg / topk_orders
+# retirement pattern) — zero coverage loss.
+SET_OPS_CUSTKEYS_ORACLE = """
         WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
              o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
         SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
@@ -323,12 +327,10 @@ def topk_orders_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'f_only', o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
         UNION ALL
         SELECT 'o_only', o_custkey FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
-    """,
-    doc="Set operations in one query: INTERSECT / EXCEPT cohorts of "
-    "customer keys by order status, tagged and UNION ALL'd.",
-    tags=("sql", "setop"),
-)
-def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def set_ops_custkeys_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()

@@ -378,3 +378,75 @@ def test_create_text_cross_process_hammer(spark, tmp_path):
     for v, text in winners.items():
         p = fs_join(root, f"manifest-v{v:05d}.json")
         assert fio.read_text(p) == text, f"v{v}: published wrong bytes"
+
+
+def test_hardlink_degradation_is_observable(spark, tmp_path, monkeypatch):
+    """r15 VERDICT item 5: a mount rejecting link(2) degrades the
+    publish to plain rename — the commit still succeeds single-writer,
+    but the weaker mode flips HARDLINK_DEGRADED (once per filesystem)
+    and warns, so a fleet can refuse multi-writer mode instead of
+    silently believing it has the CAS."""
+    import warnings
+
+    from arcane_stream_parquet_spark import fsio as fsio_mod
+
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}"
+    p = fs_join(root, "meta", "commit.json")
+
+    def no_links(jvm, src, dst):
+        raise Exception(
+            "java.lang.UnsupportedOperationException: links not supported"
+        )
+
+    monkeypatch.setattr(HadoopFileIO, "_create_link", staticmethod(no_links))
+    monkeypatch.setattr(fsio_mod, "HARDLINK_DEGRADED", set())
+    assert not fio.hardlink_degraded(p)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fio.create_text(p, '{"v": 1}')
+        fio.create_text(fs_join(root, "meta", "second.json"), "x")
+    assert fio.read_text(p) == '{"v": 1}'  # commit succeeded
+    assert fio.hardlink_degraded(p)  # ...in the observable weaker mode
+    degraded_warnings = [
+        w for w in caught if "degraded to plain rename" in str(w.message)
+    ]
+    assert len(degraded_warnings) == 1  # once per filesystem, not per commit
+    # create-only still refused sequentially in degraded mode
+    with pytest.raises(FileExistsError):
+        fio.create_text(p, '{"v": 2}')
+
+
+def test_generic_fs_exception_eexist_classifies_not_overwrites(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE: a provider may surface EEXIST as a generic
+    FileSystemException (not FileAlreadyExistsException). The commit
+    must classify it as the lost race — NOT degrade to rename, which
+    would overwrite the rival's committed bytes."""
+    from arcane_stream_parquet_spark import fsio as fsio_mod
+
+    fio = HadoopFileIO(spark)
+    root = f"file://{tmp_path}"
+    p = fs_join(root, "meta", "contended.json")
+
+    def eexist_generic(jvm, src, dst):
+        # the rival's commit materializes in the probe→link window;
+        # OUR link then fails with the provider's generic EEXIST shape
+        with open(dst, "w") as fh:
+            fh.write("rival")
+        raise Exception(
+            f"java.nio.file.FileSystemException: {dst}: File exists"
+        )
+
+    monkeypatch.setattr(
+        HadoopFileIO, "_create_link", staticmethod(eexist_generic)
+    )
+    monkeypatch.setattr(fsio_mod, "HARDLINK_DEGRADED", set())
+    with pytest.raises(FileExistsError):
+        fio.create_text(p, "loser")
+    monkeypatch.undo()
+    # the key claims: the rival's bytes survive (no degrade-then-rename
+    # overwrite) and the flag did NOT flip (a race, not a capability gap)
+    assert fio.read_text(p) == "rival"
+    assert not fsio_mod.HARDLINK_DEGRADED

@@ -106,6 +106,28 @@ def test_topk_orders_replay(spark):
     assert got == want and len(got) == 10
 
 
+def test_set_ops_custkeys_replay(spark):
+    """The retired r16 driver row (slot went to first_fit_packing per
+    the r15 verdict, item 2): exact former builder vs exact former
+    oracle (SET_OPS_CUSTKEYS_ORACLE) — zero coverage loss."""
+    from arcane_stream_parquet_spark.plans.sql_queries import (
+        SET_OPS_CUSTKEYS_ORACLE,
+        set_ops_custkeys_builder,
+    )
+
+    got = sorted(
+        (r[0], int(r[1]))
+        for r in set_ops_custkeys_builder(spark, SF_SMOKE).collect()
+    )
+    con = _duck_with_views(("orders",))
+    want = sorted(
+        (a, int(b))
+        for a, b in con.execute(SET_OPS_CUSTKEYS_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
 def test_pricing_summary_pushes_filter_and_prunes(spark):
     plan = _plan(spark, "groupby_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
