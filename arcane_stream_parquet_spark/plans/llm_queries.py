@@ -42,6 +42,9 @@ from arcane_stream_parquet_spark.operators.packing import (
     PACK_WINDOW,
     sequence_packing,
 )
+from arcane_stream_parquet_spark.operators.pq import (
+    PQ_SEED_SAMPLE_CAP as _PQ_SEED_CAP,
+)
 from arcane_stream_parquet_spark.operators.redaction import (
     PII_PATTERNS_PORTABLE,
     redact_pii,
@@ -1077,11 +1080,16 @@ def _sql_pq_seed_step(t: int) -> str:
     """One farthest-point pick: min-distance to the chosen seeds per
     (sub, candidate) — min over identical floats is order-independent,
     matching the operator's incremental update — then argmax with ties
-    to the lower vec_id (pq._maxmin_seeds)."""
+    to the lower vec_id (pq._maxmin_seeds). Candidates come from
+    ``ssubs`` — the SAMPLE-restricted residual subvectors — because the
+    operator seeds over at most PQ_SEED_SAMPLE_CAP lowest-sha256(id)
+    rows, not the full corpus (r15 ADVICE: seeding over full rsubs made
+    parity silently depend on the corpus fitting the cap — true at
+    sf0.01's 500 rows, false at sf0.1's 2000)."""
     return f"""
         mind{t} AS MATERIALIZED (
             SELECT r.sub, r.vec_id, min({_sql_l2sq("r.sv", "s.sv")}) AS md
-            FROM rsubs r JOIN seed{t - 1} s ON r.sub = s.sub
+            FROM ssubs r JOIN seed{t - 1} s ON r.sub = s.sub
             GROUP BY r.sub, r.vec_id
         ),
         pick{t} AS MATERIALIZED (
@@ -1095,7 +1103,7 @@ def _sql_pq_seed_step(t: int) -> str:
             SELECT * FROM seed{t - 1}
             UNION ALL
             SELECT r.sub, {t} AS code, r.vec_id, r.sv
-            FROM rsubs r JOIN pick{t} p
+            FROM ssubs r JOIN pick{t} p
               ON r.sub = p.sub AND r.vec_id = p.vec_id
         )"""
 
@@ -1162,9 +1170,22 @@ def _sql_pq_train_iter(i: int) -> str:
                    rv[s.sub * {_PQIVF_D} + 1 : (s.sub + 1) * {_PQIVF_D}] AS sv
             FROM res, (SELECT unnest(range(0, {PQIVF_M})) AS sub) s
         ),
+        -- the operator's bounded seeding sample (pq.PQ_SEED_SAMPLE_CAP
+        -- lowest-sha256(id) rows; the whole corpus when it fits) —
+        -- mirrored here so parity holds at ANY sf, not only when the
+        -- corpus fits the cap (r15 ADVICE)
+        seedsample AS MATERIALIZED (
+            SELECT vec_id FROM corpus
+            ORDER BY sha256(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+            LIMIT {_PQ_SEED_CAP}
+        ),
+        ssubs AS MATERIALIZED (
+            SELECT r.vec_id, r.sub, r.sv
+            FROM rsubs r JOIN seedsample m ON m.vec_id = r.vec_id
+        ),
         seed0 AS MATERIALIZED (
-            SELECT sub, 0 AS code, vec_id, sv FROM rsubs
-            WHERE vec_id = (SELECT min(vec_id) FROM corpus)
+            SELECT sub, 0 AS code, vec_id, sv FROM ssubs
+            WHERE vec_id = (SELECT min(vec_id) FROM seedsample)
         ),
         {",".join(_sql_pq_seed_step(t) for t in range(1, PQIVF_CODES))},
         book0 AS MATERIALIZED (SELECT sub, code, sv AS cv FROM seed{PQIVF_CODES - 1}),
