@@ -251,9 +251,20 @@ def vacuum_funnel_boundaries(
         raise ValueError(f"keep_last must be >= 1: {keep_last}")
     fio = HadoopFileIO(spark)
     state_dir = fs_join(target_prefix, "_funnel_state")
-    names = json.loads(fio.read_text(fs_join(state_dir, "funnel.json")))[
-        "stages"
-    ]
+    # the prefix must OWN a pinned funnel definition (r15 VERDICT item
+    # 6): retention pointed at a parent/unrelated dir must refuse, not
+    # walk — deletions below are scoped to exactly the pinned stage
+    # list, so another funnel nested under the same tree is untouched
+    try:
+        names = json.loads(fio.read_text(fs_join(state_dir, "funnel.json")))[
+            "stages"
+        ]
+    except FileNotFoundError:
+        raise ValueError(
+            f"no funnel pinned at {target_prefix} (missing "
+            f"_funnel_state/funnel.json) — retention runs only against "
+            f"a prefix that owns a funnel definition"
+        ) from None
     done = set(fio.list_names(state_dir))
     missing = [
         names[i]

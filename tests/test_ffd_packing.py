@@ -154,3 +154,45 @@ def test_validation(spark):
         first_fit_packing(df, budget=0)
     with pytest.raises(ValueError, match="num_streams"):
         first_fit_packing(df, budget=10, num_streams=0)
+
+
+def test_string_doc_ids_supported(spark):
+    """r15 ADVICE: the applyInPandas output schema derives the id type
+    from the input (a hardcoded bigint made string doc ids die in an
+    opaque pandas->Arrow cast). String ids pack with the same
+    stream-hash and FFD-order semantics."""
+    rows = [
+        Row(doc_id=f"doc-{i:03d}", text=" ".join(["tok"] * n))
+        for i, n in enumerate([5, 100, 60, 60, 64, 140, 1, 0])
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = first_fit_packing(df, budget=BUDGET, num_streams=2).collect()
+    assert len(out) == len(rows)
+    assert {type(r["doc_id"]) for r in out} == {str}
+    got = {r["doc_id"]: r for r in out}
+    assert got["doc-005"]["overflow"] is True  # the 140-token doc
+    # stream hash is the portable sha256 of the RAW string id
+    for r in out:
+        h = hashlib.sha256(f"ffd|{r['doc_id']}".encode()).hexdigest()
+        assert r["stream"] == int(h[:8], 16) % 2
+    # within-stream FFD invariants hold
+    by_bin: dict[int, int] = {}
+    for r in out:
+        if not r["overflow"]:
+            by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= BUDGET for v in by_bin.values())
+
+
+def test_stats_all_overflow_is_zero_not_null(spark):
+    """r15 ADVICE: when every document overflows there are no packed
+    bins — mean_fill_frac must be a defined 0.0, not a silent NULL
+    from 0/0 (the audit row a pipeline watches)."""
+    rows = [
+        Row(doc_id=i, text=" ".join(["tok"] * 200)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = first_fit_packing(df, budget=BUDGET, num_streams=2)
+    stats = packing_stats(packed, BUDGET).collect()[0]
+    assert stats["n_overflow_docs"] == 4
+    assert stats["n_packed_bins"] == 0
+    assert stats["mean_fill_frac"] == 0.0

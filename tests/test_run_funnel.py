@@ -283,3 +283,59 @@ def test_vacuum_funnel_boundaries(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="incomplete"):
         vacuum_funnel_boundaries(spark, str(tmp_path / "g"), keep_last=1)
+
+
+def test_vacuum_scopes_to_owning_funnel(spark, tmp_path):
+    """r15 VERDICT item 6: two funnels nesting under one tree must not
+    confuse retention — vacuum of one drops exactly its pinned stage
+    list and leaves the other byte-identical; a prefix that owns no
+    funnel.json refuses instead of walking."""
+    import os
+
+    from arcane_stream_parquet_spark.operators.pipeline import (
+        vacuum_funnel_boundaries,
+    )
+
+    outer = str(tmp_path / "f")
+    inner = str(tmp_path / "f" / "nested")  # B nests under A's prefix
+    a = _rows(
+        run_funnel(spark, _docs(spark), _stages([]), outer, key_col="doc_id")
+    )
+    b = _rows(
+        run_funnel(
+            spark, _docs(spark, 30), _stages([]), inner, key_col="doc_id"
+        )
+    )
+
+    def snapshot(root):
+        out = {}
+        for r, _d, names in os.walk(root):
+            for n in names:
+                p = os.path.join(r, n)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    inner_before = snapshot(inner)
+    dropped = vacuum_funnel_boundaries(spark, outer, keep_last=1)
+    # exactly A's pinned early stages — nothing of B's
+    assert [p.rsplit("/", 1)[1] for p in dropped] == [
+        "stage-00000-filter",
+        "stage-00001-enrich",
+    ]
+    assert all("/nested/" not in p for p in dropped)
+    assert snapshot(inner) == inner_before  # B byte-identical
+    # both funnels still serve
+    assert _rows(
+        run_funnel(spark, _docs(spark), _stages([]), outer, key_col="doc_id")
+    ) == a
+    assert _rows(
+        run_funnel(
+            spark, _docs(spark, 30), _stages([]), inner, key_col="doc_id"
+        )
+    ) == b
+    # vacuuming B is independent of A's sweep
+    assert len(vacuum_funnel_boundaries(spark, inner, keep_last=1)) == 2
+
+    # a prefix without a pinned funnel refuses
+    with pytest.raises(ValueError, match="no funnel pinned"):
+        vacuum_funnel_boundaries(spark, str(tmp_path), keep_last=1)
