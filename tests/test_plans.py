@@ -160,6 +160,22 @@ def test_registry_plan_gate(name, _all_plans):
         "it at the site and pin it in _NLJ_ALLOWLIST)"
     )
     assert "FileScan" in plan, f"{name}: no parquet scan in plan"
+    # single-partition collapse pin (r16): a stray .coalesce(1) in a
+    # returned plan serializes the whole query at scale, yet at bench
+    # SF it is wall-clock-INVISIBLE (measured: duplicate_spans with an
+    # injected coalesce(1) ran FASTER at sf0.1 — 5k rows don't need 32
+    # threads).  Plan shape, not toy-scale timing, is the detector for
+    # this class.  (Exchange SinglePartition stays allowed: global
+    # aggregates and unpartitioned windows over tiny frames are
+    # legitimate; "Coalesce 1" on a scan path never is.)
+    import re as _re
+
+    assert not _re.search(r"\bCoalesce 1\b", plan), (
+        f"{name}: single-partition Coalesce in the returned plan — "
+        "serializes the query at scale (invisible to bench timing at "
+        "toy SF); coalesce build-side scaffolding behind a "
+        "localCheckpoint/write instead"
+    )
 
 
 def test_ivf_centroid_expansion_is_broadcast_only(spark):
