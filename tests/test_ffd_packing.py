@@ -196,3 +196,36 @@ def test_stats_all_overflow_is_zero_not_null(spark):
     assert stats["n_overflow_docs"] == 4
     assert stats["n_packed_bins"] == 0
     assert stats["mean_fill_frac"] == 0.0
+
+
+def test_precomputed_length_col(spark):
+    """length_col short-circuits tokenization: packing decisions use
+    the caller's counts verbatim (a pipeline that already token-counted
+    — e.g. with a real BPE — must not pay or drift through the
+    whitespace tokenizer)."""
+    rows = [
+        Row(doc_id=i, text="ignored words here", n_bpe=n)
+        for i, n in enumerate([5, 100, 60, 60, 64, 140, 1, 0])
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_bpe bigint"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in first_fit_packing(
+            df, budget=BUDGET, length_col="n_bpe", num_streams=2
+        ).collect()
+    }
+    assert [out[i]["n_tokens"] for i in range(8)] == [5, 100, 60, 60, 64, 140, 1, 0]
+    assert out[5]["overflow"] is True and out[5]["n_tokens"] == 140
+    # identical to packing the same lengths via text tokens
+    rows2 = [
+        Row(doc_id=i, text=" ".join(["t"] * n))
+        for i, n in enumerate([5, 100, 60, 60, 64, 140, 1, 0])
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in first_fit_packing(df2, budget=BUDGET, num_streams=2).collect()
+    }
+    assert {i: tuple(r) for i, r in out.items()} == want

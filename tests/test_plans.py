@@ -190,3 +190,23 @@ def test_ivf_centroid_expansion_is_broadcast_only(spark):
         "BroadcastNestedLoopJoin"
     )
     assert "BroadcastHashJoin [cell" in plan
+
+
+def test_first_fit_packing_single_stream_exchange(spark):
+    """The r16 FFD driver row's plan is the shape the docstring claims:
+    a 2-column pruned scan, token count + stream hash as JVM-side
+    codegen projections (no Python in the hot path before the shuffle),
+    exactly ONE Exchange on the stream key, then the per-stream
+    FlatMapGroupsInPandas fold — at 100 TB the only data movement is
+    the single stream-key shuffle."""
+    from tests.conftest import SF_SMOKE
+
+    df = spark_queries()["first_fit_packing"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning(stream") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the projection reaches the scan: only the two needed columns read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # stream hash + token count are codegen expressions, not UDFs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
