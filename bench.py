@@ -312,13 +312,20 @@ def main() -> None:
         for n in sorted(set(prev_q) & set(timings)):
             if not _trips(n, timings[n]):
                 continue
-            df = queries[n](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # re-warm
-            samples = []
-            for _ in range(runs_per_query):
-                start = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - start)
+            try:
+                df = queries[n](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()  # re-warm
+                samples = []
+                for _ in range(runs_per_query):
+                    start = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - start)
+            except Exception:
+                # a builder that objects to an in-process rebuild must
+                # not cost the whole payload — keep the first-pass flag
+                # unconfirmed (it will show in regressions, adjudicable
+                # by the remeasured field's absence)
+                continue
             remeasured[n] = round(min(samples), 4)
             if remeasured[n] < timings[n]:
                 timings[n] = remeasured[n]
