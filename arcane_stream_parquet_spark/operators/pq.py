@@ -79,14 +79,42 @@ PQ_M = 8
 PQ_CODES = 16
 
 
-def l2sq_expr(a: Column, b: Column) -> Column:
+def l2sq_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right squared L2 distance (order fixed →
-    deterministic float, matching a DuckDB list fold)."""
+    deterministic float, matching a DuckDB list fold).
+
+    ``dim`` (r16): unrolls the fold into the left-associated codegen
+    chain ``((0.0 + (a0-b0)²) + (a1-b1)²) + ...`` — same additions,
+    same order, bit-identical IEEE result (the dot_expr rationale:
+    higher-order functions are CodegenFallback, interpreted per
+    element; the unrolled chain whole-stage-codegens).  Only pass
+    ``dim`` when both arrays are exactly that long."""
+    if dim is not None:
+        total = F.lit(0.0)
+        for i in range(dim):
+            d_i = F.get(a, i) - F.get(b, i)
+            total = total + d_i * d_i
+        return total
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _adc_expr(codes: Column, lut: Column, m: int) -> Column:
+    """The ADC fold ``sum_s LUT[s][code_s]`` unrolled over the m
+    subspaces: ``((0.0 + lut[0][c0]) + lut[1][c1]) + ...`` — same
+    additions in the same order as the former zip_with/aggregate fold
+    (``element_at(l, c + 1)`` 1-based ≡ ``get(l, c)`` 0-based), so the
+    result is bit-identical while running in whole-stage codegen
+    instead of the interpreted HOF path.  This is the per-candidate
+    inner loop of every PQ scan — the expression a 100 TB ADC pass
+    evaluates once per (query, candidate)."""
+    total = F.lit(0.0)
+    for s in range(m):
+        total = total + F.get(F.get(lut, s), F.get(codes, s).cast("int"))
+    return total
 
 
 def _subvectors(vec: Column, m: int, dim: int) -> Column:
@@ -121,26 +149,47 @@ def _check_geometry(dim: int, m: int) -> None:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
 
 
-def _sub_rows(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int) -> DataFrame:
-    """(id, sub, sv): one row per (vector, subspace) — row-local."""
+def _residual_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Element-wise ``a - b`` as an array; with ``dim`` known the
+    zip_with lambda is unrolled into a codegen CreateArray of the same
+    per-element subtractions (bit-identical values)."""
+    if dim is not None:
+        return F.array(*[F.get(a, i) - F.get(b, i) for i in range(dim)])
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _sub_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """(id, *carry, sub, sv): one row per (vector, subspace) —
+    row-local.  ``carry`` columns ride along unchanged (constant per
+    id by contract)."""
     return df.select(
         F.col(id_col).alias("__pid"),
+        *[F.col(c) for c in carry],
         F.posexplode(_subvectors(as_double_array(vec_col), m, dim)).alias(
             "sub", "sv"
         ),
     )
 
 
-def _argmin_code(scored: DataFrame) -> DataFrame:
-    """(__pid, sub, code): per (row, subspace), the code with the
-    smallest squared-L2 (ties → lower code) — max_by over the negated
-    ordering so the partial aggregation collapses the code fan-out
-    map-side (the _argmax_cell pattern)."""
+def _argmin_code(scored: DataFrame, carry: Sequence[str] = ()) -> DataFrame:
+    """(__pid, *carry, sub, code): per (row, subspace), the code with
+    the smallest squared-L2 (ties → lower code) — max_by over the
+    negated ordering so the partial aggregation collapses the code
+    fan-out map-side (the _argmax_cell pattern).  ``carry`` columns
+    (constant per id) survive via ``first``."""
     ordering = F.struct(
         (-F.col("__l2")).alias("s"), (-F.col("code")).alias("nc")
     )
     return scored.groupBy("__pid", "sub").agg(
-        F.max_by(F.col("code"), ordering).alias("code")
+        F.max_by(F.col("code"), ordering).alias("code"),
+        *[F.first(c).alias(c) for c in carry],
     )
 
 
@@ -249,7 +298,7 @@ def train_pq_codebooks(
             subs["sub"].alias("sub"),
             "sv",
             "code",
-            l2sq_expr(F.col("sv"), F.col("cv")).alias("__l2"),
+            l2sq_expr(F.col("sv"), F.col("cv"), d).alias("__l2"),
         )
         assigned = _argmin_code(scored).join(
             subs, ["__pid", "sub"]
@@ -290,24 +339,32 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, pq_codes array<int>): each vector's per-subspace squared-L2
-    argmin code (ties → lower code). The stored representation is
-    m·log2(codes) bits per vector — the column a 100 TB ANN scan
-    actually reads."""
+    """(id, pq_codes array<int>, *carry): each vector's per-subspace
+    squared-L2 argmin code (ties → lower code). The stored
+    representation is m·log2(codes) bits per vector — the column a
+    100 TB ANN scan actually reads.
+
+    ``carry`` (r16): extra input columns, constant per id, that ride
+    through the encode instead of being re-derived and joined back by
+    the caller — ivfpq_build carries ``cell`` this way, which removes
+    a full second corpus-assignment subtree (scan → centroid argmax →
+    join) from the index plan (guide §2.4: remove shuffles outright)."""
     m = len(codebooks)
     dim = sum(len(book[0]) for book in codebooks)
     _check_geometry(dim, m)
-    subs = _sub_rows(corpus, id_col, vec_col, m, dim)
+    subs = _sub_rows(corpus, id_col, vec_col, m, dim, carry=carry)
     cb = _codebook_df(corpus.sparkSession, codebooks)
     scored = subs.join(cb, subs["sub"] == cb["sub"]).select(
         "__pid",
+        *carry,
         subs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv")).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
     )
     return (
-        _argmin_code(scored)
+        _argmin_code(scored, carry=carry)
         .groupBy("__pid")
         .agg(
             F.transform(
@@ -315,9 +372,10 @@ def pq_encode(
                     F.collect_list(F.struct(F.col("sub"), F.col("code")))
                 ),
                 lambda st: st["code"],
-            ).alias(out_col)
+            ).alias(out_col),
+            *[F.first(c).alias(c) for c in carry],
         )
-        .select(F.col("__pid").alias(id_col), out_col)
+        .select(F.col("__pid").alias(id_col), out_col, *carry)
     )
 
 
@@ -355,7 +413,7 @@ def pq_topk(
         "query_id",
         qsubs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv")).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
     )
     lut = (
         lut_rows.groupBy("query_id", "sub")
@@ -377,15 +435,7 @@ def pq_topk(
             ).alias("__lut")
         )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.col("__lut"),
-            lambda c, l: F.element_at(l, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_expr(F.col(codes_col), F.col("__lut"), m)
     joined = (
         corpus_codes.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(lut))
@@ -435,7 +485,8 @@ def pq_topk_rerank(
         corpus_codes, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col, codes_col=codes_col,
     )
-    return exact_rerank(corpus, cand, queries, k, id_col, vec_col)
+    dim = sum(len(book[0]) for book in codebooks)
+    return exact_rerank(corpus, cand, queries, k, id_col, vec_col, dim=dim)
 
 
 def exact_rerank(
@@ -445,12 +496,15 @@ def exact_rerank(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact squared-L2 rerank of ANY ``(query_id, neighbor_id)``
     candidate frame (a flat-PQ or IVF-PQ shortlist, LSH bucket
     output, ...): candidate ids broadcast back against the corpus, so
     the full-width vector column is read for candidate rows only —
-    (query_id, neighbor_id, l2sq), ascending, ties → lower id."""
+    (query_id, neighbor_id, l2sq), ascending, ties → lower id.
+    ``dim`` unrolls the distance fold when the vector length is known
+    statically (see :func:`l2sq_expr`) — bit-identical results."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -472,7 +526,7 @@ def exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_expr(F.col("__qv"), F.col("__cv")).alias("__d"),
+            l2sq_expr(F.col("__qv"), F.col("__cv"), dim).alias("__d"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -524,15 +578,19 @@ def ivfpq_build(
     res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
         F.col(id_col),
         F.col("cell"),
-        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
-            "__res"
-        ),
+        _residual_expr(
+            F.col("__v"), F.col("cv"), len(centroids[0][1]) if centroids else None
+        ).alias("__res"),
     )
     books = train_pq_codebooks(
         res, m=m, codes=codes, iters=iters, id_col=id_col, vec_col="__res"
     )
-    encoded = pq_encode(res, books, id_col=id_col, vec_col="__res").join(
-        res.select(id_col, "cell"), id_col
+    # cell rides through the encode (pq_encode carry) instead of a
+    # join back against a SECOND evaluation of the assignment subtree
+    # (scan → centroid argmax → centroid join): one corpus pass fewer
+    # in every index build/serving plan (r16, guide §2.4)
+    encoded = pq_encode(
+        res, books, id_col=id_col, vec_col="__res", carry=("cell",)
     )
     return encoded.select(id_col, "cell", "pq_codes"), books
 
@@ -580,9 +638,9 @@ def ivfpq_topk(
     qres = qcells.join(cent, qcells["cell"] == cent["cid"]).select(
         "query_id",
         "cell",
-        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias(
-            "__qr"
-        ),
+        _residual_expr(
+            F.col("__v"), F.col("cv"), len(centroids[0][1]) if centroids else None
+        ).alias("__qr"),
     )
     qsubs = qres.select(
         "query_id",
@@ -595,7 +653,7 @@ def ivfpq_topk(
         "cell",
         qsubs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv")).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
     )
     lut = (
         lut_rows.groupBy("query_id", "cell", "sub")
@@ -617,15 +675,7 @@ def ivfpq_topk(
             ).alias("__lut")
         )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.col("__lut"),
-            lambda c, l: F.element_at(l, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_expr(F.col(codes_col), F.col("__lut"), m)
     joined = (
         corpus_index.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), "cell")

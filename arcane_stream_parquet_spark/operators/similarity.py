@@ -53,9 +53,29 @@ def as_double_array(vec_col: str | Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right dot product (order fixed → deterministic
-    float result, matching DuckDB's list_dot_product accumulation)."""
+    float result, matching DuckDB's list_dot_product accumulation).
+
+    ``dim`` (r16): when the arrays' common length is statically known,
+    the fold is unrolled into the left-associated codegen chain
+    ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...`` — the SAME additions in
+    the SAME order, so the IEEE result is bit-identical to the fold
+    (pinned in tests/test_unrolled_exprs.py).  Why it matters:
+    ``aggregate``/``zip_with`` are higher-order functions, which are
+    CodegenFallback — interpreted once per ELEMENT with lambda-variable
+    binding — while the unrolled chain runs inside whole-stage codegen.
+    On pair-heavy consumers (SemDeDup's within-cell self-join, the ANN
+    candidate scoring) this is the dominant per-task cost (guide §1.2:
+    fix per-task work after the shape is right).  Contract: pass
+    ``dim`` only when BOTH arrays are exactly that long (shorter
+    arrays: both forms yield NULL via null propagation; longer arrays
+    would be silently truncated by the unrolled form only)."""
+    if dim is not None:
+        total = F.lit(0.0)
+        for i in range(dim):
+            total = total + F.get(a, i) * F.get(b, i)
+        return total
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -63,20 +83,31 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_expr(a, b, dim) / (
+        F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim))
+    )
 
 
-def norm_expr(v: Column) -> Column:
-    return F.sqrt(dot_expr(v, v))
+def norm_expr(v: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot_expr(v, v, dim))
 
 
-def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def cosine_with_norms(
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
     """cosine given precomputed norms: each vector's sqrt(v·v) is
     evaluated ONCE per row instead of once per pair — the VALUES
     multiplied/divided are identical to cosine_expr, so results stay
     bit-for-bit equal to the per-pair form (and to the oracle)."""
-    return dot_expr(a, b) / (na * nb)
+    return dot_expr(a, b, dim) / (na * nb)
+
+
+def _centroid_dim(centroids: Sequence[tuple[int, Sequence[float]]]) -> int | None:
+    """Static vector length from a plain-data centroid list — the
+    unroll dial for every consumer that scores against centroids (the
+    corpus is the same dimensionality by construction)."""
+    return len(centroids[0][1]) if centroids else None
 
 
 def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
@@ -103,11 +134,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine).
 
     The query side is broadcast (assert small); self-matches excluded;
     ties broken by neighbor id for a total, engine-independent order.
+    ``dim`` unrolls the cosine folds when the vector length is known
+    statically (see :func:`dot_expr`) — bit-identical results.
     """
     from pyspark.sql import Window
 
@@ -115,14 +149,14 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double_array(vec_col).alias("__qv"),
-        ).withColumn("__qn", norm_expr(F.col("__qv")))
+        ).withColumn("__qn", norm_expr(F.col("__qv"), dim))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__cv"),
-    ).withColumn("__cn", norm_expr(F.col("__cv")))
+    ).withColumn("__cn", norm_expr(F.col("__cv"), dim))
     sim = cosine_with_norms(
-        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim
     )
     scored = (
         c.crossJoin(q)
@@ -184,13 +218,14 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     planes = planes if planes is not None else random_planes()
+    dim = len(planes[0]) if planes else None
     q = with_lsh_bucket(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
         ),
         "__qv",
         planes,
-    ).withColumn("__qn", norm_expr(F.col("__qv")))
+    ).withColumn("__qn", norm_expr(F.col("__qv"), dim))
     q = q.select(
         "query_id",
         "__qv",
@@ -205,13 +240,13 @@ def ann_lsh_topk(
         ),
         "__cv",
         planes,
-    ).withColumn("__cn", norm_expr(F.col("__cv")))
+    ).withColumn("__cn", norm_expr(F.col("__cv"), dim))
     joined = (
         c.join(F.broadcast(q), "lsh_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     sim = cosine_with_norms(
-        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
@@ -235,11 +270,12 @@ def embedding_near_duplicates(
     cosine ≥ threshold — embedding-level near-dup dedup. Bucket
     equi-join only; never all-pairs."""
     planes = planes if planes is not None else random_planes()
+    dim = len(planes[0]) if planes else None
     b = with_lsh_bucket(
         corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")),
         "__v",
         planes,
-    ).withColumn("__n", norm_expr(F.col("__v")))
+    ).withColumn("__n", norm_expr(F.col("__v"), dim))
     lhs, rhs = b.alias("a"), b.alias("b")
     pairs = (
         lhs.join(rhs, "lsh_bucket")
@@ -248,7 +284,7 @@ def embedding_near_duplicates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cosine_with_norms(
-                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n"), dim
             ).alias("__sim"),
         )
     )
@@ -274,7 +310,7 @@ def _centroids_df(spark, centroids: Sequence[tuple[int, Sequence[float]]]):
         spark.createDataFrame(
             [Row(cid=int(cid), cv=[float(x) for x in cv]) for cid, cv in centroids],
             schema="cid int, cv array<double>",
-        ).withColumn("__cn_c", norm_expr(F.col("cv")))
+        ).withColumn("__cn_c", norm_expr(F.col("cv"), _centroid_dim(centroids)))
     )
 
 
@@ -310,17 +346,18 @@ def _probe_cells(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    dim = _centroid_dim(centroids)
     cent = _centroids_df(spark, centroids)
     base = df.select(
         F.col(id_col).alias(out_id), vec_col.alias("__v")
-    ).withColumn("__n", norm_expr(F.col("__v")))
+    ).withColumn("__n", norm_expr(F.col("__v"), dim))
     scored = base.join(cent).select(
         out_id,
         "__v",
         "__n",
         F.col("cid"),
         cosine_with_norms(
-            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
+            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
         ).alias("__csim"),
     )
     if nprobe == 1:
@@ -459,7 +496,8 @@ def ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     sim = cosine_with_norms(
-        F.col("__qv"), F.col("__v"), F.col("__qn"), F.col("__cn")
+        F.col("__qv"), F.col("__v"), F.col("__qn"), F.col("__cn"),
+        _centroid_dim(centroids),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
@@ -542,6 +580,7 @@ def semantic_duplicates(
     two-level consumers.
     """
     spark = corpus.sparkSession
+    dim = _centroid_dim(centroids)
     cent = _centroids_df(spark, centroids)
     if assign == "exact":
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
@@ -562,12 +601,12 @@ def semantic_duplicates(
         F.col("__v"),
         F.col("__n"),
         cosine_with_norms(
-            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
+            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
         ).alias("__cs"),
     )
     a, b = scored.alias("a"), scored.alias("b")
     pair_sim = cosine_with_norms(
-        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n"), dim
     )
     b_keeps = (F.col("b.__cs") < F.col("a.__cs")) | (
         (F.col("b.__cs") == F.col("a.__cs"))
@@ -696,6 +735,7 @@ def ivf_assign_two_level(
     by_cid = dict((int(c), [float(x) for x in v]) for c, v in centroids)
     from pyspark.sql import Row
 
+    dim = _centroid_dim(centroids)
     child_tbl = F.broadcast(
         spark.createDataFrame(
             [
@@ -703,7 +743,7 @@ def ivf_assign_two_level(
                 for cid in sorted(child_of)
             ],
             schema="sup int, cid int, cv array<double>",
-        ).withColumn("__cn_c", norm_expr(F.col("cv")))
+        ).withColumn("__cn_c", norm_expr(F.col("cv"), dim))
     )
     sup_assigned = _probe_cells(
         corpus, sups, id_col, as_double_array(vec_col), nprobe=probe_supers,
@@ -717,7 +757,7 @@ def ivf_assign_two_level(
         "__n",
         "cid",
         cosine_with_norms(
-            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c")
+            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
         ).alias("__csim"),
     )
     return _argmax_cell(scored, id_col)

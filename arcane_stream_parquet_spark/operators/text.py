@@ -850,6 +850,13 @@ def importance_weights(
     B = int(buckets)
     if not 1 <= B <= 65536:
         raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
+    # Null-id raw rows can never reach the output (the final left join
+    # can't match a NULL key); filtering them up front makes the shared
+    # per-doc feature subtree byte-identical under BOTH its consumers
+    # (the scoring join infers isnotnull(id); without the explicit
+    # filter the distribution branch lacks it and the exchange can't
+    # be reused), so the corpus is tokenized+hashed ONCE per run.
+    raw = raw.filter(F.col(id_col).isNotNull())
 
     def feat_stream(df: DataFrame, with_id: bool) -> DataFrame:
         """(id?, _fb) hashed-bigram feature rows — the DSIR feature
@@ -901,7 +908,23 @@ def importance_weights(
         )
 
     p = dist(target, "_tc")
-    q = dist(raw, "_rc")
+    # ONE pass over the raw corpus (r16, guide §1.2/§2.3): the former
+    # shape tokenized + sha256-hashed the whole raw corpus TWICE —
+    # once for its bucket distribution, once for per-document scoring.
+    # Instead aggregate per (doc, bucket) first; the corpus-level
+    # distribution is the per-doc counts re-aggregated (identical
+    # integers), and scoring folds sum(lr·c) per document — for the
+    # quantized (BIGINT) path that sum is exactly the former
+    # per-occurrence sum; for the raw-float path it differs only in
+    # rounding order, which the former per-occurrence sum never pinned
+    # either (Spark partial-sum order over doubles is
+    # partition-dependent).
+    per_doc = (
+        feat_stream(raw, with_id=True)
+        .groupBy(id_col, "_fb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    q = per_doc.groupBy("_fb").agg(F.sum("_c").alias("_rc"))
     # full B-bucket frame so unseen buckets still get the smoothed
     # ratio (tiny: B rows, built driver-free via sequence+explode)
     base = raw.sparkSession.range(B).select(
@@ -931,16 +954,21 @@ def importance_weights(
         .join(q, "_fb", "left")
         .select("_fb", lr.alias("_lr"))
     )
-    feats = feat_stream(raw, with_id=True)
-    weight = F.sum("_lr").cast("double")
+    # scoring folds the SAME per-doc counts: sum(lr·c) / sum(c) per
+    # document — the exchange under per_doc is byte-identical in both
+    # consumers, so Spark's ReuseExchange evaluates the corpus pass
+    # once (verified in the r16 plan capture: ReusedExchange present,
+    # one raw-corpus scan).
+    n_feats = F.sum("_c").cast("bigint")
+    weight = F.sum(F.col("_lr") * F.col("_c")).cast("double")
     if scale is not None:
         weight = weight / F.lit(scale)
     scored = (
-        feats.join(F.broadcast(ratios), "_fb")
+        per_doc.join(F.broadcast(ratios), "_fb")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_features"),
-            (weight / F.count(F.lit(1))).alias("importance_weight"),
+            n_feats.alias("n_features"),
+            (weight / F.sum("_c")).alias("importance_weight"),
         )
     )
     # documents with < 2 tokens have no features: weight 0 (no

@@ -55,7 +55,7 @@ class VectorIndex:
             ),
             "v",
             self._planes,
-        ).withColumn("n", norm_expr(F.col("v")))
+        ).withColumn("n", norm_expr(F.col("v"), len(self._planes[0])))
 
     def add_batch(self, vectors: DataFrame, ingest_seq: int) -> int:
         """Index a batch of (vec_id, embedding); idempotent per vec_id
@@ -94,7 +94,10 @@ class VectorIndex:
         stored = self._table.read().select(
             F.col("vec_id").alias("neighbor_id"), "v", "n", "lsh_bucket"
         )
-        sim = cosine_with_norms(F.col("qv"), F.col("v"), F.col("qn"), F.col("n"))
+        sim = cosine_with_norms(
+            F.col("qv"), F.col("v"), F.col("qn"), F.col("n"),
+            len(self._planes[0]),
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("__sim").desc(), F.col("neighbor_id").asc()
         )
@@ -479,5 +482,6 @@ class PQVectorIndex:
         if rerank <= 0:
             return shortlist
         return exact_rerank(
-            pruned.select("vec_id", "embedding"), shortlist, queries, k=k
+            pruned.select("vec_id", "embedding"), shortlist, queries, k=k,
+            dim=len(self.centroids[0][1]) if self.centroids else None,
         )

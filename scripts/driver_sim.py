@@ -3,7 +3,11 @@ builder confs), entry() smoke, then every queries()[name] vs
 oracle_sql()[name] via DuckDB at sf0.01 — row count, column names,
 order-insensitive value comparison. Exit 1 on any mismatch.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+
+Optional trailing query names restrict the sweep (r16: fast parity
+re-checks of just-touched queries during optimization; the full sweep
+stays the gate before any commit claim).
 """
 
 from __future__ import annotations
@@ -62,6 +66,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {n: q for n, q in queries.items() if n in only}
     failures = []
     for name in sorted(queries):
         try:

@@ -125,13 +125,14 @@ _NLJ_ALLOWLIST = {
     # itself is a SortMergeJoin on cell (similarity.py
     # semantic_duplicates; pinned in test_semdedup.py)
     "semantic_duplicates": 3,
-    # three K-row centroid expansions: corpus assignment ×2 (the
-    # residual frame is instantiated for both the encode input and the
-    # (id, cell) attach inside ivfpq_build) + the query-side probe —
-    # each BuildRight of the tiny centroid table; the ADC candidate
-    # join itself is a hash EQUI-join on cell (pq.py ivfpq_topk;
-    # pinned BuildRight-only in test_pq.py)
-    "ivfpq_topk": 3,
+    # two K-row centroid expansions: corpus assignment ×1 (r16: cell
+    # now rides through pq_encode's carry instead of a join back
+    # against a SECOND evaluation of the assignment subtree — one
+    # whole scan→argmax→join chain left the plan) + the query-side
+    # probe — each BuildRight of the tiny centroid table; the ADC
+    # candidate join itself is a hash EQUI-join on cell (pq.py
+    # ivfpq_topk; pinned BuildRight-only in test_pq.py)
+    "ivfpq_topk": 2,
     # (domain_mixture's former 1-row feasible-budget crossJoin attach
     # became an unpartitioned window min over the same tiny totals
     # frame in r12 — zero NLJs remain in that plan)

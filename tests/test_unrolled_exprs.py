@@ -1,0 +1,148 @@
+"""r16 optimization pins: the dim-unrolled codegen forms of the
+similarity/PQ distance folds must be BIT-identical to the generic
+higher-order-function folds they replace (same IEEE additions in the
+same left-to-right order — see dot_expr/l2sq_expr docstrings).
+
+The driver oracle then re-proves the same equivalence end-to-end
+(every similarity/PQ registry row vs DuckDB); this is the focused
+per-expression pin so a future edit that reorders the chain fails
+here first, with a readable diff.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_parquet_spark.operators.pq import (
+    _adc_expr,
+    _residual_expr,
+    l2sq_expr,
+)
+from arcane_stream_parquet_spark.operators.similarity import (
+    cosine_with_norms,
+    dot_expr,
+    norm_expr,
+)
+
+
+def _vec(seed: int, dim: int) -> list[float]:
+    """Deterministic awkward floats: mixed signs, magnitudes, zeros."""
+    out = []
+    for i in range(dim):
+        h = (seed * 1_000_003 + i * 7919) % 104729
+        x = (h / 104729.0 - 0.5) * (10.0 ** ((h % 7) - 3))
+        if h % 13 == 0:
+            x = 0.0
+        out.append(x)
+    return out
+
+
+def _bits(x) -> bytes:
+    if x is None:
+        return b"null"
+    return struct.pack("<d", float(x))
+
+
+@pytest.mark.parametrize("dim", [1, 16, 64])
+def test_dot_and_l2sq_unrolled_bit_identical(spark, dim):
+    rows = [(i, _vec(i, dim), _vec(i + 100, dim)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, schema="id int, a array<double>, b array<double>"
+    )
+    got = df.select(
+        dot_expr(F.col("a"), F.col("b")).alias("dot_fold"),
+        dot_expr(F.col("a"), F.col("b"), dim).alias("dot_unrolled"),
+        l2sq_expr(F.col("a"), F.col("b")).alias("l2_fold"),
+        l2sq_expr(F.col("a"), F.col("b"), dim).alias("l2_unrolled"),
+        norm_expr(F.col("a")).alias("n_fold"),
+        norm_expr(F.col("a"), dim).alias("n_unrolled"),
+    ).collect()
+    for r in got:
+        assert _bits(r["dot_fold"]) == _bits(r["dot_unrolled"])
+        assert _bits(r["l2_fold"]) == _bits(r["l2_unrolled"])
+        assert _bits(r["n_fold"]) == _bits(r["n_unrolled"])
+
+
+def test_cosine_with_norms_unrolled_bit_identical(spark):
+    dim = 64
+    rows = [(i, _vec(i, dim), _vec(i + 7, dim)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, schema="id int, a array<double>, b array<double>"
+    ).select(
+        "a",
+        "b",
+        norm_expr(F.col("a")).alias("na"),
+        norm_expr(F.col("b")).alias("nb"),
+    )
+    got = df.select(
+        cosine_with_norms(
+            F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+        ).alias("fold"),
+        cosine_with_norms(
+            F.col("a"), F.col("b"), F.col("na"), F.col("nb"), dim
+        ).alias("unrolled"),
+    ).collect()
+    for r in got:
+        assert _bits(r["fold"]) == _bits(r["unrolled"])
+        assert not math.isnan(r["unrolled"])
+
+
+def test_adc_expr_matches_fold(spark):
+    m, codes = 4, 8
+    rows = []
+    for i in range(40):
+        lut = [[float(_vec(i * m + s, codes)[c]) for c in range(codes)] for s in range(m)]
+        cds = [int((i * 31 + s * 7) % codes) for s in range(m)]
+        rows.append((i, cds, lut))
+    df = spark.createDataFrame(
+        rows, schema="id int, pq_codes array<int>, lut array<array<double>>"
+    )
+    fold = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    got = df.select(
+        fold.alias("fold"),
+        _adc_expr(F.col("pq_codes"), F.col("lut"), m).alias("unrolled"),
+    ).collect()
+    for r in got:
+        assert _bits(r["fold"]) == _bits(r["unrolled"])
+
+
+def test_residual_expr_matches_zip_with(spark):
+    dim = 64
+    rows = [(i, _vec(i, dim), _vec(i + 3, dim)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, schema="id int, a array<double>, b array<double>"
+    )
+    got = df.select(
+        _residual_expr(F.col("a"), F.col("b")).alias("fold"),
+        _residual_expr(F.col("a"), F.col("b"), dim).alias("unrolled"),
+    ).collect()
+    for r in got:
+        assert len(r["fold"]) == len(r["unrolled"]) == dim
+        for x, y in zip(r["fold"], r["unrolled"]):
+            assert _bits(x) == _bits(y)
+
+
+def test_short_arrays_null_both_forms(spark):
+    """Arrays SHORTER than dim: both forms must agree (null via
+    null-propagation — F.get out-of-bounds is NULL, zip_with pads
+    NULL), so a bad dim fails loudly in parity, not silently."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0])],
+        schema="id int, a array<double>, b array<double>",
+    )
+    got = df.select(
+        dot_expr(F.col("a"), F.col("b"), 4).alias("unrolled"),
+    ).collect()[0]
+    assert got["unrolled"] is None
