@@ -69,8 +69,11 @@ from pyspark.sql import functions as F
 from arcane_stream_parquet_spark.operators.similarity import (
     _centroids_df,
     _probe_cells,
+    _probe_cells_rowlocal,
+    _rowlocal_ok,
     as_double_array,
     ivf_assign,
+    unrollable,
 )
 
 #: default geometry: 8 subspaces × 16 codes = 4 bits/subspace, 64-dim
@@ -298,7 +301,7 @@ def train_pq_codebooks(
             subs["sub"].alias("sub"),
             "sv",
             "code",
-            l2sq_expr(F.col("sv"), F.col("cv"), d).alias("__l2"),
+            l2sq_expr(F.col("sv"), F.col("cv"), unrollable(d)).alias("__l2"),
         )
         assigned = _argmin_code(scored).join(
             subs, ["__pid", "sub"]
@@ -361,7 +364,7 @@ def pq_encode(
         *carry,
         subs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), unrollable(dim // m)).alias("__l2"),
     )
     return (
         _argmin_code(scored, carry=carry)
@@ -413,7 +416,7 @@ def pq_topk(
         "query_id",
         qsubs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), unrollable(dim // m)).alias("__l2"),
     )
     lut = (
         lut_rows.groupBy("query_id", "sub")
@@ -526,7 +529,7 @@ def exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_expr(F.col("__qv"), F.col("__cv"), dim).alias("__d"),
+            l2sq_expr(F.col("__qv"), F.col("__cv"), unrollable(dim)).alias("__d"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -573,15 +576,29 @@ def ivfpq_build(
     100 TB train on a bounded sample and pass the books to an
     encode-only pass."""
     spark = corpus.sparkSession
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cent = _centroids_df(spark, centroids)
-    res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
-        F.col(id_col),
-        F.col("cell"),
-        _residual_expr(
-            F.col("__v"), F.col("cv"), len(centroids[0][1]) if centroids else None
-        ).alias("__res"),
-    )
+    rdim = unrollable(len(centroids[0][1])) if centroids else None
+    if _rowlocal_ok(centroids):
+        # r16: assignment + the winning centroid's vector in one
+        # row-local projection (no centroid join, no argmax exchange);
+        # the residual subtracts the SAME floats the broadcast join
+        # would deliver, so codes are bit-identical
+        assigned = _probe_cells_rowlocal(
+            corpus, centroids, id_col, as_double_array(vec_col),
+            nprobe=1, out_id=id_col, with_extras=True,
+        )
+        res = assigned.select(
+            F.col(id_col),
+            F.col("cell"),
+            _residual_expr(F.col("__v"), F.col("__cv"), rdim).alias("__res"),
+        )
+    else:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        cent = _centroids_df(spark, centroids)
+        res = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+            F.col(id_col),
+            F.col("cell"),
+            _residual_expr(F.col("__v"), F.col("cv"), rdim).alias("__res"),
+        )
     books = train_pq_codebooks(
         res, m=m, codes=codes, iters=iters, id_col=id_col, vec_col="__res"
     )
@@ -626,22 +643,33 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    qcells = (
-        probed
-        if probed is not None
-        else _probe_cells(
+    rdim = unrollable(len(centroids[0][1])) if centroids else None
+    if probed is None and _rowlocal_ok(centroids):
+        # r16: probe + per-probed-cell centroid vector in one row-local
+        # projection — the query-side residual needs no centroid join
+        qres = _probe_cells_rowlocal(
             queries, centroids, id_col, as_double_array(vec_col),
-            nprobe=nprobe, out_id="query_id",
+            nprobe=nprobe, out_id="query_id", with_extras=True,
+        ).select(
+            "query_id",
+            "cell",
+            _residual_expr(F.col("__v"), F.col("__cv"), rdim).alias("__qr"),
         )
-    )
-    cent = _centroids_df(spark, centroids)
-    qres = qcells.join(cent, qcells["cell"] == cent["cid"]).select(
-        "query_id",
-        "cell",
-        _residual_expr(
-            F.col("__v"), F.col("cv"), len(centroids[0][1]) if centroids else None
-        ).alias("__qr"),
-    )
+    else:
+        qcells = (
+            probed
+            if probed is not None
+            else _probe_cells(
+                queries, centroids, id_col, as_double_array(vec_col),
+                nprobe=nprobe, out_id="query_id",
+            )
+        )
+        cent = _centroids_df(spark, centroids)
+        qres = qcells.join(cent, qcells["cell"] == cent["cid"]).select(
+            "query_id",
+            "cell",
+            _residual_expr(F.col("__v"), F.col("cv"), rdim).alias("__qr"),
+        )
     qsubs = qres.select(
         "query_id",
         "cell",
@@ -653,7 +681,7 @@ def ivfpq_topk(
         "cell",
         qsubs["sub"].alias("sub"),
         "code",
-        l2sq_expr(F.col("sv"), F.col("cv"), dim // m).alias("__l2"),
+        l2sq_expr(F.col("sv"), F.col("cv"), unrollable(dim // m)).alias("__l2"),
     )
     lut = (
         lut_rows.groupBy("query_id", "cell", "sub")

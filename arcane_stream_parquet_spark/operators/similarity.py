@@ -103,11 +103,29 @@ def cosine_with_norms(
     return dot_expr(a, b, dim) / (na * nb)
 
 
+#: Unrolling pays only while the generated method stays JIT-compilable:
+#: measured on this JVM (pair join, best-of-3 noop, r16) the unrolled
+#: chain runs 0.53/0.32/0.18/0.25 s at dim 4/8/16/32 vs a flat ~0.5-0.6 s
+#: for the interpreted fold — but 2.82 s at dim 64 (≈5x WORSE: one
+#: giant consume() method blows past HotSpot's huge-method threshold
+#: and runs bytecode-interpreted; Spark cannot split a single
+#: expression tree across methods).  Above this bound callers fall
+#: back to the fold, whose per-element cost is a tight JVM loop.
+UNROLL_MAX_DIM = 32
+
+
+def unrollable(dim: int | None) -> int | None:
+    """``dim`` when unrolling is profitable (<= UNROLL_MAX_DIM), else
+    None (use the fold)."""
+    return dim if dim is not None and dim <= UNROLL_MAX_DIM else None
+
+
 def _centroid_dim(centroids: Sequence[tuple[int, Sequence[float]]]) -> int | None:
     """Static vector length from a plain-data centroid list — the
     unroll dial for every consumer that scores against centroids (the
-    corpus is the same dimensionality by construction)."""
-    return len(centroids[0][1]) if centroids else None
+    corpus is the same dimensionality by construction); gated by
+    :func:`unrollable`."""
+    return unrollable(len(centroids[0][1])) if centroids else None
 
 
 def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
@@ -218,7 +236,7 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     planes = planes if planes is not None else random_planes()
-    dim = len(planes[0]) if planes else None
+    dim = unrollable(len(planes[0])) if planes else None
     q = with_lsh_bucket(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
@@ -270,7 +288,7 @@ def embedding_near_duplicates(
     cosine ≥ threshold — embedding-level near-dup dedup. Bucket
     equi-join only; never all-pairs."""
     planes = planes if planes is not None else random_planes()
-    dim = len(planes[0]) if planes else None
+    dim = unrollable(len(planes[0])) if planes else None
     b = with_lsh_bucket(
         corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")),
         "__v",
@@ -329,6 +347,120 @@ def _argmax_cell(scored: DataFrame, out_id: str) -> DataFrame:
     )
 
 
+#: Upper bound on k·dim for the row-local literal-centroid assignment
+#: (:func:`_probe_cells_rowlocal`): past it the plan embeds too many
+#: literals (planning/codegen cost linear in k·dim) and the broadcast-
+#: join path below takes over — which is also the ONLY shape that
+#: scales to the k ∝ n deployments (SemDeDup's k=50k), where a literal
+#: plan is out of the question.  512 values = the default driver-row
+#: geometry (8 centroids × 64 dims); 8192 leaves headroom for larger
+#: small-k setups while keeping plans compact.
+ROWLOCAL_ASSIGN_MAX_VALUES = 8192
+
+
+def _py_fold_norm(v: Sequence[float]) -> float:
+    """sqrt of the left-to-right x·x fold — the EXACT float
+    :func:`norm_expr` computes for the same values, reproduced driver-
+    side so a literal centroid's norm is bit-identical to the one the
+    broadcast path evaluates in the engine."""
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cent_struct(vec: Column, n: Column, cid: int, cv: Sequence[float],
+                 dim: int | None) -> Column:
+    """One candidate struct for the row-local argmax: ordered by
+    (s, nc) exactly like :func:`_argmax_cell`'s max_by ordering —
+    similarity desc (NaN greatest, Spark's float ordering), ties →
+    lower cid (nc = -cid) — with the winning centroid's vector carried
+    as a literal for residual consumers.  The similarity is
+    ``dot(v, cv_lit) / (n · norm_lit)`` — the same multiplications in
+    the same order as :func:`cosine_with_norms` against the broadcast
+    centroid table, so the float is bit-identical."""
+    sim = dot_expr(vec, F.array(*[F.lit(float(x)) for x in cv]), dim) / (
+        n * F.lit(_py_fold_norm(cv))
+    )
+    return F.struct(
+        sim.alias("s"),
+        F.lit(-int(cid)).alias("nc"),
+        F.lit(int(cid)).alias("cid"),
+        F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+    )
+
+
+def _probe_cells_rowlocal(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: Column,
+    nprobe: int,
+    out_id: str,
+    with_extras: bool = False,
+) -> DataFrame:
+    """Row-local flavor of :func:`_probe_cells` (r16): the K centroids
+    are embedded as literals and the argmax / top-nprobe runs as a pure
+    projection — no centroid join, no aggregation, no exchange.  The
+    assignment becomes a free rider on the scan (guide §2.4: remove
+    shuffles outright); at sf0.1 this measured 0.23 s vs 1.07 s for the
+    broadcast-join + max_by chain, with bit-identical assignments.
+
+    Ordering equivalence: candidates are ranked by the struct
+    (s, nc) — ascending array_sort then reverse ≡ (s DESC with NaN
+    first, cid ASC on ties), exactly the max_by ordering and the
+    window ``__csim DESC, cid ASC`` it replaces.
+
+    ``with_extras`` appends ``__cs`` (similarity to the chosen cell)
+    and ``__cv`` (that cell's centroid vector) so consumers that used
+    to re-join the centroid table (SemDeDup's cent_sim, IVF-PQ's
+    residuals) read them straight off the projection."""
+    dim = _centroid_dim(centroids)
+    base = df.select(
+        F.col(id_col).alias(out_id), vec_col.alias("__v")
+    ).withColumn("__n", norm_expr(F.col("__v"), dim))
+    arr = F.array(
+        *[
+            _cent_struct(F.col("__v"), F.col("__n"), cid, cv, dim)
+            for cid, cv in sorted(centroids)
+        ]
+    )
+    extras = (
+        [F.col("__am.s").alias("__cs"), F.col("__am.cv").alias("__cv")]
+        if with_extras
+        else []
+    )
+    if nprobe == 1:
+        return (
+            base.withColumn("__am", F.array_max(arr))
+            .select(
+                out_id,
+                "__v",
+                "__n",
+                F.col("__am.cid").alias("cell"),
+                *extras,
+            )
+        )
+    return (
+        base.withColumn(
+            "__am",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(arr)), 1, int(nprobe))
+            ),
+        )
+        .select(
+            out_id, "__v", "__n", F.col("__am.cid").alias("cell"), *extras
+        )
+    )
+
+
+def _rowlocal_ok(centroids: Sequence[tuple[int, Sequence[float]]]) -> bool:
+    return (
+        0 < len(centroids)
+        and len(centroids) * len(centroids[0][1]) <= ROWLOCAL_ASSIGN_MAX_VALUES
+    )
+
+
 def _probe_cells(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -338,13 +470,25 @@ def _probe_cells(
     out_id: str,
 ) -> DataFrame:
     """(out_id, __v, __n, cell) — each row's ``nprobe`` nearest centroid
-    cells (cosine; ties → lower cid), via a broadcast join against the
-    K-row centroid table + window top-nprobe. The K-way expansion is
-    reduced map-side before any wide operation; expression trees stay
-    small (array ops), so plan analysis/codegen cost is flat in K —
-    unlike unrolling K·dim literal arithmetic into one projection."""
+    cells (cosine; ties → lower cid).
+
+    Two bit-identical implementations (parity pinned in
+    tests/test_unrolled_exprs.py):
+
+    - k·dim <= ROWLOCAL_ASSIGN_MAX_VALUES (r16): literal-centroid
+      row-local projection (:func:`_probe_cells_rowlocal`) — no join,
+      no aggregate, no exchange.
+    - larger k (the k ∝ n deployments): broadcast join against the
+      K-row centroid table + map-side max_by / window top-nprobe.  The
+      K-way expansion is reduced map-side before any wide operation;
+      expression trees stay small (array ops), so plan analysis/codegen
+      cost is flat in K."""
     from pyspark.sql import Window
 
+    if _rowlocal_ok(centroids):
+        return _probe_cells_rowlocal(
+            df, centroids, id_col, vec_col, nprobe, out_id
+        )
     spark = df.sparkSession
     dim = _centroid_dim(centroids)
     cent = _centroids_df(spark, centroids)
@@ -581,29 +725,42 @@ def semantic_duplicates(
     """
     spark = corpus.sparkSession
     dim = _centroid_dim(centroids)
-    cent = _centroids_df(spark, centroids)
-    if assign == "exact":
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    elif assign == "two_level":
-        # O(n·√k) coarse assignment through the super-cell tree — the
-        # k ∝ n deployment's mitigation (SCALE.md r13 probe). Cell ids
-        # are unchanged, so everything downstream is identical; the
-        # approximation is WHICH cell a borderline row lands in.
-        assigned = ivf_assign_two_level(
-            corpus, centroids, id_col, vec_col,
-            branch=branch, probe_supers=probe_supers, tree=tree,
-        )
+    if assign == "exact" and _rowlocal_ok(centroids):
+        # r16: assignment AND cent_sim in one row-local projection —
+        # no centroid join, no argmax aggregate, no exchange before
+        # the within-cell pair join (__cs is the same float the
+        # broadcast path's cosine_with_norms computes; parity pinned)
+        scored = _probe_cells_rowlocal(
+            corpus, centroids, id_col, as_double_array(vec_col),
+            nprobe=1, out_id=id_col, with_extras=True,
+        ).select(id_col, "cell", "__v", "__n", F.col("__cs"))
     else:
-        raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
-    scored = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
-        F.col(id_col),
-        F.col("cell"),
-        F.col("__v"),
-        F.col("__n"),
-        cosine_with_norms(
-            F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
-        ).alias("__cs"),
-    )
+        cent = _centroids_df(spark, centroids)
+        if assign == "exact":
+            assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        elif assign == "two_level":
+            # O(n·√k) coarse assignment through the super-cell tree —
+            # the k ∝ n deployment's mitigation (SCALE.md r13 probe).
+            # Cell ids are unchanged, so everything downstream is
+            # identical; the approximation is WHICH cell a borderline
+            # row lands in.
+            assigned = ivf_assign_two_level(
+                corpus, centroids, id_col, vec_col,
+                branch=branch, probe_supers=probe_supers, tree=tree,
+            )
+        else:
+            raise ValueError(
+                f"assign must be 'exact' or 'two_level': {assign!r}"
+            )
+        scored = assigned.join(cent, assigned["cell"] == cent["cid"]).select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("__v"),
+            F.col("__n"),
+            cosine_with_norms(
+                F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
+            ).alias("__cs"),
+        )
     a, b = scored.alias("a"), scored.alias("b")
     pair_sim = cosine_with_norms(
         F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n"), dim

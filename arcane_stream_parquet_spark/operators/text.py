@@ -677,7 +677,13 @@ def remove_duplicate_spans(
     # doc counts (over-removal); 96 bits keeps the BIRTHDAY bound
     # negligible at target scale (~6x10^-4 expected collisions across
     # 10^13 windows vs millions at the former 64 bits — r12 advice).
-    wins = toks.select(
+    # Null-id docs keep their OUTPUT row (the final left join preserves
+    # toks), but their window occurrences are inert — countDistinct
+    # skips null ids, and a null-keyed coverage group can never join
+    # back — so dropping them from the window stream is value-identical
+    # and keeps both consumers' subtrees canonically equal to the
+    # isnotnull(id) the coverage join infers (exchange reuse below).
+    wins = toks.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.col("_tk"),
         F.explode(
@@ -701,10 +707,36 @@ def remove_duplicate_spans(
             )
         ).alias("w"),
     )
+    # r16: ONE evaluation of the window-fingerprint stream.  The former
+    # shape computed `wins` twice — once under the frequency aggregate,
+    # once as the join-back probe — i.e. the corpus was tokenized and
+    # sha256-windowed twice per run.  Hash-partitioning the stream by
+    # the fingerprint ONCE lets (a) the frequency aggregate run with no
+    # further exchange (HashPartitioning(w) satisfies its required
+    # distribution) and (b) the join-back probe read the SAME exchange
+    # (ReuseExchange — the explicit isnotnull(w) keeps both consumers'
+    # subtrees canonically identical; w is sha256-derived, never null,
+    # so the filter drops nothing).  Shuffle bytes are unchanged in
+    # kind: this exchange moves (id, pos, 12-byte fingerprint) rows,
+    # the same 16-bytes-per-window metadata the former frequency
+    # shuffle moved — the document text still never shuffles.
+    wins = wins.filter(F.col("w").isNotNull()).repartition(F.col("w"))
     dup = (
         wins.groupBy("w")
-        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            # consumed below so column pruning cannot narrow THIS
+            # consumer's exchange subtree to (id, w) while the probe
+            # side keeps (id, pos, w) — divergent pruning breaks the
+            # exchange reuse this shape exists for.  pos >= 0 by
+            # construction (sequence from 0), so the disjunct never
+            # admits a row the old filter rejected.
+            F.min("pos").alias("_minpos"),
+        )
+        .filter(
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            | (F.col("_minpos") < F.lit(0))
+        )
         .select(F.col("w").alias("_dup_w"))
     )
     # coverage state per document: the SORTED duplicate-window starts

@@ -55,7 +55,7 @@ class VectorIndex:
             ),
             "v",
             self._planes,
-        ).withColumn("n", norm_expr(F.col("v"), len(self._planes[0])))
+        ).withColumn("n", norm_expr(F.col("v"), unrollable(len(self._planes[0]))))
 
     def add_batch(self, vectors: DataFrame, ingest_seq: int) -> int:
         """Index a batch of (vec_id, embedding); idempotent per vec_id
@@ -96,7 +96,7 @@ class VectorIndex:
         )
         sim = cosine_with_norms(
             F.col("qv"), F.col("v"), F.col("qn"), F.col("n"),
-            len(self._planes[0]),
+            unrollable(len(self._planes[0])),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("__sim").desc(), F.col("neighbor_id").asc()

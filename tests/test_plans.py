@@ -102,10 +102,13 @@ def test_no_all_pairs_anywhere(spark, name):
 # deliberate tiny-side broadcast documented at its site; a new NLJ
 # appearing anywhere (including one more in an allowlisted query) fails.
 _NLJ_ALLOWLIST = {
-    # two K-row centroid expansions (corpus assignment + query probe);
-    # see test_ivf_centroid_expansion_is_broadcast_only for the
-    # BuildRight assertion (similarity.py ivf_topk)
-    "ann_ivf_topk": 2,
+    # r16: the driver-geometry centroid expansions (ann_ivf_topk,
+    # semantic_duplicates, ivfpq_topk) became row-local literal argmax
+    # projections (similarity._probe_cells_rowlocal — no join at all);
+    # their former 2/3/2 BuildRight NLJ allowances are gone.  The
+    # broadcast-NLJ path still exists for k·dim past
+    # ROWLOCAL_ASSIGN_MAX_VALUES and stays pinned BuildRight-only in
+    # test_ivf_centroid_expansion_is_broadcast_only.
     # (cosine_topk_bruteforce left the registry in r9 — slot went to
     # redact_pii; the baseline and its broadcast plan stay covered in
     # test_llm_ops)
@@ -119,20 +122,6 @@ _NLJ_ALLOWLIST = {
     # token so OOV tokens see the smoothing totals too
     # (text.py ngram_perplexity)
     "ngram_perplexity": 1,
-    # three K-row centroid expansions, one per instantiation of the
-    # scored frame (within-cell self-join lhs + rhs, output spine) —
-    # each BuildRight of the tiny centroid table; the candidate join
-    # itself is a SortMergeJoin on cell (similarity.py
-    # semantic_duplicates; pinned in test_semdedup.py)
-    "semantic_duplicates": 3,
-    # two K-row centroid expansions: corpus assignment ×1 (r16: cell
-    # now rides through pq_encode's carry instead of a join back
-    # against a SECOND evaluation of the assignment subtree — one
-    # whole scan→argmax→join chain left the plan) + the query-side
-    # probe — each BuildRight of the tiny centroid table; the ADC
-    # candidate join itself is a hash EQUI-join on cell (pq.py
-    # ivfpq_topk; pinned BuildRight-only in test_pq.py)
-    "ivfpq_topk": 2,
     # (domain_mixture's former 1-row feasible-budget crossJoin attach
     # became an unpartitioned window min over the same tiny totals
     # frame in r12 — zero NLJs remain in that plan)
@@ -180,17 +169,44 @@ def test_registry_plan_gate(name, _all_plans):
 
 
 def test_ivf_centroid_expansion_is_broadcast_only(spark):
-    """IVF's only un-keyed joins are the two K-row centroid expansions
-    (corpus assignment + query probe) — each a BroadcastNestedLoopJoin
-    with the TINY side built (cost n·K, reduced map-side by max_by
-    before any exchange). The candidate join itself must be a hash
-    equi-join on the cell id — never corpus×corpus."""
+    """r16: at the driver geometry (k·dim = 512) the centroid argmax
+    is a row-local literal projection — ZERO nested-loop joins; the
+    candidate join stays a hash equi-join on the cell id — never
+    corpus×corpus.  The broadcast-NLJ fallback (k·dim past
+    ROWLOCAL_ASSIGN_MAX_VALUES, the k ∝ n deployments) must still be
+    BuildRight-of-tiny-side only — forced here via the gate."""
     plan = _plan(spark, "ann_ivf_topk")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin BuildRight") == plan.count(
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert "BroadcastHashJoin [cell" in plan
+
+    from arcane_stream_parquet_spark.operators import similarity as sim_mod
+    from arcane_stream_parquet_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from arcane_stream_parquet_spark.plans.llm_queries import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = train_ivf_centroids(emb, k=4, iters=1)
+    orig = sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES
+    sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES = 0
+    try:
+        plan2 = (
+            ivf_topk(emb, emb.limit(2), cents, k=3, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES = orig
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("BroadcastNestedLoopJoin") >= 1
+    assert plan2.count("BroadcastNestedLoopJoin BuildRight") == plan2.count(
         "BroadcastNestedLoopJoin"
     )
-    assert "BroadcastHashJoin [cell" in plan
+    assert "BroadcastHashJoin [cell" in plan2
 
 
 def test_first_fit_packing_single_stream_exchange(spark):

@@ -193,16 +193,15 @@ def test_duckdb_full_pipeline_parity(spark):
 
 def test_plan_is_equijoin_never_cartesian(micro):
     """The within-cell candidate join must be an EQUI-join (here a
-    SortMergeJoin on cell) — never a cartesian. The only nested loops
-    are the three K-row centroid expansions (one per instantiation of
-    the scored frame: self-join lhs, rhs, and the output spine), each
-    a BuildRight broadcast of the tiny centroid table — the same
-    allowlisted pattern as ann_ivf_topk's (test_plans._NLJ_ALLOWLIST)."""
+    SortMergeJoin on cell) — never a cartesian. Since r16 the centroid
+    argmax runs as a row-local literal projection (k·dim under
+    ROWLOCAL_ASSIGN_MAX_VALUES), so the plan has NO nested-loop join
+    at all — the former three K-row centroid-expansion NLJs are gone
+    (test_plans._NLJ_ALLOWLIST dropped to 0)."""
     df, _, cents = micro
     plan = semantic_duplicates(df, cents, tau=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 3
-    assert plan.count("BroadcastNestedLoopJoin BuildRight") == 3
+    assert plan.count("BroadcastNestedLoopJoin") == 0
     assert "SortMergeJoin [cell" in plan
 
 

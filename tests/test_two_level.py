@@ -185,9 +185,11 @@ def test_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    # one allowlisted no-condition broadcast against the SUPER table;
-    # the children join is a real equi-join.
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # r16: the super-cell probe is a row-local literal projection
+    # (branch·dim under ROWLOCAL_ASSIGN_MAX_VALUES) — the former
+    # no-condition super-table broadcast is gone; the children join
+    # stays a real equi-join.
+    assert plan.count("BroadcastNestedLoopJoin") == 0
     assert "BroadcastHashJoin" in plan
 
 

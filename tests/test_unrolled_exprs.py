@@ -134,6 +134,77 @@ def test_residual_expr_matches_zip_with(spark):
             assert _bits(x) == _bits(y)
 
 
+def _toy_corpus(spark, n=60, dim=8):
+    rows = [(i, _vec(i, dim)) for i in range(n)]
+    return spark.createDataFrame(rows, schema="vec_id int, embedding array<double>")
+
+
+@pytest.mark.parametrize("nprobe", [1, 2, 3])
+def test_rowlocal_probe_matches_broadcast_path(spark, nprobe):
+    """The r16 literal-centroid row-local assignment must reproduce the
+    broadcast-join + max_by / window path bit-for-bit: same cells, same
+    per-row probe sets, same similarity floats — including exact-tie
+    and duplicate-centroid cases."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.similarity import (
+        _probe_cells,
+        _probe_cells_rowlocal,
+        _rowlocal_ok,
+        as_double_array,
+    )
+
+    dim = 8
+    corpus = _toy_corpus(spark, dim=dim)
+    # centroid 3 duplicates centroid 1's vector -> every row ties
+    # exactly between them; the (s, nc) ordering must pick cid 1
+    base = [_vec(1000 + c, dim) for c in range(4)]
+    base[3] = list(base[1])
+    cents = [(c, v) for c, v in enumerate(base)]
+    assert _rowlocal_ok(cents)
+
+    fast = _probe_cells_rowlocal(
+        corpus, cents, "vec_id", as_double_array("embedding"),
+        nprobe=nprobe, out_id="vec_id",
+    )
+    # force the generic path by calling past the gate
+    slow = _probe_cells.__wrapped__ if hasattr(_probe_cells, "__wrapped__") else None
+    from arcane_stream_parquet_spark.operators import similarity as sim_mod
+
+    orig = sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES
+    sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES = 0
+    try:
+        slow_df = _probe_cells(
+            corpus, cents, "vec_id", as_double_array("embedding"),
+            nprobe=nprobe, out_id="vec_id",
+        )
+        slow_rows = sorted(
+            (r["vec_id"], r["cell"], _bits(r["__n"]))
+            for r in slow_df.select("vec_id", "cell", "__n").collect()
+        )
+    finally:
+        sim_mod.ROWLOCAL_ASSIGN_MAX_VALUES = orig
+    fast_rows = sorted(
+        (r["vec_id"], r["cell"], _bits(r["__n"]))
+        for r in fast.select("vec_id", "cell", "__n").collect()
+    )
+    assert fast_rows == slow_rows
+    if nprobe == 1:
+        # tie rule: the duplicate centroid pair (1, 3) must always
+        # resolve to the LOWER cid in both paths (at nprobe >= 2 the
+        # duplicate legitimately fills the next probe slot)
+        assert all(c != 3 for _, c, _n in fast_rows)
+    # extras: __cs is the winning similarity, __cv the winning centroid
+    ex = _probe_cells_rowlocal(
+        corpus, cents, "vec_id", as_double_array("embedding"),
+        nprobe=1, out_id="vec_id", with_extras=True,
+    ).collect()
+    by_cid = dict(cents)
+    for r in ex:
+        assert r["__cv"] == by_cid[r["cell"]]
+        assert not (r["__cs"] is None)
+
+
 def test_short_arrays_null_both_forms(spark):
     """Arrays SHORTER than dim: both forms must agree (null via
     null-propagation — F.get out-of-bounds is NULL, zip_with pads
