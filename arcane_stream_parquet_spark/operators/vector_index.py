@@ -24,6 +24,7 @@ from arcane_stream_parquet_spark.operators.similarity import (
     cosine_with_norms,
     norm_expr,
     random_planes,
+    unrollable,
     with_lsh_bucket,
 )
 
