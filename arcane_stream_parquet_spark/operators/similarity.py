@@ -128,6 +128,88 @@ def _centroid_dim(centroids: Sequence[tuple[int, Sequence[float]]]) -> int | Non
     return unrollable(len(centroids[0][1])) if centroids else None
 
 
+#: staged-unroll chunk width: 16-term chains measured fastest on this
+#: JVM (see UNROLL_MAX_DIM table — 0.18 s at dim 16), and each staged
+#: method stays far under HotSpot's ~8 KB huge-method threshold.
+STAGED_DOT_CHUNK = 16
+
+
+def staged_dot_frame(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    dim: int,
+    out_col: str,
+    chunk: int = STAGED_DOT_CHUNK,
+) -> DataFrame:
+    """Append ``out_col`` = the left-associated dot product of two
+    ``dim``-length vector columns, computed as a CHAIN OF STAGED
+    PROJECTIONS so the whole thing runs inside whole-stage codegen even
+    past UNROLL_MAX_DIM (r16, guide §1.2/§4.1).
+
+    Why a frame transform and not an expression: a single unrolled
+    ``dim``-term chain past ~32 terms produces one generated method too
+    large for HotSpot to JIT (measured 2.82 s vs 0.25 s on the r16 pair
+    join — the UNROLL_MAX_DIM note), while the higher-order-function
+    fold is CodegenFallback: interpreted per element with lambda
+    binding, the dominant per-pair cost of SemDeDup at dim 64.  Staging
+    ``chunk``-term partial sums as REAL COLUMNS gives codegen a split
+    point per stage (``spark.sql.codegen.splitConsumeFuncByOperator``,
+    default true, emits one method per operator), so every method stays
+    JIT-compilable.
+
+    Bit-exactness: stage k computes ``(...((p_{k-1} + a[i]*b[i]) +
+    a[i+1]*b[i+1])...)`` — the SAME left-associated IEEE additions in
+    the SAME order as :func:`dot_expr`'s fold and unrolled forms, so
+    the result is bit-identical (pinned in tests/test_unrolled_exprs).
+    Two necessary defenses, each with a pinned rationale:
+
+    - each partial is consumed through ``when(p.isNotNull(), chain)
+      .otherwise(p)`` — p referenced twice, so CollapseProject keeps
+      the stage boundary instead of inlining the chain back into one
+      giant expression (the two branches agree with the plain chain:
+      a null partial null-propagates either way);
+    - each stage carries a ``+ 0.0 * monotonically_increasing_id()``
+      taint, making the stage non-deterministic so no enclosing filter
+      (e.g. SemDeDup's ``>= tau``) is pushed through and re-inlined by
+      PushPredicateThroughNonJoin.  The taint adds ``+ 0.0`` to the
+      partial, whose only representable effect is flipping a ``-0.0``
+      partial to ``+0.0`` — invisible to every consumer of this helper
+      (threshold comparisons and divisions; sign-of-zero never reaches
+      an output column).  Callers must NOT route ``out_col`` to an
+      output where ``-0.0`` vs ``+0.0`` is observable.
+
+    Contract (same as ``dot_expr(dim=...)``): both vectors are exactly
+    ``dim`` long; shorter arrays null-propagate identically to the
+    fold, longer arrays would be silently truncated.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    taint = F.lit(0.0) * F.monotonically_increasing_id().cast("double")
+    cur = df
+    n_stages = (dim + chunk - 1) // chunk
+    prev_name: str | None = None
+    for s in range(n_stages):
+        lo, hi = s * chunk, min((s + 1) * chunk, dim)
+        name = out_col if s == n_stages - 1 else f"__{out_col}_p{s}"
+        if prev_name is None:
+            total = F.lit(0.0)
+            for i in range(lo, hi):
+                total = total + F.get(a, i) * F.get(b, i)
+            cur = cur.withColumn(name, total + taint)
+        else:
+            prev = F.col(prev_name)
+            total = prev
+            for i in range(lo, hi):
+                total = total + F.get(a, i) * F.get(b, i)
+            cur = cur.withColumn(
+                name,
+                F.when(prev.isNotNull(), total + taint).otherwise(prev),
+            )
+        prev_name = name
+    return cur.drop(*[f"__{out_col}_p{s}" for s in range(n_stages - 1)])
+
+
 def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
     """Dot of a vector column with a constant plane — unrolled to a
     plain arithmetic chain (no array literal), fully codegen'd."""
@@ -430,6 +512,18 @@ def _probe_cells_rowlocal(
         if with_extras
         else []
     )
+    # cell is wrapped in coalesce(cid, -1) to make the attribute
+    # NON-NULLABLE (r16): arr is a non-empty literal-built array, so
+    # array_max always yields a struct whose cid is a non-null literal
+    # — the coalesce can never fire and every value is unchanged.  But
+    # Catalyst types array_max as nullable, so each downstream equi-
+    # join on cell INFERRED an IsNotNull(cell) filter which predicate
+    # pushdown then re-inlined below this projection — re-evaluating
+    # the full k-dot argmax (plus a norm fold per centroid after
+    # substitution) once more per corpus row, just to test a null that
+    # cannot occur (observed as a 29 KB scan-level Filter in the
+    # SemDeDup plan).  A non-nullable cell generates no constraint at
+    # all.
     if nprobe == 1:
         return (
             base.withColumn("__am", F.array_max(arr))
@@ -437,7 +531,7 @@ def _probe_cells_rowlocal(
                 out_id,
                 "__v",
                 "__n",
-                F.col("__am.cid").alias("cell"),
+                F.coalesce(F.col("__am.cid"), F.lit(-1)).alias("cell"),
                 *extras,
             )
         )
@@ -449,7 +543,11 @@ def _probe_cells_rowlocal(
             ),
         )
         .select(
-            out_id, "__v", "__n", F.col("__am.cid").alias("cell"), *extras
+            out_id,
+            "__v",
+            "__n",
+            F.coalesce(F.col("__am.cid"), F.lit(-1)).alias("cell"),
+            *extras,
         )
     )
 
@@ -761,13 +859,43 @@ def semantic_duplicates(
                 F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
             ).alias("__cs"),
         )
-    a, b = scored.alias("a"), scored.alias("b")
-    pair_sim = cosine_with_norms(
-        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n"), dim
+    # r16 (guide §2.4: share one exchange): the scored projection — the
+    # k·dim centroid argmax per row, the operator's dominant per-row
+    # cost — is consumed by BOTH pair-join sides; unpartitioned, each
+    # side re-evaluates it from the scan (two argmax passes over the
+    # corpus).  Hash-partitioning by cell ONCE gives the two sides
+    # byte-identical exchange subtrees (same inferred isnotnull
+    # filters, same pruned columns), which AQE's stage reuse evaluates
+    # once at runtime — one argmax pass + one n-row (vec, 3 scalars)
+    # shuffle instead of two corpus passes.  At 100 TB the trade runs
+    # the same direction: k ∝ n makes the argmax the expensive term.
+    # The final flag join-back keeps the UNpartitioned scored: its
+    # column set prunes narrower (no vec/norm), so it could never
+    # share the exchange, and adding the repartition there would just
+    # stack a by-cell shuffle under its by-id one.
+    scored_pair = scored.repartition(F.col("cell"))
+    # plain-renamed join sides (no dataset aliases): the staged pair
+    # scoring below appends columns with withColumn, after which
+    # alias-qualified references would be ambiguous.  The renames sit
+    # ABOVE the shared exchange and canonicalize names away, so reuse
+    # is unaffected.
+    left = scored_pair.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cell").alias("__cella"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__cs").alias("__csa"),
     )
-    b_keeps = (F.col("b.__cs") < F.col("a.__cs")) | (
-        (F.col("b.__cs") == F.col("a.__cs"))
-        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    right = scored_pair.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cell").alias("__cellb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__cs").alias("__csb"),
+    )
+    b_keeps = (F.col("__csb") < F.col("__csa")) | (
+        (F.col("__csb") == F.col("__csa"))
+        & (F.col("__idb") < F.col("__ida"))
     )
     # each unordered pair once (a < b), not both directions: the keep
     # rule is a strict total order on (cent_sim, id), so exactly one
@@ -775,16 +903,34 @@ def semantic_duplicates(
     # Halves the pairwise-cosine evaluations vs the a != b spelling
     # with bit-identical output (r14; the DuckDB oracle keeps the
     # symmetric spelling, pinning the equivalence).
-    losers = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    pairs = left.join(
+        right,
+        (F.col("__cella") == F.col("__cellb"))
+        & (F.col("__ida") < F.col("__idb")),
+    )
+    raw_dim = len(centroids[0][1]) if centroids else None
+    if raw_dim is not None and raw_dim > UNROLL_MAX_DIM:
+        # r16 (guide §1.2/§4.1): past the unroll bound the per-pair
+        # cosine fold is the operator's dominant cost — interpreted
+        # HOFs, sum(|cell|²)·dim lambda steps.  staged_dot_frame keeps
+        # the SAME left-associated additions but runs them codegen'd
+        # in JIT-sized stages; the division and the tau comparison are
+        # unchanged, so pair admission is bit-identical (sign-of-zero
+        # on the internal dot is the only representable deviation and
+        # never reaches an output).
+        pairs = staged_dot_frame(
+            pairs, F.col("__va"), F.col("__vb"), raw_dim, "__pdot"
         )
-        .filter(pair_sim >= F.lit(tau))
+        pair_sim = F.col("__pdot") / (F.col("__na") * F.col("__nb"))
+    else:
+        pair_sim = cosine_with_norms(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
+        )
+    losers = (
+        pairs.filter(pair_sim >= F.lit(tau))
         .select(
-            F.when(b_keeps, F.col(f"a.{id_col}"))
-            .otherwise(F.col(f"b.{id_col}"))
+            F.when(b_keeps, F.col("__ida"))
+            .otherwise(F.col("__idb"))
             .alias(id_col)
         )
         .distinct()

@@ -64,6 +64,7 @@ def text_stats(
     df: DataFrame,
     text_col: str = "text",
     stopwords: Sequence[str] = STOPWORDS,
+    tokens: str | Column | None = None,
 ) -> DataFrame:
     """Per-document profile: char/token counts, BPE-ish token count,
     alpha/digit ratios, stopword ratio, mean token length.
@@ -71,12 +72,21 @@ def text_stats(
     Narrow projection — no shuffle; Parquet scan reads only ``text_col``
     plus whatever the caller selects (column pruning verified in
     tests/test_llm_ops.py).
+
+    ``tokens`` (r16): a caller that already staged the whitespace
+    tokens (same :func:`tokens_column` expression) passes the column
+    here so one evaluation feeds every consumer — bit-identical values.
     """
     # tokenization and lowering hoisted into real columns: the split/
     # lower subtrees are referenced by 5 output expressions, and inside
     # a lambda-bearing projection codegen's subexpression elimination
     # does not always cover them (~20% on the whole profile at sf0.1)
-    staged = df.withColumn("__toks", tokens_column(text_col)).withColumn(
+    staged = df.withColumn(
+        "__toks",
+        (F.col(tokens) if isinstance(tokens, str) else tokens)
+        if tokens is not None
+        else tokens_column(text_col),
+    ).withColumn(
         "__lower", F.lower(F.col(text_col))
     )
     toks = F.col("__toks")
@@ -107,6 +117,7 @@ def quality_score(
     df: DataFrame,
     text_col: str = "text",
     min_score: float = 0.5,
+    tokens: str | Column | None = None,
 ) -> DataFrame:
     """Heuristic document quality in [0,1] + keep/drop flag — the
     C4/Gopher-style rule family (length, word shape, stopword presence)
@@ -117,7 +128,7 @@ def quality_score(
           + 0.2·min(stopword_ratio·5, 1)    (natural-language glue)
           + 0.1·(distinct_tokens/n_tokens)  (not boilerplate repeats)
     """
-    staged = text_stats(df, text_col)
+    staged = text_stats(df, text_col, tokens=tokens)
     score = (
         F.lit(0.4) * F.least(F.col("stat_n_tokens") / F.lit(50.0), F.lit(1.0))
         + F.lit(0.3) * F.col("stat_alpha_ratio")
@@ -156,7 +167,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    tokens: str | Column | None = None,
+    raw_lines: str | Column | None = None,
+) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — the
     standard pre-training curation signals the reference's users would
     compute downstream): per document, the duplicate-line fraction,
@@ -172,13 +188,35 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     the array, then a single aggregate() whose run-length accumulator
     yields count/distinct/dup-chars/max in O(n log n), with each array
     referenced by exactly one consumer.  Still shuffle-free, UDF-free
-    and row-local — a free rider on any 100 TB scan."""
+    and row-local — a free rider on any 100 TB scan.
+
+    r16 (guide §1.2 per-task work): the bigram tokenization is STAGED
+    as a real column before use.  The bigram builder references its
+    token array five times (the n>=2 gate, two slice bases, two slice
+    lengths); as a raw Column expression each reference inlines a
+    fresh copy of the whole split+filter tree into the collapsed
+    projection — the r16 plan capture showed 5 copies evaluated per
+    row.  An aliased non-cheap column referenced more than once
+    survives CollapseProject, so it is computed once.  ``tokens`` /
+    ``raw_lines`` let a caller that already computed the whitespace
+    tokens or the ``split(text, '\\n')`` array (gopher_quality_flags,
+    the text_stats profile) share ONE evaluation across operators —
+    same expressions, so results are bit-identical."""
     col = F.col(text_col)
+
+    def _as_col(c: str | Column) -> Column:
+        return F.col(c) if isinstance(c, str) else c
+
+    raw_ln = _as_col(raw_lines) if raw_lines is not None else F.split(col, "\n")
+    staged = df.withColumn(
+        "__rep_tk",
+        _as_col(tokens) if tokens is not None else tokens_column(text_col),
+    ).withColumn("__rep_nt", F.size(F.col("__rep_tk")))
     lines = F.array_sort(
-        F.filter(F.split(col, "\n"), lambda ln: F.length(ln) > F.lit(0))
+        F.filter(raw_ln, lambda ln: F.length(ln) > F.lit(0))
     )
-    toks = tokens_column(text_col)
-    n_toks = F.size(toks)
+    toks = F.col("__rep_tk")
+    n_toks = F.col("__rep_nt")
     bigrams = F.when(
         n_toks >= 2,
         # zip_with over two slices: lambda vars only — no outer-tree
@@ -252,7 +290,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     # materialize each accumulator ONCE; field extraction afterwards is
     # cheap (CollapseProject keeps non-cheap aliases referenced more
     # than once un-inlined)
-    mid = df.withColumn("__rep_l", line_acc).withColumn("__rep_b", bg_acc)
+    mid = staged.withColumn("__rep_l", line_acc).withColumn("__rep_b", bg_acc)
     out = mid.select(
         *df.columns,
         F.col("__rep_l.n").cast("bigint").alias("rep_n_lines"),
@@ -351,12 +389,21 @@ def gopher_quality_flags(
     Pure row-local projections over one scan — shuffle-free, UDF-free;
     cross-engine DuckDB replay pinned in tests/test_gopher.py.
     """
-    rep = repetition_signals(df, text_col)
-    staged = rep.withColumn("__g_toks", tokens_column(text_col)).withColumn(
+    # r16 (guide §1.2): tokenize and newline-split ONCE, shared with
+    # repetition_signals via its tokens/raw_lines hooks — the former
+    # shape evaluated the token split twice (and, pre-staging, the
+    # bigram builder's five references each inlined another copy) and
+    # the newline split twice per row.  Same expressions, one
+    # evaluation; results bit-identical.
+    staged0 = df.withColumn("__g_toks", tokens_column(text_col)).withColumn(
+        "__g_rawln", F.split(F.col(text_col), "\n")
+    )
+    rep = repetition_signals(
+        staged0, text_col, tokens="__g_toks", raw_lines="__g_rawln"
+    )
+    staged = rep.withColumn(
         "__g_lines",
-        F.filter(
-            F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
-        ),
+        F.filter(F.col("__g_rawln"), lambda ln: F.length(F.trim(ln)) > 0),
     )
     toks = F.col("__g_toks")
     lines = F.col("__g_lines")
@@ -443,7 +490,7 @@ def gopher_quality_flags(
     for c in flags.values():
         keep = c if keep is None else (keep & c)
     return staged.select(
-        *rep.columns,
+        *[c for c in rep.columns if c not in ("__g_toks", "__g_rawln")],
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("gopher_keep"),
     )

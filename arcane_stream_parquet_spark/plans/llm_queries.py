@@ -61,6 +61,7 @@ from arcane_stream_parquet_spark.operators.text import (
     quality_score,
     repetition_signals,
     text_stats,
+    tokens_column,
 )
 from arcane_stream_parquet_spark.plans.registry import register_query
 from arcane_stream_parquet_spark.sources.tables import load_table
@@ -325,8 +326,14 @@ _QUALITY_SCORE_SQL = (
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # text_stats + quality + repetition columns: one projection, no join
-    st = repetition_signals(quality_score(docs))
+    # text_stats + quality + repetition columns: one projection, no join.
+    # r16: ONE staged tokenization shared by the stats and the bigram
+    # repetition pass (the operators' tokens hook) — identical
+    # expression, bit-identical values, evaluated once per row.
+    staged = docs.withColumn("__tk_shared", tokens_column("text"))
+    st = repetition_signals(
+        quality_score(staged, tokens="__tk_shared"), tokens="__tk_shared"
+    )
     return st.select(
         "doc_id",
         "stat_n_chars",

@@ -202,7 +202,14 @@ def test_plan_is_equijoin_never_cartesian(micro):
     plan = semantic_duplicates(df, cents, tau=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 0
-    assert "SortMergeJoin [cell" in plan
+    # r16: the pair sides are plain-renamed ABOVE the shared by-cell
+    # exchange (so AQE stage reuse sees byte-identical subtrees), so the
+    # equi-join keys are the renamed __cella/__cellb — same cell values.
+    assert "SortMergeJoin [__cella" in plan
+    # both sides hash-partition by the SAME repartition(cell) — the
+    # shared-exchange shape (reuse itself is adjudicated at runtime by
+    # AQE; the static plan pins the identical partitioning intent)
+    assert plan.count("REPARTITION_BY_COL") == 2
 
 
 def test_deterministic_across_runs(micro):
