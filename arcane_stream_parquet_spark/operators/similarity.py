@@ -128,88 +128,6 @@ def _centroid_dim(centroids: Sequence[tuple[int, Sequence[float]]]) -> int | Non
     return unrollable(len(centroids[0][1])) if centroids else None
 
 
-#: staged-unroll chunk width: 16-term chains measured fastest on this
-#: JVM (see UNROLL_MAX_DIM table — 0.18 s at dim 16), and each staged
-#: method stays far under HotSpot's ~8 KB huge-method threshold.
-STAGED_DOT_CHUNK = 16
-
-
-def staged_dot_frame(
-    df: DataFrame,
-    a: Column,
-    b: Column,
-    dim: int,
-    out_col: str,
-    chunk: int = STAGED_DOT_CHUNK,
-) -> DataFrame:
-    """Append ``out_col`` = the left-associated dot product of two
-    ``dim``-length vector columns, computed as a CHAIN OF STAGED
-    PROJECTIONS so the whole thing runs inside whole-stage codegen even
-    past UNROLL_MAX_DIM (r16, guide §1.2/§4.1).
-
-    Why a frame transform and not an expression: a single unrolled
-    ``dim``-term chain past ~32 terms produces one generated method too
-    large for HotSpot to JIT (measured 2.82 s vs 0.25 s on the r16 pair
-    join — the UNROLL_MAX_DIM note), while the higher-order-function
-    fold is CodegenFallback: interpreted per element with lambda
-    binding, the dominant per-pair cost of SemDeDup at dim 64.  Staging
-    ``chunk``-term partial sums as REAL COLUMNS gives codegen a split
-    point per stage (``spark.sql.codegen.splitConsumeFuncByOperator``,
-    default true, emits one method per operator), so every method stays
-    JIT-compilable.
-
-    Bit-exactness: stage k computes ``(...((p_{k-1} + a[i]*b[i]) +
-    a[i+1]*b[i+1])...)`` — the SAME left-associated IEEE additions in
-    the SAME order as :func:`dot_expr`'s fold and unrolled forms, so
-    the result is bit-identical (pinned in tests/test_unrolled_exprs).
-    Two necessary defenses, each with a pinned rationale:
-
-    - each partial is consumed through ``when(p.isNotNull(), chain)
-      .otherwise(p)`` — p referenced twice, so CollapseProject keeps
-      the stage boundary instead of inlining the chain back into one
-      giant expression (the two branches agree with the plain chain:
-      a null partial null-propagates either way);
-    - each stage carries a ``+ 0.0 * monotonically_increasing_id()``
-      taint, making the stage non-deterministic so no enclosing filter
-      (e.g. SemDeDup's ``>= tau``) is pushed through and re-inlined by
-      PushPredicateThroughNonJoin.  The taint adds ``+ 0.0`` to the
-      partial, whose only representable effect is flipping a ``-0.0``
-      partial to ``+0.0`` — invisible to every consumer of this helper
-      (threshold comparisons and divisions; sign-of-zero never reaches
-      an output column).  Callers must NOT route ``out_col`` to an
-      output where ``-0.0`` vs ``+0.0`` is observable.
-
-    Contract (same as ``dot_expr(dim=...)``): both vectors are exactly
-    ``dim`` long; shorter arrays null-propagate identically to the
-    fold, longer arrays would be silently truncated.
-    """
-    if dim < 1:
-        raise ValueError(f"dim must be >= 1, got {dim}")
-    taint = F.lit(0.0) * F.monotonically_increasing_id().cast("double")
-    cur = df
-    n_stages = (dim + chunk - 1) // chunk
-    prev_name: str | None = None
-    for s in range(n_stages):
-        lo, hi = s * chunk, min((s + 1) * chunk, dim)
-        name = out_col if s == n_stages - 1 else f"__{out_col}_p{s}"
-        if prev_name is None:
-            total = F.lit(0.0)
-            for i in range(lo, hi):
-                total = total + F.get(a, i) * F.get(b, i)
-            cur = cur.withColumn(name, total + taint)
-        else:
-            prev = F.col(prev_name)
-            total = prev
-            for i in range(lo, hi):
-                total = total + F.get(a, i) * F.get(b, i)
-            cur = cur.withColumn(
-                name,
-                F.when(prev.isNotNull(), total + taint).otherwise(prev),
-            )
-        prev_name = name
-    return cur.drop(*[f"__{out_col}_p{s}" for s in range(n_stages - 1)])
-
-
 def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
     """Dot of a vector column with a constant plane — unrolled to a
     plain arithmetic chain (no array literal), fully codegen'd."""
@@ -908,24 +826,24 @@ def semantic_duplicates(
         (F.col("__cella") == F.col("__cellb"))
         & (F.col("__ida") < F.col("__idb")),
     )
-    raw_dim = len(centroids[0][1]) if centroids else None
-    if raw_dim is not None and raw_dim > UNROLL_MAX_DIM:
-        # r16 (guide §1.2/§4.1): past the unroll bound the per-pair
-        # cosine fold is the operator's dominant cost — interpreted
-        # HOFs, sum(|cell|²)·dim lambda steps.  staged_dot_frame keeps
-        # the SAME left-associated additions but runs them codegen'd
-        # in JIT-sized stages; the division and the tau comparison are
-        # unchanged, so pair admission is bit-identical (sign-of-zero
-        # on the internal dot is the only representable deviation and
-        # never reaches an output).
-        pairs = staged_dot_frame(
-            pairs, F.col("__va"), F.col("__vb"), raw_dim, "__pdot"
-        )
-        pair_sim = F.col("__pdot") / (F.col("__na") * F.col("__nb"))
-    else:
-        pair_sim = cosine_with_norms(
-            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
-        )
+    # Pair similarity stays the zip_with/aggregate FOLD past the unroll
+    # bound (dim through cosine_with_norms is None there) — a measured
+    # r16 negative result, twice over:
+    # - staging the dot as chunked 16-term projections (JIT-sized
+    #   codegen methods, non-deterministic-tainted so the optimizer
+    #   could not re-inline them) ran 4.86 s vs the fold's 2.57 s at
+    #   sf0.1: the taint keeps the `>= tau` admission OUT of the join
+    #   condition, so every within-cell pair materializes both 64-dim
+    #   vectors through each staged projection, where the fold form
+    #   evaluates inside the join and drops losers before any
+    #   materialization;
+    # - a 4-products-per-step chunked fold (same left-associated
+    #   order, fewer lambda rebinds) ran 5.07 s: dynamic element_at
+    #   plus the per-pair sequence() costs more than zip_with's
+    #   paired traversal.
+    pair_sim = cosine_with_norms(
+        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
+    )
     losers = (
         pairs.filter(pair_sim >= F.lit(tau))
         .select(
