@@ -613,7 +613,25 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     )
-    key = F.lower(F.trim(F.col("line")))
+    # r16 (guide §2.3, shuffle keys not payloads): the line key travels
+    # as a 96-bit sha256 prefix (12 BYTES of binary), never its text —
+    # the remove_duplicate_spans discipline applied to pass 1's
+    # frequency shuffle, which at 100 TB is this operator's dominant
+    # exchange.  countDistinct's partial stage shuffles (key, id) pairs:
+    # 12 B + 8 B per distinct pair instead of the full normalized line
+    # (boilerplate candidates — nav menus, legal footers — routinely run
+    # 100s of chars, so this is ~5-20× fewer shuffle bytes), and the
+    # broadcast ships 12-byte keys (fixed-width: the entry cap alone now
+    # bounds the broadcast at ~12 MB/M entries — no byte gate needed).
+    # A prefix collision can only MERGE two lines' doc counts
+    # (over-removal); at 96 bits the birthday aggregate stays ~0 even at
+    # 10^13 distinct lines (same bound as the span fingerprints).  The
+    # oracle keys on the line text itself and matches bit-for-bit —
+    # the key's representation is invisible to the output absent a
+    # collision.
+    key = F.unhex(
+        F.substring(F.sha2(F.lower(F.trim(F.col("line"))), 256), 1, 24)
+    )
     boiler = (
         lines.groupBy(key.alias("line_key"))
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
@@ -621,8 +639,7 @@ def remove_boilerplate_lines(
         .select("line_key", F.lit(True).alias("_is_boiler"))
     )
     marked = lines.join(
-        # line keys are variable-width: gate on total key bytes too
-        _gated_broadcast(boiler, boiler_broadcast_limit, weight_col="line_key"),
+        _gated_broadcast(boiler, boiler_broadcast_limit),
         key == F.col("line_key"),
         "left",
     )

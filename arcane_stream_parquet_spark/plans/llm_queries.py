@@ -1733,7 +1733,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_column("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    docfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df_"))
+    # r16 (guide §1.2 / §2.3): docfreq derives FROM tf — tf holds exactly
+    # one row per (doc, tok), so counting tf rows per tok IS
+    # countDistinct(doc_id) over the raw token stream.  The former shape
+    # re-tokenized and re-exploded the whole corpus under a second
+    # corpus-wide distinct-aggregate shuffle; this one tokenizes once and
+    # aggregates the already-small tf frame (partial-agg shuffle of
+    # (tok, count) rows only).  count_if(tf >= 1) ≡ count(*) (tf >= 1 by
+    # construction) and keeps this branch referencing the tf column, so
+    # both consumers of the (doc_id, tok) exchange prune identically and
+    # share one evaluation (the duplicate_spans discipline).
+    docfreq = tf.groupBy("tok").agg(
+        F.count_if(F.col("tf") >= 1).alias("df_")
+    )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(docfreq), "tok")

@@ -1023,11 +1023,15 @@ def test_remove_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_remove_boilerplate_lines_byte_gate(spark):
-    """Boilerplate line keys are variable-width, so the gate must bound
-    BYTES, not just entries: a handful of huge lines under the row
-    limit still falls back when their total key bytes exceed the byte
-    limit — and the fallback stays row-identical."""
+def test_remove_boilerplate_lines_fixed_width_keys(spark):
+    """r16: boilerplate line keys travel as 96-bit sha256-prefix
+    fingerprints (12-byte binary), never the line text — so the
+    broadcast is bounded by the entry cap alone, independent of line
+    LENGTH.  Huge banner lines must still broadcast (the former
+    variable-width byte gate is structurally unnecessary: 12 B/key ×
+    the row cap bounds the bytes), the probe join key must be the
+    binary fingerprint, and the rows must match the text-keyed
+    semantics exactly."""
     from arcane_stream_parquet_spark.operators.text import (
         remove_boilerplate_lines,
     )
@@ -1038,22 +1042,17 @@ def test_remove_boilerplate_lines_byte_gate(spark):
         "doc_id long, text string",
     )
     with _no_auto_broadcast(spark):
-        kw = dict(min_docs=5, boiler_broadcast_limit=10_000)
-        under = remove_boilerplate_lines(docs, **kw)
-        p_under = under._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in p_under  # 5000 B < 64 MB default
-        # same rows, tiny byte budget: falls back despite 1 entry
-        # (byte_limit resolves at call time from the module constant)
-        import unittest.mock as mock
-
-        import arcane_stream_parquet_spark.operators.text as text_mod
-
-        with mock.patch.object(text_mod, "DUP_BROADCAST_BYTE_LIMIT", 100):
-            over = remove_boilerplate_lines(docs, **kw)
-        p_over = over._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in p_over
-        rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
-        assert rows(under) == rows(over)
+        out = remove_boilerplate_lines(
+            docs, min_docs=5, boiler_broadcast_limit=10_000
+        )
+        p = out._jdf.queryExecution().executedPlan().toString()
+        # broadcast fires regardless of line width: keys are fixed 12 B
+        assert "BroadcastHashJoin" in p
+        # the frequency/broadcast key is the fingerprint, not the text
+        assert "unhex" in p and "sha2" in p
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert all(rows[i]["clean_text"] == f"body {i}" for i in range(10))
+        assert all(rows[i]["n_removed"] == 1 for i in range(10))
 
 
 def test_remove_duplicate_spans_broadcast_gate_both_sides(spark):
