@@ -670,6 +670,83 @@ def ivf_topk(
     )
 
 
+def _semdedup_losers_arrow(
+    scored: DataFrame, id_col: str, tau: float
+) -> DataFrame:
+    """Within-cell admitted-pair losers in ONE grouped Arrow pass
+    (guide §4.2: let Spark do the by-cell shuffle, hand each whole
+    cell to vectorized numpy instead of evaluating an interpreted
+    64-element fold per candidate pair).
+
+    BIT-IDENTICAL to the join+fold form by construction: the pair dot
+    is accumulated as 'acc = acc + a[d]*b[d]' one dimension at a time
+    over vectorized numpy arrays — the same IEEE additions in the same
+    left-to-right order as :func:`dot_expr`'s fold (numpy never fuses
+    or reassociates elementwise ops) — and the division by the SAME
+    precomputed __n norms matches :func:`cosine_with_norms`.  NaN
+    follows Spark's larger-than-everything ordering.  Contract: the
+    vector/norm/cent-sim columns are non-null (they are, coming from
+    the scored projection over non-null embeddings); null-tolerant
+    callers use ``pair_backend="sql"``.
+
+    Scale shape: one exchange (the groupBy's hash partition by cell),
+    per-cell work sum(|cell|^2)·dim as vectorized numpy, blocked so
+    the pair-block accumulator stays ~64 MB regardless of cell size.
+    A giant skewed cell is one Python task here (the SQL backend's
+    AQE skew-join split is the mitigation when that dominates)."""
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType([scored.schema[id_col]])
+
+    def find_losers(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][[id_col]]
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"].to_numpy()[order]]
+        )
+        nn = pdf["__n"].to_numpy(dtype=np.float64)[order]
+        cs = pdf["__cs"].to_numpy(dtype=np.float64)[order]
+        n_rows, dim = V.shape
+        loser = np.zeros(n_rows, dtype=bool)
+        # row-block size bounding the (block × n_rows) accumulator
+        blk = max(1, min(1024, (64 << 20) // (8 * n_rows)))
+        cs_nan = np.isnan(cs)
+        for i0 in range(0, n_rows - 1, blk):
+            i1 = min(i0 + blk, n_rows - 1)
+            c0 = i0 + 1  # only columns j > i0 can form an (i < j) pair
+            acc = np.zeros((i1 - i0, n_rows - c0))
+            for d in range(dim):
+                acc += V[i0:i1, d, None] * V[None, c0:, d]
+            cos = acc / (nn[i0:i1, None] * nn[None, c0:])
+            adm = np.isnan(cos) | (cos >= tau)
+            # strict upper triangle in GLOBAL indices: j > i
+            ii, jj = np.nonzero(adm)
+            gi = ii + i0
+            gj = jj + c0
+            keep = gj > gi
+            gi, gj = gi[keep], gj[keep]
+            if gi.size == 0:
+                continue
+            # Spark ordering: NaN is larger than any non-NaN, NaN == NaN.
+            # b (higher id) keeps iff cs[b] < cs[a]; the id tie-break can
+            # never fire (ids ascending → ids[gj] > ids[gi]).
+            b_keeps = (~cs_nan[gj]) & (cs_nan[gi] | (cs[gj] < cs[gi]))
+            loser[gi[b_keeps]] = True
+            loser[gj[~b_keeps]] = True
+        return pd.DataFrame({id_col: ids[loser]})
+
+    return (
+        scored.select(id_col, "cell", "__v", "__n", "__cs")
+        .groupBy("cell")
+        .applyInPandas(find_losers, out_schema)
+    )
+
+
 def semantic_duplicates(
     corpus: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -680,6 +757,7 @@ def semantic_duplicates(
     branch: int | None = None,
     probe_supers: int = 3,
     tree: tuple[list[tuple[int, list[float]]], dict[int, int]] | None = None,
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through the coarse quantizer — the cluster-bucketed
@@ -722,6 +800,15 @@ def semantic_duplicates(
     keep rule are bit-identical across engines — a DuckDB replay of
     the full pipeline (training included) pins this in
     tests/test_semdedup.py.
+
+    ``pair_backend`` (r16): ``"arrow"`` (default) evaluates the
+    within-cell pair similarities as one grouped Arrow pass — blocked
+    vectorized numpy with the SAME left-to-right IEEE accumulation as
+    the fold, so results are bit-identical (pinned in
+    tests/test_semdedup.py) at a fraction of the per-pair cost;
+    requires non-null embeddings and keeps each cell in one task.
+    ``"sql"`` is the pure-JVM within-cell equi-join — null-tolerant
+    and AQE-skew-splittable — for corpora with pathological cells.
 
     SAFETY CONTRACT for ``assign="two_level"``: the tree quantizer is
     EXACT when the corpus is cluster-separated (each vector's nearest
@@ -777,6 +864,26 @@ def semantic_duplicates(
                 F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn_c"), dim
             ).alias("__cs"),
         )
+    if pair_backend == "arrow":
+        # r16 (guide §4.2): the per-pair cosine was the operator's
+        # dominant cost — an interpreted 64-element fold per candidate
+        # pair inside the join (2.3 s of the 2.7 s row at sf0.1).  One
+        # grouped Arrow pass computes every within-cell pair dot as
+        # blocked vectorized numpy with the SAME left-to-right IEEE
+        # accumulation (bit-identical; pinned vs the SQL backend and
+        # the DuckDB oracle).  Same exchange count: the groupBy's
+        # by-cell hash partition replaces the shared repartition(cell).
+        losers = _semdedup_losers_arrow(scored, id_col, tau)
+        return scored.join(
+            losers.withColumn("__dup", F.lit(True)), id_col, "left"
+        ).select(
+            id_col,
+            "cell",
+            F.col("__cs").alias("cent_sim"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_semantic_dup"),
+        )
+    if pair_backend != "sql":
+        raise ValueError(f"pair_backend must be 'arrow' or 'sql': {pair_backend!r}")
     # r16 (guide §2.4: share one exchange): the scored projection — the
     # k·dim centroid argmax per row, the operator's dominant per-row
     # cost — is consumed by BOTH pair-join sides; unpartitioned, each

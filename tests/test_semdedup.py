@@ -199,7 +199,10 @@ def test_plan_is_equijoin_never_cartesian(micro):
     at all — the former three K-row centroid-expansion NLJs are gone
     (test_plans._NLJ_ALLOWLIST dropped to 0)."""
     df, _, cents = micro
-    plan = semantic_duplicates(df, cents, tau=0.9)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        semantic_duplicates(df, cents, tau=0.9, pair_backend="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 0
     # r16: the pair sides are plain-renamed ABOVE the shared by-cell
@@ -210,6 +213,41 @@ def test_plan_is_equijoin_never_cartesian(micro):
     # shared-exchange shape (reuse itself is adjudicated at runtime by
     # AQE; the static plan pins the identical partitioning intent)
     assert plan.count("REPARTITION_BY_COL") == 2
+
+
+def test_arrow_backend_plan_one_grouped_pass(micro):
+    """The default (arrow) backend: NO pair join at all — the
+    within-cell pairs run inside one FlatMapGroupsInPandas keyed by
+    cell, so the only remaining join is the by-id flag join-back."""
+    df, _, cents = micro
+    plan = (
+        semantic_duplicates(df, cents, tau=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "SortMergeJoin [__cella" not in plan
+
+
+def test_arrow_backend_bit_identical_to_sql(micro):
+    """The arrow pair pass must reproduce the fold's floats BIT-FOR-BIT
+    (same left-to-right IEEE accumulation) — on the micro corpus (exact
+    ties included) and on a loose-tau run that admits borderline pairs."""
+    df, _, cents = micro
+    for tau in (0.9, 0.35):
+        a = sorted(
+            map(tuple, semantic_duplicates(df, cents, tau=tau).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_duplicates(
+                    df, cents, tau=tau, pair_backend="sql"
+                ).collect(),
+            )
+        )
+        assert a == b, tau
 
 
 def test_deterministic_across_runs(micro):
