@@ -931,7 +931,9 @@ def importance_weights(
     ``None`` keeps the raw IEEE double path (faster, no scaled-integer
     hop).
 
-    Returns ``raw``'s (id_col, n_features, importance_weight).
+    Returns ``raw``'s (id_col, n_features, importance_weight) — one
+    row per distinct document id; a document with < 2 tokens has no
+    features and scores (0, 0.0).
 
     100 TB shape: the two feature distributions are B-row aggregates
     (one partial-agg shuffle each over exploded features — B <= 65536,
@@ -954,46 +956,47 @@ def importance_weights(
     # be reused), so the corpus is tokenized+hashed ONCE per run.
     raw = raw.filter(F.col(id_col).isNotNull())
 
-    def feat_stream(df: DataFrame, with_id: bool) -> DataFrame:
+    def feat_stream(df: DataFrame, with_id: bool, outer: bool = False) -> DataFrame:
         """(id?, _fb) hashed-bigram feature rows — the DSIR feature
         space (hashed n-gram bag features make the target/raw density
         ratio estimable at corpus scale); a bigram's bucket is the
         first 4 hex digits of its sha256 mod B, so a DuckDB oracle
         reproduces the ids exactly.  Tokens are STAGED as a real
-        column, raw bigrams exploded, THEN hashed row-wise in a
-        codegen projection.  Shape matters (the r8 repetition_signals lesson):
-        higher-order-function lambdas are interpreted and re-evaluate
-        referenced outer subtrees per element, so hashing inside a
-        transform over a grams array that itself element_at's an
-        unstaged tokenization re-runs the split O(n) times per doc —
-        measured 7x on this operator at sf0.1."""
+        column; positions explode FIRST and the bigram string + hash
+        materialize as a row-level CODEGEN projection on the exploded
+        rows (r16, guide §4.1 — the duplicate_spans window-stream
+        shape): building the grams inside a transform lambda runs
+        interpreted per element (the r8 repetition_signals lesson:
+        higher-order-function lambdas are interpreted), measured
+        0.42 → 0.29 s for this stream at sf0.1.  ``outer=True`` emits
+        one null-bucket row for a document with < 2 tokens, so
+        featureless documents ride the same per-doc aggregate instead
+        of needing a corpus re-scan + join-back."""
         staged = df.select(
             *( [F.col(id_col)] if with_id else [] ),
             tokens_column(text_col).alias("_tk"),
         )
         n = F.size("_tk")
-        grams = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(0), n - F.lit(2)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("_tk"), i + 1),
-                    F.element_at(F.col("_tk"), i + 2),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        pos_seq = F.when(n >= 2, F.sequence(F.lit(0), n - F.lit(2)))
+        explode_fn = F.explode_outer if outer else F.explode
         g = staged.select(
             *( [id_col] if with_id else [] ),
-            F.explode(grams).alias("_g"),
+            F.col("_tk"),
+            explode_fn(pos_seq).alias("_i"),
+        )
+        bigram = F.concat_ws(
+            " ",
+            F.element_at(F.col("_tk"), F.col("_i") + 1),
+            F.element_at(F.col("_tk"), F.col("_i") + 2),
         )
         fb = (
-            F.conv(F.substring(F.sha2(F.col("_g"), 256), 1, 4), 16, 10)
+            F.conv(F.substring(F.sha2(bigram, 256), 1, 4), 16, 10)
             .cast("int")
             % F.lit(B)
         )
         return g.select(
-            *( [id_col] if with_id else [] ), fb.alias("_fb")
+            *( [id_col] if with_id else [] ),
+            (F.when(F.col("_i").isNotNull(), fb) if outer else fb).alias("_fb"),
         )
 
     def dist(df: DataFrame, name: str) -> DataFrame:
@@ -1015,8 +1018,12 @@ def importance_weights(
     # rounding order, which the former per-occurrence sum never pinned
     # either (Spark partial-sum order over doubles is
     # partition-dependent).
+    # outer=True (r16): a featureless document (< 2 tokens) carries one
+    # null-bucket row through the SAME aggregate, so the former
+    # raw.select(id) re-scan + per-id join-back is gone — the scoring
+    # aggregate below is already total over documents.
     per_doc = (
-        feat_stream(raw, with_id=True)
+        feat_stream(raw, with_id=True, outer=True)
         .groupBy(id_col, "_fb")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -1055,31 +1062,27 @@ def importance_weights(
     # consumers, so Spark's ReuseExchange evaluates the corpus pass
     # once (verified in the r16 plan capture: ReusedExchange present,
     # one raw-corpus scan).
-    n_feats = F.sum("_c").cast("bigint")
+    # the LEFT join keeps the null-bucket (featureless) rows; for real
+    # buckets it admits exactly the inner join's rows (base covers all
+    # 0..B-1, so every non-null _fb matches).  sum() ignores nulls, so
+    # every featured document's sums see the identical value stream as
+    # the former inner-join shape — the only new group outputs are the
+    # featureless docs' (null weight → 0.0, null count → 0), which the
+    # former per-id join-back produced by other means.  One corpus
+    # pass and one join fewer (r16, guide §2.4).
+    featured = F.col("_fb").isNotNull()
+    n_feats = F.sum(F.when(featured, F.col("_c"))).cast("bigint")
     weight = F.sum(F.col("_lr") * F.col("_c")).cast("double")
     if scale is not None:
         weight = weight / F.lit(scale)
-    scored = (
-        per_doc.join(F.broadcast(ratios), "_fb")
+    return (
+        per_doc.join(F.broadcast(ratios), "_fb", "left")
         .groupBy(id_col)
         .agg(
-            n_feats.alias("n_features"),
-            (weight / F.sum("_c")).alias("importance_weight"),
-        )
-    )
-    # documents with < 2 tokens have no features: weight 0 (no
-    # evidence either way), kept so selection stays total
-    return (
-        raw.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_features"), F.lit(0).cast("bigint")).alias(
-                "n_features"
-            ),
-            F.coalesce(F.col("importance_weight"), F.lit(0.0)).alias(
-                "importance_weight"
-            ),
+            F.coalesce(n_feats, F.lit(0).cast("bigint")).alias("n_features"),
+            F.coalesce(
+                weight / F.sum(F.when(featured, F.col("_c"))), F.lit(0.0)
+            ).alias("importance_weight"),
         )
     )
 
