@@ -36,25 +36,28 @@ def contamination_flags(
             F.explode(shingles_column(text_col, k)).alias("shingle")
         )
         .distinct()
+        .withColumn("_hit", F.lit(True))
     )
     corpus_shingles = corpus.select(
         F.col(id_col), F.explode(shingles_column(text_col, k)).alias("shingle")
     )
+    # r16 (guide §2.4): LEFT-join the broadcast set and count matches in
+    # the per-doc aggregate — every document has >= 1 shingle (short
+    # docs shingle their whole token sequence), so zero-hit docs ride
+    # the same aggregate and the former corpus re-scan + per-id
+    # join-back is gone.  count('_hit') skips the left join's nulls, so
+    # the integer equals the former inner join's count(*); the partial
+    # aggregate still collapses each partition to one row per doc
+    # before the only shuffle.
     hits = (
-        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .agg(F.count("_hit").alias("n_contaminated_shingles"))
     )
-    return (
-        corpus.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_contaminated_shingles", F.lit(0))
-            .cast("bigint")
-            .alias("n_contaminated_shingles"),
-            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0).alias(
-                "contaminated"
-            ),
-        )
+    return hits.select(
+        id_col,
+        F.col("n_contaminated_shingles").cast("bigint").alias(
+            "n_contaminated_shingles"
+        ),
+        (F.col("n_contaminated_shingles") > 0).alias("contaminated"),
     )
