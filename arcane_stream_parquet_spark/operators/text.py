@@ -92,8 +92,17 @@ def text_stats(
     toks = F.col("__toks")
     lower = F.col("__lower")
     n_chars = F.length(F.col(text_col)).cast("bigint")
-    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("bigint")
-    n_digit = F.length(F.regexp_replace(lower, "[^0-9]", "")).cast("bigint")
+    # r16 (guide §4.1): count a-z / 0-9 chars by DELETING them with
+    # translate (a plain char map, no regex engine) instead of
+    # regexp_replace-ing everything else away — the same integer for
+    # any input (both walk code points; a-z/0-9 are single code units),
+    # measured 0.32 → 0.23 s for the pair at sf0.1.
+    n_alpha = (
+        F.length(lower) - F.length(F.translate(lower, "abcdefghijklmnopqrstuvwxyz", ""))
+    ).cast("bigint")
+    n_digit = (
+        F.length(lower) - F.length(F.translate(lower, "0123456789", ""))
+    ).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
     sw_arr = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("bigint")
@@ -172,6 +181,7 @@ def repetition_signals(
     text_col: str = "text",
     tokens: str | Column | None = None,
     raw_lines: str | Column | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — the
     standard pre-training curation signals the reference's users would
@@ -201,7 +211,18 @@ def repetition_signals(
     ``raw_lines`` let a caller that already computed the whitespace
     tokens or the ``split(text, '\\n')`` array (gopher_quality_flags,
     the text_stats profile) share ONE evaluation across operators —
-    same expressions, so results are bit-identical."""
+    same expressions, so results are bit-identical.
+
+    ``backend`` (r16): ``"arrow"`` (default) computes the two
+    accumulators in one vectorized-Arrow pandas pass over the SAME
+    JVM-built token/line arrays — every statistic is an integer count
+    over exact string equality (Counter over the array ≡ sorted
+    run-length fold), so results are bit-identical to the fold while
+    the per-element interpreted-lambda cost disappears (measured
+    0.52-0.76 → 0.34-0.44 s at sf0.1; the output ratios stay JVM
+    divisions of those same integers).  ``"sql"`` keeps the
+    pure-expression single-pass aggregates for callers that must not
+    put Python workers in the plan."""
     col = F.col(text_col)
 
     def _as_col(c: str | Column) -> Column:
@@ -212,6 +233,89 @@ def repetition_signals(
         "__rep_tk",
         _as_col(tokens) if tokens is not None else tokens_column(text_col),
     ).withColumn("__rep_nt", F.size(F.col("__rep_tk")))
+    if backend == "arrow":
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        rep_schema = StructType(
+            [
+                StructField("l_n", IntegerType()),
+                StructField("l_distinct", IntegerType()),
+                StructField("l_chars", LongType()),
+                StructField("l_dup", LongType()),
+                StructField("l_maxlen", IntegerType()),
+                StructField("b_best", IntegerType()),
+                StructField("b_n", IntegerType()),
+            ]
+        )
+
+        @F.pandas_udf(rep_schema)
+        def _rep_stats(toks_s, lines_s):
+            from collections import Counter
+
+            import pandas as pd
+
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "l_n", "l_distinct", "l_chars", "l_dup", "l_maxlen",
+                    "b_best", "b_n",
+                )
+            }
+            for toks, raw in zip(toks_s, lines_s):
+                if raw is None:
+                    # null text → null line accumulator in the fold form
+                    for f in ("l_n", "l_distinct", "l_chars", "l_dup", "l_maxlen"):
+                        out[f].append(None)
+                else:
+                    lns = [ln for ln in raw if len(ln) > 0]
+                    cnt = Counter(lns)
+                    out["l_n"].append(len(lns))
+                    out["l_distinct"].append(len(cnt))
+                    out["l_chars"].append(sum(len(x) for x in lns))
+                    out["l_dup"].append(
+                        sum(c * len(x) for x, c in cnt.items() if c >= 2)
+                    )
+                    out["l_maxlen"].append(max(map(len, lns), default=0))
+                if toks is None or len(toks) < 2:
+                    # null/short token array → empty bigram array there
+                    out["b_best"].append(0)
+                    out["b_n"].append(0)
+                else:
+                    t = list(toks)
+                    bc = Counter(a + " " + b for a, b in zip(t, t[1:]))
+                    out["b_best"].append(max(bc.values()))
+                    out["b_n"].append(len(t) - 1)
+            return pd.DataFrame(out)
+
+        mid = staged.withColumn("__rep_s", _rep_stats(F.col("__rep_tk"), raw_ln))
+        return mid.select(
+            *df.columns,
+            F.col("__rep_s.l_n").cast("bigint").alias("rep_n_lines"),
+            F.col("__rep_s.l_distinct").cast("bigint").alias(
+                "rep_n_distinct_lines"
+            ),
+            (
+                F.lit(1.0)
+                - _ratio(
+                    F.col("__rep_s.l_distinct").cast("double"),
+                    F.col("__rep_s.l_n"),
+                )
+            ).alias("rep_dup_line_frac"),
+            _ratio(
+                F.col("__rep_s.l_dup").cast("double"), F.col("__rep_s.l_chars")
+            ).alias("rep_dup_line_char_frac"),
+            F.col("__rep_s.l_maxlen").cast("bigint").alias("rep_max_line_len"),
+            _ratio(
+                F.col("__rep_s.b_best").cast("double"), F.col("__rep_s.b_n")
+            ).alias("rep_top_bigram_frac"),
+        )
+    if backend != "sql":
+        raise ValueError(f"backend must be 'arrow' or 'sql': {backend!r}")
     lines = F.array_sort(
         F.filter(raw_ln, lambda ln: F.length(ln) > F.lit(0))
     )
@@ -386,8 +490,10 @@ def gopher_quality_flags(
     DuckDB replay mirrors both universes.
     Empty documents fail the word-count gate and every NULL-ratio rule
     evaluates false-y via null AND, so ``gopher_keep`` is never NULL.
-    Pure row-local projections over one scan — shuffle-free, UDF-free;
-    cross-engine DuckDB replay pinned in tests/test_gopher.py.
+    Row-local over one scan — shuffle-free, no row-at-a-time UDF (the
+    repetition accumulators ride repetition_signals' vectorized Arrow
+    pass, integer-exact); cross-engine DuckDB replay pinned in
+    tests/test_gopher.py.
     """
     # r16 (guide §1.2): tokenize and newline-split ONCE, shared with
     # repetition_signals via its tokens/raw_lines hooks — the former
@@ -413,19 +519,33 @@ def gopher_quality_flags(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     mean_wl = _ratio(word_chars.cast("double"), n_words)
+    # symbol counts stay regexp_count (r16 negative result: translate/
+    # replace length-deltas measured 0.21 vs 0.13 s — regexp_count
+    # SCANS without allocating, while translate materializes a stripped
+    # copy of the whole text; the translate trick only beats regex
+    # where the regex form also allocates, see text_stats' ratios)
     n_hash = F.regexp_count(F.col(text_col), F.lit("#")).cast("bigint")
     n_ell_sym = (
         F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
         + F.regexp_count(F.col(text_col), F.lit("…"))
     ).cast("bigint")
+    # r16 (guide §4.1): the line-SHAPE gates compare the first char /
+    # suffix directly instead of an anchored regex per line (0.127 →
+    # 0.083 s at sf0.1; booleans identical — the former ^[-*•‣▪●] is
+    # exactly "first char in the set", (\.\.\.|…)$ exactly "ends with
+    # either literal").
+    _bullets = ("-", "*", "•", "‣", "▪", "●")
     n_bullet = F.size(
         F.filter(
             lines,
-            lambda ln: F.trim(ln).rlike(r"^[-*•‣▪●]"),
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin(*_bullets),
         )
     ).cast("bigint")
     n_ellipsis = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+        )
     ).cast("bigint")
     n_alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike(r"\p{L}"))

@@ -260,6 +260,12 @@ def test_empty_and_null_never_null_keep(spark):
 
 
 def test_plan_row_local_no_python(spark):
+    """Row-local contract: no shuffle, no row-at-a-time Python.  Since
+    r16 the repetition accumulators run as ONE vectorized Arrow pass
+    (repetition_signals backend="arrow", integer-exact — see its
+    parity test), so the plan carries exactly one ArrowEvalPython and
+    still zero Exchange; every other signal stays a codegen
+    projection."""
     plan = (
         gopher_quality_flags(spark.read.parquet(f"{SF_ORACLE}/documents.parquet"))
         ._jdf.queryExecution()
@@ -267,4 +273,5 @@ def test_plan_row_local_no_python(spark):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1

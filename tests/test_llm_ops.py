@@ -372,6 +372,38 @@ def test_multiprobe_recall_superset(spark, sf_dir):
     assert len(multi) >= len(exact)
 
 
+# -- repetition_signals backends (r16) -----------------------------------
+
+
+def test_repetition_backends_bit_identical(spark):
+    """The Arrow Counter pass must reproduce the fold's integers (and
+    therefore the IEEE ratios) bit-for-bit — including null text, short
+    docs, duplicated lines and a dominant bigram."""
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="dup line\ndup line\nunique\n\ndup line"),
+            Row(doc_id=2, text="one two one two one two tail"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="single"),
+            Row(doc_id=5, text=None),
+            Row(doc_id=6, text="\n\n\n"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, repetition_signals(df).collect()))
+    b = sorted(map(tuple, repetition_signals(df, backend="sql").collect()))
+    assert a == b
+    got = {r[0]: r for r in repetition_signals(df).collect()}
+    assert got[1]["rep_n_lines"] == 4 and got[1]["rep_n_distinct_lines"] == 2
+    assert got[2]["rep_top_bigram_frac"] == 3 / 6
+    assert got[5]["rep_n_lines"] is None  # null text → null line stats
+    assert got[5]["rep_top_bigram_frac"] is None
+
+
 # -- rolling-hash char-gram signatures (r6) ------------------------------
 
 
