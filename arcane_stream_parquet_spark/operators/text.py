@@ -1256,23 +1256,25 @@ def ngram_perplexity(
     if not 0.0 < float(lam) < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
 
-    def pairs(df: DataFrame) -> DataFrame:
+    def pairs(df: DataFrame, outer: bool = False) -> DataFrame:
         # tokens staged, positions exploded, (prev, word) picked out in
         # a codegen projection — building structs inside a transform
         # lambda over an UNSTAGED tokenization re-runs the split per
         # element (interpreted HOFs — the same trap measured at 7-10x
-        # on dsir_importance/duplicate_spans this round)
+        # on dsir_importance/duplicate_spans this round).  outer=True
+        # (r16) keeps a tokenless document as ONE null-word sentinel
+        # row, so the scoring aggregate is already total over documents
+        # and no corpus re-scan + join-back is needed.
         staged = df.select(
             F.col(id_col), tokens_column(text_col).alias("_tk")
         )
         n = F.size("_tk")
+        explode_fn = F.explode_outer if outer else F.explode
         return staged.select(
             F.col(id_col),
             F.col("_tk"),
-            F.explode(
-                F.when(
-                    n > 0, F.sequence(F.lit(0), n - F.lit(1))
-                ).otherwise(F.array().cast("array<int>"))
+            explode_fn(
+                F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1)))
             ).alias("_i"),
         ).select(
             id_col,
@@ -1298,7 +1300,7 @@ def ngram_perplexity(
         F.coalesce(F.sum("c1"), F.lit(0).cast("bigint")).alias("_n1"),
         (F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("_v"),
     )
-    cp = pairs(corpus)
+    cp = pairs(corpus, outer=True)
     scored = (
         cp.join(F.broadcast(uni), "w", "left")
         .join(
@@ -1331,27 +1333,29 @@ def ngram_perplexity(
             raise ValueError(f"quantize must be in [0, 12], got {d}")
         scale = float(10**d)
         lp_int = F.floor(F.log(p) * F.lit(scale)).cast("bigint")
+        # w is null exactly on a tokenless document's sentinel row
+        # (tokens are non-null, non-empty strings): count/sum over the
+        # when() see the identical value stream as the former
+        # inner-explode rows, and a tokenless doc aggregates to
+        # (0, NULL) — what the former per-id join-back produced.
+        tok = F.col("w").isNotNull()
         agg = scored.groupBy(id_col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.col("w")).cast("bigint").alias("n_tokens"),
             (
-                (F.sum(lp_int).cast("double") / F.lit(scale))
-                / F.count(F.lit(1))
+                (F.sum(F.when(tok, lp_int)).cast("double") / F.lit(scale))
+                / F.count(F.col("w"))
             ).alias("logprob_per_token"),
         )
     else:
         agg = scored.groupBy(id_col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.avg(F.log(p)).alias("logprob_per_token"),
-        )
-    return (
-        corpus.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
-                "n_tokens"
+            F.count(F.col("w")).cast("bigint").alias("n_tokens"),
+            F.avg(F.when(F.col("w").isNotNull(), F.log(p))).alias(
+                "logprob_per_token"
             ),
-            F.col("logprob_per_token"),
-            F.exp(-F.col("logprob_per_token")).alias("perplexity"),
         )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.col("logprob_per_token"),
+        F.exp(-F.col("logprob_per_token")).alias("perplexity"),
     )
