@@ -290,15 +290,15 @@ ROLL_MIX: list[tuple[int, int]] = [
 ROLL_FINAL_A2 = 0x2545F4914F6CDD1D
 
 
-def rolling_char_signature(
+def rolling_gram_sets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(id, grams: array<long>, mh_0..mh_{H-1}: long) per document via
-    one mapInPandas pass.
+    """(id, grams: array<long>) per document via one mapInPandas pass —
+    the HEAVY half of the rolling signature (normalization, rolling
+    hash, per-row distinct).
 
     Normalization (replayed verbatim by the oracle): strip non-printable
     /non-ASCII (``[^ -~]``, which also removes ``\\t``/``\\n``), then
@@ -308,15 +308,20 @@ def rolling_char_signature(
     shorter than k bytes hash their whole text as one gram (empty → the
     init value).  ``grams`` holds the DISTINCT hashes (uint64-sorted,
     reinterpreted as signed longs — a bijection, so set sizes and
-    equality survive).  Minhash s = min over grams of the finalized
-    mixer (per-seed affine stage + shared ROLL_FINAL_A2 fold-high
-    rounds), taken in unsigned space.  Wraparound stays in numpy
-    because Spark's ANSI mode (4.x default) raises on JVM long
-    overflow."""
+    equality survive); every document yields >= 1 gram.  Wraparound
+    stays in numpy because Spark's ANSI mode (4.x default) raises on
+    JVM long overflow.
+
+    Split from the minhash stage (r16, guide §1.2/§2.4): the output
+    schema is EXACTLY (id, grams), so every consumer of a
+    ``.repartition(id)`` over this frame prunes to the same column set
+    and their exchange subtrees stay canonically identical — AQE
+    reuses ONE shuffle stage and this pass runs ONCE however many
+    branches read it (minhash banding + both verify-join sides in
+    :func:`rolling_near_duplicates`; the former fused pass re-ran per
+    divergently-pruned branch)."""
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
-    if num_hashes > len(ROLL_MIX):
-        raise ValueError(f"num_hashes > {len(ROLL_MIX)} not supported")
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     from arcane_stream_parquet_spark.functions.partitioning import fan_out
@@ -326,13 +331,8 @@ def rolling_char_signature(
         [
             StructField(id_col, id_field.dataType, True),
             StructField("grams", ArrayType(LongType(), False), True),
-            *[
-                StructField(f"mh_{s}", LongType(), True)
-                for s in range(num_hashes)
-            ],
         ]
     )
-    mix = ROLL_MIX[:num_hashes]
 
     def compute(batches):
         import re
@@ -342,8 +342,6 @@ def rolling_char_signature(
 
         strip = re.compile(r"[^ -~]")
         b = np.uint64(ROLL_B)
-        a2 = np.uint64(ROLL_FINAL_A2)
-        sh32 = np.uint64(32)
         for pdf in batches:
             ids = pdf[id_col].tolist()
             texts = pdf[text_col].tolist()
@@ -353,7 +351,7 @@ def rolling_char_signature(
             # per-row loop's call overhead dominated at corpus-typical
             # document sizes (0.59 → ~0.3 s for this stage at sf0.1).
             # Same ops per element in the same order, so every gram
-            # hash, dedup set and minhash is bit-identical.
+            # hash and dedup set is bit-identical.
             norms = [
                 strip.sub("", t if isinstance(t, str) else "").lower().strip()
                 for t in texts
@@ -368,19 +366,12 @@ def rolling_char_signature(
             m = lens - k + 1
             long_rows = np.nonzero(m >= 1)[0]
             grams_out: list = [None] * nrows
-            mins = [np.empty(nrows, np.uint64) for _ in mix]
             # short rows (< k chars): whole text folds to ONE gram
             for row in np.nonzero(m < 1)[0]:
                 h = np.ones(1, np.uint64)
                 for j in range(offs[row], offs[row + 1]):
                     h = h * b + C[j]
                 grams_out[row] = h.view(np.int64)
-                for s, (a_s, c_s) in enumerate(mix):
-                    v = h * np.uint64(a_s) + np.uint64(c_s)
-                    v = v + (v >> sh32)
-                    v = v * a2
-                    v = v + (v >> sh32)
-                    mins[s][row] = v.min()
             if long_rows.size:
                 ml = m[long_rows]
                 total = int(ml.sum())
@@ -411,19 +402,98 @@ def rolling_char_signature(
                 gs_signed = gs.view(np.int64)
                 for i, row in enumerate(long_rows):
                     grams_out[row] = gs_signed[bounds[i]:bounds[i + 1]]
-                for s, (a_s, c_s) in enumerate(mix):
-                    v = gs * np.uint64(a_s) + np.uint64(c_s)
-                    v = v + (v >> sh32)
-                    v = v * a2
-                    v = v + (v >> sh32)
-                    mins[s][long_rows] = np.minimum.reduceat(v, seg)
-            out = {id_col: ids, "grams": grams_out}
-            for s in range(len(mix)):
-                out[f"mh_{s}"] = mins[s].view(np.int64)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({id_col: ids, "grams": grams_out})
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(
         compute, out_schema
+    )
+
+
+def minhash_from_grams(
+    gram_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    keep_grams: bool = False,
+) -> DataFrame:
+    """(id [, grams], mh_0..mh_{H-1}: long) from a
+    :func:`rolling_gram_sets` frame — the LIGHT half of the rolling
+    signature: 8 affine+fold-high mixes and a per-row min over the
+    already-distinct gram hashes, vectorized across the batch.  Minhash
+    s = min over grams of the finalized mixer (per-seed affine stage +
+    shared ROLL_FINAL_A2 fold-high rounds), taken in unsigned space —
+    identical values to mixing before dedup, since min over a multiset
+    equals min over its distinct set."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    if num_hashes > len(ROLL_MIX):
+        raise ValueError(f"num_hashes > {len(ROLL_MIX)} not supported")
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    id_field = gram_df.schema[id_col]
+    fields = [StructField(id_col, id_field.dataType, True)]
+    if keep_grams:
+        fields.append(StructField("grams", ArrayType(LongType(), False), True))
+    fields.extend(
+        StructField(f"mh_{s}", LongType(), True) for s in range(num_hashes)
+    )
+    out_schema = StructType(fields)
+    mix = ROLL_MIX[:num_hashes]
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        a2 = np.uint64(ROLL_FINAL_A2)
+        sh32 = np.uint64(32)
+        for pdf in batches:
+            grams = pdf["grams"].tolist()
+            nrows = len(grams)
+            out = {id_col: pdf[id_col].tolist()}
+            if keep_grams:
+                out["grams"] = grams
+            if nrows == 0:
+                for s in range(len(mix)):
+                    out[f"mh_{s}"] = []
+                yield pd.DataFrame(out, columns=list(out_schema.names))
+                continue
+            lens = np.fromiter(
+                (len(g) for g in grams), np.int64, count=nrows
+            )
+            # every upstream row carries >= 1 gram (empty text folds to
+            # the init value); reduceat needs non-empty segments
+            if (lens == 0).any():
+                raise ValueError("minhash_from_grams: empty gram set")
+            gs = np.concatenate(
+                [np.asarray(g, np.int64) for g in grams]
+            ).view(np.uint64)
+            seg = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            for s, (a_s, c_s) in enumerate(mix):
+                v = gs * np.uint64(a_s) + np.uint64(c_s)
+                v = v + (v >> sh32)
+                v = v * a2
+                v = v + (v >> sh32)
+                out[f"mh_{s}"] = np.minimum.reduceat(v, seg).view(np.int64)
+            yield pd.DataFrame(out)
+
+    return gram_df.mapInPandas(compute, out_schema)
+
+
+def rolling_char_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, grams: array<long>, mh_0..mh_{H-1}: long) per document:
+    :func:`rolling_gram_sets` followed by :func:`minhash_from_grams`.
+    See those for the hash/normalization contract (pinned byte-for-byte
+    by tests and the DuckDB oracle)."""
+    return minhash_from_grams(
+        rolling_gram_sets(df, text_col, id_col, k),
+        id_col,
+        num_hashes,
+        keep_grams=True,
     )
 
 
@@ -436,22 +506,37 @@ def rolling_near_duplicates(
     k: int = 5,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """:func:`near_duplicates` with :func:`rolling_char_signature` as
-    the signature stage: same LSH shape (band equi-join only, exact
+    """:func:`near_duplicates` with the rolling-hash signature as the
+    signature stage: same LSH shape (band equi-join only, exact
     Jaccard verify on candidates), allocation-light hashing.  Band keys
     are within-engine only, so plain ``concat_ws`` over the minhash
     longs suffices (no digest needed)."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must divide evenly into num_bands")
     rows = num_hashes // num_bands
-    # the exchange right after the Arrow pass is deliberate: the band
-    # branch and the gram-set branch below both consume sig, and Spark
-    # reuses identical exchange subplans (ReusedExchange) — so the
-    # signature computation runs ONCE instead of once per consumer;
-    # the shuffle moves only (id, grams, 8 longs)
-    sig = rolling_char_signature(df, text_col, id_col, k, num_hashes).repartition(
-        F.col(id_col)
+    # the exchange right after the heavy Arrow pass is deliberate: the
+    # minhash/band branch and BOTH verify-join sides below consume it,
+    # and because rolling_gram_sets' output schema is exactly
+    # (id, grams) every consumer prunes to the same column set — the
+    # three exchange subtrees stay canonically identical and AQE reuses
+    # ONE shuffle stage, so the normalization+rolling-hash pass runs
+    # ONCE (the former fused (grams, mh_*) pass re-ran per branch: the
+    # band branch pruned grams away and the verify sides pruned the mh
+    # columns, so no two copies canonicalized equal — measured as the
+    # whole Python stage executing 3x per run).  The shuffle moves only
+    # (id, grams); the minhash mix runs above the exchange on the tiny
+    # post-dedup gram arrays (guide §1.2 / §2.4).  The explicit
+    # isnotnull(id) keeps all three subtrees canonically equal to the
+    # filter the verify joins INFER and push below the exchange (the
+    # duplicate_spans lesson) — it drops nothing that could matter: a
+    # null-id document can never appear in a candidate pair
+    # (collect_set skips nulls) nor match a join-back probe.
+    grams_df = (
+        rolling_gram_sets(df, text_col, id_col, k)
+        .filter(F.col(id_col).isNotNull())
+        .repartition(F.col(id_col))
     )
+    sig = minhash_from_grams(grams_df, id_col, num_hashes, keep_grams=False)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -473,7 +558,7 @@ def rolling_near_duplicates(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
     pairs = candidate_pairs(bands, id_col)
-    sets_df = sig.select(F.col(id_col), F.col("grams"))
+    sets_df = grams_df
     joined = pairs.join(
         sets_df.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")),
         "id_a",

@@ -477,6 +477,55 @@ def test_rolling_minhash_matches_reference_mixer(spark):
         assert row[f"mh_{s}"] == expect, f"seed {s}"
 
 
+def test_rolling_split_pass_matches_fused_signature(spark):
+    """r16: rolling_near_duplicates computes the signature in two
+    passes (heavy gram pass shared via one exchange, light minhash
+    pass above it).  Pin that the split pipeline's minhash columns are
+    bit-identical to the fused public signature, and that a null-id
+    document — dropped before the shared exchange — never changes the
+    pair output (it can't pair nor join back)."""
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.minhash import (
+        minhash_from_grams,
+        rolling_char_signature,
+        rolling_gram_sets,
+        rolling_near_duplicates,
+    )
+
+    docs = [
+        Row(doc_id=1, text="abcdefgh common text body"),
+        Row(doc_id=2, text="abcdefgh common text body"),
+        Row(doc_id=3, text="zz"),
+        Row(doc_id=4, text=""),
+    ]
+    df = spark.createDataFrame(docs)
+    fused = {r["doc_id"]: r for r in rolling_char_signature(df, k=5).collect()}
+    split = {
+        r["doc_id"]: r
+        for r in minhash_from_grams(
+            rolling_gram_sets(df, k=5), keep_grams=False
+        ).collect()
+    }
+    assert set(fused) == set(split)
+    for did in fused:
+        for s in range(8):
+            assert fused[did][f"mh_{s}"] == split[did][f"mh_{s}"], (did, s)
+
+    with_null = spark.createDataFrame(
+        docs + [Row(doc_id=None, text="abcdefgh common text body")]
+    )
+    base_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in rolling_near_duplicates(df, min_jaccard=0.9).collect()
+    )
+    null_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in rolling_near_duplicates(with_null, min_jaccard=0.9).collect()
+    )
+    assert base_pairs == null_pairs == [(1, 2)]
+
+
 def test_rolling_near_duplicates_identical_and_disjoint(spark):
     from pyspark.sql import Row
 
