@@ -29,6 +29,7 @@ def contamination_flags(
     count of the doc's k-word shingles that appear anywhere in the
     benchmark's shingle set."""
     from arcane_stream_parquet_spark.functions.partitioning import fan_out
+    from arcane_stream_parquet_spark.operators.text import tokens_column
 
     corpus = fan_out(corpus)  # shingling is CPU-bound (see partitioning.py)
     bench_shingles = (
@@ -38,21 +39,46 @@ def contamination_flags(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    corpus_shingles = corpus.select(
-        F.col(id_col), F.explode(shingles_column(text_col, k)).alias("shingle")
+    # r16 (guide §4.1): positions explode FIRST and each shingle
+    # materializes as a codegen projection on the exploded row — the
+    # former row-local transform()+array_distinct() lambda ran
+    # INTERPRETED per shingle (the duplicate_spans/DSIR window-stream
+    # lesson; measured 0.82 → 0.13 s for the corpus shingle stream at
+    # sf0.1).  The shingle expression mirrors shingles_from_tokens
+    # byte-for-byte: k F.get probes (0-based, NULL out-of-bounds) under
+    # concat_ws, which skips NULLs — so short docs still fold their
+    # whole token sequence into one shingle row.
+    toks = corpus.select(F.col(id_col), tokens_column(text_col).alias("_tk"))
+    n = F.size("_tk")
+    upper = F.greatest(n - F.lit(k - 1), F.lit(1))
+    pos = F.explode(F.sequence(F.lit(1), upper)).alias("_pos")
+    shingle = F.concat_ws(
+        " ",
+        *[
+            F.get(F.col("_tk"), (F.col("_pos") + F.lit(j - 1)).cast("int"))
+            for j in range(k)
+        ],
     )
-    # r16 (guide §2.4): LEFT-join the broadcast set and count matches in
-    # the per-doc aggregate — every document has >= 1 shingle (short
-    # docs shingle their whole token sequence), so zero-hit docs ride
-    # the same aggregate and the former corpus re-scan + per-id
-    # join-back is gone.  count('_hit') skips the left join's nulls, so
-    # the integer equals the former inner join's count(*); the partial
-    # aggregate still collapses each partition to one row per doc
-    # before the only shuffle.
+    corpus_shingles = toks.select(F.col(id_col), F.col("_tk"), pos).select(
+        F.col(id_col), shingle.alias("shingle")
+    )
+    # r16 (guide §2.4): LEFT-join the broadcast set so zero-hit docs
+    # ride the same aggregate (every document yields >= 1 shingle row).
+    # The stream is now a MULTISET (explode-first skips the row-local
+    # distinct), so the count is COUNT(DISTINCT hit shingle) — the same
+    # set cardinality the former distinct-array count produced.  The
+    # distinct aggregate's partial stage dedups map-side: the exchange
+    # carries one (id, NULL) row per doc per partition for the misses
+    # plus the distinct HIT pairs — O(docs + hits), and hits are
+    # bounded by the benchmark's shingle set, small by definition.
     hits = (
         corpus_shingles.join(F.broadcast(bench_shingles), "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count("_hit").alias("n_contaminated_shingles"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("_hit"), F.col("shingle"))
+            ).alias("n_contaminated_shingles")
+        )
     )
     return hits.select(
         id_col,

@@ -342,6 +342,35 @@ def test_contamination_flags_hits_and_clean(spark):
     assert out[2]["n_contaminated_shingles"] == 0
 
 
+def test_contamination_counts_distinct_shingles_once(spark):
+    """r16: the corpus shingle stream is a MULTISET (explode-first,
+    codegen) and the aggregate counts DISTINCT hit shingles — a shingle
+    repeated inside a document must still count once, short docs fold
+    their whole token run into one shingle, and an empty doc stays in
+    the output with zero hits (the former distinct-array semantics,
+    pinned)."""
+    from arcane_stream_parquet_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "quick brown fox and quick brown fox again"),  # dup shingle
+            (2, "quick brown"),  # short: one 2-token shingle
+            (3, ""),  # degenerate
+        ],
+    )
+    bench = _docs(spark, [(99, "quick brown fox"), (98, "quick brown")])
+    out = {r["doc_id"]: r for r in contamination_flags(corpus, bench).collect()}
+    # doc 1 hits 'quick brown fox' (twice in text -> counted ONCE)
+    assert out[1]["n_contaminated_shingles"] == 1
+    # doc 2's whole-run shingle 'quick brown' matches bench doc 98's
+    assert out[2]["n_contaminated_shingles"] == 1
+    assert out[3]["n_contaminated_shingles"] == 0
+    assert out[3]["contaminated"] is False
+
+
 def test_fan_out_noop_when_parallel(spark):
     from arcane_stream_parquet_spark.functions.partitioning import fan_out
 
@@ -351,6 +380,52 @@ def test_fan_out_noop_when_parallel(spark):
     )
     wide = spark.range(1000).repartition(64)
     assert fan_out(wide).rdd.getNumPartitions() == 64  # no-op, no extra shuffle
+
+
+def test_lsh_bucket_backends_bit_identical(spark, sf_dir):
+    """r16: the arrow bucket udf must equal the SQL expression form
+    bit-for-bit — on the real corpus and on the edge rows the
+    equivalence argument calls out (NaN component → bit '1' under
+    Spark's NaN-is-largest compare; NULL vector → all-'0' bucket;
+    overlong vector → first dim elements)."""
+    from pyspark.sql import Row
+
+    from arcane_stream_parquet_spark.operators.similarity import (
+        with_lsh_bucket,
+    )
+    from arcane_stream_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(emb, backend="arrow").collect()
+    }
+    b = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(emb, backend="sql").collect()
+    }
+    assert a == b and len(a) > 0
+
+    edge = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[float("nan")] * 64),
+            Row(vec_id=2, embedding=None),
+            Row(vec_id=3, embedding=[0.5 * (d % 7) - 1.5 for d in range(70)]),
+            Row(vec_id=4, embedding=[0.0] * 64),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ea = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(edge, backend="arrow").collect()
+    }
+    eb = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(edge, backend="sql").collect()
+    }
+    assert ea == eb
+    assert ea[1] == "1" * 8  # NaN dot compares >= 0 in Spark
+    assert ea[2] == "0" * 8  # NULL vector: every WHEN falls through
 
 
 def test_multiprobe_recall_superset(spark, sf_dir):
