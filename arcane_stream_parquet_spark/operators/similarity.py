@@ -138,12 +138,92 @@ def plane_dot_expr(vec: Column, plane: Sequence[float]) -> Column:
 
 
 def lsh_bucket_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
-    """Bit-string bucket id: one sign bit per hyperplane."""
+    """Bit-string bucket id: one sign bit per hyperplane.
+
+    This is the SEMANTIC REFERENCE form (and the ``backend="sql"``
+    path): at production plane geometry (8 planes × dim 64) the single
+    512-term projection method blows past HotSpot's JIT size limit and
+    runs bytecode-interpreted — measured 3.5 s/1M rows on 32 cores vs
+    0.8 s for the vectorized Arrow twin below (r16, guide §4.2), so
+    scale callers should prefer ``backend="arrow"``."""
     bits = [
         F.when(plane_dot_expr(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def _lsh_bucket_pandas_udf(planes: Sequence[Sequence[float]]):
+    """pandas_udf twin of :func:`lsh_bucket_expr` — bit-identical
+    buckets, vectorized across the batch (r16, guide §4.2: the 8×64
+    unrolled chains are one giant consume() method that HotSpot refuses
+    to JIT; measured 3.5 → 0.8 s/1M rows).
+
+    Bit-identity argument: per plane the dot accumulates LEFT-TO-RIGHT
+    one dimension at a time across the row block (numpy elementwise ops
+    never fuse or reassociate), reproducing plane_dot_expr's
+    left-associated chain exactly; bit s is "1" iff the dot >= 0 OR is
+    NaN (Spark's comparison semantics treat NaN as larger than any
+    value), a NULL vector yields the all-"0" bucket (every WHEN falls
+    to its otherwise), and a vector LONGER than the plane reads its
+    first dim elements (element_at never probes past dim).  A vector
+    SHORTER than the plane raises — the SQL form's ANSI element_at
+    would equally fail the job.  Contract exclusion (documented): null
+    ELEMENTS inside a vector — Arrow hands those to numpy as NaN,
+    which flips the bit the SQL path zeroes; embedding corpora carry
+    none, and ``backend="sql"`` remains the escape hatch."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    P = [tuple(float(w) for w in p) for p in planes]
+
+    @pandas_udf(StringType())
+    def bucket(v):
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray(P, dtype=np.float64)
+        nplanes, dim = W.shape
+        cells = v.tolist()
+        nr = len(cells)
+        if nr == 0:
+            return pd.Series([], dtype=object)
+        null_mask = np.fromiter((c is None for c in cells), bool, count=nr)
+        lens = np.fromiter(
+            (0 if c is None else len(c) for c in cells), np.int64, count=nr
+        )
+        if ((~null_mask) & (lens < dim)).any():
+            raise ValueError(
+                f"lsh bucket: vector shorter than plane dim {dim}"
+            )
+        out: list = [None] * nr
+        zero = "0" * nplanes
+        idx = np.nonzero(~null_mask)[0]
+        if idx.size:
+            if idx.size == nr and (lens == dim).all():
+                vs = np.stack(cells).astype(np.float64, copy=False)
+            else:
+                vs = np.empty((idx.size, dim), np.float64)
+                for i, j in enumerate(idx):
+                    c = cells[j]
+                    vs[i, :] = np.asarray(c[:dim], np.float64)
+            bits = np.empty((idx.size, nplanes), dtype=bool)
+            for s in range(nplanes):
+                acc = vs[:, 0] * W[s, 0]
+                for d in range(1, dim):
+                    acc = acc + vs[:, d] * W[s, d]
+                bits[:, s] = (acc >= 0) | np.isnan(acc)
+            chars = (bits.astype(np.uint8) + 48).astype(np.uint8)
+            blob = chars.tobytes().decode("ascii")
+            for i, j in enumerate(idx):
+                out[j] = blob[i * nplanes:(i + 1) * nplanes]
+        for j in np.nonzero(null_mask)[0]:
+            out[j] = zero
+        return pd.Series(out)
+
+    return bucket
 
 
 def cosine_topk(
@@ -196,9 +276,24 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
     planes: Sequence[Sequence[float]] | None = None,
     out_col: str = "lsh_bucket",
+    backend: str = "arrow",
 ) -> DataFrame:
+    """Adds the hyperplane-sign bucket column.  ``backend="arrow"``
+    (default) computes it as one vectorized pandas_udf — bit-identical
+    to the ``"sql"`` expression form (see :func:`_lsh_bucket_pandas_udf`
+    for the equivalence argument and the null-element contract
+    exclusion), 4× cheaper at production plane geometry because the
+    512-term unrolled projection is too large for HotSpot to JIT."""
     planes = planes if planes is not None else random_planes()
-    return df.withColumn(out_col, lsh_bucket_expr(as_double_array(vec_col), planes))
+    if backend not in ("arrow", "sql"):
+        raise ValueError(f"backend must be arrow|sql, got {backend!r}")
+    if backend == "sql":
+        return df.withColumn(
+            out_col, lsh_bucket_expr(as_double_array(vec_col), planes)
+        )
+    return df.withColumn(
+        out_col, _lsh_bucket_pandas_udf(planes)(as_double_array(vec_col))
+    )
 
 
 def _probe_buckets_expr(bucket: Column, num_planes: int, multi_probe: bool) -> Column:
@@ -390,6 +485,167 @@ def _cent_struct(vec: Column, n: Column, cid: int, cv: Sequence[float],
     )
 
 
+def _assign_cells_pandas_udf(
+    centroids: Sequence[tuple[int, Sequence[float]]], nprobe: int
+):
+    """pandas_udf twin of the literal-centroid argmax: vec →
+    ``struct(n double, cells array<struct<cell int, cs double>>)``
+    with ``cells`` the top-``nprobe`` centroids by (similarity desc,
+    cid asc) — vectorized across the batch (r16, guide §4.2).
+
+    Why: at production geometry (k=16, dim=64) the SQL form runs k
+    interpreted aggregate/zip_with folds per corpus row — measured
+    8-14 s/1M rows on 32 cores, the dominant corpus-side cost of every
+    IVF-family operator at scale; this twin measures ~0.8 s/1M.
+
+    Bit-identity argument (the same discipline as the SemDeDup pair
+    pass and the LSH bucket udf):
+
+    - norm and every dot accumulate LEFT-TO-RIGHT one dimension at a
+      time across the row block (numpy elementwise ops never fuse or
+      reassociate), reproducing dot_expr's 0.0-seeded fold exactly;
+      ``cs = dot / (n · norm_lit)`` multiplies then divides in the
+      same order with the same _py_fold_norm literal.
+    - ranking replicates Spark's TOTAL ORDER on doubles (NaN greatest
+      — canonicalized, so any NaN payload compares equal — and
+      -0.0 < 0.0) via the sign-flip bit trick, with ties broken by
+      ascending cid through a stable argsort over cid-ordered columns
+      — exactly the (s, nc) struct ordering of array_max /
+      reverse(array_sort).
+    - a NULL vector yields n NULL and all-NULL similarities, so the
+      SQL ordering degrades to nc alone: the ``nprobe`` LOWEST cids
+      with cs NULL — reproduced explicitly; a vector of the WRONG
+      length yields its true norm but all-NULL similarities (zip_with
+      pads with nulls), reproduced explicitly.
+    - NaN is the one value the twin cannot EMIT — every pandas→Arrow
+      return path nulls NaN doubles — so a NaN norm or similarity
+      (NaN components, null ELEMENTS — which Arrow hands to numpy as
+      NaN — or inf/inf overflow) RAISES instead of silently diverging
+      from the sql form's NaN-ranks-greatest semantics.  Embedding
+      corpora are finite; ``backend="sql"`` is the NaN-faithful
+      escape hatch.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cents = sorted(
+        (int(cid), tuple(float(x) for x in cv)) for cid, cv in centroids
+    )
+    norm_lits = tuple(_py_fold_norm(cv) for _, cv in cents)
+    p = max(1, min(int(nprobe), len(cents)))
+    schema = StructType(
+        [
+            StructField("n", DoubleType(), True),
+            StructField(
+                "cells",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("cell", IntegerType(), True),
+                            StructField("cs", DoubleType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def assign(v):
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray([cv for _, cv in cents], np.float64)
+        NL = np.asarray(norm_lits, np.float64)
+        CID = np.asarray([cid for cid, _ in cents], np.int64)
+        k, dim = W.shape
+        cells_in = v.tolist()
+        nr = len(cells_in)
+        if nr == 0:
+            return pd.DataFrame({"n": [], "cells": []})
+        n_out: list = [None] * nr
+        out_cells: list = [None] * nr
+        good = [
+            i
+            for i, c in enumerate(cells_in)
+            if c is not None and len(c) == dim
+        ]
+        degenerate_cells = [
+            {"cell": int(CID[t]), "cs": None} for t in range(p)
+        ]
+        for i, c in enumerate(cells_in):
+            if c is None:
+                out_cells[i] = degenerate_cells
+            elif len(c) != dim:
+                acc = 0.0
+                for x in c:
+                    acc = acc + float(x) * float(x)
+                n_out[i] = math.sqrt(acc)
+                out_cells[i] = degenerate_cells
+        if good:
+            V = (
+                np.stack([cells_in[i] for i in good])
+                .astype(np.float64, copy=False)
+            )
+            acc = V[:, 0] * V[:, 0]
+            for d in range(1, dim):
+                acc = acc + V[:, d] * V[:, d]
+            nrm = np.sqrt(acc)
+            # ANSI parity: the SQL form's cosine divides by n·norm_lit
+            # and raises DIVIDE_BY_ZERO on a zero-norm vector (or a
+            # zero-norm centroid) — numpy would silently yield NaN
+            if (nrm == 0).any() or (NL == 0).any():
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm vector in cell "
+                    "assignment (ANSI-mode parity with the sql backend)"
+                )
+            sims = np.empty((len(good), k), np.float64)
+            for j in range(k):
+                acc = V[:, 0] * W[j, 0]
+                for d in range(1, dim):
+                    acc = acc + V[:, d] * W[j, d]
+                sims[:, j] = acc / (nrm * NL[j])
+            # Arrow cannot carry NaN doubles back to the JVM (every
+            # pandas→Arrow path nulls them), so a NaN norm/similarity
+            # — NaN components, or inf/inf from overflow — would reach
+            # downstream as NULL where the sql backend emits NaN (which
+            # Spark ranks GREATEST).  Fail loudly instead of diverging;
+            # backend="sql" is the NaN-faithful escape hatch.
+            if np.isnan(nrm).any() or np.isnan(sims).any():
+                raise ValueError(
+                    "NaN norm/similarity in cell assignment: the arrow "
+                    "backend cannot emit NaN through Arrow; use "
+                    "backend='sql' for NaN-bearing vectors"
+                )
+            key = sims.copy()
+            key[np.isnan(key)] = np.nan  # canonical quiet-NaN payload
+            bits = key.view(np.int64)
+            tkey = np.where(
+                bits >= 0, bits, bits ^ np.int64(0x7FFFFFFFFFFFFFFF)
+            )
+            order = np.argsort(~tkey, axis=1, kind="stable")[:, :p]
+            top_cs = np.take_along_axis(sims, order, axis=1)
+            top_cid = CID[order]
+            for i, row in enumerate(good):
+                n_out[row] = float(nrm[i])
+                out_cells[row] = [
+                    {"cell": int(top_cid[i, t]), "cs": float(top_cs[i, t])}
+                    for t in range(p)
+                ]
+        return pd.DataFrame({"n": n_out, "cells": out_cells})
+
+    return assign
+
+
 def _probe_cells_rowlocal(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -398,13 +654,85 @@ def _probe_cells_rowlocal(
     nprobe: int,
     out_id: str,
     with_extras: bool = False,
+    backend: str = "arrow",
 ) -> DataFrame:
-    """Row-local flavor of :func:`_probe_cells` (r16): the K centroids
-    are embedded as literals and the argmax / top-nprobe runs as a pure
-    projection — no centroid join, no aggregation, no exchange.  The
-    assignment becomes a free rider on the scan (guide §2.4: remove
-    shuffles outright); at sf0.1 this measured 0.23 s vs 1.07 s for the
-    broadcast-join + max_by chain, with bit-identical assignments.
+    """Row-local flavor of :func:`_probe_cells` (r16): no centroid
+    join, no aggregation, no exchange before the assignment — the
+    argmax rides the scan.  ``backend="arrow"`` (default) computes the
+    whole top-nprobe in one vectorized pandas_udf — bit-identical to
+    the ``"sql"`` literal projection (see :func:`_assign_cells_pandas_udf`
+    for the equivalence argument), and 10×+ cheaper per corpus row at
+    production geometry because the SQL form's k aggregate/zip_with
+    folds run interpreted per element.  The winning cell's centroid
+    vector (``with_extras``) is recovered JVM-side from a literal
+    int→array map, so the residual subtracts the same floats either
+    way."""
+    if backend not in ("arrow", "sql"):
+        raise ValueError(f"backend must be arrow|sql, got {backend!r}")
+    if backend == "arrow":
+        udf = _assign_cells_pandas_udf(centroids, nprobe)
+        base = df.select(
+            F.col(id_col).alias(out_id), vec_col.alias("__v")
+        ).withColumn("__st", udf(F.col("__v")))
+        if nprobe == 1:
+            picked = base.withColumn(
+                "__pc", F.element_at(F.col("__st.cells"), 1)
+            )
+        else:
+            picked = base.withColumn(
+                "__pc", F.explode(F.col("__st.cells"))
+            )
+        # coalesce(-1) makes cell NON-NULLABLE for the same reason as
+        # the sql path below: the udf always emits a cell id, but
+        # Catalyst types the struct field nullable, and a nullable
+        # cell makes every downstream equi-join infer an IsNotNull
+        # that diverges otherwise-identical exchange subtrees.
+        cols = [
+            out_id,
+            "__v",
+            F.col("__st.n").alias("__n"),
+            F.coalesce(F.col("__pc.cell"), F.lit(-1)).alias("cell"),
+        ]
+        if with_extras:
+            cvmap = F.create_map(
+                *[
+                    x
+                    for cid, cv in sorted(centroids)
+                    for x in (
+                        F.lit(int(cid)),
+                        F.array(*[F.lit(float(c)) for c in cv]),
+                    )
+                ]
+            )
+            cols.extend(
+                [
+                    F.col("__pc.cs").alias("__cs"),
+                    F.element_at(cvmap, F.col("cell")).alias("__cv"),
+                ]
+            )
+        return picked.select(*cols)
+    return _probe_cells_rowlocal_sql(
+        df, centroids, id_col, vec_col, nprobe, out_id, with_extras
+    )
+
+
+def _probe_cells_rowlocal_sql(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: Column,
+    nprobe: int,
+    out_id: str,
+    with_extras: bool = False,
+) -> DataFrame:
+    """SEMANTIC REFERENCE form of the row-local assignment: the K
+    centroids are embedded as literals and the argmax / top-nprobe runs
+    as a pure projection — no centroid join, no aggregation, no
+    exchange.  The assignment becomes a free rider on the scan (guide
+    §2.4: remove shuffles outright); at sf0.1 this measured 0.23 s vs
+    1.07 s for the broadcast-join + max_by chain, with bit-identical
+    assignments.  At scale prefer ``backend="arrow"`` above: each
+    literal dot here is an interpreted fold at dim > UNROLL_MAX_DIM.
 
     Ordering equivalence: candidates are ranked by the struct
     (s, nc) — ascending array_sort then reverse ≡ (s DESC with NaN

@@ -205,6 +205,96 @@ def test_rowlocal_probe_matches_broadcast_path(spark, nprobe):
         assert not (r["__cs"] is None)
 
 
+@pytest.mark.parametrize("nprobe", [1, 3])
+def test_rowlocal_arrow_backend_matches_sql(spark, nprobe):
+    """r16: the vectorized-Arrow assignment must equal the literal-
+    projection SQL form bit-for-bit — ids, probe sets, norm and
+    similarity BITS, extras — including the degenerate rows the
+    equivalence argument calls out (NULL vector → lowest cids with
+    NULL cs and NULL norm; duplicate centroids tie to the lower
+    cid)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from arcane_stream_parquet_spark.operators.similarity import (
+        _probe_cells_rowlocal,
+        as_double_array,
+    )
+
+    dim = 8
+    corpus = _toy_corpus(spark, dim=dim)
+    edge = spark.createDataFrame(
+        [(1001, None)], schema="vec_id int, embedding array<double>"
+    )
+    corpus = corpus.unionByName(edge)
+    base = [_vec(1000 + c, dim) for c in range(4)]
+    base[3] = list(base[1])
+    cents = [(c, v) for c, v in enumerate(base)]
+
+    def rows(backend):
+        df = _probe_cells_rowlocal(
+            corpus, cents, "vec_id", as_double_array("embedding"),
+            nprobe=nprobe, out_id="vec_id", with_extras=True,
+            backend=backend,
+        )
+        out = []
+        for r in df.select("vec_id", "cell", "__n", "__cs", "__cv").collect():
+            out.append(
+                (
+                    r["vec_id"],
+                    r["cell"],
+                    None if r["__n"] is None else _bits(r["__n"]),
+                    None if r["__cs"] is None else _bits(r["__cs"]),
+                    tuple(r["__cv"]) if r["__cv"] is not None else None,
+                )
+            )
+        return sorted(out)
+
+    a, s = rows("arrow"), rows("sql")
+    assert a == s
+    # NULL vector: lowest cids, NULL norm/similarity
+    null_rows = [t for t in a if t[0] == 1001]
+    assert [t[1] for t in null_rows] == list(range(nprobe))
+    assert all(t[2] is None and t[3] is None for t in null_rows)
+
+
+def test_rowlocal_arrow_backend_raises_on_degenerate_floats(spark):
+    """A zero vector makes the sql backend's ANSI cosine raise
+    DIVIDE_BY_ZERO — the arrow backend must fail the job too, not
+    silently emit NaN assignments.  A NaN-component vector produces
+    NaN similarities the Arrow return path would null (diverging from
+    the sql form's NaN-ranks-greatest) — the arrow backend must raise
+    rather than diverge."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import (
+        ArithmeticException,
+        PythonException,
+    )
+
+    from arcane_stream_parquet_spark.operators.similarity import (
+        _probe_cells_rowlocal,
+        as_double_array,
+    )
+
+    dim = 8
+    cents = [(c, _vec(1000 + c, dim)) for c in range(4)]
+    for bad_vec, backends in (
+        ([0.0] * dim, (("arrow", (PythonException, Py4JJavaError)),
+                       ("sql", (ArithmeticException, Py4JJavaError)))),
+        ([float("nan")] * dim, (("arrow", (PythonException, Py4JJavaError)),)),
+    ):
+        corpus = spark.createDataFrame(
+            [(1, bad_vec)], schema="vec_id int, embedding array<double>"
+        )
+        for backend, exc in backends:
+            df = _probe_cells_rowlocal(
+                corpus, cents, "vec_id", as_double_array("embedding"),
+                nprobe=1, out_id="vec_id", backend=backend,
+            )
+            with _pytest.raises(exc):
+                df.collect()
+
+
 def test_short_arrays_null_both_forms(spark):
     """Arrays SHORTER than dim: both forms must agree (null via
     null-propagation — F.get out-of-bounds is NULL, zip_with pads
