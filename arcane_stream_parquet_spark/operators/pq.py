@@ -650,6 +650,10 @@ def ivfpq_topk(
         qres = _probe_cells_rowlocal(
             queries, centroids, id_col, as_double_array(vec_col),
             nprobe=nprobe, out_id="query_id", with_extras=True,
+            # sql backend: the query side is |Q|-bounded by design
+            # (LUTs scale |Q|·nprobe·m·codes), below the arrow
+            # assignment's crossover (similarity.py)
+            backend="sql",
         ).select(
             "query_id",
             "cell",

@@ -332,12 +332,16 @@ def ann_lsh_topk(
 
     planes = planes if planes is not None else random_planes()
     dim = unrollable(len(planes[0])) if planes else None
+    # query side: sql backend — |Q|-bounded by design, below the
+    # arrow bucket udf's crossover (one flat Python stage would cost
+    # more than the chains over a query batch)
     q = with_lsh_bucket(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
         ),
         "__qv",
         planes,
+        backend="sql",
     ).withColumn("__qn", norm_expr(F.col("__qv"), dim))
     q = q.select(
         "query_id",
@@ -812,6 +816,7 @@ def _probe_cells(
     vec_col: Column,
     nprobe: int,
     out_id: str,
+    backend: str = "arrow",
 ) -> DataFrame:
     """(out_id, __v, __n, cell) — each row's ``nprobe`` nearest centroid
     cells (cosine; ties → lower cid).
@@ -831,7 +836,8 @@ def _probe_cells(
 
     if _rowlocal_ok(centroids):
         return _probe_cells_rowlocal(
-            df, centroids, id_col, vec_col, nprobe, out_id
+            df, centroids, id_col, vec_col, nprobe, out_id,
+            backend=backend,
         )
     spark = df.sparkSession
     dim = _centroid_dim(centroids)
@@ -908,8 +914,13 @@ def train_ivf_centroids(
         (int(r["__tid"]), [float(x) for x in r["__tv"]]) for r in init
     ]
     for _ in range(iters):
+        # backend="sql": training runs on a BOUNDED sample by contract
+        # (k·dim-scale driver traffic), well below the arrow twin's
+        # ~10⁴-row crossover — the flat ArrowEvalPython stage per
+        # iteration would cost more than the interpreted folds save
         assigned = _probe_cells(
-            base, cents, "__tid", F.col("__tv"), nprobe=1, out_id="__tid"
+            base, cents, "__tid", F.col("__tv"), nprobe=1, out_id="__tid",
+            backend="sql",
         )
         med_rows = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
@@ -972,6 +983,10 @@ def ivf_topk(
     else:
         raise ValueError(f"assign must be 'exact' or 'two_level': {assign!r}")
     c = c.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("__n", "__cn")
+    # backend="sql": the QUERY side is |Q|-bounded by design (the
+    # whole serving shape scales per query), below the arrow twin's
+    # ~10⁴-row crossover — one flat ArrowEvalPython stage would cost
+    # more than the folds over a query batch save
     q = _probe_cells(
         queries,
         centroids,
@@ -979,6 +994,7 @@ def ivf_topk(
         as_double_array(vec_col),
         nprobe=nprobe,
         out_id="query_id",
+        backend="sql",
     ).withColumnRenamed("__v", "__qv").withColumnRenamed("__n", "__qn")
     joined = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -470,6 +470,9 @@ class PQVectorIndex:
         probed = _probe_cells(
             queries, self.centroids, "vec_id", as_double_array("embedding"),
             nprobe=nprobe, out_id="query_id",
+            # sql backend: search queries are |Q|-bounded, below the
+            # arrow assignment's crossover (similarity.py)
+            backend="sql",
         ).localCheckpoint(eager=False)
         cells = sorted(
             int(r["cell"]) for r in probed.select("cell").distinct().collect()
