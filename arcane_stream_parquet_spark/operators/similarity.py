@@ -291,8 +291,19 @@ def with_lsh_bucket(
         return df.withColumn(
             out_col, lsh_bucket_expr(as_double_array(vec_col), planes)
         )
+    # coalesce makes the bucket NON-NULLABLE: the udf always emits a
+    # string (a NULL vector gets the all-"0" bucket), but Catalyst
+    # types udf output nullable, and a nullable JOIN KEY makes the
+    # bucket equi-join infer an IsNotNull(bucket(...)) that predicate
+    # pushdown materializes as a SECOND ArrowEvalPython evaluation of
+    # the same udf below the join (observed in the ann_lsh plan).  The
+    # fallback literal can never be produced.
     return df.withColumn(
-        out_col, _lsh_bucket_pandas_udf(planes)(as_double_array(vec_col))
+        out_col,
+        F.coalesce(
+            _lsh_bucket_pandas_udf(planes)(as_double_array(vec_col)),
+            F.lit("0" * len(planes)),
+        ),
     )
 
 
@@ -1014,13 +1025,21 @@ def ivf_topk(
     )
 
 
-def _semdedup_losers_arrow(
+def _semdedup_flags_arrow(
     scored: DataFrame, id_col: str, tau: float
 ) -> DataFrame:
-    """Within-cell admitted-pair losers in ONE grouped Arrow pass
-    (guide §4.2: let Spark do the by-cell shuffle, hand each whole
-    cell to vectorized numpy instead of evaluating an interpreted
-    64-element fold per candidate pair).
+    """(id, cell, cent_sim, is_semantic_dup) for EVERY scored row —
+    the within-cell admitted-pair losers computed in ONE grouped Arrow
+    pass (guide §4.2: let Spark do the by-cell shuffle, hand each
+    whole cell to vectorized numpy instead of evaluating an
+    interpreted 64-element fold per candidate pair).
+
+    Emitting ALL rows with their flag (r16, batch 3) — not just the
+    losers — removes the former by-id flag join-back, whose probe side
+    re-evaluated the whole corpus assignment a second time (the
+    operator's dominant per-row cost; the two consumers pruned
+    different columns, so their subtrees could never share a stage).
+    One corpus pass, one exchange, no join.
 
     BIT-IDENTICAL to the join+fold form by construction: the pair dot
     is accumulated as 'acc = acc + a[d]*b[d]' one dimension at a time
@@ -1028,26 +1047,43 @@ def _semdedup_losers_arrow(
     left-to-right order as :func:`dot_expr`'s fold (numpy never fuses
     or reassociates elementwise ops) — and the division by the SAME
     precomputed __n norms matches :func:`cosine_with_norms`.  NaN
-    follows Spark's larger-than-everything ordering.  Contract: the
-    vector/norm/cent-sim columns are non-null (they are, coming from
-    the scored projection over non-null embeddings); null-tolerant
-    callers use ``pair_backend="sql"``.
+    follows Spark's larger-than-everything ordering inside the pair
+    logic, but a NaN ``cent_sim`` cannot be EMITTED (Arrow nulls NaN
+    doubles) — the pass raises on one, like the arrow assignment.
+    Contract: the id/vector/norm/cent-sim columns are non-null (they
+    are, coming from the scored projection over non-null embeddings);
+    null-tolerant callers use ``pair_backend="sql"``.
 
     Scale shape: one exchange (the groupBy's hash partition by cell),
     per-cell work sum(|cell|^2)·dim as vectorized numpy, blocked so
     the pair-block accumulator stays ~64 MB regardless of cell size.
     A giant skewed cell is one Python task here (the SQL backend's
     AQE skew-join split is the mitigation when that dominates)."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
-    out_schema = StructType([scored.schema[id_col]])
+    out_schema = StructType(
+        [
+            scored.schema[id_col],
+            scored.schema["cell"],
+            StructField("cent_sim", DoubleType(), True),
+            StructField("is_semantic_dup", BooleanType(), True),
+        ]
+    )
 
-    def find_losers(pdf):
+    def flag_cell(pdf):
         import numpy as np
         import pandas as pd
 
+        cells = pdf["cell"].to_numpy()
         if len(pdf) < 2:
-            return pdf.iloc[0:0][[id_col]]
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells,
+                    "cent_sim": pdf["__cs"],
+                    "is_semantic_dup": np.zeros(len(pdf), dtype=bool),
+                }
+            )
         order = np.argsort(pdf[id_col].to_numpy())
         ids = pdf[id_col].to_numpy()[order]
         V = np.array(
@@ -1055,6 +1091,12 @@ def _semdedup_losers_arrow(
         )
         nn = pdf["__n"].to_numpy(dtype=np.float64)[order]
         cs = pdf["__cs"].to_numpy(dtype=np.float64)[order]
+        if np.isnan(cs).any():
+            raise ValueError(
+                "NaN cent_sim in semantic dedup: the arrow pair "
+                "backend cannot emit NaN through Arrow; use "
+                "pair_backend='sql' for NaN-bearing similarities"
+            )
         n_rows, dim = V.shape
         loser = np.zeros(n_rows, dtype=bool)
         # row-block size bounding the (block × n_rows) accumulator
@@ -1082,12 +1124,19 @@ def _semdedup_losers_arrow(
             b_keeps = (~cs_nan[gj]) & (cs_nan[gi] | (cs[gj] < cs[gi]))
             loser[gi[b_keeps]] = True
             loser[gj[~b_keeps]] = True
-        return pd.DataFrame({id_col: ids[loser]})
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": cells[order],
+                "cent_sim": cs,
+                "is_semantic_dup": loser,
+            }
+        )
 
     return (
         scored.select(id_col, "cell", "__v", "__n", "__cs")
         .groupBy("cell")
-        .applyInPandas(find_losers, out_schema)
+        .applyInPandas(flag_cell, out_schema)
     )
 
 
@@ -1217,14 +1266,13 @@ def semantic_duplicates(
         # accumulation (bit-identical; pinned vs the SQL backend and
         # the DuckDB oracle).  Same exchange count: the groupBy's
         # by-cell hash partition replaces the shared repartition(cell).
-        losers = _semdedup_losers_arrow(scored, id_col, tau)
-        return scored.join(
-            losers.withColumn("__dup", F.lit(True)), id_col, "left"
-        ).select(
-            id_col,
-            "cell",
-            F.col("__cs").alias("cent_sim"),
-            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_semantic_dup"),
+        # r16 batch 3: the pass emits EVERY row with its flag, so the
+        # former by-id flag join-back — whose probe side re-ran the
+        # whole corpus assignment (divergent pruning kept the two
+        # subtrees from ever sharing a stage) — is gone: one corpus
+        # pass, one exchange, zero joins.
+        return _semdedup_flags_arrow(scored, id_col, tau).select(
+            id_col, "cell", "cent_sim", "is_semantic_dup"
         )
     if pair_backend != "sql":
         raise ValueError(f"pair_backend must be 'arrow' or 'sql': {pair_backend!r}")

@@ -216,9 +216,11 @@ def test_plan_is_equijoin_never_cartesian(micro):
 
 
 def test_arrow_backend_plan_one_grouped_pass(micro):
-    """The default (arrow) backend: NO pair join at all — the
-    within-cell pairs run inside one FlatMapGroupsInPandas keyed by
-    cell, so the only remaining join is the by-id flag join-back."""
+    """The default (arrow) backend: NO join at all — the within-cell
+    pairs run inside one FlatMapGroupsInPandas keyed by cell, which
+    emits every row with its flag (r16 batch 3), so even the former
+    by-id flag join-back (whose probe side re-ran the whole corpus
+    assignment) is gone: one corpus pass, one exchange, zero joins."""
     df, _, cents = micro
     plan = (
         semantic_duplicates(df, cents, tau=0.9)
@@ -228,6 +230,7 @@ def test_arrow_backend_plan_one_grouped_pass(micro):
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "SortMergeJoin [__cella" not in plan
+    assert "Join" not in plan
 
 
 def test_arrow_backend_bit_identical_to_sql(micro):
