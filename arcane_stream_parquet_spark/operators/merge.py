@@ -80,6 +80,7 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import json
+import os
 import time
 import uuid
 from collections.abc import Sequence
@@ -2173,12 +2174,114 @@ class ParquetMergeTarget:
             entry["n"],
         )
 
+    @staticmethod
+    def _local_fs_path(path: str) -> str | None:
+        """``path`` as a directly-openable local filesystem path, or
+        None when it lives behind a non-local scheme (the footer
+        fast path below then falls back to the distributed scan)."""
+        if path.startswith("file:"):
+            stripped = path[5:]
+            while stripped.startswith("//"):
+                stripped = stripped[1:]
+            return stripped
+        return None if "://" in path else path
+
+    def _footer_file_stats(
+        self, version: int, dirname: str, sizes: dict
+    ) -> list[dict] | None:
+        """Write-time-footer fast path for :meth:`_collect_file_stats`
+        (guide §1.2 / Iceberg's shape: stats come from parquet footers,
+        not a read-back scan).  Returns manifest entries built from
+        driver-side footer reads — NO Spark job, no re-scan of the
+        freshly written rows — or ``None`` when any precondition fails,
+        in which case the caller runs the exact distributed scan:
+
+        - only the merge key needs stats (``stats_cols`` /
+          ``cluster_by`` / ``manifest_bloom_cols`` all unset: those
+          need value-level passes footers don't carry);
+        - the key column is parquet string whose footer min/max are
+          pure ASCII (there parquet's unsigned-byte stat order, Python
+          str order and Spark's UTF-16 ordering all agree; the sha256
+          hex default key always qualifies) — so ``mn``/``mx`` equal
+          the scan's ``CAST(key AS STRING)`` min/max byte-for-byte
+          (probed: footer stats are exact and untruncated for 500+
+          char values under Spark's writer);
+        - every row group carries min/max + null-count stats (or is
+          provably all-null on the key);
+        - the data sits on a directly-readable local path.
+        """
+        if self.stats_cols or self.cluster_by or self.manifest_bloom_cols:
+            return None
+        vdir = self._local_fs_path(self._data_dir(dirname))
+        if vdir is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        out = []
+        for (b, name), sz in sorted(sizes.items()):
+            fpath = os.path.join(vdir, f"{BUCKET_COLUMN}={b}", name)
+            try:
+                md = pq.read_metadata(fpath)
+            except OSError:
+                return None
+            schema = md.schema
+            col_idx = None
+            for i in range(md.num_columns):
+                if schema.column(i).path == self.key_col:
+                    col_idx = i
+                    break
+            if col_idx is None:
+                return None
+            if schema.column(col_idx).physical_type != "BYTE_ARRAY" or (
+                schema.column(col_idx).logical_type.type != "STRING"
+            ):
+                return None  # non-string key: footer order != cast-string order
+            mins: list[str] = []
+            maxs: list[str] = []
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                st = grp.column(col_idx).statistics
+                if st is None or not st.has_null_count:
+                    return None
+                nulls += st.null_count
+                if not st.has_min_max:
+                    # sound only when the group is provably all-null
+                    if st.null_count != grp.num_rows:
+                        return None
+                    continue
+                mn, mx = st.min, st.max
+                if not (isinstance(mn, str) and isinstance(mx, str)):
+                    return None
+                if not (mn.isascii() and mx.isascii()):
+                    return None  # UTF-16 vs byte order can diverge
+                mins.append(mn)
+                maxs.append(mx)
+            out.append(
+                {
+                    "v": version,
+                    "d": dirname,
+                    "b": b,
+                    "n": name,
+                    "mn": _trunc_stat_min(min(mins)) if mins else None,
+                    "mx": _trunc_stat_max(max(maxs)) if maxs else None,
+                    "hn": nulls > 0,
+                    "sz": sz,
+                    "rc": int(md.num_rows),
+                }
+            )
+        return sorted(out, key=lambda e: (e["b"], e["n"]))
+
     def _collect_file_stats(self, version: int, dirname: str) -> list[dict]:
         """Manifest entries for every data file of a freshly written
-        version dir: min/max merge key from ONE column-pruned
-        distributed read-back of the new files (the key column only —
-        Iceberg gets the same stats from write-time footers), sizes
-        from the directory listing."""
+        version dir: min/max merge key, has-null flag and row count per
+        file — from driver-side parquet FOOTER reads when the fast
+        path qualifies (:meth:`_footer_file_stats`; the common string-
+        merge-key table pays zero read-back jobs per commit), else from
+        ONE column-pruned distributed read-back of the new files (the
+        key column only); sizes from the directory listing."""
         vdir = self._data_dir(dirname)
         sizes: dict[tuple[int, str], int] = {}
         for bname in self._fio.list_names(vdir):
@@ -2203,6 +2306,9 @@ class ParquetMergeTarget:
                 }
                 for (b, n), sz in sorted(sizes.items())
             ]
+        fast = self._footer_file_stats(version, dirname, sizes)
+        if fast is not None:
+            return fast
         scan = self.spark.read.option("basePath", vdir).parquet(vdir)
         # stats_cols + cluster_by present in THIS version's files
         # (drift-era rewrites may predate a column; absent stats read
