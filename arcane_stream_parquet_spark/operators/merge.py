@@ -2555,6 +2555,40 @@ class ParquetMergeTarget:
         ).write.mode("errorifexists").parquet(self._delete_data_dir(dirname))
         return dirname
 
+    def _delete_entries_from_agg(
+        self, version: int, dirname: str, srow
+    ) -> list[dict]:
+        """Manifest delete entries built from the winners-side
+        aggregate row (r17): the matched rows of a MoR commit ARE the
+        delete-file keys (winners is one row per key), so their bucket
+        set / min / max / has-null were already computed in the same
+        action that counted them — no read-back of the freshly written
+        delete files.  Only valid when the commit wrote ONE delete
+        file (every batch under the 5M-key coalesce bound); the
+        multi-file case needs per-file stats and falls back to
+        :meth:`_collect_delete_stats`."""
+        ddir = self._delete_data_dir(dirname)
+        sizes = {
+            name: size
+            for name, size in self._fio.list_files(ddir)
+            if name.endswith(".parquet")
+        }
+        if len(sizes) != 1:
+            return self._collect_delete_stats(version, dirname)
+        name, sz = next(iter(sizes.items()))
+        return [
+            {
+                "seq": version,
+                "d": dirname,
+                "n": name,
+                "bs": [int(b) for b in srow["_bs"]],
+                "mn": _trunc_stat_min(srow["_mn"]),
+                "mx": _trunc_stat_max(srow["_mx"]),
+                "hn": bool(srow["_hn"]),
+                "sz": sz,
+            }
+        ]
+
     def _collect_delete_stats(self, version: int, dirname: str) -> list[dict]:
         """Manifest delete entries for a freshly written delete dir —
         same one column-pruned distributed read-back as data-file
@@ -2889,35 +2923,121 @@ class ParquetMergeTarget:
         else:
             self._merge_cow(batch)
 
-    def _merge_cow(self, batch: DataFrame) -> None:
-        batch_latest = self._with_bucket(self._dedup_latest(batch))
+    def _plan_batch_touch(
+        self, manifest: dict, batch_bucketed: DataFrame
+    ) -> tuple[list[int], list[dict], list[dict] | None, list[dict], list[dict]]:
+        """Driver-side planning for one merge commit: ``(buckets,
+        region, keep, touched, kept_in_scope)``.
 
-        # Affected buckets: tiny driver-side list (≤ num_buckets ints).
-        # Derived from the RAW batch — dedup can't change the key set,
-        # so this action skips the max_by aggregation entirely (the
-        # dedup runs once, inside the version write below).
-        batch_bucketed = self._with_bucket(batch)
-        buckets = [
-            r[BUCKET_COLUMN]
-            for r in batch_bucketed.select(BUCKET_COLUMN).distinct().collect()
+        On an UNSHARDED manifest (file list inline — bounded by
+        ``manifest_shard_entries``) bucket discovery and file-range
+        pruning fuse into ONE Spark job: the batch's (key, bucket)
+        pairs range-join the broadcast file-range table and the
+        distinct (bucket, hit-file) pairs come back in one collect
+        (r17 — previously two jobs: a distinct-bucket collect plus the
+        prune join).  Sharded manifests keep the two-step path so
+        metadata IO stays O(touched shards), not O(table)."""
+        files_inline = (
+            manifest.get("files")
+            if manifest.get("file_shards") is None
+            else None
+        )
+        if files_inline is None:
+            # sharded (r9) or pre-r5 legacy manifest: buckets first,
+            # then only intersecting shards are read
+            buckets = [
+                r[BUCKET_COLUMN]
+                for r in batch_bucketed.select(BUCKET_COLUMN)
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                return [], [], None, [], []
+            region, keep = self._files_for_buckets(manifest, set(buckets))
+            if region is None:
+                region = self._legacy_files(manifest)  # in-place upgrade
+            touched, kept = self._prune_touched_files(
+                region, batch_bucketed, buckets
+            )
+            return buckets, region, keep, touched, kept
+        ranged = [
+            f
+            for f in files_inline
+            if f["mn"] is not None and f["mx"] is not None
         ]
+        keys = batch_bucketed.select(
+            F.col(self.key_col).cast("string").alias("_k"),
+            F.col(BUCKET_COLUMN).alias("_b"),
+        )
+        if ranged:
+            ranges = self.spark.createDataFrame(
+                [
+                    (i, int(f["b"]), str(f["mn"]), str(f["mx"]))
+                    for i, f in enumerate(ranged)
+                ],
+                "fid int, fb int, mn string, mx string",
+            )
+            # NULL batch keys match every ranged file of their bucket
+            # (same rule as _prune_touched_files: the kept file may
+            # hold the target's null-key row)
+            rows = (
+                keys.join(
+                    F.broadcast(ranges),
+                    (F.col("_b") == F.col("fb"))
+                    & (
+                        F.col("_k").isNull()
+                        | (
+                            (F.col("_k") >= F.col("mn"))
+                            & (F.col("_k") <= F.col("mx"))
+                        )
+                    ),
+                    "left",
+                )
+                .select("_b", "fid")
+                .distinct()
+                .collect()
+            )
+        else:
+            rows = [
+                {"_b": r["_b"], "fid": None}
+                for r in keys.select("_b").distinct().collect()
+            ]
+        buckets = sorted({int(r["_b"]) for r in rows})
+        if not buckets:
+            return [], [], None, [], []
+        hit_ids = {r["fid"] for r in rows if r["fid"] is not None}
+        bucket_set = set(buckets)
+        unranged_in_scope = [
+            f
+            for f in files_inline
+            if int(f["b"]) in bucket_set
+            and (f["mn"] is None or f["mx"] is None)
+        ]
+        touched = unranged_in_scope + [
+            f for i, f in enumerate(ranged) if i in hit_ids
+        ]
+        kept = [
+            f
+            for i, f in enumerate(ranged)
+            if int(f["b"]) in bucket_set and i not in hit_ids
+        ]
+        return buckets, files_inline, None, touched, kept
+
+    def _merge_cow(self, batch: DataFrame) -> None:
+        # The batch is NOT pre-deduped: merge_latest_wins' max_by
+        # ordering (version, precedence, tiebreakers) restricted to
+        # batch rows (constant precedence) is exactly _dedup_latest's
+        # ordering, and max over a multiset is associative — folding
+        # the batch first, then merging, picks the same survivor as
+        # one max over the union.  Skipping the fold removes a full
+        # exchange of the batch per commit (r17, guide §2.4).
+        batch_bucketed = self._with_bucket(batch)
+        manifest = self._manifest()
+        buckets, region, keep, touched, kept_in_scope = (
+            self._plan_batch_touch(manifest, batch_bucketed)
+        )
         if not buckets:
             return  # empty batch: no version bump, no manifest churn
-
-        manifest = self._manifest()
-        # Region read: on a (r9) bucket-ranged sharded manifest only
-        # the shards whose range intersects the touched buckets are
-        # read; the rest are reused by name at commit — metadata IO is
-        # O(touched shards), not O(table)
-        region, keep = self._files_for_buckets(manifest, set(buckets))
-        if region is None:
-            region = self._legacy_files(manifest)  # in-place upgrade
-        # Sub-bucket pruning: inside touched buckets, files whose key
-        # range contains no batch key stay live AS-IS — the rewrite is
-        # O(files actually holding batch keys), not O(touched buckets).
-        touched, kept_in_scope = self._prune_touched_files(
-            region, batch_bucketed, buckets
-        )
         bucket_set = set(buckets)
         surviving = [
             f for f in region if int(f["b"]) not in bucket_set
@@ -2933,9 +3053,11 @@ class ParquetMergeTarget:
             )
         else:
             existing = self.spark.createDataFrame(
-                [], schema if schema is not None else batch_latest.schema
+                [], schema if schema is not None else batch_bucketed.schema
             )
-        existing, batch_latest = self._reconcile_schema(existing, batch_latest)
+        existing, batch_latest = self._reconcile_schema(
+            existing, batch_bucketed
+        )
 
         merged = merge_latest_wins(
             existing,
@@ -3006,20 +3128,14 @@ class ParquetMergeTarget:
             new_schema = batch_latest.schema
             batch2 = batch_latest
 
-        buckets = [
-            r[BUCKET_COLUMN]
-            for r in batch2.select(BUCKET_COLUMN).distinct().collect()
-        ]
+        # plan against the RAW bucketed batch: dedup cannot change the
+        # key set, so bucket/file-touch discovery skips the max_by
+        # aggregation the batch2 plan carries (r17)
+        buckets, region, keep, touched, _kept = self._plan_batch_touch(
+            manifest, self._with_bucket(batch)
+        )
         if not buckets:
             return  # empty batch: no version bump, no manifest churn
-
-        # region read (r9): only shards covering touched buckets are
-        # read; untouched ones are reused by name at commit — a MoR
-        # trickle commit's metadata IO is O(touched shards)
-        region, keep = self._files_for_buckets(manifest, set(buckets))
-        if region is None:
-            region = self._legacy_files(manifest)  # in-place upgrade
-        touched, _kept = self._prune_touched_files(region, batch2, buckets)
         new_version = manifest["version"] + 1
         new_deletes: list[dict] = []
         if touched:
@@ -3030,6 +3146,23 @@ class ParquetMergeTarget:
             ).select(
                 F.col(self.key_col).alias(_TGT_KEY_COL),
                 F.col(self.version_col).alias(_TGT_V_COL),
+            )
+            # Semi-filter the candidate (key, version) scan down to
+            # batch keys BEFORE the max-version aggregation (guide
+            # §3.2: reduce the big side before shuffling it): the
+            # aggregate and the winners join then carry O(batch keys)
+            # rows instead of O(candidate-file rows).  Key equality is
+            # null-safe for the same reason as the winners join.  The
+            # build side comes from the RAW batch (same key set as
+            # batch2, no dedup recompute); AQE converts the semi-join
+            # to broadcast when the distinct key set is small — every
+            # trigger-bounded micro-batch — and falls back to a
+            # shuffled semi-join for backfill-sized batches.
+            bk = batch.select(F.col(self.key_col).alias("__bk")).distinct()
+            kv = kv.join(
+                bk,
+                F.col(_TGT_KEY_COL).eqNullSafe(F.col("__bk")),
+                "left_semi",
             )
             maxv = kv.groupBy(_TGT_KEY_COL).agg(
                 F.max(_TGT_V_COL).alias(_TGT_V_COL)
@@ -3047,7 +3180,32 @@ class ParquetMergeTarget:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             try:
-                if winners.isEmpty():
+                # ONE action materializes the persist and returns the
+                # winner count, matched-key count AND the delete-file
+                # stats (buckets covered, min/max/has-null key) — it
+                # replaces the former isEmpty + count + delete-file
+                # read-back trio (r17; winners is post-dedup, one row
+                # per key, so matched rows ARE the delete-file keys)
+                matched_if = lambda c: F.when(  # noqa: E731
+                    F.col(_TGT_V_COL).isNotNull(), c
+                )
+                srow = winners.select(
+                    F.count(F.lit(1)).alias("_nw"),
+                    F.count(F.col(_TGT_V_COL)).alias("_nm"),
+                    F.sort_array(
+                        F.collect_set(matched_if(F.col(BUCKET_COLUMN)))
+                    ).alias("_bs"),
+                    F.min(
+                        matched_if(F.col(self.key_col).cast("string"))
+                    ).alias("_mn"),
+                    F.max(
+                        matched_if(F.col(self.key_col).cast("string"))
+                    ).alias("_mx"),
+                    F.max(
+                        matched_if(F.col(self.key_col).isNull())
+                    ).alias("_hn"),
+                ).first()
+                if not srow["_nw"]:
                     return  # whole batch stale: discarded (ST3), no commit
                 new_dir = self._write_version(
                     winners.drop(_TGT_KEY_COL, _TGT_V_COL), new_version
@@ -3056,16 +3214,16 @@ class ParquetMergeTarget:
                 # row (pruning is conservative, so a key absent from
                 # the candidate scan is guaranteed absent from the
                 # table — pure inserts need no delete entry)
-                matched = winners.filter(
-                    F.col(_TGT_V_COL).isNotNull()
-                ).select(self.key_col)
-                n_matched = matched.count()  # cheap: winners persisted
+                n_matched = int(srow["_nm"])
                 if n_matched:
+                    matched = winners.filter(
+                        F.col(_TGT_V_COL).isNotNull()
+                    ).select(self.key_col)
                     del_dir = self._write_deletes(
                         matched, n_matched, new_version
                     )
-                    new_deletes = self._collect_delete_stats(
-                        new_version, del_dir
+                    new_deletes = self._delete_entries_from_agg(
+                        new_version, del_dir, srow
                     )
             finally:
                 winners.unpersist()
@@ -3087,22 +3245,23 @@ class ParquetMergeTarget:
         self._commit_manifest(manifest)
 
     def _commit_initial(self, bucketed: DataFrame) -> None:
-        # buckets BEFORE the write: an empty first batch must not commit
-        # a zero-bucket manifest (which would shadow the real first
-        # commit) — it is a no-op and the target stays nonexistent
-        buckets = [
-            r[BUCKET_COLUMN]
-            for r in bucketed.select(BUCKET_COLUMN).distinct().collect()
-        ]
-        if not buckets:
-            return
+        # Write FIRST, derive the bucket map from the written files
+        # (r17): the former distinct-bucket collect ran the batch's
+        # whole dedup plan a second time just to list ≤ num_buckets
+        # ints the file entries already carry.  The empty-first-batch
+        # contract holds: an empty batch writes no data files, so no
+        # manifest is committed and the target stays nonexistent (the
+        # empty staging dir is a vacuum-class orphan).
         new_dir = self._write_version(bucketed, 1)
+        files = self._collect_file_stats(1, new_dir)
+        if not files:
+            return
         self._commit_manifest(
             {
                 "version": 1,
-                "buckets": {str(b): 1 for b in buckets},
+                "buckets": {str(int(e["b"])): 1 for e in files},
                 "schema": bucketed.schema.jsonValue(),
-                "files": self._collect_file_stats(1, new_dir),
+                "files": files,
                 "op": "append",  # CDC: initial commit = pure inserts
             }
         )
@@ -3116,21 +3275,18 @@ class ParquetMergeTarget:
         # expression is built (same stale-writer rule as merge(), r11)
         new_version = (self._manifest()["version"] + 1) if self.exists() else 1
         snapshot = self._with_bucket(self._dedup_latest(df))
-        buckets = [
-            r[BUCKET_COLUMN]
-            for r in snapshot.select(BUCKET_COLUMN).distinct().collect()
-        ]
-        new_dir = self._write_version(snapshot, new_version) if buckets else None
-        # empty source → truncate: zero-bucket manifest (carrying the
-        # schema), no data write; reads back as zero rows (_read_raw)
+        # write first, buckets from the written entries (r17 — same
+        # one-pass rule as _commit_initial); an empty source writes no
+        # files and commits the zero-bucket TRUNCATE manifest (carrying
+        # the schema), which reads back as zero rows (_read_raw)
+        new_dir = self._write_version(snapshot, new_version)
+        files = self._collect_file_stats(new_version, new_dir)
         self._commit_manifest(
             {
                 "version": new_version,
-                "buckets": {str(b): new_version for b in buckets},
+                "buckets": {str(int(e["b"])): new_version for e in files},
                 "schema": snapshot.schema.jsonValue(),
-                "files": self._collect_file_stats(new_version, new_dir)
-                if buckets
-                else [],
+                "files": files,
                 "op": "overwrite",  # CDC: snapshot diff, deletes possible
             }
         )

@@ -59,6 +59,7 @@ def main() -> int:
         "_manifest",
         "_write_deletes",
         "_files_for_buckets",
+        "_plan_batch_touch",
         "commit_watermark",
     ):
         _wrap(ParquetMergeTarget, m)
