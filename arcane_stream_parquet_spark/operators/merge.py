@@ -629,6 +629,30 @@ class ParquetMergeTarget:
     #:   Trino/Iceberg — docs/crd.md:145-182's maintenance contract
     #:   exists to compact those deletes).
     merge_mode: str = "cow"
+    #: How latest-wins dedup executes inside CoW/initial/overwrite
+    #: version writes (r17):
+    #:
+    #: - ``"sort"`` (default): dedup fuses into the write's own
+    #:   bucket exchange + sort — rows shuffle ONCE and the dedup
+    #:   window's sort is the writer's required order (see
+    #:   :meth:`_write_version_latest`).  Strictly fewer shuffled
+    #:   bytes whenever keys are near-unique per batch (the CDC
+    #:   steady state: the former groupBy(key) partial aggregation
+    #:   had nothing to collapse and its exchange carried every row
+    #:   a second time).
+    #: - ``"agg"``: the pre-r17 max_by aggregate — PARTIAL map-side
+    #:   reduction before a groupBy(key) exchange, then a second
+    #:   exchange on the bucket.  Prefer for duplicate-heavy or
+    #:   pathologically hot-key batches: a hot key collapses to one
+    #:   row per map task before shuffling instead of sorting all its
+    #:   raw rows in one bucket partition (the skew posture of
+    #:   operators/dedup.py; proven in tests/test_merge_skew.py).
+    #:
+    #: Both strategies produce identical table contents (same max_by
+    #: total order; parity pinned in tests/test_dedup_strategy.py).
+    #: ``sorted_by``/``cluster_by`` targets always use "agg" — their
+    #: inner file order is not the key sort the fused window rides.
+    dedup_strategy: str = "sort"
     #: MoR read path: the pending-delete build side is broadcast (the
     #: dirty scan never shuffles) while the manifest says it is under
     #: this many bytes; past it — an overdue compaction — the anti-join
@@ -2140,6 +2164,20 @@ class ParquetMergeTarget:
             df = df.repartition(F.col(BUCKET_COLUMN)).sortWithinPartitions(
                 BUCKET_COLUMN, *inner_sort
             )
+        self._write_partitioned(
+            df, dirname, honor_file_cap=honor_file_cap, records_cap=records_cap
+        )
+
+    def _write_partitioned(
+        self,
+        df: DataFrame,
+        dirname: str,
+        honor_file_cap: bool = True,
+        records_cap: int | None = None,
+    ) -> None:
+        """The shared writer tail: bucket-partitioned parquet into a
+        fresh staging dir with the table's file-cap and footer-bloom
+        options.  Callers are responsible for the row order."""
         writer = df.write.partitionBy(BUCKET_COLUMN)
         cap = (
             records_cap
@@ -2154,6 +2192,69 @@ class ParquetMergeTarget:
         # attempt — nothing to clear, nothing another in-flight writer
         # could mistake for a crash orphan.
         writer.mode("errorifexists").parquet(self._data_dir(dirname))
+
+    def _use_sort_dedup(self) -> bool:
+        """True when latest-wins dedup should fuse into the write's own
+        exchange+sort (``dedup_strategy="sort"``).  ``sorted_by`` /
+        ``cluster_by`` targets need a different inner file order than
+        the key sort the fused window rides, so they keep the aggregate
+        strategy regardless."""
+        return (
+            self.dedup_strategy == "sort"
+            and not self.sorted_by
+            and not self.cluster_by
+        )
+
+    def _write_version_latest(
+        self,
+        unioned: DataFrame,
+        version: int,
+        ordering: Sequence[str],
+        drop_cols: Sequence[str] = (),
+    ) -> tuple[str, "StructType"]:
+        """Latest-wins dedup FUSED into the version write (r17, guide
+        §2.4: remove shuffles outright): rows exchange ONCE on the
+        bucket column, and the dedup window's required sort —
+        ``(bucket, CAST(key AS STRING), key, ordering-struct DESC)`` —
+        is exactly the partitioned writer's required ordering plus the
+        key-sorted inner file order the manifest stats rely on.  The
+        aggregate strategy pays a groupBy(key) exchange AND a
+        repartition(bucket) exchange for the same result.
+
+        Survivor parity with :func:`_dedup_latest_df`: the first row of
+        a key group under ordering-struct DESC is ``max_by``'s survivor
+        — Spark sorts and max_by compare structs with the same total
+        order (field-wise, nulls smallest, NaN greatest).  The native
+        key joins the sort keys after its string cast so key groups
+        stay contiguous even if two distinct keys share a string form.
+        Trade-off vs the aggregate strategy (kept under
+        ``dedup_strategy="agg"``): no map-side partial reduction, so a
+        pathologically hot key sorts all its raw rows in one bucket
+        partition instead of arriving pre-collapsed — prefer "agg" for
+        duplicate-heavy or hot-key batches (dedup_strategy docstring).
+        """
+        from pyspark.sql import Window
+
+        self._raise_if_version_committed(version)
+        dirname = self._new_dirname(version)
+        ord_struct = F.struct(*[F.col(c) for c in ordering])
+        w = Window.partitionBy(F.col(BUCKET_COLUMN)).orderBy(
+            F.col(self.key_col).cast("string").asc(),
+            F.col(self.key_col).asc(),
+            ord_struct.desc(),
+        )
+        out_cols = [c for c in unioned.columns if c not in set(drop_cols)]
+        deduped = (
+            unioned.withColumn("__asp_prev_k", F.lag(F.col(self.key_col)).over(w))
+            .withColumn("__asp_any_prev", F.lag(F.lit(1)).over(w))
+            .filter(
+                F.col("__asp_any_prev").isNull()
+                | ~F.col(self.key_col).eqNullSafe(F.col("__asp_prev_k"))
+            )
+            .select(*out_cols)
+        )
+        self._write_partitioned(deduped, dirname)
+        return dirname, deduped.schema
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COLUMN, _bucket_expr(self.key_col, self.num_buckets))
@@ -2909,9 +3010,14 @@ class ParquetMergeTarget:
         mode = (mode or self.merge_mode).lower()
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
+        if self.dedup_strategy not in ("sort", "agg"):
+            raise ValueError(
+                f"dedup_strategy must be 'sort' or 'agg', got "
+                f"{self.dedup_strategy!r}"
+            )
 
         if not self.exists():
-            self._commit_initial(self._with_bucket(self._dedup_latest(batch)))
+            self._commit_initial(batch)
             return
         # sync num_buckets from the live manifest BEFORE any bucket
         # expression is built: a writer constructed with a stale count
@@ -3059,16 +3165,29 @@ class ParquetMergeTarget:
             existing, batch_bucketed
         )
 
-        merged = merge_latest_wins(
-            existing,
-            batch_latest,
-            self.key_col,
-            self.version_col,
-            tiebreakers=self.tiebreakers,
-        )
-
         new_version = manifest["version"] + 1
-        new_dir = self._write_version(merged, new_version)
+        if self._use_sort_dedup():
+            # merge_latest_wins' union + max_by, with the dedup fused
+            # into the write's own exchange+sort (one shuffle total)
+            unioned = existing.withColumn(
+                _PRECEDENCE_COL, F.lit(0)
+            ).unionByName(batch_latest.withColumn(_PRECEDENCE_COL, F.lit(1)))
+            new_dir, wschema = self._write_version_latest(
+                unioned,
+                new_version,
+                [self.version_col, _PRECEDENCE_COL, *self.tiebreakers],
+                drop_cols=(_PRECEDENCE_COL,),
+            )
+        else:
+            merged = merge_latest_wins(
+                existing,
+                batch_latest,
+                self.key_col,
+                self.version_col,
+                tiebreakers=self.tiebreakers,
+            )
+            new_dir = self._write_version(merged, new_version)
+            wschema = merged.schema
         # schema + file map commit in ONE create-only manifest write:
         # a crash before it leaves the old table (and old schema) fully
         # intact — clean rollback, no half-visible drift
@@ -3080,7 +3199,7 @@ class ParquetMergeTarget:
         for b in buckets:
             manifest["buckets"][str(b)] = new_version
         manifest["version"] = new_version
-        manifest["schema"] = merged.schema.jsonValue()
+        manifest["schema"] = wschema.jsonValue()
         manifest["op"] = "merge-cow"  # commit kind: read_changes contract
         self._commit_manifest(manifest)
 
@@ -3244,7 +3363,7 @@ class ParquetMergeTarget:
         manifest["op"] = "merge-mor"  # enables the O(delta) CDC fast path
         self._commit_manifest(manifest)
 
-    def _commit_initial(self, bucketed: DataFrame) -> None:
+    def _commit_initial(self, batch: DataFrame) -> None:
         # Write FIRST, derive the bucket map from the written files
         # (r17): the former distinct-bucket collect ran the batch's
         # whole dedup plan a second time just to list ≤ num_buckets
@@ -3252,7 +3371,16 @@ class ParquetMergeTarget:
         # contract holds: an empty batch writes no data files, so no
         # manifest is committed and the target stays nonexistent (the
         # empty staging dir is a vacuum-class orphan).
-        new_dir = self._write_version(bucketed, 1)
+        if self._use_sort_dedup():
+            new_dir, schema = self._write_version_latest(
+                self._with_bucket(batch),
+                1,
+                [self.version_col, *self.tiebreakers],
+            )
+        else:
+            bucketed = self._with_bucket(self._dedup_latest(batch))
+            new_dir = self._write_version(bucketed, 1)
+            schema = bucketed.schema
         files = self._collect_file_stats(1, new_dir)
         if not files:
             return
@@ -3260,7 +3388,7 @@ class ParquetMergeTarget:
             {
                 "version": 1,
                 "buckets": {str(int(e["b"])): 1 for e in files},
-                "schema": bucketed.schema.jsonValue(),
+                "schema": schema.jsonValue(),
                 "files": files,
                 "op": "append",  # CDC: initial commit = pure inserts
             }
@@ -3274,18 +3402,26 @@ class ParquetMergeTarget:
         # sync num_buckets from the live manifest BEFORE the bucket
         # expression is built (same stale-writer rule as merge(), r11)
         new_version = (self._manifest()["version"] + 1) if self.exists() else 1
-        snapshot = self._with_bucket(self._dedup_latest(df))
         # write first, buckets from the written entries (r17 — same
         # one-pass rule as _commit_initial); an empty source writes no
         # files and commits the zero-bucket TRUNCATE manifest (carrying
         # the schema), which reads back as zero rows (_read_raw)
-        new_dir = self._write_version(snapshot, new_version)
+        if self._use_sort_dedup():
+            new_dir, schema = self._write_version_latest(
+                self._with_bucket(df),
+                new_version,
+                [self.version_col, *self.tiebreakers],
+            )
+        else:
+            snapshot = self._with_bucket(self._dedup_latest(df))
+            new_dir = self._write_version(snapshot, new_version)
+            schema = snapshot.schema
         files = self._collect_file_stats(new_version, new_dir)
         self._commit_manifest(
             {
                 "version": new_version,
                 "buckets": {str(int(e["b"])): new_version for e in files},
-                "schema": snapshot.schema.jsonValue(),
+                "schema": schema.jsonValue(),
                 "files": files,
                 "op": "overwrite",  # CDC: snapshot diff, deletes possible
             }
