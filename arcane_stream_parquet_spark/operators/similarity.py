@@ -168,10 +168,14 @@ def _lsh_bucket_pandas_udf(planes: Sequence[Sequence[float]]):
     to its otherwise), and a vector LONGER than the plane reads its
     first dim elements (element_at never probes past dim).  A vector
     SHORTER than the plane raises — the SQL form's ANSI element_at
-    would equally fail the job.  Contract exclusion (documented): null
-    ELEMENTS inside a vector — Arrow hands those to numpy as NaN,
-    which flips the bit the SQL path zeroes; embedding corpora carry
-    none, and ``backend="sql"`` remains the escape hatch."""
+    would equally fail the job.  NaN/NULL ELEMENTS inside a vector
+    RAISE (r17 ADVICE): Arrow hands null elements to numpy as NaN —
+    erasing the null-vs-NaN distinction the SQL form depends on (null
+    propagates to "0" bits, NaN compares greatest → "1") — so letting
+    them through would silently lose recall on one side of the bucket
+    equi-join.  Fail loudly like the assignment udf;
+    ``nan_policy="sql"`` on :func:`with_lsh_bucket` routes such rows
+    through the expression form (which CAN tell them apart) instead."""
     import pandas as pd  # noqa: F401
 
     from pyspark.sql.functions import pandas_udf
@@ -209,6 +213,19 @@ def _lsh_bucket_pandas_udf(planes: Sequence[Sequence[float]]):
                 for i, j in enumerate(idx):
                     c = cells[j]
                     vs[i, :] = np.asarray(c[:dim], np.float64)
+            # NULL elements arrive as NaN (Arrow→pandas erases the
+            # distinction), and SQL null-propagates them to "0" bits
+            # where a true NaN flips to "1" — the udf cannot tell the
+            # two apart, so any NaN component raises rather than
+            # silently diverging on the bucket equi-join (r17 ADVICE;
+            # same fail-loud discipline as the assignment udf).
+            if np.isnan(vs[:, :dim]).any():
+                raise ValueError(
+                    "lsh bucket: NaN/NULL element inside a vector — "
+                    "the arrow backend cannot reproduce SQL's "
+                    "null-propagated bits (Arrow erases null-vs-NaN); "
+                    "use backend='sql' or nan_policy='sql'"
+                )
             bits = np.empty((idx.size, nplanes), dtype=bool)
             for s in range(nplanes):
                 acc = vs[:, 0] * W[s, 0]
@@ -277,20 +294,38 @@ def with_lsh_bucket(
     planes: Sequence[Sequence[float]] | None = None,
     out_col: str = "lsh_bucket",
     backend: str = "arrow",
+    nan_policy: str = "raise",
 ) -> DataFrame:
     """Adds the hyperplane-sign bucket column.  ``backend="arrow"``
     (default) computes it as one vectorized pandas_udf — bit-identical
     to the ``"sql"`` expression form (see :func:`_lsh_bucket_pandas_udf`
-    for the equivalence argument and the null-element contract
-    exclusion), 4× cheaper at production plane geometry because the
-    512-term unrolled projection is too large for HotSpot to JIT."""
+    for the equivalence argument and the NaN/NULL-element raise), 4×
+    cheaper at production plane geometry because the 512-term unrolled
+    projection is too large for HotSpot to JIT.
+
+    ``nan_policy`` (r17): ``"raise"`` (default) keeps the arrow udf's
+    fail-loud behavior on NaN/NULL vector elements; ``"sql"`` routes
+    exactly the rows whose vector carries a NULL/NaN/inf element
+    through :func:`lsh_bucket_expr` instead — bit-faithful by
+    construction, evaluated JVM-side where null-vs-NaN still exists —
+    so one corrupt vector degrades to the expression form instead of
+    killing a 100 TB job."""
     planes = planes if planes is not None else random_planes()
     if backend not in ("arrow", "sql"):
         raise ValueError(f"backend must be arrow|sql, got {backend!r}")
+    if nan_policy not in ("raise", "sql"):
+        raise ValueError(f"nan_policy must be raise|sql, got {nan_policy!r}")
+    v = as_double_array(vec_col)
     if backend == "sql":
-        return df.withColumn(
-            out_col, lsh_bucket_expr(as_double_array(vec_col), planes)
+        return df.withColumn(out_col, lsh_bucket_expr(v, planes))
+    udf = _lsh_bucket_pandas_udf(planes)
+    if nan_policy == "sql":
+        bad = _vec_has_nonfinite(v)
+        bucket = F.when(bad, lsh_bucket_expr(v, planes)).otherwise(
+            udf(F.when(bad, F.lit(None)).otherwise(v))
         )
+    else:
+        bucket = udf(v)
     # coalesce makes the bucket NON-NULLABLE: the udf always emits a
     # string (a NULL vector gets the all-"0" bucket), but Catalyst
     # types udf output nullable, and a nullable JOIN KEY makes the
@@ -299,11 +334,7 @@ def with_lsh_bucket(
     # the same udf below the join (observed in the ann_lsh plan).  The
     # fallback literal can never be produced.
     return df.withColumn(
-        out_col,
-        F.coalesce(
-            _lsh_bucket_pandas_udf(planes)(as_double_array(vec_col)),
-            F.lit("0" * len(planes)),
-        ),
+        out_col, F.coalesce(bucket, F.lit("0" * len(planes)))
     )
 
 
@@ -529,9 +560,16 @@ def _assign_cells_pandas_udf(
       reverse(array_sort).
     - a NULL vector yields n NULL and all-NULL similarities, so the
       SQL ordering degrades to nc alone: the ``nprobe`` LOWEST cids
-      with cs NULL — reproduced explicitly; a vector of the WRONG
-      length yields its true norm but all-NULL similarities (zip_with
-      pads with nulls), reproduced explicitly.
+      with cs NULL — reproduced explicitly.
+    - WRONG-LENGTH vectors mirror whichever form the sql twin uses at
+      this dim (r17 ADVICE): at dim <= UNROLL_MAX_DIM the sql twin
+      unrolls ``F.get`` chains, so an overlong vector is silently
+      TRUNCATED to its first dim elements (norm and dots alike) and a
+      short vector null-propagates to n NULL + all-NULL similarities
+      (degenerate: lowest cids, cs NULL); at dim > UNROLL_MAX_DIM the
+      fold form computes the TRUE full-vector norm while zip_with
+      pads the dots to NULL (degenerate cells, real norm).  Both
+      reproduced explicitly; parity pinned in tests/test_ivf_training.py.
     - NaN is the one value the twin cannot EMIT — every pandas→Arrow
       return path nulls NaN doubles — so a NaN norm or similarity
       (NaN components, null ELEMENTS — which Arrow hands to numpy as
@@ -556,6 +594,9 @@ def _assign_cells_pandas_udf(
     )
     norm_lits = tuple(_py_fold_norm(cv) for _, cv in cents)
     p = max(1, min(int(nprobe), len(cents)))
+    # the sql twin unrolls F.get chains at this bound — wrong-length
+    # handling must mirror whichever form it uses (docstring)
+    unrolled = len(cents[0][1]) <= UNROLL_MAX_DIM if cents else False
     schema = StructType(
         [
             StructField("n", DoubleType(), True),
@@ -589,28 +630,49 @@ def _assign_cells_pandas_udf(
             return pd.DataFrame({"n": [], "cells": []})
         n_out: list = [None] * nr
         out_cells: list = [None] * nr
-        good = [
-            i
-            for i, c in enumerate(cells_in)
-            if c is not None and len(c) == dim
-        ]
         degenerate_cells = [
             {"cell": int(CID[t]), "cs": None} for t in range(p)
         ]
-        for i, c in enumerate(cells_in):
-            if c is None:
-                out_cells[i] = degenerate_cells
-            elif len(c) != dim:
-                acc = 0.0
-                for x in c:
-                    acc = acc + float(x) * float(x)
-                n_out[i] = math.sqrt(acc)
-                out_cells[i] = degenerate_cells
+        if unrolled:
+            # sql twin = F.get chains: overlong vectors TRUNCATE to
+            # their first dim elements (norm + dots); short vectors
+            # null-propagate (n NULL, degenerate cells)
+            good = [
+                i
+                for i, c in enumerate(cells_in)
+                if c is not None and len(c) >= dim
+            ]
+            for i, c in enumerate(cells_in):
+                if c is None or len(c) < dim:
+                    out_cells[i] = degenerate_cells
+        else:
+            # sql twin = aggregate/zip_with folds: wrong-length
+            # vectors keep their TRUE full-vector norm but zip_with
+            # pads the dots to NULL (degenerate cells)
+            good = [
+                i
+                for i, c in enumerate(cells_in)
+                if c is not None and len(c) == dim
+            ]
+            for i, c in enumerate(cells_in):
+                if c is None:
+                    out_cells[i] = degenerate_cells
+                elif len(c) != dim:
+                    acc = 0.0
+                    for x in c:
+                        acc = acc + float(x) * float(x)
+                    n_out[i] = math.sqrt(acc)
+                    out_cells[i] = degenerate_cells
         if good:
-            V = (
-                np.stack([cells_in[i] for i in good])
-                .astype(np.float64, copy=False)
-            )
+            if all(len(cells_in[i]) == dim for i in good):
+                V = (
+                    np.stack([cells_in[i] for i in good])
+                    .astype(np.float64, copy=False)
+                )
+            else:  # unrolled truncation of overlong vectors
+                V = np.empty((len(good), dim), np.float64)
+                for t, i in enumerate(good):
+                    V[t, :] = np.asarray(cells_in[i][:dim], np.float64)
             acc = V[:, 0] * V[:, 0]
             for d in range(1, dim):
                 acc = acc + V[:, d] * V[:, d]
@@ -661,6 +723,52 @@ def _assign_cells_pandas_udf(
     return assign
 
 
+def _vec_has_nonfinite(v: Column) -> Column:
+    """True when any element of ``v`` is NULL, NaN or ±inf — every
+    value class that can surface as a NaN norm/similarity inside the
+    arrow twins (which Arrow cannot emit, and which erase the
+    null-vs-NaN distinction the SQL forms depend on).  Evaluated
+    JVM-side, where the distinction still exists.  NULL for a NULL
+    vector — callers' WHEN then falls through to the arrow udf, whose
+    NULL-vector handling is already bit-faithful."""
+    return F.exists(
+        v,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+
+
+def _assign_struct_sql_expr(
+    centroids: Sequence[tuple[int, Sequence[float]]], nprobe: int
+):
+    """The sql assignment backend's result as ONE expression —
+    ``struct(n double, cells array<struct<cell int, cs double>>)``,
+    the same shape :func:`_assign_cells_pandas_udf` returns — built
+    from the exact sub-expressions `_probe_cells_rowlocal_sql` uses
+    (norm_expr / _cent_struct / reverse(array_sort)), so values are
+    bit-identical to a pure ``backend="sql"`` run.  The
+    ``nan_policy="sql"`` quarantine branch: evaluated only for rows
+    the non-finite detector flags."""
+    cents = sorted((int(cid), cv) for cid, cv in centroids)
+    dim = _centroid_dim(centroids)
+    p = max(1, min(int(nprobe), len(cents)))
+
+    def build(v: Column) -> Column:
+        n = norm_expr(v, dim)
+        arr = F.array(
+            *[_cent_struct(v, n, cid, cv, dim) for cid, cv in cents]
+        )
+        top = F.slice(F.reverse(F.array_sort(arr)), 1, p)
+        cells = F.transform(
+            top,
+            lambda s: F.struct(
+                s["cid"].alias("cell"), s["s"].alias("cs")
+            ),
+        )
+        return F.struct(n.alias("n"), cells.alias("cells"))
+
+    return build
+
+
 def _probe_cells_rowlocal(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -670,6 +778,7 @@ def _probe_cells_rowlocal(
     out_id: str,
     with_extras: bool = False,
     backend: str = "arrow",
+    nan_policy: str = "raise",
 ) -> DataFrame:
     """Row-local flavor of :func:`_probe_cells` (r16): no centroid
     join, no aggregation, no exchange before the assignment — the
@@ -684,11 +793,30 @@ def _probe_cells_rowlocal(
     way."""
     if backend not in ("arrow", "sql"):
         raise ValueError(f"backend must be arrow|sql, got {backend!r}")
+    if nan_policy not in ("raise", "sql"):
+        raise ValueError(f"nan_policy must be raise|sql, got {nan_policy!r}")
     if backend == "arrow":
         udf = _assign_cells_pandas_udf(centroids, nprobe)
+        if nan_policy == "sql":
+            # NaN quarantine (r17): rows whose vector carries a NULL /
+            # NaN / inf element — the classes the arrow udf RAISES on —
+            # are routed through the sql expression form instead
+            # (bit-faithful by construction); the udf sees NULL for
+            # them (its degenerate path, never evaluated into the
+            # result) and clean rows never evaluate the sql branch.
+            # One pass, no extra exchange.
+            bad = _vec_has_nonfinite(F.col("__v"))
+            st = F.when(
+                bad,
+                _assign_struct_sql_expr(centroids, nprobe)(F.col("__v")),
+            ).otherwise(
+                udf(F.when(bad, F.lit(None)).otherwise(F.col("__v")))
+            )
+        else:
+            st = udf(F.col("__v"))
         base = df.select(
             F.col(id_col).alias(out_id), vec_col.alias("__v")
-        ).withColumn("__st", udf(F.col("__v")))
+        ).withColumn("__st", st)
         if nprobe == 1:
             picked = base.withColumn(
                 "__pc", F.element_at(F.col("__st.cells"), 1)
@@ -828,9 +956,13 @@ def _probe_cells(
     nprobe: int,
     out_id: str,
     backend: str = "arrow",
+    nan_policy: str = "raise",
 ) -> DataFrame:
     """(out_id, __v, __n, cell) — each row's ``nprobe`` nearest centroid
-    cells (cosine; ties → lower cid).
+    cells (cosine; ties → lower cid).  ``nan_policy="sql"`` quarantines
+    NULL/NaN/inf-element vectors through the sql expression form on the
+    row-local path (see :func:`_probe_cells_rowlocal`); the broadcast
+    path is NaN-faithful already.
 
     Two bit-identical implementations (parity pinned in
     tests/test_unrolled_exprs.py):
@@ -848,7 +980,7 @@ def _probe_cells(
     if _rowlocal_ok(centroids):
         return _probe_cells_rowlocal(
             df, centroids, id_col, vec_col, nprobe, out_id,
-            backend=backend,
+            backend=backend, nan_policy=nan_policy,
         )
     spark = df.sparkSession
     dim = _centroid_dim(centroids)
@@ -1026,7 +1158,7 @@ def ivf_topk(
 
 
 def _semdedup_flags_arrow(
-    scored: DataFrame, id_col: str, tau: float
+    scored: DataFrame, id_col: str, tau: float, max_cell_rows: int = 100_000
 ) -> DataFrame:
     """(id, cell, cent_sim, is_semantic_dup) for EVERY scored row —
     the within-cell admitted-pair losers computed in ONE grouped Arrow
@@ -1057,8 +1189,14 @@ def _semdedup_flags_arrow(
     Scale shape: one exchange (the groupBy's hash partition by cell),
     per-cell work sum(|cell|^2)·dim as vectorized numpy, blocked so
     the pair-block accumulator stays ~64 MB regardless of cell size.
-    A giant skewed cell is one Python task here (the SQL backend's
-    AQE skew-join split is the mitigation when that dominates)."""
+    A giant skewed cell is one Python task here — ``max_cell_rows``
+    (r17 skew guard) bounds it: a cell past the bound raises with
+    remediation (grow k — the paper's k ∝ n keeps cells bounded — or
+    use ``pair_backend="sql"``, whose equi-join AQE can skew-split)
+    instead of OOMing the task hours into a 100 TB job.  The default
+    100k bound caps the per-task vector block at dim·800 KB and the
+    pair work at ~10^10·dim flops — already far past where the sql
+    backend wins."""
     from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
     out_schema = StructType(
@@ -1075,6 +1213,17 @@ def _semdedup_flags_arrow(
         import pandas as pd
 
         cells = pdf["cell"].to_numpy()
+        # NaN check runs BEFORE the singleton early-return (r17
+        # ADVICE): a NaN cent_sim in a 1-row cell would otherwise be
+        # silently nulled by the pandas→Arrow return path instead of
+        # raising as the contract promises
+        cs_all = pdf["__cs"].to_numpy(dtype=np.float64)
+        if np.isnan(cs_all).any():
+            raise ValueError(
+                "NaN cent_sim in semantic dedup: the arrow pair "
+                "backend cannot emit NaN through Arrow; use "
+                "pair_backend='sql' for NaN-bearing similarities"
+            )
         if len(pdf) < 2:
             return pd.DataFrame(
                 {
@@ -1084,19 +1233,22 @@ def _semdedup_flags_arrow(
                     "is_semantic_dup": np.zeros(len(pdf), dtype=bool),
                 }
             )
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"semantic dedup cell {cells[0]!r} holds {len(pdf)} rows "
+                f"> max_cell_rows={max_cell_rows}: under "
+                f"pair_backend='arrow' a cell is ONE Python task — grow "
+                f"k so cells stay bounded (SemDeDup runs k ∝ n), switch "
+                f"to pair_backend='sql' (AQE-skew-splittable equi-join), "
+                f"or raise max_cell_rows explicitly"
+            )
         order = np.argsort(pdf[id_col].to_numpy())
         ids = pdf[id_col].to_numpy()[order]
         V = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf["__v"].to_numpy()[order]]
         )
         nn = pdf["__n"].to_numpy(dtype=np.float64)[order]
-        cs = pdf["__cs"].to_numpy(dtype=np.float64)[order]
-        if np.isnan(cs).any():
-            raise ValueError(
-                "NaN cent_sim in semantic dedup: the arrow pair "
-                "backend cannot emit NaN through Arrow; use "
-                "pair_backend='sql' for NaN-bearing similarities"
-            )
+        cs = cs_all[order]
         n_rows, dim = V.shape
         loser = np.zeros(n_rows, dtype=bool)
         # row-block size bounding the (block × n_rows) accumulator
@@ -1151,6 +1303,7 @@ def semantic_duplicates(
     probe_supers: int = 3,
     tree: tuple[list[tuple[int, list[float]]], dict[int, int]] | None = None,
     pair_backend: str = "arrow",
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through the coarse quantizer — the cluster-bucketed
@@ -1271,9 +1424,9 @@ def semantic_duplicates(
         # whole corpus assignment (divergent pruning kept the two
         # subtrees from ever sharing a stage) — is gone: one corpus
         # pass, one exchange, zero joins.
-        return _semdedup_flags_arrow(scored, id_col, tau).select(
-            id_col, "cell", "cent_sim", "is_semantic_dup"
-        )
+        return _semdedup_flags_arrow(
+            scored, id_col, tau, max_cell_rows=max_cell_rows
+        ).select(id_col, "cell", "cent_sim", "is_semantic_dup")
     if pair_backend != "sql":
         raise ValueError(f"pair_backend must be 'arrow' or 'sql': {pair_backend!r}")
     # r16 (guide §2.4: share one exchange): the scored projection — the
