@@ -2244,12 +2244,17 @@ class ParquetMergeTarget:
             ord_struct.desc(),
         )
         out_cols = [c for c in unioned.columns if c not in set(drop_cols)]
+        # ONE lag of a struct: the struct is never null, so a NULL lag
+        # marks the partition's first row unambiguously even when the
+        # key itself is null — and a single window expression keeps the
+        # plan at exactly one Window over one Sort (two withColumn lags
+        # planned as two Window+Sort pairs).
+        prev = F.lag(F.struct(F.col(self.key_col).alias("k"))).over(w)
         deduped = (
-            unioned.withColumn("__asp_prev_k", F.lag(F.col(self.key_col)).over(w))
-            .withColumn("__asp_any_prev", F.lag(F.lit(1)).over(w))
+            unioned.select("*", prev.alias("__asp_prev"))
             .filter(
-                F.col("__asp_any_prev").isNull()
-                | ~F.col(self.key_col).eqNullSafe(F.col("__asp_prev_k"))
+                F.col("__asp_prev").isNull()
+                | ~F.col("__asp_prev")["k"].eqNullSafe(F.col(self.key_col))
             )
             .select(*out_cols)
         )
@@ -3130,13 +3135,16 @@ class ParquetMergeTarget:
         return buckets, files_inline, None, touched, kept
 
     def _merge_cow(self, batch: DataFrame) -> None:
-        # The batch is NOT pre-deduped: merge_latest_wins' max_by
-        # ordering (version, precedence, tiebreakers) restricted to
-        # batch rows (constant precedence) is exactly _dedup_latest's
-        # ordering, and max over a multiset is associative — folding
-        # the batch first, then merging, picks the same survivor as
-        # one max over the union.  Skipping the fold removes a full
-        # exchange of the batch per commit (r17, guide §2.4).
+        # The batch IS pre-deduped (below) even though max-associativity
+        # would let one max_by over the union pick the same survivor
+        # whenever the order is total: on an UNDEFINED within-batch tie
+        # — equal (version, tiebreakers) — the fused sort-dedup write
+        # and MoR's max_by would each pick arbitrarily, and a CoW table
+        # could diverge from its MoR twin on the same history.  Folding
+        # the batch through the SAME _dedup_latest aggregate both modes
+        # share keeps the arbitrary-but-consistent pick (pinned by
+        # test_stream_mor_e2e_matches_cow_with_adaptive_maintenance);
+        # planning still reads the RAW batch (same key set, no fold).
         batch_bucketed = self._with_bucket(batch)
         manifest = self._manifest()
         buckets, region, keep, touched, kept_in_scope = (
@@ -3162,7 +3170,7 @@ class ParquetMergeTarget:
                 [], schema if schema is not None else batch_bucketed.schema
             )
         existing, batch_latest = self._reconcile_schema(
-            existing, batch_bucketed
+            existing, self._with_bucket(self._dedup_latest(batch))
         )
 
         new_version = manifest["version"] + 1
