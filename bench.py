@@ -171,6 +171,62 @@ def calibration_run(spark, runs: int = 5) -> float:
     return round(samples[len(samples) // 2], 4)
 
 
+def scaling_probe(spark, runs: int = 3) -> float:
+    """Registry-EXTERNAL scaling row (r16 VERDICT item 4): the driver's
+    low-core/high-core comparison needs one row whose work is genuinely
+    parallel and heavy enough to separate 8 from 32 cores — after r16
+    every registry row sits near the fixed per-query scheduling floor
+    at sf0.1, so their ratios read ≈1 and the scaling probe was blind.
+
+    Workload: the 1M-row × 64-dim synthetic IVF assignment scan from
+    SCALE.md — deterministic arithmetic vectors (pure codegen, no data
+    dependence) through the vectorized-Arrow cell assignment at k=32
+    (k doubled over the production-default 16 so the per-row numpy
+    work dominates the fixed Arrow-transfer and scheduling overheads —
+    measured: at k=16 the c8/c32 ratio read ~2.4, at k=32 ~3).
+    Embarrassingly parallel (64 input partitions, no shuffle, no
+    skew), so wall ∝ 1/cores until the Python-worker pool saturates.
+    NOT part of the 50-query total; the number is printed as
+    ``scaling_probe_sec`` (payload addition only).  Timed exactly like
+    the registry rows: noop sink, warm run, best-of-N.
+    """
+    from pyspark.sql import functions as F
+
+    from arcane_stream_parquet_spark.operators.similarity import (
+        _probe_cells_rowlocal,
+        plane_component,
+    )
+
+    k, dim, n = 32, 64, 1_000_000
+    cents = [
+        (c, [plane_component(1_000 + c, d) for d in range(dim)])
+        for c in range(k)
+    ]
+    vec = F.array(
+        *[
+            (
+                F.pmod(F.col("id") * 7919 + d * 104729, F.lit(999983))
+                / 999983.0
+                - 0.5
+            ).cast("double")
+            for d in range(dim)
+        ]
+    )
+    base = spark.range(0, n, 1, 64)
+    df = _probe_cells_rowlocal(
+        base, cents, "id", vec, nprobe=1, out_id="id"
+    ).select("id", "cell", "__n")
+    spark.sparkContext.setJobDescription("scaling_probe: 1M x 64d assignment")
+    df.write.format("noop").mode("overwrite").save()  # warm plan + workers
+    samples = []
+    for _ in range(runs):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - start)
+    spark.sparkContext.setJobDescription(None)
+    return round(min(samples), 4)
+
+
 def _release_pinned_blocks(spark) -> None:
     """Unpin every persisted RDD block left behind by the ingest phase.
 
@@ -204,6 +260,7 @@ def main() -> None:
     _release_pinned_blocks(spark)
 
     calibration_sec = calibration_run(spark)
+    scaling_probe_sec = scaling_probe(spark)
 
     # One warm run (plan + codegen + Python-worker spin-up), then the
     # best of three timed runs per query: a single timed run on a
@@ -348,6 +405,10 @@ def main() -> None:
         # computed between payloads of the same version (r16).
         "calibration_sec": calibration_sec,
         "calibration_version": CALIBRATION_VERSION,
+        # registry-external scaling row (r16 VERDICT item 4): genuinely
+        # parallel heavy work so the driver's 8-vs-32-core ratio has a
+        # row that separates; NOT included in `value` or `queries`.
+        "scaling_probe_sec": scaling_probe_sec,
     }
     # The driver captures only the LAST ~2,000 chars of stdout; the full
     # 50-query payload is ~3.3 KB and gets truncated (r7 VERDICT item 1).
@@ -423,6 +484,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "cpus": cpus,
                 "merge_throughput": ingest,
+                "scaling_probe_sec": scaling_probe_sec,
                 "full_payload": "BENCH_FULL.json",
                 **(
                     {
